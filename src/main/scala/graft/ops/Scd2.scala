@@ -1,0 +1,108 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+import graft.core.Schemas
+
+/** SCD Type-2 merge: apply a CDC delta to the history (staging) table —
+  * the heart of the reference (`SCD-Configuration Setup.sql:143-153`,
+  * `SCD-Automation.sql:83-93`; SURVEY.md §2.3 J2).
+  *
+  * Reference semantics (faithful mode):
+  *   - match key = (business key, tracked column) — the SCD column is
+  *     deliberately part of the key ("SCD column of Interest:
+  *     SUPPLIER_STATE", `SCD-Automation.sql:85`);
+  *   - WHEN MATCHED AND action='DELETE' → close out: `end_date = batchTime`,
+  *     `current_flag = 'N'`;
+  *   - WHEN NOT MATCHED AND action='INSERT' → open version:
+  *     `start_date = batchTime`, `end_date = NULL`, `current_flag = 'Y'`;
+  *   - '''one timestamp per cycle''' — all rows touched in a cycle share
+  *     `batchTime` (`SCD-Configuration Setup.sql:255-264`; SURVEY.md §4b.3).
+  *
+  * Faithful mode reproduces the reference's two documented quirks
+  * (SURVEY.md §4b.1-2): a supplier returning to a prior tracked value
+  * matches its closed-out historical row so no new version opens, and a
+  * name-only change closes the current row without reopening it (the row
+  * retires from MASTER).
+  *
+  * Corrected mode (`faithful = false`) restricts both branches to
+  * `current_flag = 'Y'` rows, so closed-out history never swallows a
+  * returning value — a new version is opened as standard SCD2 would.
+  *
+  * Scale: the CDC delta is per-cycle small against an ever-growing history —
+  * both joins broadcast the delta side by default so the 100 TB history
+  * never shuffles; the history table itself is only ever appended-to/
+  * column-touched via this rewrite, and should be stored partitioned by
+  * `current_flag` (tiny hot partition) or bucketed by the business key.
+  */
+object Scd2 {
+
+  /** Apply one CDC batch to the history table.
+    *
+    * @param staging   current history (base columns + start_date/end_date/
+    *                  current_flag)
+    * @param cdc       delta with `_action` (+ any other CDC metadata) columns
+    * @param batchTime the single cycle timestamp
+    * @param matchKeys business key + tracked column(s), reference-style
+    */
+  def merge(
+      staging: DataFrame,
+      cdc: DataFrame,
+      batchTime: Timestamp,
+      matchKeys: Seq[String],
+      faithful: Boolean = true,
+      broadcastCdc: Boolean = true): DataFrame = {
+
+    val ts = lit(batchTime).cast(TimestampType)
+    val baseCols = staging.columns.toSeq
+      .filterNot(Seq("start_date", "end_date", "current_flag").contains)
+
+    def hint(df: DataFrame) = if (broadcastCdc) broadcast(df) else df
+
+    // WHEN MATCHED AND action='DELETE' → close out.
+    val closeKeys = hint(cdc
+      .filter(col(Schemas.cdcActionCol) === "DELETE")
+      .select(matchKeys.map(col): _*)
+      .distinct()
+      .withColumn("__close", lit(true)))
+
+    val matchableForClose =
+      if (faithful) lit(true) else col("current_flag") === "Y"
+
+    val closed = staging
+      .join(closeKeys, matchKeys, "left_outer")
+      .withColumn("end_date",
+        when(col("__close").isNotNull && matchableForClose, ts)
+          .otherwise(col("end_date")))
+      .withColumn("current_flag",
+        when(col("__close").isNotNull && matchableForClose, lit("N"))
+          .otherwise(col("current_flag")))
+      .drop("__close")
+
+    // WHEN NOT MATCHED AND action='INSERT' → open a new version. In faithful
+    // mode "matched" means *any* history row (closed-out rows swallow
+    // returning values — SURVEY.md §4b.1); corrected mode anti-joins only
+    // against current rows.
+    val antiTarget =
+      if (faithful) staging else staging.filter(col("current_flag") === "Y")
+
+    val opened = cdc
+      .filter(col(Schemas.cdcActionCol) === "INSERT")
+      .select(baseCols.map(col): _*)
+      .join(antiTarget.select(matchKeys.map(col): _*), matchKeys, "left_anti")
+      .withColumn("start_date", ts)
+      .withColumn("end_date", lit(null).cast(TimestampType))
+      .withColumn("current_flag", lit("Y"))
+
+    closed.unionByName(opened).select(staging.columns.map(col).toSeq: _*)
+  }
+
+  /** INSERT OVERWRITE INTO master: the current view of the history
+    * (`SCD-Configuration Setup.sql:160-161`; P1+P2+D4). */
+  def currentView(staging: DataFrame, baseCols: Seq[String]): DataFrame =
+    staging.filter(col("current_flag") === "Y").select(baseCols.map(col): _*)
+}

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Schemas, TableStore}
+import graft.ops.{Merge, Scd2, SnapshotCdc}
+import graft.sources.Stage
+
+/** The full SCD Type-2 pipeline — the Spark re-expression of the
+  * reference's five-task DAG (`SCD-Automation.sql:34-102`; SURVEY.md §3).
+  *
+  * One [[runCycle]] call is one DAG tick:
+  * {{{
+  *   task1  TRUNCATE raw                (SCD-Automation.sql:34-38)
+  *   task2  COPY stage → raw, PURGE     (SCD-Automation.sql:43-49)
+  *   task3  MERGE raw → landing         (SCD-Automation.sql:53-74)   [J1]
+  *   task4  MERGE stream → staging      (SCD-Automation.sql:79-93)   [J2]
+  *   task5  INSERT OVERWRITE master     (SCD-Automation.sql:97-102)  [D4]
+  * }}}
+  * plus a run-log append (our TASK_HISTORY, `SCD-Automation.sql:116,147`).
+  *
+  * The driver program '''is''' the DAG (SURVEY.md §2.7 W3): the five tasks
+  * are sequential statements here; Snowflake's AFTER-chaining is Scala
+  * statement order. Cron scheduling lives in [[ScdStream]].
+  *
+  * Atomicity: every table version is staged first (plain immutable parquet
+  * writes), then ONE [[TableStore.commit]] flips raw, landing, staging,
+  * master, the CDC snapshot, and the run log together. A crash anywhere
+  * before the commit leaves the previous cycle fully intact and the stream
+  * unconsumed — the reference's advance-on-consume contract
+  * (`SCD-Automation.sql:142`) with no partial-cycle window.
+  *
+  * All rows touched in a cycle share the single `batchTime`
+  * (SURVEY.md §4b.3); tests inject it, production passes `now`.
+  */
+class ScdPipeline(
+    val spark: SparkSession,
+    val store: TableStore,
+    val faithful: Boolean = true) {
+
+  import ScdPipeline._
+
+  private val cdcStream =
+    new SnapshotCdc(store, CdcSnapshot, Seq("supplier_code"), Schemas.landing)
+
+  /** Peek the unconsumed stream (SELECT * FROM stream,
+    * `SCD-Configuration Setup.sql:127` — side-effect free). */
+  def streamChanges(): DataFrame =
+    cdcStream.changes(store.readOrEmpty(Landing, Schemas.landing))
+
+  /** Run one pipeline cycle over the files currently in `stage`.
+    * Returns the number of rows loaded from the stage. */
+  def runCycle(stage: Stage, batchTime: Timestamp,
+      purge: Boolean = true): Long = {
+    val files = stage.list()
+    runCycleWithBatch(stage.readCsv(spark, Schemas.raw), batchTime,
+      afterCommit = () => if (purge) stage.rm(files))
+  }
+
+  /** Run one cycle with an already-loaded raw batch (the foreachBatch entry
+    * used by [[ScdStream]]). */
+  def runCycleWithBatch(rawBatch: DataFrame, batchTime: Timestamp,
+      afterCommit: () => Unit = () => ()): Long = {
+
+    // ---- read a consistent pre-cycle snapshot (one manifest read) --------
+    val landingPrev = store.readOrEmpty(Landing, Schemas.landing)
+    val stagingPrev = store.readOrEmpty(Staging, Schemas.staging)
+
+    // task1+2: truncate raw + COPY INTO raw. Materialized first so the CSV
+    // files can be purged after commit and downstream reads are from
+    // parquet, not the half-typed CSV path.
+    val rawVersion = store.stage(Raw, rawBatch)
+    val raw = spark.read.parquet(
+      store.root + s"/$Raw/$rawVersion")
+    val rowsLoaded = raw.count()
+
+    // task3: MERGE raw → landing (J1), null-propagating change detection.
+    val landingNext = Merge.upsert(landingPrev, raw, Seq("supplier_code"))
+    val landingVersion = store.stage(Landing, landingNext)
+    val landingNew = spark.read.parquet(store.root + s"/$Landing/$landingVersion")
+
+    // the stream on landing now holds the delta since last consumption
+    val cdc = cdcStream.changes(landingNew)
+
+    // task4: MERGE stream → staging (J2/SCD2) — consuming the stream.
+    val stagingNext = Scd2.merge(stagingPrev, cdc, batchTime,
+      matchKeys = Seq("supplier_code", "supplier_state"), faithful = faithful)
+    val stagingVersion = store.stage(Staging, stagingNext)
+    val stagingNew = spark.read.parquet(store.root + s"/$Staging/$stagingVersion")
+
+    // task5: INSERT OVERWRITE master = current view of staging.
+    val masterVersion = store.stage(Master,
+      Scd2.currentView(stagingNew, Schemas.supplierBase.fieldNames.toSeq))
+
+    // stream advance staged, committed together with everything else
+    val (snapTable, snapVersion) = cdcStream.stageAdvance(landingNew)
+
+    // run-log append (TASK_HISTORY stand-in)
+    val prevLog = store.readOrEmpty(RunLog, Schemas.runLog)
+    val cycleId = prevLog.count() + 1
+    val logRow = spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        cycleId, batchTime, rowsLoaded,
+        new Timestamp(System.currentTimeMillis()), "SUCCEEDED")),
+      Schemas.runLog)
+    val logVersion = store.stage(RunLog, prevLog.unionByName(logRow))
+
+    // ---- the atomic multi-table commit ----------------------------------
+    store.commit(Map(
+      Raw -> rawVersion,
+      Landing -> landingVersion,
+      Staging -> stagingVersion,
+      Master -> masterVersion,
+      snapTable -> snapVersion,
+      RunLog -> logVersion))
+
+    afterCommit()
+    rowsLoaded
+  }
+
+  // -- verification reads (SURVEY.md §3.3) --------------------------------
+  def raw: DataFrame = store.readOrEmpty(Raw, Schemas.raw)
+  def landing: DataFrame = store.readOrEmpty(Landing, Schemas.landing)
+  def staging: DataFrame = store.readOrEmpty(Staging, Schemas.staging)
+  def master: DataFrame = store.readOrEmpty(Master, Schemas.master)
+
+  /** Task history, latest first (`SCD-Automation.sql:116,147` — O2). */
+  def taskHistory: DataFrame =
+    store.readOrEmpty(RunLog, Schemas.runLog).orderBy(col("completed_time").desc)
+}
+
+object ScdPipeline {
+  val Raw = "supplier_raw"
+  val Landing = "supplier_landing"
+  val Staging = "supplier_staging"
+  val Master = "supplier_master"
+  val RunLog = "run_log"
+  val CdcSnapshot = "supplier_landing__cdc_snapshot"
+}

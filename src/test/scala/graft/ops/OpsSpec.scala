@@ -1,0 +1,181 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Unit tests for the merge / CDC-diff / SCD2 operators (SURVEY.md §5.2). */
+class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private def suppliers(rows: (Long, String, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state")
+  }
+
+  // ---- Merge.upsert (J1) --------------------------------------------------
+
+  test("upsert: update, insert, and no-op cases") {
+    val target = suppliers(
+      (1L, "A101", "Kohli", "Delhi"),
+      (2L, "A102", "Dhoni", "Ranchi"))
+    val source = suppliers(
+      (1L, "A101", "Kohli", "Goa"),     // changed state → update
+      (2L, "A102", "Dhoni", "Ranchi"),  // unchanged → no-op
+      (3L, "A103", "Pujara", "Gujarat")) // new code → insert
+
+    val out = Merge.upsert(target, source, Seq("supplier_code"))
+      .orderBy("supplier_key").collect()
+    out.length shouldBe 3
+    out(0).getAs[String]("supplier_state") shouldBe "Goa"
+    out(1).getAs[String]("supplier_state") shouldBe "Ranchi"
+    out(2).getAs[String]("supplier_code") shouldBe "A103"
+  }
+
+  test("upsert: target rows absent from source persist (no delete branch)") {
+    val target = suppliers((1L, "A101", "Kohli", "Delhi"))
+    val source = suppliers((2L, "A102", "Dhoni", "Ranchi"))
+    Merge.upsert(target, source, Seq("supplier_code")).count() shouldBe 2
+  }
+
+  test("upsert: null-propagating change detection never updates on NULLs") {
+    // Snowflake != is null-propagating (SURVEY.md §4b.4): a NULL name on
+    // either side makes the disjunct UNKNOWN; with all others equal the
+    // row must NOT update.
+    val target = suppliers((1L, "A101", null, "Delhi"))
+    val source = suppliers((1L, "A101", "Kohli", "Delhi"))
+    val out = Merge.upsert(target, source, Seq("supplier_code")).collect()
+    out.length shouldBe 1
+    out(0).getAs[String]("supplier_name") shouldBe null // kept target row
+
+    // null-safe mode updates
+    val out2 = Merge.upsert(target, source, Seq("supplier_code"),
+      nullSafe = true).collect()
+    out2(0).getAs[String]("supplier_name") shouldBe "Kohli"
+  }
+
+  // ---- SnapshotCdc.diff (J3) ---------------------------------------------
+
+  test("cdc diff: insert / update-pair / delete / unchanged") {
+    val prev = suppliers(
+      (1L, "A101", "Kohli", "Delhi"),
+      (2L, "A102", "Dhoni", "Ranchi"),
+      (3L, "A103", "Pujara", "Gujarat"))
+    val curr = suppliers(
+      (1L, "A101", "Kohli", "Delhi"),   // unchanged → no rows
+      (2L, "A102", "Dhoni", "Jharkhand"), // changed → DELETE+INSERT pair
+      (4L, "A104", "Bumrah", "Mumbai"))  // new → INSERT
+
+    val d = SnapshotCdc.diff(prev, curr, Seq("supplier_code")).collect()
+    d.length shouldBe 4
+
+    val byAction = d.groupBy(_.getAs[String]("_action"))
+    byAction("INSERT").length shouldBe 2
+    byAction("DELETE").length shouldBe 2 // A102 old image + A103 true delete
+
+    val a102 = d.filter(_.getAs[String]("supplier_code") == "A102")
+    a102.length shouldBe 2
+    a102.forall(_.getAs[Boolean]("_is_update")) shouldBe true
+    a102.map(_.getAs[String]("_row_id")).distinct.length shouldBe 1
+
+    val a103 = d.filter(_.getAs[String]("supplier_code") == "A103")
+    a103.length shouldBe 1
+    a103.head.getAs[String]("_action") shouldBe "DELETE"
+    a103.head.getAs[Boolean]("_is_update") shouldBe false
+  }
+
+  // ---- Scd2.merge (J2) ----------------------------------------------------
+
+  private val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+  private val t3 = Timestamp.valueOf("2024-03-01 00:00:00")
+
+  private def history(rows: (Long, String, String, String, Timestamp, Option[Timestamp], String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (k, c, n, st, sd, ed, f) => (k, c, n, st, sd, ed.orNull, f) }
+      .toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state",
+        "start_date", "end_date", "current_flag")
+  }
+
+  private def cdc(rows: (Long, String, String, String, String, Boolean)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("supplier_key", "supplier_code", "supplier_name",
+      "supplier_state", "_action", "_is_update")
+  }
+
+  test("scd2: close-out and open-version branches") {
+    val staging = history(
+      (5L, "A105", "Rohit", "Hyderabad", t1, None, "Y"))
+    val delta = cdc(
+      (5L, "A105", "Rohit", "Hyderabad", "DELETE", true),
+      (5L, "A105", "Rohit", "Tamilnadu", "INSERT", true))
+
+    val out = Scd2.merge(staging, delta, t2,
+      Seq("supplier_code", "supplier_state")).orderBy("start_date").collect()
+    out.length shouldBe 2
+    out(0).getAs[String]("current_flag") shouldBe "N"
+    out(0).getAs[Timestamp]("end_date") shouldBe t2
+    out(1).getAs[String]("current_flag") shouldBe "Y"
+    out(1).getAs[Timestamp]("start_date") shouldBe t2
+    out(1).getAs[Timestamp]("end_date") shouldBe null
+  }
+
+  test("scd2 faithful quirk: returning to a prior state opens no new version") {
+    // SURVEY.md §4b.1: the closed-out Hyderabad row swallows the INSERT.
+    val staging = history(
+      (5L, "A105", "Rohit", "Hyderabad", t1, Some(t2), "N"),
+      (5L, "A105", "Rohit", "Tamilnadu", t2, None, "Y"))
+    val delta = cdc(
+      (5L, "A105", "Rohit", "Tamilnadu", "DELETE", true),
+      (5L, "A105", "Rohit", "Hyderabad", "INSERT", true))
+
+    val faithful = Scd2.merge(staging, delta, t3,
+      Seq("supplier_code", "supplier_state"), faithful = true)
+    faithful.count() shouldBe 2 // no new row
+    faithful.filter("current_flag = 'Y'").count() shouldBe 0 // both closed!
+
+    // corrected mode: closed-out history is invisible → a fresh Hyderabad
+    // version opens.
+    val corrected = Scd2.merge(staging, delta, t3,
+      Seq("supplier_code", "supplier_state"), faithful = false)
+    corrected.count() shouldBe 3
+    val cur = corrected.filter("current_flag = 'Y'").collect()
+    cur.length shouldBe 1
+    cur.head.getAs[String]("supplier_state") shouldBe "Hyderabad"
+    cur.head.getAs[Timestamp]("start_date") shouldBe t3
+  }
+
+  test("scd2 faithful quirk: name-only change retires the supplier") {
+    // SURVEY.md §4b.2: DELETE image closes the row; the INSERT image matches
+    // the same (code,state) and is swallowed → row leaves MASTER.
+    val staging = history(
+      (3L, "A103", "Pujara", "Gujarat", t1, None, "Y"))
+    val delta = cdc(
+      (3L, "A103", "Pujara", "Gujarat", "DELETE", true),
+      (3L, "A103", "Cheteshwar Pujara", "Gujarat", "INSERT", true))
+
+    val out = Scd2.merge(staging, delta, t2,
+      Seq("supplier_code", "supplier_state"))
+    out.count() shouldBe 1
+    out.filter("current_flag = 'Y'").count() shouldBe 0
+    Scd2.currentView(out, Seq("supplier_key", "supplier_code",
+      "supplier_name", "supplier_state")).count() shouldBe 0
+  }
+
+  test("scd2: plain inserts open versions with null end_date") {
+    val staging = history()
+    val delta = cdc((7L, "A107", "Pujara", "Saurasthra", "INSERT", false))
+    val out = Scd2.merge(staging, delta, t1,
+      Seq("supplier_code", "supplier_state")).collect()
+    out.length shouldBe 1
+    out.head.getAs[String]("current_flag") shouldBe "Y"
+    out.head.getAs[Timestamp]("start_date") shouldBe t1
+  }
+}
