@@ -1,13 +1,606 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{SimHash, TextFunctions => T, VectorFunctions => V}
+import graft.multimodal.Media
+import graft.operators.{Dedup, Similarity}
+import graft.ops.{Merge, Scd2, SnapshotCdc}
+
+/** Driver contract — the operator inventory of SURVEY.md §2 plus the
+  * training-data-pipeline extensions, each as a DataFrame query with (where
+  * SQL-expressible) a DuckDB oracle over the same parquet tables.
+  *
+  * SCD queries synthesize deterministic dimension batches from the
+  * `supplier` table (TESTDATA.md §B guidance): batch2 changes the tracked
+  * column for suppkey%3=0, the name for suppkey%5=0, and inserts
+  * suppkey%4=0 clones at key+100000; batch3 reverts the tracked column.
+  * Both the Spark side (running the real Merge/SnapshotCdc/Scd2 operators)
+  * and the DuckDB oracle (closed-form CASE/UNION SQL) derive the same
+  * batches, so a hash match verifies the engine's semantics, not the data.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+  private val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+  private val t3 = Timestamp.valueOf("2024-03-01 00:00:00")
+
+  // ---- synthesized SCD batches (Scala side) -------------------------------
+
+  private def supplier(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/supplier.parquet")
+
+  /** batch1 = the full dimension as of t1. */
+  private def b1(s: SparkSession, dir: String): DataFrame =
+    supplier(s, dir).select(
+      col("s_suppkey").as("supplier_key"),
+      concat(lit("S"), col("s_suppkey").cast("string")).as("supplier_code"),
+      col("s_name").as("supplier_name"),
+      concat(lit("ST"), (col("s_nationkey") % 25).cast("string")).as("supplier_state"))
+
+  /** batch2 = delta file: changed rows (state for %3, name for %5) + inserts
+    * (%4 clones at key+100000). */
+  private def b2(s: SparkSession, dir: String): DataFrame = {
+    val sup = supplier(s, dir)
+    val changed = sup
+      .filter(col("s_suppkey") % 3 === 0 || col("s_suppkey") % 5 === 0)
+      .select(
+        col("s_suppkey").as("supplier_key"),
+        concat(lit("S"), col("s_suppkey").cast("string")).as("supplier_code"),
+        when(col("s_suppkey") % 5 === 0, concat(col("s_name"), lit("_v2")))
+          .otherwise(col("s_name")).as("supplier_name"),
+        when(col("s_suppkey") % 3 === 0,
+          concat(lit("ST"), ((col("s_nationkey") + 7) % 25).cast("string")))
+          .otherwise(concat(lit("ST"), (col("s_nationkey") % 25).cast("string")))
+          .as("supplier_state"))
+    val inserts = sup.filter(col("s_suppkey") % 4 === 0).select(
+      (col("s_suppkey") + 100000).as("supplier_key"),
+      concat(lit("S"), (col("s_suppkey") + 100000).cast("string")).as("supplier_code"),
+      concat(lit("NEW_SUPPLIER_"), col("s_suppkey").cast("string")).as("supplier_name"),
+      concat(lit("ST"), (col("s_nationkey") % 25).cast("string")).as("supplier_state"))
+    changed.unionByName(inserts)
+  }
+
+  /** batch3 = delta reverting the tracked column for %3 keys (keeps the
+    * batch2 name) — the return-to-prior-state scenario of SURVEY.md §4b.1. */
+  private def b3(s: SparkSession, dir: String): DataFrame =
+    supplier(s, dir).filter(col("s_suppkey") % 3 === 0).select(
+      col("s_suppkey").as("supplier_key"),
+      concat(lit("S"), col("s_suppkey").cast("string")).as("supplier_code"),
+      when(col("s_suppkey") % 5 === 0, concat(col("s_name"), lit("_v2")))
+        .otherwise(col("s_name")).as("supplier_name"),
+      concat(lit("ST"), (col("s_nationkey") % 25).cast("string")).as("supplier_state"))
+
+  private def emptyStaging(s: SparkSession, like: DataFrame): DataFrame =
+    like.limit(0)
+      .withColumn("start_date", lit(null).cast("timestamp"))
+      .withColumn("end_date", lit(null).cast("timestamp"))
+      .withColumn("current_flag", lit(null).cast("string"))
+
+  /** Run the real operator chain for two batches, faithful mode. */
+  private def scd2After2(s: SparkSession, dir: String): DataFrame = {
+    val l1 = b1(s, dir)
+    val l2 = Merge.upsert(l1, b2(s, dir), Seq("supplier_code"))
+    val cdc1 = SnapshotCdc.diff(l1.limit(0), l1, Seq("supplier_code"))
+    val st1 = Scd2.merge(emptyStaging(s, l1), cdc1, t1,
+      Seq("supplier_code", "supplier_state"))
+    val cdc2 = SnapshotCdc.diff(l1, l2, Seq("supplier_code"))
+    Scd2.merge(st1, cdc2, t2, Seq("supplier_code", "supplier_state"))
+  }
+
+  /** Three batches, corrected mode (closed-out history never swallows a
+    * returning value). */
+  private def scd2CorrectedAfter3(s: SparkSession, dir: String): DataFrame = {
+    val l1 = b1(s, dir)
+    val l2 = Merge.upsert(l1, b2(s, dir), Seq("supplier_code"))
+    val l3 = Merge.upsert(l2, b3(s, dir), Seq("supplier_code"))
+    val cdc1 = SnapshotCdc.diff(l1.limit(0), l1, Seq("supplier_code"))
+    val st1 = Scd2.merge(emptyStaging(s, l1), cdc1, t1,
+      Seq("supplier_code", "supplier_state"), faithful = false)
+    val st2 = Scd2.merge(st1, SnapshotCdc.diff(l1, l2, Seq("supplier_code")), t2,
+      Seq("supplier_code", "supplier_state"), faithful = false)
+    Scd2.merge(st2, SnapshotCdc.diff(l2, l3, Seq("supplier_code")), t3,
+      Seq("supplier_code", "supplier_state"), faithful = false)
+  }
+
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  private def queryVec(s: SparkSession, dir: String): Seq[Float] =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+  // ---- driver contract ----------------------------------------------------
+
+  /** Flagship: the two-batch SCD2 history on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    scd2After2(spark, "/root/testdata/sf0.001")
+      .orderBy("supplier_key", "start_date", "supplier_state")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -- relational core (S7/P1/P2/A) ------------------------------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey")
+    }),
+
+    // -- join + agg + sort/limit (J/O1) ----------------------------------
+    "q03_top_customers" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q04_sort_limit" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // -- set op (U1) ------------------------------------------------------
+    "q05_union" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val a = o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 100000)
+      val b = o.filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") < 50000)
+      a.unionByName(b)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("o_totalprice"))
+    }),
+
+    // -- disjunctive predicate (P3) ---------------------------------------
+    "q06_disjunctive_filter" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_returnflag") =!= "N" || col("l_tax") > 0.05)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_extendedprice")), 2).as("sum_base"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- window functions over the events stream table --------------------
+    "q07_event_gaps" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .withColumn("gap_us", col("next_us") - col("ts_us"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    "q08_latest_event" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .orderBy("user_id")
+    }),
+
+    "q09_event_type_stats" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("event_type")
+    }),
+
+    // -- SCD operator chain (J1/J3/J2/D4, SURVEY §2.3/§2.7) ---------------
+    "scd_upsert_landing" -> ((s, dir) =>
+      Merge.upsert(b1(s, dir), b2(s, dir), Seq("supplier_code"))
+        .orderBy("supplier_key")),
+
+    "scd_cdc_diff" -> ((s, dir) =>
+      SnapshotCdc.diff(b1(s, dir),
+          Merge.upsert(b1(s, dir), b2(s, dir), Seq("supplier_code")),
+          Seq("supplier_code"))
+        .orderBy("supplier_key", "_action")),
+
+    "scd2_history" -> ((s, dir) =>
+      scd2After2(s, dir)
+        // TIMESTAMP_NTZ on the wire (the reference's type, and DuckDB's
+        // naive TIMESTAMP — a tz-aware parquet timestamp would hash-mismatch)
+        .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
+        .withColumn("end_date", col("end_date").cast("timestamp_ntz"))
+        .orderBy("supplier_key", "start_date", "supplier_state")),
+
+    "scd2_master" -> ((s, dir) =>
+      Scd2.currentView(scd2After2(s, dir),
+          Seq("supplier_key", "supplier_code", "supplier_name", "supplier_state"))
+        .orderBy("supplier_key")),
+
+    "scd2_corrected" -> ((s, dir) =>
+      scd2CorrectedAfter3(s, dir)
+        .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
+        .withColumn("end_date", col("end_date").cast("timestamp_ntz"))
+        .orderBy("supplier_key", "start_date", "supplier_state")),
+
+    // -- text analysis ----------------------------------------------------
+    "text_stats" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"),
+          round(T.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(T.meanTokenLen(col("text")), 4).as("mean_token_len"),
+          round(T.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          T.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "token_histogram" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(30)
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    "ngram_jaccard_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
+          threshold = 0.1, maxId = 150L)
+        .orderBy("id_a", "id_b")),
+
+    // -- similarity search ------------------------------------------------
+    "knn_brute" -> ((s, dir) =>
+      Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir), k = 20)),
+
+    "embedding_norms" -> ((s, dir) => {
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), round(V.l2Norm(col("embedding")), 4).as("norm"),
+          col("label"))
+        .orderBy("vec_id")
+    }),
+
+    // -- multimodal metadata (binary payload plumbing) --------------------
+    "media_meta" -> ((s, dir) => {
+      Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).cast("long").as("byte_len"),
+          sha2(col("payload"), 256).as("sha256"))
+        .orderBy("media_id")
+    }),
+
+    // -- non-SQL-expressible operators (rows-only driver check) -----------
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhash(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
+        .select("doc_id").orderBy("doc_id")),
+
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embedding(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.95)
+        .select("vec_id").orderBy("vec_id")),
+
+    "knn_lsh" -> ((s, dir) =>
+      Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
+        queryVec(s, dir), k = 20, probeHamming = 2)),
+
+    "knn_join" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnJoin(e.filter(col("vec_id") < 100), e, k = 5)
+        .orderBy("id_l", "rank")
+    }),
+
+    "media_features" -> ((s, dir) =>
+      Media.extractFeatures(
+          Media.synthesize(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF().drop("features").orderBy("media_id"))
+  )
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  /** Shared CTE: the synthesized batches in closed form. */
+  private val supCte =
+    """WITH sup AS (
+      |  SELECT s_suppkey AS k,
+      |         'S' || CAST(s_suppkey AS VARCHAR) AS code,
+      |         s_name AS name,
+      |         'ST' || CAST(s_nationkey % 25 AS VARCHAR) AS state0,
+      |         'ST' || CAST((s_nationkey + 7) % 25 AS VARCHAR) AS state1
+      |  FROM supplier)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q04_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q05_union" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+        |FROM (
+        |  SELECT * FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 100000
+        |  UNION ALL
+        |  SELECT * FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice < 50000
+        |) ORDER BY o_orderkey, o_totalprice""".stripMargin,
+
+    "q06_disjunctive_filter" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_extendedprice), 2) AS sum_base
+        |FROM lineitem WHERE l_returnflag <> 'N' OR l_tax > 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_event_gaps" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q08_latest_event" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q09_event_type_stats" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd_upsert_landing" -> (supCte +
+      """
+        |SELECT k AS supplier_key, code AS supplier_code,
+        |  CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS supplier_name,
+        |  CASE WHEN k % 3 = 0 THEN state1 ELSE state0 END AS supplier_state
+        |FROM sup
+        |UNION ALL
+        |SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |  'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0
+        |FROM sup WHERE k % 4 = 0
+        |ORDER BY supplier_key""".stripMargin),
+
+    "scd_cdc_diff" -> (supCte +
+      """
+        |, cdc AS (
+        |  SELECT k, code,
+        |    CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS name,
+        |    CASE WHEN k % 3 = 0 THEN state1 ELSE state0 END AS state,
+        |    'INSERT' AS action, TRUE AS isup
+        |  FROM sup WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, 'DELETE', TRUE
+        |  FROM sup WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0, 'INSERT', FALSE
+        |  FROM sup WHERE k % 4 = 0)
+        |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |  state AS supplier_state, action AS _action, isup AS _is_update,
+        |  md5(code) AS _row_id
+        |FROM cdc ORDER BY supplier_key, _action""".stripMargin),
+
+    "scd2_history" -> (supCte +
+      """
+        |, hist AS (
+        |  SELECT k, code, name, state0 AS state,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS start_date,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS end_date, 'N' AS current_flag
+        |  FROM sup WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, TIMESTAMP '2024-01-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state1, TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0,
+        |    TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 4 = 0)
+        |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |  state AS supplier_state, start_date, end_date, current_flag
+        |FROM hist ORDER BY supplier_key, start_date, supplier_state""".stripMargin),
+
+    "scd2_master" -> (supCte +
+      """
+        |, cur AS (
+        |  SELECT k, code, name, state0 AS state FROM sup WHERE k % 3 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state1 FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0 FROM sup WHERE k % 4 = 0)
+        |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |  state AS supplier_state
+        |FROM cur ORDER BY supplier_key""".stripMargin),
+
+    "scd2_corrected" -> (supCte +
+      """
+        |, hist AS (
+        |  -- %3 keys: three versions (v2 reopened at t3 in corrected mode)
+        |  SELECT k, code, name, state0 AS state,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS start_date,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS end_date, 'N' AS current_flag
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state1, TIMESTAMP '2024-02-01 00:00:00',
+        |    TIMESTAMP '2024-03-01 00:00:00', 'N'
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state0, TIMESTAMP '2024-03-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  -- name-only changes: closed at t2, retired (same in corrected mode)
+        |  SELECT k, code, name, state0, TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-02-01 00:00:00', 'N'
+        |  FROM sup WHERE k % 5 = 0 AND k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, TIMESTAMP '2024-01-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0,
+        |    TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 4 = 0)
+        |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |  state AS supplier_state, start_date, end_date, current_flag
+        |FROM hist ORDER BY supplier_key, start_date, supplier_state""".stripMargin),
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+        |  round(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text) END, 4) AS punct_ratio,
+        |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE length(regexp_replace(trim(text), '\s+', '', 'g')) * 1.0 /
+        |         len(string_split_regex(trim(text), '\s+')) END, 4) AS mean_token_len,
+        |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |    ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |           x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0 /
+        |         len(string_split_regex(trim(text), '\s+')) END, 4) AS stopword_ratio,
+        |  round((
+        |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+        |         WHEN len(string_split_regex(trim(text), '\s+')) BETWEEN 10 AND 1000 THEN 1.0
+        |         ELSE 0.5 END +
+        |    CASE WHEN length(text) = 0 OR
+        |      length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(text) <= 0.2
+        |      THEN 1.0 ELSE 0.0 END +
+        |    CASE WHEN length(trim(text)) > 0 AND
+        |      len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0 /
+        |      len(string_split_regex(trim(text), '\s+')) >= 0.05
+        |      THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      def hits(words: Seq[String]) = words.map { w =>
+        s"(length(' '||lower(text)||' ') - length(replace(' '||lower(text)||' ', ' $w ', ' '))) * 1.0 / ${w.length + 1}"
+      }.mkString(" + ")
+      val en = hits(Seq("the", "and", "is", "of"))
+      val de = hits(Seq("der", "und", "ist", "das"))
+      val fr = hits(Seq("le", "et", "est", "les"))
+      val es = hits(Seq("el", "y", "es", "los"))
+      s"""SELECT doc_id,
+         |  CASE WHEN greatest(s_en, s_de, s_fr, s_es) <= 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+         |       WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+         |       WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+         |       WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+         |       ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es
+         |      FROM documents) ORDER BY doc_id""".stripMargin
+    },
+
+    "token_histogram" ->
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
+    "ngram_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents WHERE doc_id <= 150)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |      len(list_distinct(a.sh || b.sh)) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "knn_brute" ->
+      """SELECT e.vec_id,
+        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  strlen(text) AS byte_len,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
 }

@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media payloads are opaque `binary` columns with typed metadata riding
+  * alongside — the 100 TB layout is parquet with the binary column *last*
+  * (so metadata-only queries never touch the blob pages) and rows
+  * size-bounded per file via `maxRecordsPerFile`.
+  *
+  * Decode / feature-extraction runs as a partition-mapped batch job
+  * (`Dataset.mapPartitions` — the Scala analog of PySpark's
+  * `mapInPandas`): one decoder init per partition, rows streamed through
+  * it, output Arrow-friendly fixed-width features. The actual codec step is
+  * STUBBED — this container has no image/audio libraries — behind
+  * [[Media.decodeStub]], a deterministic fake keyed on the payload bytes,
+  * so the Spark-side contract (schema, batching, partitioning, null
+  * handling) is real and tested while the codec is swappable.
+  */
+object Media {
+
+  /** A media row: opaque payload + typed metadata. */
+  case class MediaFile(
+      media_id: Long,
+      kind: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      meta_source: String)
+
+  /** Extracted features: fixed-width, Arrow/parquet friendly. */
+  case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      byte_len: Int,
+      sha256: String,
+      width: Int, // image/video px; audio: sample rate
+      height: Int, // image/video px; audio: channels
+      n_frames: Int, // video frames / audio windows; image: 1
+      features: Array[Float]) // fixed 8-dim embedding stub
+
+  /** Deterministic synthetic media corpus derived from the documents table
+    * (payload = utf-8 text bytes; kind round-robins) — stands in for real
+    * blobs in tests and benches. */
+  def synthesize(docs: DataFrame): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source").as("meta_source"))
+      .as[MediaFile]
+  }
+
+  /** STUB decoder — deterministic pseudo-decode keyed on payload bytes.
+    * Swap for a real codec (javacv / soundlibs) in production; the
+    * signature is the contract: bytes in, fixed-width features out. */
+  def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val h = MessageDigest.getInstance("SHA-256").digest(payload)
+    def u(i: Int): Int = java.lang.Byte.toUnsignedInt(h(i))
+    val width = 64 + (u(0) << 4)    // fake px / sample-rate
+    val height = 64 + (u(1) << 2)
+    val nFrames = kind match {
+      case "image" => 1
+      case "audio" => 1 + u(2) % 32
+      case _       => 1 + u(3) % 300
+    }
+    val features = Array.tabulate(8)(i => (u(i * 2) - 128) / 128.0f)
+    (width, height, nFrames, features)
+  }
+
+  /** Partition-mapped decode/feature-extract. One decoder per partition;
+    * rows stream through without collecting. Payloads can be dropped after
+    * this (features are ~100 bytes vs MB-scale blobs) — run it early in the
+    * pipeline to shed 99% of the bytes before any shuffle. */
+  def extractFeatures(files: Dataset[MediaFile]): Dataset[MediaFeatures] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      // per-partition decoder init would go here (codec contexts are
+      // expensive; never per-row)
+      val sha = MessageDigest.getInstance("SHA-256")
+      it.map { f =>
+        val (w, hgt, nf, feat) = decodeStub(f.kind, f.payload)
+        val digest = sha.digest(f.payload).map("%02x".format(_)).mkString
+        sha.reset()
+        MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nf, feat)
+      }
+    }
+  }
+
+  /** Frame-sampling plan for video rows: every `stride`-th frame index —
+    * metadata-only (no decode), so it prunes to a cheap projection. */
+  def sampleFrames(features: Dataset[MediaFeatures], stride: Int = 30): DataFrame =
+    features.toDF()
+      .filter(col("kind") === "video")
+      .select(col("media_id"),
+        sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indices"))
+}
