@@ -23,6 +23,14 @@ import graft.functions.{SimHash, TextFunctions => T, VectorFunctions => V}
   */
 object Dedup {
 
+  /** Unsigned right shift with a Column shift amount (the public functions
+    * wrapper only takes an Int). */
+  private def ushr(v: Column, bits: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(org.apache.spark.sql.catalyst.expressions.ShiftRightUnsigned(
+      Bridge.expression(v), Bridge.expression(bits)))
+  }
+
   // ---- exact ---------------------------------------------------------------
 
   /** Exact dedup on the normalized-text fingerprint: one hash-aggregate
@@ -37,22 +45,55 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  // ---- shared candidate generation ----------------------------------------
+
+  /** Candidate pairs (id_a < id_b) from a blocking table `(key, id)`: one
+    * shuffle groups ids per key, pairs are generated *within* each bucket
+    * with higher-order functions, then deduped across buckets.
+    *
+    * Built this way (groupBy + in-bucket combination) instead of a
+    * key-equality self-join because a self-join evaluates the blocking
+    * subtree twice — signatures are the expensive part — and because the
+    * grouped form shuffles each id once instead of once per bucket probe.
+    * Buckets larger than `maxBucket` are dropped with the assumption that a
+    * mega-bucket is a degenerate blocking key (all-identical boilerplate):
+    * at 100 TB one hot key would otherwise produce a quadratic pair list;
+    * callers that care can lower the band width instead. */
+  def candidatePairs(blocked: DataFrame, keyCol: String, idCol: String,
+      maxBucket: Int = 10000): DataFrame = {
+    val ids = blocked.groupBy(col(keyCol))
+      .agg(collect_list(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
+      .select(array_sort(col("ids")).as("ids"))
+    ids
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
-  /** MinHash signature: k permutations approximated by k seeded xxhash64
-    * functions; sig[i] = min over shingles of hash_i(shingle). */
+  /** MinHash signature — delegated to the one-pass native expression
+    * [[graft.functions.MinHashSignature]] (the compositional
+    * `array(k × array_min(transform(…)))` form re-runs the string hashing
+    * k× after Catalyst inlines the shared subexpression; measured 35×
+    * slower at k=64). */
   def minhashSignature(shingles: Column, numHashes: Int = 64): Column =
-    array((0 until numHashes).map { i =>
-      array_min(transform(shingles, s => xxhash64(lit(i), s)))
-    }: _*)
+    graft.functions.MinHash.signature(shingles, numHashes)
 
   /** Banded LSH keys: split the signature into `bands` bands of `rows`
     * hashes; two docs collide on a band iff that slice matches exactly.
-    * P(collide | jaccard=s) = 1-(1-s^rows)^bands. */
+    * P(collide | jaccard=s) = 1-(1-s^rows)^bands. Key = xxhash64(band index,
+    * band slice) — a single long, so the blocking shuffle is as slim as it
+    * gets. Built as ONE `transform` over a `sequence` rather than
+    * `array(bands × …)`: the array form references `sig` per branch and
+    * Catalyst's CollapseProject inlines the whole upstream signature
+    * computation into every branch (measured 16× recompute). */
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
-    array((0 until bands).map { b =>
-      struct(lit(b).as("band"), xxhash64(slice(sig, b * rows + 1, rows)).as("sig"))
-    }: _*)
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * rows + 1, lit(rows))))
 
   /** Candidate duplicate pairs (id_a < id_b) from MinHash banding, verified
     * with exact shingle Jaccard ≥ `threshold`.
@@ -70,18 +111,29 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    val withSig = df
-      .select(col(idCol).as("id"), T.wordShingles(col(textCol), shingleSize).as("shingles"))
-      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
-      .withColumn("band", explode(lshBandKeys(col("sig"), bands, rows)))
-      .select(col("id"), col("shingles"), col("band"))
+    // slim candidate generation: only (band, id) crosses the shuffle, and
+    // the signature comes from the fused token-window kernel
+    // (MinHashTokens) — materializing shingle strings costs more than the
+    // whole rest of the pipeline
+    val banded = df
+      .select(col(idCol).as("id"),
+        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      .withColumn("band", explode(lshBandKeys(
+        graft.functions.MinHash.signatureFromTokens(col("toks"), shingleSize, numHashes),
+        bands, rows)))
+      .select(col("band"), col("id"))
 
-    val a = withSig.select(col("band"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = withSig.select(col("band"), col("id").as("id_b"), col("shingles").as("sh_b"))
+    val candidates = candidatePairs(banded, "band", "id")
 
-    a.join(b, a("band") === b("band") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("id_a", "id_b")
+    // exact-verify on hashed shingle sets (identical Jaccard up to 64-bit
+    // collisions; long arrays are far cheaper than shingle strings to
+    // build, ship, and intersect)
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.MinHash.shingleHashes(
+        split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -108,19 +160,22 @@ object Dedup {
       idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 4 × 16-bit chunks of the 64-bit hash
-    val withHash = df.select(col(idCol).as("id"),
+    // chunk keys via ONE transform over the hash (an array(4 × struct(sh…))
+    // form would re-run tokenize+simhash per chunk after CollapseProject
+    // inlining); key = xxhash64(chunk index, 16-bit chunk value)
+    val blocked = df.select(col(idCol).as("id"),
       SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))
-      .withColumn("chunk", explode(array((0 until chunks).map { c =>
-        struct(lit(c).as("pos"),
-          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("val"))
-      }: _*)))
+      .withColumn("chunk", explode(
+        transform(sequence(lit(0), lit(chunks - 1)), c =>
+          xxhash64(c, ushr(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))))))
+      .select(col("chunk"), col("id"))
 
-    val a = withHash.select(col("chunk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = withHash.select(col("chunk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val hashes = df.select(col(idCol).as("id"),
+      SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))
 
-    a.join(b, a("chunk") === b("chunk") && col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
+    candidatePairs(blocked, "chunk", "id")
+      .join(hashes.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(hashes.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -170,11 +225,13 @@ object Dedup {
       numPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
     val planes = V.randomPlanes(numPlanes, dim, seed)
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val blocked = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", V.hyperplaneBucket(col("vec"), planes))
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("v_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("v_b"))
-    a.join(b, a("bucket") === b("bucket") && col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    candidatePairs(blocked, "bucket", "id")
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
       .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.functions.{SimHash, TextFunctions => T, VectorFunctions => V}
+import graft.multimodal.Media
+
+/** Unit tests for dedup / similarity / text / multimodal operators. */
+class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("text functions: token count, ratios, quality, fingerprint") {
+    val d = docs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, ""),
+      (3L, "!!! ??? ###"))
+    val out = d.select(col("doc_id"),
+        T.tokenCount(col("text")).as("n"),
+        round(T.punctRatio(col("text")), 2).as("p"),
+        T.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    out(0).getAs[Int]("n") shouldBe 9
+    out(1).getAs[Int]("n") shouldBe 0
+    out(2).getAs[Int]("n") shouldBe 3
+    out(2).getAs[Double]("p") shouldBe 0.82 // 9 punct chars / 11
+    // fingerprint is whitespace/case-insensitive
+    val fp1 = docs((1L, "A  B\tC"), (2L, "a b c"))
+      .select(T.fingerprint(col("text"))).distinct().count()
+    fp1 shouldBe 1
+  }
+
+  test("langId picks the language with most marker words") {
+    val d = docs(
+      (1L, "the cat and the dog is of note"),
+      (2L, "der hund und das ist gut"),
+      (3L, "le chat et les chiens est grand"),
+      (4L, "xyzzy plugh"))
+    val out = d.select(col("doc_id"), T.langId(col("text")).as("l"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    out shouldBe Seq("en", "de", "fr", "und")
+  }
+
+  test("exact dedup keeps the smallest id per normalized text") {
+    val d = docs((5L, "Hello  World"), (2L, "hello world"), (9L, "unique"))
+    val kept = Dedup.exact(d).select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(2L, 9L)
+  }
+
+  test("minhash LSH finds near-duplicate pairs and dedups them") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"token$i").mkString(" ")
+    val other = (1 to 40).map(i => s"word$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+
+    val pairs = Dedup.minhashDuplicatePairs(d, threshold = 0.5).collect()
+    pairs.length shouldBe 1
+    (pairs.head.getLong(0), pairs.head.getLong(1)) shouldBe (1L, 2L)
+    pairs.head.getAs[Double]("jaccard") should be > 0.85
+
+    Dedup.minhash(d, threshold = 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+  }
+
+  test("simhash expression + near-dup blocking") {
+    // identical token multiset → identical simhash
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different content here entirely"))
+    val hashes = d.select(SimHash.simhash64(split(col("text"), " ")).as("h"))
+      .collect().map(_.getLong(0))
+    hashes(0) shouldBe hashes(1)
+    java.lang.Long.bitCount(hashes(0) ^ hashes(2)) should be > 3
+
+    val pairs = Dedup.simhashDuplicatePairs(d, maxHamming = 3).collect()
+    pairs.length shouldBe 1
+    pairs.head.getAs[Int]("hamming") shouldBe 0
+
+    // SQL registration works too
+    SimHash.register(spark)
+    d.createOrReplaceTempView("sh_docs")
+    spark.sql("SELECT simhash64(split(text, ' ')) FROM sh_docs").count() shouldBe 3
+  }
+
+  test("ngram jaccard pairs: exact baseline") {
+    val d = docs(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e g"), // shares 3 of 5 distinct trigrams with doc 1
+      (3L, "z y x w v u"))
+    val pairs = Dedup.ngramJaccardPairs(d, threshold = 0.3).collect()
+    pairs.length shouldBe 1
+    pairs.head.getAs[Double]("jaccard") shouldBe (3.0 / 5.0 +- 0.001)
+  }
+
+  test("vector functions: cosine/norm; brute-force and LSH top-k agree") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+
+    val q = vecs(5)._2.toSeq
+    val brute = Similarity.bruteForceTopK(df, q, k = 5, "embedding", "vec_id")
+      .collect()
+    brute.head.getLong(0) shouldBe 5L // itself, cos=1
+    brute.head.getAs[Double]("cos") shouldBe 1.0
+
+    // LSH with generous probing recovers the exact top-1
+    val lsh = Similarity.lshTopK(df, q, k = 5, "embedding", "vec_id",
+      numPlanes = 6, dim = 16, probeHamming = 2).collect()
+    lsh.head.getLong(0) shouldBe 5L
+
+    val cos = df.filter($"vec_id" === 5)
+      .select(V.cosine(col("embedding"), V.vectorLit(q))).head().getDouble(0)
+    cos shouldBe (1.0 +- 1e-9)
+  }
+
+  test("embedding near-dup finds the planted duplicate") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    // vec 100 = tiny perturbation of vec 3
+    val dup = (100L, base(3)._2.map(x => x + 0.001f))
+    val df = (base :+ dup).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDuplicatePairs(df, dim = 16, threshold = 0.99,
+      numPlanes = 6).collect()
+    pairs.map(r => (r.getLong(0), r.getLong(1))) should contain((3L, 100L))
+  }
+
+  test("media pipeline: synthesize → extract features → frame sample") {
+    val d = docs((0L, "image doc"), (1L, "audio doc"), (2L, "video doc"),
+      (3L, "another image"))
+    val files = Media.synthesize(d.withColumn("source", lit("src0")))
+    val feats = Media.extractFeatures(files)
+    val rows = feats.collect().sortBy(_.media_id)
+    rows.map(_.kind).toSeq shouldBe Seq("image", "audio", "video", "image")
+    rows.foreach { f =>
+      f.byte_len should be > 0
+      f.sha256.length shouldBe 64
+      f.features.length shouldBe 8
+    }
+    rows(0).n_frames shouldBe 1 // image
+    // determinism: same payload → same features
+    val again = Media.extractFeatures(files).collect().sortBy(_.media_id)
+    again.map(_.sha256).toSeq shouldBe rows.map(_.sha256).toSeq
+    again.map(_.features.toSeq).toSeq shouldBe rows.map(_.features.toSeq).toSeq
+
+    val frames = Media.sampleFrames(feats, stride = 30).collect()
+    frames.length shouldBe 1 // one video
+    frames.head.getAs[Seq[Long]]("frame_indices").head shouldBe 0L
+  }
+}
