@@ -32,7 +32,24 @@ object Merge {
 
   /** Upsert `source` into `target`. Column order of the result follows
     * `target`. Duplicate keys in `source` are a caller error (Snowflake
-    * raises on nondeterministic MERGE; we document rather than detect). */
+    * raises on nondeterministic MERGE; we document rather than detect).
+    *
+    * Plan shape with `broadcastSource = true` (the 100 TB case — per-cycle
+    * delta ≪ dimension): the target is NEVER shuffled. A full-outer join
+    * (the textbook MERGE rewrite) can only execute as a sort-merge join —
+    * two full shuffles + sorts of the dimension per cycle. Instead:
+    *
+    *   1. resolve  = target LEFT JOIN broadcast(delta)   — matched+changed
+    *      rows take delta values, everything else passes through (map-side,
+    *      zero shuffle);
+    *   2. hitKeys  = target LEFT-SEMI broadcast(delta)    — which delta keys
+    *      already exist (output is delta-sized, also map-side);
+    *   3. inserts  = delta ANTI hitKeys                    — both tiny.
+    *
+    * Two narrow scans of the dimension, no exchange. With
+    * `broadcastSource = false` (delta ~ target sized) the classic full-outer
+    * rewrite is used and AQE picks the join strategy.
+    */
   def upsert(
       target: DataFrame,
       source: DataFrame,
@@ -45,31 +62,49 @@ object Merge {
     require(source.columns.toSet == cols.toSet,
       s"source columns ${source.columns.mkString(",")} must match target ${cols.mkString(",")}")
 
-    val t = target.withColumn("__t_present", lit(true)).alias("__t")
-    val s0 = source.withColumn("__s_present", lit(true)).alias("__s")
-    val s = if (broadcastSource) broadcast(s0) else s0
+    def changedCond(tSide: String, sSide: String): Column =
+      compareCols.getOrElse(cols.filterNot(keys.contains))
+        .map { c =>
+          if (nullSafe) !(col(s"$tSide.$c") <=> col(s"$sSide.$c"))
+          else col(s"$tSide.$c") =!= col(s"$sSide.$c")
+        }
+        .reduceOption(_ || _)
+        .getOrElse(lit(false))
 
-    val joinCond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
-    val joined = t.join(s, joinCond, "full_outer")
+    if (broadcastSource) {
+      val d = broadcast(source.withColumn("__s_present", lit(true))).alias("__s")
+      val t = target.alias("__t")
+      val joinCond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
 
-    val tPresent = col("__t.__t_present").isNotNull
-    val sPresent = col("__s.__s_present").isNotNull
+      // matched-and-changed → delta values; else target row unchanged
+      val useSource = col("__s.__s_present").isNotNull &&
+        coalesce(changedCond("__t", "__s"), lit(false))
+      val resolved = t.join(d, joinCond, "left_outer")
+        .select(cols.map { c =>
+          when(useSource, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
+        }: _*)
 
-    val compared = compareCols.getOrElse(cols.filterNot(keys.contains))
-    val changed = compared
-      .map { c =>
-        if (nullSafe) !(col(s"__t.$c") <=> col(s"__s.$c"))
-        else col(s"__t.$c") =!= col(s"__s.$c")
-      }
-      .reduceOption(_ || _)
-      .getOrElse(lit(false))
+      val hitKeys = target.select(keys.map(col): _*)
+        .join(broadcast(source.select(keys.map(col): _*)), keys, "left_semi")
+        .distinct()
+      val inserts = source.join(broadcast(hitKeys), keys, "left_anti")
 
-    // Insert (target absent) or matched-and-changed → source row wins;
-    // matched-unchanged (or UNKNOWN change condition) → target row kept.
-    val useSource = sPresent && (!tPresent || coalesce(changed, lit(false)))
+      resolved.unionByName(inserts.select(cols.map(col): _*))
+    } else {
+      val t = target.withColumn("__t_present", lit(true)).alias("__t")
+      val s = source.withColumn("__s_present", lit(true)).alias("__s")
+      val joinCond = keys.map(k => col(s"__t.$k") === col(s"__s.$k")).reduce(_ && _)
+      val joined = t.join(s, joinCond, "full_outer")
 
-    joined.select(cols.map { c =>
-      when(useSource, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
-    }: _*)
+      val tPresent = col("__t.__t_present").isNotNull
+      val sPresent = col("__s.__s_present").isNotNull
+      // Insert (target absent) or matched-and-changed → source row wins;
+      // matched-unchanged (or UNKNOWN change condition) → target row kept.
+      val useSource = sPresent && (!tPresent || coalesce(changedCond("__t", "__s"), lit(false)))
+
+      joined.select(cols.map { c =>
+        when(useSource, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
+      }: _*)
+    }
   }
 }
