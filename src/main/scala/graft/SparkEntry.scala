@@ -321,6 +321,11 @@ object SparkEntry {
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         queryVec(s, dir), k = 20, probeHamming = 2)),
 
+    "knn_ivf" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfFit(e, numCells = 8).topK(e, queryVec(s, dir), k = 20, nProbes = 2)
+    }),
+
     "knn_join" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.knnJoin(e.filter(col("vec_id") < 100), e, k = 5)

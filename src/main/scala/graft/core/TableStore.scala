@@ -71,20 +71,35 @@ class TableStore(val root: String, spark: SparkSession) {
       throw new IllegalStateException(s"table '$table' does not exist in $root")))
 
   /** Read the current version, or an empty DataFrame of `schema` if the
-    * table has no committed version yet. */
+    * table has no committed version yet. The schema is passed explicitly
+    * (never inferred): an empty partitioned version has no files to infer
+    * from, and at scale skipping footer-sampling on wide tables is free
+    * planning time. */
   def readOrEmpty(table: String, schema: StructType): DataFrame =
     currentPath(table) match {
-      case Some(p) => spark.read.parquet(p)
+      case Some(p) => spark.read.schema(schema).parquet(p)
       case None    => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
+  /** Read a specific (possibly uncommitted) version with an explicit
+    * schema. */
+  def readVersion(table: String, version: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).parquet(versionDir(table, version).toString)
+
   /** Materialize `df` as a new (uncommitted) version of `table`; returns the
     * version id to pass to [[commit]]. The write is the only Spark action —
-    * the data lands on disk before any pointer moves. */
-  def stage(table: String, df: DataFrame): String = {
+    * the data lands on disk before any pointer moves. `partitionBy` lays the
+    * version out hive-partitioned (e.g. the SCD staging table by
+    * `current_flag`: the hot 'Y' slice is a pruned partition read, and at
+    * 100 TB the closed-history partition is never touched by the master
+    * refresh). Partition columns must be last in the schema so reads
+    * preserve column order. */
+  def stage(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): String = {
     val version = f"v${System.nanoTime()}%019d-${UUID.randomUUID().toString.take(8)}"
-    df.write.mode("errorifexists").parquet(versionDir(table, version).toString)
+    val writer = df.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(versionDir(table, version).toString)
     version
   }
 

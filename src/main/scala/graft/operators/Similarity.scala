@@ -72,6 +72,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k-means cells over the corpus; queries probe
+    * only the `nProbes` nearest cells. The training pass is one k-means fit
+    * (sampled corpus at 100 TB); the assignment pass is a narrow map. Stored
+    * partitioned by `cell`, a probe reads `nProbes/numCells` of the data —
+    * partition pruning does the work, same storage story as [[bucketize]]
+    * but data-adaptive (tighter cells than random hyperplanes on clustered
+    * corpora). */
+  def ivfFit(df: DataFrame, vecCol: String = "embedding",
+      numCells: Int = 16, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = df.withColumn("__features", array_to_vector(col(vecCol)))
+    val model = new KMeans().setK(numCells).setSeed(seed)
+      .setFeaturesCol("__features").fit(featured)
+    IvfIndex(model)
+  }
+
+  case class IvfIndex(model: org.apache.spark.ml.clustering.KMeansModel) {
+    import org.apache.spark.ml.functions.array_to_vector
+
+    def centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+
+    /** Assign each row to its cell (write `partitionBy("cell")` at scale). */
+    def assign(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+      model.setPredictionCol("cell")
+        .transform(df.withColumn("__features", array_to_vector(col(vecCol))))
+        .drop("__features")
+
+    /** ANN top-k probing the `nProbes` nearest cells to the query. */
+    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
+        vecCol: String = "embedding", idCol: String = "vec_id",
+        nProbes: Int = 2): DataFrame = {
+      val qc = query.map(_.toDouble).toArray
+      val probeCells = centers.zipWithIndex
+        .map { case (c, i) =>
+          val d = c.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum
+          (i, d)
+        }
+        .sortBy(_._2).take(nProbes).map(_._1).toSeq
+      assign(df, vecCol)
+        .filter(col("cell").isInCollection(probeCells))
+        .select(col(idCol),
+          round(V.cosine(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
   /** All-pairs top-k join (each left row → its k nearest right rows) via
     * LSH blocking + windowed rank. Use for bulk kNN-graph construction;
     * the brute-force equivalent is an O(n²) cross join and intentionally

@@ -73,23 +73,25 @@ class ScdPipeline(
     // files can be purged after commit and downstream reads are from
     // parquet, not the half-typed CSV path.
     val rawVersion = store.stage(Raw, rawBatch)
-    val raw = spark.read.parquet(
-      store.root + s"/$Raw/$rawVersion")
+    val raw = store.readVersion(Raw, rawVersion, Schemas.raw)
     val rowsLoaded = raw.count()
 
     // task3: MERGE raw → landing (J1), null-propagating change detection.
     val landingNext = Merge.upsert(landingPrev, raw, Seq("supplier_code"))
     val landingVersion = store.stage(Landing, landingNext)
-    val landingNew = spark.read.parquet(store.root + s"/$Landing/$landingVersion")
+    val landingNew = store.readVersion(Landing, landingVersion, Schemas.landing)
 
     // the stream on landing now holds the delta since last consumption
     val cdc = cdcStream.changes(landingNew)
 
     // task4: MERGE stream → staging (J2/SCD2) — consuming the stream.
+    // Partitioned by current_flag: the master refresh (and most readers)
+    // touch only the pruned 'Y' partition, never the closed history.
     val stagingNext = Scd2.merge(stagingPrev, cdc, batchTime,
       matchKeys = Seq("supplier_code", "supplier_state"), faithful = faithful)
-    val stagingVersion = store.stage(Staging, stagingNext)
-    val stagingNew = spark.read.parquet(store.root + s"/$Staging/$stagingVersion")
+    val stagingVersion = store.stage(Staging, stagingNext,
+      partitionBy = Seq("current_flag"))
+    val stagingNew = store.readVersion(Staging, stagingVersion, Schemas.staging)
 
     // task5: INSERT OVERWRITE master = current view of staging.
     val masterVersion = store.stage(Master,
@@ -130,6 +132,15 @@ class ScdPipeline(
   /** Task history, latest first (`SCD-Automation.sql:116,147` — O2). */
   def taskHistory: DataFrame =
     store.readOrEmpty(RunLog, Schemas.runLog).orderBy(col("completed_time").desc)
+
+  /** SHOW STREAMS (`SCD-Configuration Setup.sql:60`, `SCD-Automation.sql:18`
+    * — D5): the CDC streams this pipeline maintains, with the snapshot
+    * version their offset sits at. */
+  def showStreams(): DataFrame = {
+    import spark.implicits._
+    Seq((s"${Landing}_cdc", Landing, store.manifest.getOrElse(CdcSnapshot, "<unconsumed>")))
+      .toDF("stream_name", "source_table", "consumed_version")
+  }
 }
 
 object ScdPipeline {

@@ -137,6 +137,44 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     pairs.map(r => (r.getLong(0), r.getLong(1))) should contain((3L, 100L))
   }
 
+  test("IVF index: fit, assign, probe recovers the exact top-1") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    // two well-separated clusters
+    val vecs = (0L until 100L).map { i =>
+      val base = if (i < 50) 5.0f else -5.0f
+      (i, Array.fill(8)(base + rnd.nextGaussian().toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfFit(df, numCells = 2)
+    idx.centers.length shouldBe 2
+
+    val assigned = idx.assign(df)
+    assigned.select("cell").distinct().count() shouldBe 2
+    // cluster purity: each half lands in one cell
+    assigned.filter($"vec_id" < 50).select("cell").distinct().count() shouldBe 1
+
+    val q = vecs(7)._2.toSeq
+    val top = idx.topK(df, q, k = 3, nProbes = 1).collect()
+    top.head.getLong(0) shouldBe 7L
+    top.head.getAs[Double]("cos") shouldBe 1.0
+  }
+
+  test("GraftExtensions registers SQL functions") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions().apply(ext) // builds without throwing
+    // and the equivalent registry path works end-to-end in SQL
+    SimHash.register(spark)
+    graft.functions.MinHash.register(spark)
+    docs((1L, "a b c d e")).createOrReplaceTempView("ext_docs")
+    val row = spark.sql(
+      """SELECT simhash64(split(text, ' ')) AS sh,
+        |       size(minhash_signature(split(text, ' '))) AS k
+        |FROM ext_docs""".stripMargin).head()
+    row.getAs[Int]("k") shouldBe 64
+  }
+
   test("media pipeline: synthesize → extract features → frame sample") {
     val d = docs((0L, "image doc"), (1L, "audio doc"), (2L, "video doc"),
       (3L, "another image"))
