@@ -184,6 +184,20 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "q10_revenue_by_nation" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    }),
+
     // -- window functions over the events stream table --------------------
     "q07_event_gaps" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
@@ -386,6 +400,16 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS cnt,
         |  round(sum(l_extendedprice), 2) AS sum_base
         |FROM lineitem WHERE l_returnflag <> 'N' OR l_tax > 0.05
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q07_event_gaps" ->

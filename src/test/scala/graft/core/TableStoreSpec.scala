@@ -1,0 +1,72 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  test("multi-table commit is all-or-nothing and snapshot-consistent") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts"), spark)
+
+    store.overwrite("a", Seq((1, "x")).toDF("id", "v"))
+    store.overwrite("b", Seq((1, "y")).toDF("id", "v"))
+
+    // stage new versions of both but commit only via one swap
+    val va = store.stage("a", Seq((2, "x2")).toDF("id", "v"))
+    // reader still sees the old snapshot until commit
+    store.read("a").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+
+    val vb = store.stage("b", Seq((2, "y2")).toDF("id", "v"))
+    store.commit(Map("a" -> va, "b" -> vb))
+
+    store.read("a").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+    store.read("b").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+  }
+
+  test("old reads keep working across a commit (snapshot pinning)") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts2"), spark)
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+
+    val pinned = store.read("t") // resolves the current version path now
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+
+    // the pinned frame still reads the old immutable version
+    pinned.collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+  }
+
+  test("vacuum removes only unreferenced versions") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts3"), spark)
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+    store.overwrite("t", Seq((3, "c")).toDF("id", "v"))
+
+    val tableDir = java.nio.file.Paths.get(store.root, "t")
+    java.nio.file.Files.list(tableDir).count() shouldBe 3
+
+    store.vacuum()
+    java.nio.file.Files.list(tableDir).count() shouldBe 1
+    store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(3)
+  }
+
+  test("truncate commits an empty version with the right schema") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts4"), spark)
+    val df = Seq((1, "a")).toDF("id", "v")
+    store.overwrite("t", df)
+    store.truncate("t", df.schema)
+    store.read("t").count() shouldBe 0
+    store.readOrEmpty("t", df.schema).schema.fieldNames.toSeq shouldBe Seq("id", "v")
+  }
+}

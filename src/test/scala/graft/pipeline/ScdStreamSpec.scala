@@ -32,4 +32,36 @@ class ScdStreamSpec extends AnyFunSuite with Matchers with SparkSpec {
     pipeline.master.count() shouldBe 2
     pipeline.taskHistory.count() shouldBe 1
   }
+
+  test("restart with the same checkpoint is exactly-once per input file") {
+    val store = new TableStore(tmpDir("rs-store"), spark)
+    val stage = new Stage(tmpDir("rs-stage"))
+    val ckpt = tmpDir("rs-ckpt")
+    val pipeline = new ScdPipeline(spark, store)
+
+    stage.putContent("b1.csv", "1,A101,Kohli,Delhi")
+    val q1 = ScdStream.start(pipeline, stage, ckpt,
+      trigger = Trigger.AvailableNow(), purge = false,
+      clock = () => Timestamp.valueOf("2024-01-01 00:00:00"))
+    q1.awaitTermination(60000)
+    pipeline.taskHistory.count() shouldBe 1
+
+    // restart over the same checkpoint: the already-processed file is in
+    // the source log (COPY's load history) — no new cycle runs
+    val q2 = ScdStream.start(pipeline, stage, ckpt,
+      trigger = Trigger.AvailableNow(), purge = false,
+      clock = () => Timestamp.valueOf("2024-01-02 00:00:00"))
+    q2.awaitTermination(60000)
+    pipeline.taskHistory.count() shouldBe 1
+    pipeline.staging.count() shouldBe 1
+
+    // a new file after restart is picked up
+    stage.putContent("b2.csv", "2,A102,Dhoni,Ranchi")
+    val q3 = ScdStream.start(pipeline, stage, ckpt,
+      trigger = Trigger.AvailableNow(), purge = false,
+      clock = () => Timestamp.valueOf("2024-01-03 00:00:00"))
+    q3.awaitTermination(60000)
+    pipeline.taskHistory.count() shouldBe 2
+    pipeline.staging.count() shouldBe 2
+  }
 }
