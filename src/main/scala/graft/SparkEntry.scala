@@ -241,6 +241,17 @@ object SparkEntry {
           Seq("supplier_code"))
         .orderBy("supplier_key", "_action")),
 
+    // P5: predicate on a stream metadata column (the WHEN-clause guards of
+    // the reference merge, `SCD-Configuration Setup.sql:146,150`)
+    "scd_cdc_deletes" -> ((s, dir) =>
+      SnapshotCdc.diff(b1(s, dir),
+          Merge.upsert(b1(s, dir), b2(s, dir), Seq("supplier_code")),
+          Seq("supplier_code"))
+        .filter(col(graft.core.Schemas.cdcActionCol) === "DELETE" &&
+          col(graft.core.Schemas.cdcIsUpdateCol))
+        .select(col("supplier_key"), col("supplier_code"), col("supplier_state"))
+        .orderBy("supplier_key")),
+
     "scd2_history" -> ((s, dir) =>
       scd2After2(s, dir)
         // TIMESTAMP_NTZ on the wire (the reference's type, and DuckDB's
@@ -460,6 +471,12 @@ object SparkEntry {
         |  state AS supplier_state, action AS _action, isup AS _is_update,
         |  md5(code) AS _row_id
         |FROM cdc ORDER BY supplier_key, _action""".stripMargin),
+
+    "scd_cdc_deletes" -> (supCte +
+      """
+        |SELECT k AS supplier_key, code AS supplier_code, state0 AS supplier_state
+        |FROM sup WHERE k % 3 = 0 OR k % 5 = 0
+        |ORDER BY supplier_key""".stripMargin),
 
     "scd2_history" -> (supCte +
       """

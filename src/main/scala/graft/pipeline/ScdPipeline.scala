@@ -39,24 +39,32 @@ import graft.sources.Stage
 class ScdPipeline(
     val spark: SparkSession,
     val store: TableStore,
-    val faithful: Boolean = true) {
+    val faithful: Boolean = true,
+    val config: ScdConfig = ScdConfig.supplier) {
 
-  import ScdPipeline._
+  private val Raw = config.table("raw")
+  private val Landing = config.table("landing")
+  private val Staging = config.table("staging")
+  private val Master = config.table("master")
+  private val CdcSnapshot = config.table("landing__cdc_snapshot")
+  private val RunLog = s"${config.prefix}_run_log"
+
+  private val stagingSchema = Schemas.scd2(config.baseSchema)
 
   private val cdcStream =
-    new SnapshotCdc(store, CdcSnapshot, Seq("supplier_code"), Schemas.landing)
+    new SnapshotCdc(store, CdcSnapshot, config.businessKeys, config.baseSchema)
 
   /** Peek the unconsumed stream (SELECT * FROM stream,
     * `SCD-Configuration Setup.sql:127` — side-effect free). */
   def streamChanges(): DataFrame =
-    cdcStream.changes(store.readOrEmpty(Landing, Schemas.landing))
+    cdcStream.changes(store.readOrEmpty(Landing, config.baseSchema))
 
   /** Run one pipeline cycle over the files currently in `stage`.
     * Returns the number of rows loaded from the stage. */
   def runCycle(stage: Stage, batchTime: Timestamp,
       purge: Boolean = true): Long = {
     val files = stage.list()
-    runCycleWithBatch(stage.readCsv(spark, Schemas.raw), batchTime,
+    runCycleWithBatch(stage.readCsv(spark, config.baseSchema), batchTime,
       afterCommit = () => if (purge) stage.rm(files))
   }
 
@@ -66,20 +74,21 @@ class ScdPipeline(
       afterCommit: () => Unit = () => ()): Long = {
 
     // ---- read a consistent pre-cycle snapshot (one manifest read) --------
-    val landingPrev = store.readOrEmpty(Landing, Schemas.landing)
-    val stagingPrev = store.readOrEmpty(Staging, Schemas.staging)
+    val landingPrev = store.readOrEmpty(Landing, config.baseSchema)
+    val stagingPrev = store.readOrEmpty(Staging, stagingSchema)
 
     // task1+2: truncate raw + COPY INTO raw. Materialized first so the CSV
     // files can be purged after commit and downstream reads are from
     // parquet, not the half-typed CSV path.
     val rawVersion = store.stage(Raw, rawBatch)
-    val raw = store.readVersion(Raw, rawVersion, Schemas.raw)
+    val raw = store.readVersion(Raw, rawVersion, config.baseSchema)
     val rowsLoaded = raw.count()
 
     // task3: MERGE raw → landing (J1), null-propagating change detection.
-    val landingNext = Merge.upsert(landingPrev, raw, Seq("supplier_code"))
+    val landingNext = Merge.upsert(landingPrev, raw, config.businessKeys,
+      compareCols = config.compareCols)
     val landingVersion = store.stage(Landing, landingNext)
-    val landingNew = store.readVersion(Landing, landingVersion, Schemas.landing)
+    val landingNew = store.readVersion(Landing, landingVersion, config.baseSchema)
 
     // the stream on landing now holds the delta since last consumption
     val cdc = cdcStream.changes(landingNew)
@@ -88,14 +97,14 @@ class ScdPipeline(
     // Partitioned by current_flag: the master refresh (and most readers)
     // touch only the pruned 'Y' partition, never the closed history.
     val stagingNext = Scd2.merge(stagingPrev, cdc, batchTime,
-      matchKeys = Seq("supplier_code", "supplier_state"), faithful = faithful)
+      matchKeys = config.matchKeys, faithful = faithful)
     val stagingVersion = store.stage(Staging, stagingNext,
       partitionBy = Seq("current_flag"))
-    val stagingNew = store.readVersion(Staging, stagingVersion, Schemas.staging)
+    val stagingNew = store.readVersion(Staging, stagingVersion, stagingSchema)
 
     // task5: INSERT OVERWRITE master = current view of staging.
     val masterVersion = store.stage(Master,
-      Scd2.currentView(stagingNew, Schemas.supplierBase.fieldNames.toSeq))
+      Scd2.currentView(stagingNew, config.baseSchema.fieldNames.toSeq))
 
     // stream advance staged, committed together with everything else
     val (snapTable, snapVersion) = cdcStream.stageAdvance(landingNew)
@@ -124,10 +133,10 @@ class ScdPipeline(
   }
 
   // -- verification reads (SURVEY.md §3.3) --------------------------------
-  def raw: DataFrame = store.readOrEmpty(Raw, Schemas.raw)
-  def landing: DataFrame = store.readOrEmpty(Landing, Schemas.landing)
-  def staging: DataFrame = store.readOrEmpty(Staging, Schemas.staging)
-  def master: DataFrame = store.readOrEmpty(Master, Schemas.master)
+  def raw: DataFrame = store.readOrEmpty(Raw, config.baseSchema)
+  def landing: DataFrame = store.readOrEmpty(Landing, config.baseSchema)
+  def staging: DataFrame = store.readOrEmpty(Staging, stagingSchema)
+  def master: DataFrame = store.readOrEmpty(Master, config.baseSchema)
 
   /** Task history, latest first (`SCD-Automation.sql:116,147` — O2). */
   def taskHistory: DataFrame =
@@ -148,6 +157,33 @@ object ScdPipeline {
   val Landing = "supplier_landing"
   val Staging = "supplier_staging"
   val Master = "supplier_master"
-  val RunLog = "run_log"
+  val RunLog = "supplier_run_log"
   val CdcSnapshot = "supplier_landing__cdc_snapshot"
+}
+
+/** Dimension parametrization: the reference pipeline is the supplier
+  * dimension (`ScdConfig.supplier`), but any dimension with declared base
+  * columns, business key(s), and SCD-tracked column(s) runs through the
+  * same five-task cycle. */
+case class ScdConfig(
+    prefix: String,
+    baseSchema: org.apache.spark.sql.types.StructType,
+    businessKeys: Seq[String],
+    trackedCols: Seq[String],
+    /** columns whose change triggers a landing update (None = all
+      * non-key columns, the reference behavior) */
+    compareCols: Option[Seq[String]] = None) {
+  require(businessKeys.nonEmpty, "businessKeys must be non-empty")
+  /** The reference-style SCD match key: business key + tracked column
+    * (`SCD-Automation.sql:85`). */
+  def matchKeys: Seq[String] = businessKeys ++ trackedCols
+  def table(suffix: String): String = s"${prefix}_$suffix"
+}
+
+object ScdConfig {
+  val supplier: ScdConfig = ScdConfig(
+    prefix = "supplier",
+    baseSchema = Schemas.supplierBase,
+    businessKeys = Seq("supplier_code"),
+    trackedCols = Seq("supplier_state"))
 }

@@ -5,7 +5,6 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.core.Schemas
 import graft.sources.Stage
 
 /** Cron-scheduled automation of the pipeline — the Spark re-expression of
@@ -42,7 +41,7 @@ object ScdStream {
 
     val spark = pipeline.spark
     var reader = spark.readStream
-      .schema(Schemas.raw)
+      .schema(pipeline.config.baseSchema)
       .options(Stage.csvOptions)
     if (purge) reader = reader.option("cleanSource", "delete")
 

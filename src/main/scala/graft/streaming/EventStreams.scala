@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming transforms over the `events` stream shape
+  * (`event_id, ts, user_id, event_type, value` — TESTDATA.md): watermarked
+  * windowed aggregation and custom sessionization state. These are the
+  * stream-native counterparts of the batch operators — the same DataFrame
+  * code runs on a `readStream` source, which is the point of building on
+  * Structured Streaming rather than hand-rolled micro-batching.
+  *
+  * Scale notes: windowed aggregation state is bounded by the watermark
+  * (late data beyond it is dropped and its state evicted); sessionization
+  * state is per-user and evicted on timeout — both shuffle once on the
+  * grouping key and then update state in place, the streaming analog of a
+  * partial-agg shuffle.
+  */
+object EventStreams {
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long, total_value: Double)
+
+  /** Internal session accumulator (public: encoder-generated code must be
+    * able to reach the accessors). */
+  case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling-window counts per event type with a watermark: late rows
+    * beyond `watermarkDelay` are dropped, and window state older than the
+    * watermark is evicted (bounded state — the thing that makes this run
+    * forever on an unbounded stream). */
+  def windowedCounts(events: DataFrame, windowDuration: String = "1 minute",
+      watermarkDelay: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDuration), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Gap-based sessionization with `flatMapGroupsWithState`: a session
+    * closes when `gapMs` of event time passes with no event for that user —
+    * either detected inline by the next event, or flushed by an event-time
+    * timeout once the watermark passes session_end + gap. (Event-time, not
+    * processing-time, timeouts: processing-time timeouts make the engine
+    * schedule batches forever even with no data.) Emits a row per closed
+    * session. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // flush once event time moves gapMs past the last event; the
+              // timestamp must stay ahead of the current watermark
+              val target = s.last + gapMs
+              val floor = state.getCurrentWatermarkMs() + 1
+              state.setTimeoutTimestamp(math.max(target, floor))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

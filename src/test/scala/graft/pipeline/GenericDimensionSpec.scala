@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.core.TableStore
+import graft.sources.Stage
+
+/** The pipeline is dimension-generic: a product dimension with a different
+  * schema, key, and tracked column runs the same five-task cycle. */
+class GenericDimensionSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private val productConfig = ScdConfig(
+    prefix = "product",
+    baseSchema = StructType(Seq(
+      StructField("product_id", LongType),
+      StructField("sku", StringType),
+      StructField("title", StringType),
+      StructField("price_band", StringType))),
+    businessKeys = Seq("sku"),
+    trackedCols = Seq("price_band"))
+
+  test("product dimension SCD2 cycle with its own tables") {
+    val store = new TableStore(tmpDir("prod-store"), spark)
+    val stage = new Stage(tmpDir("prod-stage"))
+    val pipeline = new ScdPipeline(spark, store, faithful = true, productConfig)
+
+    stage.putContent("p1.csv", "1,SKU-1,Widget,LOW\n2,SKU-2,Gadget,MID")
+    pipeline.runCycle(stage, Timestamp.valueOf("2024-01-01 00:00:00")) shouldBe 2
+
+    stage.putContent("p2.csv", "1,SKU-1,Widget,HIGH\n3,SKU-3,Gizmo,LOW")
+    pipeline.runCycle(stage, Timestamp.valueOf("2024-02-01 00:00:00")) shouldBe 2
+
+    val staging = pipeline.staging.orderBy("product_id", "start_date").collect()
+    staging.length shouldBe 4 // 2 initial + SKU-1 new version + SKU-3 insert
+    val sku1 = staging.filter(_.getAs[String]("sku") == "SKU-1")
+    sku1.map(r => (r.getAs[String]("price_band"), r.getAs[String]("current_flag")))
+      .toSeq shouldBe Seq(("LOW", "N"), ("HIGH", "Y"))
+
+    pipeline.master.count() shouldBe 3
+    // supplier tables untouched — namespaced per dimension
+    store.exists("supplier_staging") shouldBe false
+    store.exists("product_staging") shouldBe true
+  }
+}

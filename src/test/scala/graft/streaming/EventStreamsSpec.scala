@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  private def ts(m: Int, s: Int = 0) =
+    Timestamp.valueOf(f"2024-01-01 00:$m%02d:$s%02d")
+
+  test("windowed counts with watermark over a memory stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0, 10), 1, "click", 1.0),
+      Event(2, ts(0, 40), 2, "click", 2.0),
+      Event(3, ts(1, 10), 1, "view", 3.0))
+    val q = EventStreams.windowedCounts(input.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val rows = spark.table("wc").collect()
+    val clickWin = rows.find(_.getAs[String]("event_type") == "click").get
+    clickWin.getAs[Long]("cnt") shouldBe 2
+    clickWin.getAs[Double]("sum_value") shouldBe 3.0
+    clickWin.getAs[Timestamp]("window_start") shouldBe ts(0)
+    clickWin.getAs[Timestamp]("window_end") shouldBe ts(1)
+  }
+
+  test("sessionize closes a session on gap and keeps state across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMs = 60 * 1000L,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 10s apart (one session), then a 5-minute gap
+      input.addData(
+        Event(1, ts(0, 0), 7, "click", 1.0),
+        Event(2, ts(0, 10), 7, "view", 2.0))
+      q.processAllAvailable()
+      // batch 2: an event far past the gap closes the first session inline
+      input.addData(Event(3, ts(5, 0), 7, "click", 4.0))
+      q.processAllAvailable()
+
+      val sessions = spark.table("sess").collect()
+      sessions.length shouldBe 1
+      val sess = sessions.head
+      sess.getAs[Long]("user_id") shouldBe 7
+      sess.getAs[Long]("n_events") shouldBe 2
+      sess.getAs[Double]("total_value") shouldBe 3.0
+      sess.getAs[Timestamp]("session_start") shouldBe ts(0, 0)
+      sess.getAs[Timestamp]("session_end") shouldBe ts(0, 10)
+    } finally q.stop()
+  }
+}
