@@ -283,6 +283,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_bpe_tokens" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("ws_tokens"),
+          T.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+
     "text_langid" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
@@ -575,6 +583,13 @@ object SparkEntry {
         |      len(string_split_regex(trim(text), '\s+')) >= 0.05
         |      THEN 1.0 ELSE 0.0 END) / 3.0, 4) AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bpe_tokens" ->
+      ("""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+         |  len(regexp_extract_all(text, '""" + T.bpePattern.replace("'", "''") + """')) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""").stripMargin,
 
     "text_langid" -> {
       def hits(words: Seq[String]) = words.map { w =>

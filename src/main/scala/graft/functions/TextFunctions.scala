@@ -20,6 +20,18 @@ object TextFunctions {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** BPE-style pre-tokenizer count: the GPT-2 pre-tokenization regex family
+    * (contractions | space-prefixed letter runs | digit runs | punctuation
+    * runs | whitespace runs, whitespace not counted). A deterministic
+    * approximation of LLM token counts — ~1 merge-free upper bound —
+    * without any vocabulary. RE2-compatible pattern so the DuckDB oracle
+    * computes it identically. */
+  val bpePattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0))).cast("long")
+
   /** Characters that are not letters, digits, or whitespace, as a fraction
     * of all characters. */
   def punctRatio(text: Column): Column =

@@ -100,4 +100,28 @@ object Media {
       .filter(col("kind") === "video")
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indices"))
+
+  /** Resize pass for image rows: decode → scale → re-encode, stubbed like
+    * [[decodeStub]] (deterministic pseudo-resize: payload truncated/padded
+    * proportionally to the pixel ratio, metadata updated for real). The
+    * partition-mapped shape is the contract: payload in, smaller payload
+    * out, one codec context per partition. */
+  def resize(files: Dataset[MediaFile], maxSide: Int = 256): Dataset[MediaFile] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      it.map { f =>
+        if (f.kind != "image") f
+        else {
+          val (w, h, _, _) = decodeStub(f.kind, f.payload)
+          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+          // stub re-encode: proportional byte budget, deterministic content
+          val newLen = math.max(1, (f.payload.length * scale * scale).toInt)
+          val out = java.util.Arrays.copyOf(f.payload, newLen)
+          f.copy(payload = out,
+            meta_source = f.meta_source + s";resized=${(w * scale).toInt}x${(h * scale).toInt}")
+        }
+      }
+    }
+  }
 }

@@ -196,5 +196,31 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val frames = Media.sampleFrames(feats, stride = 30).collect()
     frames.length shouldBe 1 // one video
     frames.head.getAs[Seq[Long]]("frame_indices").head shouldBe 0L
+
+    // resize: images shrink deterministically, other kinds pass through
+    val resized = Media.resize(files, maxSide = 64).collect().sortBy(_.media_id)
+    resized(0).meta_source should include("resized=")
+    resized(0).payload.length should be <= rows(0).byte_len
+    resized(1).meta_source should not include "resized="
+
+    // binary payloads round-trip through the versioned store
+    val store = new graft.core.TableStore(tmpDir("media-store"), spark)
+    store.overwrite("media", files.toDF())
+    val back = store.readOrEmpty("media", files.toDF().schema)
+    back.count() shouldBe 4
+    val s2 = spark; import s2.implicits._
+    back.as[Media.MediaFile].collect().sortBy(_.media_id)
+      .map(_.payload.toSeq).toSeq shouldBe
+      files.collect().sortBy(_.media_id).map(_.payload.toSeq).toSeq
+  }
+
+  test("bpe-ish token count approximates pre-tokenization") {
+    val d = docs(
+      (1L, "hello world"),          // 2
+      (2L, "it's 42 degrees!"),     // it|'s| 42| degrees|! = 5
+      (3L, ""))
+    val out = d.select(col("doc_id"), T.bpeTokenCount(col("text")).as("n"))
+      .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
+    out shouldBe Seq(2L, 5L, 0L)
   }
 }
