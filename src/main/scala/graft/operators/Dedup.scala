@@ -61,9 +61,18 @@ object Dedup {
     * callers that care can lower the band width instead. */
   def candidatePairs(blocked: DataFrame, keyCol: String, idCol: String,
       maxBucket: Int = 10000): DataFrame = {
-    val ids = blocked.groupBy(col(keyCol))
+    // hot-key guard BEFORE materializing bucket lists: a degenerate blocking
+    // key (all-identical boilerplate) would otherwise accumulate an
+    // unbounded collect_list buffer on one reducer. Both passes shuffle on
+    // the same key, so the second read is a ReusedExchange, not a recompute
+    // of the (expensive) blocking subtree.
+    val keyOk = blocked.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucket)
+      .select(col(keyCol))
+    val ids = blocked.join(keyOk, keyCol)
+      .groupBy(col(keyCol))
       .agg(collect_list(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucket)
       .select(array_sort(col("ids")).as("ids"))
     ids
       .select(explode(flatten(transform(col("ids"), (a, i) =>

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.functions.{MinHash, SimHash}
+import graft.ops.Merge
+
+/** Physical-plan regression guards: the properties that make the engine
+  * scale are asserted, not just documented. */
+class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("broadcast upsert never sort-merge-joins the target") {
+    val s = spark
+    import s.implicits._
+    val target = (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val delta = Seq((1L, "new"), (2000L, "ins")).toDF("k", "v")
+    val plan = executedPlan(Merge.upsert(target, delta, Seq("k")))
+    plan should not include "SortMergeJoin"
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("full-outer fallback is used when broadcastSource=false") {
+    val s = spark
+    import s.implicits._
+    val target = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val delta = (1 to 100).map(i => (i.toLong, s"w$i")).toDF("k", "v")
+    val plan = executedPlan(
+      Merge.upsert(target, delta, Seq("k"), broadcastSource = false))
+    plan should include("FullOuter")
+  }
+
+  test("parquet filter pushdown and column pruning reach the scan") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name")
+    val plan = executedPlan(df)
+    plan should include("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)]")
+    plan should include("ReadSchema: struct<c_custkey:bigint,c_name:string")
+  }
+
+  test("custom expressions run inside whole-stage codegen") {
+    // a file source, not a LocalTableScan — local relations skip codegen
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(SimHash.simhash64(split(col("text"), " ")).as("sh"),
+        MinHash.signatureFromTokens(split(col("text"), " ")).as("sig"))
+    // the codegen-formatted plan places the project inside a WSCG stage
+    val formatted = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    formatted should include("WholeStageCodegen")
+    // and the generated code calls the static kernels (no interpreted path)
+    formatted should include("graft.functions.SimHashImpl.compute")
+    formatted should include("graft.functions.MinHashImpl.computeFromTokens")
+  }
+
+  test("driver smoke: entry() returns rows on sf0.001") {
+    SparkEntry.entry(spark).count() should be > 0L
+  }
+
+  test("staging uncommitted versions never leak into reads; vacuum removes them") {
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.TableStore(tmpDir("plan-store"), spark)
+    store.overwrite("t", Seq((1, "a")).toDF("id", "v"))
+    store.stage("t", Seq((99, "orphan")).toDF("id", "v")) // crash before commit
+    store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+
+    val tableDir = java.nio.file.Paths.get(store.root, "t")
+    java.nio.file.Files.list(tableDir).count() shouldBe 2
+    store.vacuum() // orphan is unreferenced garbage
+    java.nio.file.Files.list(tableDir).count() shouldBe 1
+    store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+  }
+}
