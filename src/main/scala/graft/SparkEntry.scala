@@ -220,6 +220,47 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q11_rollup" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    "q12_semi_anti" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey").as("c_custkey"))
+      val withUrgent = c.join(urgent, Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), lit("HAS_URGENT").as("status"))
+      val noOrders = c.join(o.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), lit("NO_ORDERS").as("status"))
+      withUrgent.unionByName(noOrders).orderBy("c_custkey", "status")
+    }),
+
+    "event_sessions" -> ((s, dir) => {
+      // batch sessionization: gap > 1h starts a new session (lag + running
+      // sum of breaks — the batch counterpart of EventStreams.sessionize)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 3600L * 1000000L
+      events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Long.MinValue, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "q09_event_type_stats" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -442,6 +483,36 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q12_semi_anti" ->
+      """SELECT c_custkey, 'HAS_URGENT' AS status FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT c_custkey, 'NO_ORDERS' FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey, status""".stripMargin,
+
+    "event_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |marks AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marks)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(t) AS session_start_us, max(t) AS session_end_us
+        |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q09_event_type_stats" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,
