@@ -87,6 +87,26 @@ class TableStore(val root: String, spark: SparkSession) {
   def readVersion(table: String, version: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(versionDir(table, version).toString)
 
+  /** Time travel: versions are immutable and named in commit order
+    * (nanotime-prefixed), so any un-vacuumed version remains readable. */
+  def versions(table: String): Seq[String] = {
+    val dir = rootPath.resolve(table)
+    if (!Files.exists(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .filter(Files.isDirectory(_)).map(_.getFileName.toString).toSeq.sorted
+  }
+
+  /** Compact the current version into `numFiles` files (the 1-minute
+    * streaming cadence produces a small file per cycle; at scale the
+    * many-small-files tax is on every subsequent scan's task scheduling).
+    * A compaction is just another version + commit — readers are never
+    * disturbed, and a concurrent cycle commit wins or loses the manifest
+    * swap atomically. */
+  def compact(table: String, schema: StructType, numFiles: Int = 1,
+      partitionBy: Seq[String] = Nil): Unit =
+    commit(Map(table -> stage(table,
+      readOrEmpty(table, schema).coalesce(numFiles), partitionBy)))
+
   /** Materialize `df` as a new (uncommitted) version of `table`; returns the
     * version id to pass to [[commit]]. The write is the only Spark action —
     * the data lands on disk before any pointer moves. `partitionBy` lays the

@@ -59,6 +59,38 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(3)
   }
 
+  test("time travel: older versions stay readable until vacuum") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("tt"), spark)
+    val df1 = Seq((1, "a")).toDF("id", "v")
+    store.overwrite("t", df1)
+    store.overwrite("t", Seq((2, "b")).toDF("id", "v"))
+
+    val vs = store.versions("t")
+    vs.length shouldBe 2
+    store.readVersion("t", vs.head, df1.schema)
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    store.readVersion("t", vs.last, df1.schema)
+      .collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+  }
+
+  test("compact merges files without changing content") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("cp"), spark)
+    val df = (1 to 100).map(i => (i, s"v$i")).toDF("id", "v").repartition(8)
+    store.overwrite("t", df)
+
+    store.compact("t", df.schema, numFiles = 1)
+    store.read("t").count() shouldBe 100
+    // the compacted current version holds a single data file
+    val cur = java.nio.file.Paths.get(store.currentPath("t").get)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.list(cur).iterator().asScala
+      .count(_.toString.endsWith(".parquet")) shouldBe 1
+  }
+
   test("truncate commits an empty version with the right schema") {
     val s = spark
     import s.implicits._
