@@ -106,6 +106,32 @@ object SparkEntry {
       Seq("supplier_code", "supplier_state"), faithful = false)
   }
 
+  /** Fact-table-sized dimension batches derived from lineitem, keyed on
+    * dim_id = l_orderkey*8 + l_linenumber; the delta changes qty for
+    * id%7=0, price for id%5=0, and inserts id%11=0 clones at id+1e9.
+    * Mirrored in closed-form SQL for the oracle. */
+  private def largeDim(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val li = s.read.parquet(s"$dir/lineitem.parquet")
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // aggregate to a keyed dimension with order-independent (max/min)
+    // aggregates so both engines derive bit-identical values
+    def base = li
+      .groupBy((col("l_orderkey") * 8 + col("l_linenumber")).as("dim_id"))
+      .agg(max(col("l_quantity")).as("qty"),
+        max(col("l_extendedprice")).as("price"),
+        min(col("l_returnflag")).as("flag"))
+    val changed = base
+      .filter(col("dim_id") % 7 === 0 || col("dim_id") % 5 === 0)
+      .select(col("dim_id"),
+        when(col("dim_id") % 7 === 0, col("qty") + 1).otherwise(col("qty")).as("qty"),
+        when(col("dim_id") % 5 === 0, col("price") * 2).otherwise(col("price")).as("price"),
+        col("flag"))
+    val inserts = base.filter(col("dim_id") % 11 === 0)
+      .select((col("dim_id") + 1000000000L).as("dim_id"), col("qty"),
+        col("price"), lit("X").as("flag"))
+    (base, changed.unionByName(inserts))
+  }
+
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
@@ -311,6 +337,27 @@ object SparkEntry {
         .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
         .withColumn("end_date", col("end_date").cast("timestamp_ntz"))
         .orderBy("supplier_key", "start_date", "supplier_state")),
+
+    // -- SCD ops at fact-table scale (lineitem-derived dimension; output
+    //    aggregated so the correctness dump stays small) ------------------
+    "scd_upsert_large" -> ((s, dir) => {
+      val (b1, b2) = largeDim(s, dir)
+      Merge.upsert(b1, b2, Seq("dim_id"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("qty")), 2).as("sum_qty"),
+          round(sum(col("price")), 2).as("sum_price"))
+        .orderBy("flag")
+    }),
+
+    "scd_cdc_large" -> ((s, dir) => {
+      val (b1, b2) = largeDim(s, dir)
+      SnapshotCdc.diff(b1, Merge.upsert(b1, b2, Seq("dim_id")), Seq("dim_id"))
+        .groupBy(col(graft.core.Schemas.cdcActionCol).as("_action"),
+          col(graft.core.Schemas.cdcIsUpdateCol).as("_is_update"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("qty")), 2).as("sum_qty"))
+        .orderBy("_action", "_is_update")
+    }),
 
     // -- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
@@ -627,6 +674,40 @@ object SparkEntry {
         |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
         |  state AS supplier_state, start_date, end_date, current_flag
         |FROM hist ORDER BY supplier_key, start_date, supplier_state""".stripMargin),
+
+    "scd_upsert_large" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
+        |         max(l_extendedprice) AS price, min(l_returnflag) AS flag
+        |  FROM lineitem GROUP BY 1),
+        |merged AS (
+        |  SELECT dim_id,
+        |    CASE WHEN dim_id % 7 = 0 THEN qty + 1 ELSE qty END AS qty,
+        |    CASE WHEN dim_id % 5 = 0 THEN price * 2 ELSE price END AS price,
+        |    flag
+        |  FROM base
+        |  UNION ALL
+        |  SELECT dim_id + 1000000000, qty, price, 'X' FROM base WHERE dim_id % 11 = 0)
+        |SELECT flag, count(*) AS cnt, round(sum(qty), 2) AS sum_qty,
+        |  round(sum(price), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd_cdc_large" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
+        |         max(l_extendedprice) AS price, min(l_returnflag) AS flag
+        |  FROM lineitem GROUP BY 1),
+        |ch AS (SELECT * FROM base WHERE dim_id % 7 = 0 OR dim_id % 5 = 0)
+        |SELECT * FROM (
+        |  SELECT 'DELETE' AS _action, TRUE AS _is_update, count(*) AS cnt,
+        |    round(sum(qty), 2) AS sum_qty FROM ch
+        |  UNION ALL
+        |  SELECT 'INSERT', TRUE, count(*),
+        |    round(sum(CASE WHEN dim_id % 7 = 0 THEN qty + 1 ELSE qty END), 2) FROM ch
+        |  UNION ALL
+        |  SELECT 'INSERT', FALSE, count(*), round(sum(qty), 2)
+        |  FROM base WHERE dim_id % 11 = 0)
+        |ORDER BY _action, _is_update""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
