@@ -46,4 +46,24 @@ class GenericDimensionSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.exists("supplier_staging") shouldBe false
     store.exists("product_staging") shouldBe true
   }
+
+  test("corrected-mode pipeline reopens a returning tracked value") {
+    val store = new TableStore(tmpDir("corr-store"), spark)
+    val stage = new Stage(tmpDir("corr-stage"))
+    val pipeline = new ScdPipeline(spark, store, faithful = false, productConfig)
+
+    val t = (i: Int) => Timestamp.valueOf(f"2024-0$i-01 00:00:00")
+    stage.putContent("b1.csv", "1,SKU-1,Widget,LOW")
+    pipeline.runCycle(stage, t(1))
+    stage.putContent("b2.csv", "1,SKU-1,Widget,HIGH")
+    pipeline.runCycle(stage, t(2))
+    stage.putContent("b3.csv", "1,SKU-1,Widget,LOW") // return to prior value
+    pipeline.runCycle(stage, t(3))
+
+    val hist = pipeline.staging.orderBy("start_date").collect()
+      .map(r => (r.getAs[String]("price_band"), r.getAs[String]("current_flag")))
+    // corrected mode: three versions, LOW reopened (faithful mode would
+    // swallow the return — SURVEY.md §4b.1)
+    hist.toSeq shouldBe Seq(("LOW", "N"), ("HIGH", "N"), ("LOW", "Y"))
+  }
 }
