@@ -58,6 +58,23 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     formatted should include("graft.functions.MinHashImpl.computeFromTokens")
   }
 
+  test("bucketized ANN storage prunes partitions on probe") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("ann-store")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.operators.Similarity.bucketize(e, numPlanes = 4)
+      .write.partitionBy("bucket").parquet(s"$dir/embeddings")
+
+    val probed = spark.read.parquet(s"$dir/embeddings").filter(col("bucket") === 3)
+    val plan = executedPlan(probed)
+    plan should include("PartitionFilters: [isnotnull(bucket")
+    // only the probed cell's files are read (partition values come back
+    // inference-typed, hence the string compare)
+    probed.select("bucket").distinct().collect()
+      .map(_.get(0).toString).toSeq shouldBe Seq("3")
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }
