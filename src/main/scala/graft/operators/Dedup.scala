@@ -63,9 +63,11 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     // hot-key guard BEFORE materializing bucket lists: a degenerate blocking
     // key (all-identical boilerplate) would otherwise accumulate an
-    // unbounded collect_list buffer on one reducer. Both passes shuffle on
-    // the same key, so the second read is a ReusedExchange, not a recompute
-    // of the (expensive) blocking subtree.
+    // unbounded collect_list buffer on one reducer. The guard does evaluate
+    // the blocking subtree a second time (AQE broadcasts the small key set,
+    // so there is no identical exchange to reuse) — acceptable because the
+    // signature kernels made blocking the cheap stage; at 100 TB persist
+    // the blocked table before calling this if the input scan is the cost.
     val keyOk = blocked.groupBy(col(keyCol))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1 && col("__n") <= maxBucket)
