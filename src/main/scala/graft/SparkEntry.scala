@@ -80,13 +80,22 @@ object SparkEntry {
       .withColumn("end_date", lit(null).cast("timestamp"))
       .withColumn("current_flag", lit(null).cast("string"))
 
+  /** Cycle barrier for the in-memory operator chains: each merge references
+    * its staging input twice (close branch + anti branch), so an
+    * unmaterialized N-cycle chain duplicates the upstream tree ~2^N times.
+    * The real pipeline materializes every cycle to parquet
+    * ([[graft.pipeline.ScdPipeline]]); these query-shaped chains truncate
+    * lineage the lightweight way instead. */
+  private def cycleBarrier(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
   /** Run the real operator chain for two batches, faithful mode. */
   private def scd2After2(s: SparkSession, dir: String): DataFrame = {
-    val l1 = b1(s, dir)
-    val l2 = Merge.upsert(l1, b2(s, dir), Seq("supplier_code"))
+    val l1 = cycleBarrier(b1(s, dir))
+    val l2 = cycleBarrier(Merge.upsert(l1, b2(s, dir), Seq("supplier_code")))
     val cdc1 = SnapshotCdc.diff(l1.limit(0), l1, Seq("supplier_code"))
-    val st1 = Scd2.merge(emptyStaging(s, l1), cdc1, t1,
-      Seq("supplier_code", "supplier_state"))
+    val st1 = cycleBarrier(Scd2.merge(emptyStaging(s, l1), cdc1, t1,
+      Seq("supplier_code", "supplier_state")))
     val cdc2 = SnapshotCdc.diff(l1, l2, Seq("supplier_code"))
     Scd2.merge(st1, cdc2, t2, Seq("supplier_code", "supplier_state"))
   }
@@ -94,14 +103,15 @@ object SparkEntry {
   /** Three batches, corrected mode (closed-out history never swallows a
     * returning value). */
   private def scd2CorrectedAfter3(s: SparkSession, dir: String): DataFrame = {
-    val l1 = b1(s, dir)
-    val l2 = Merge.upsert(l1, b2(s, dir), Seq("supplier_code"))
-    val l3 = Merge.upsert(l2, b3(s, dir), Seq("supplier_code"))
+    val l1 = cycleBarrier(b1(s, dir))
+    val l2 = cycleBarrier(Merge.upsert(l1, b2(s, dir), Seq("supplier_code")))
+    val l3 = cycleBarrier(Merge.upsert(l2, b3(s, dir), Seq("supplier_code")))
     val cdc1 = SnapshotCdc.diff(l1.limit(0), l1, Seq("supplier_code"))
-    val st1 = Scd2.merge(emptyStaging(s, l1), cdc1, t1,
-      Seq("supplier_code", "supplier_state"), faithful = false)
-    val st2 = Scd2.merge(st1, SnapshotCdc.diff(l1, l2, Seq("supplier_code")), t2,
-      Seq("supplier_code", "supplier_state"), faithful = false)
+    val st1 = cycleBarrier(Scd2.merge(emptyStaging(s, l1), cdc1, t1,
+      Seq("supplier_code", "supplier_state"), faithful = false))
+    val st2 = cycleBarrier(Scd2.merge(st1,
+      SnapshotCdc.diff(l1, l2, Seq("supplier_code")), t2,
+      Seq("supplier_code", "supplier_state"), faithful = false))
     Scd2.merge(st2, SnapshotCdc.diff(l2, l3, Seq("supplier_code")), t3,
       Seq("supplier_code", "supplier_state"), faithful = false)
   }
