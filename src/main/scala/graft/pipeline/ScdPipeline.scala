@@ -54,6 +54,25 @@ class ScdPipeline(
   private val cdcStream =
     new SnapshotCdc(store, CdcSnapshot, config.businessKeys, config.baseSchema)
 
+  /** Enforce [[ScdConfig.duplicatePolicy]] on a loaded batch. */
+  private def applyDuplicatePolicy(raw: DataFrame): DataFrame =
+    config.duplicatePolicy match {
+      case DuplicatePolicy.Error =>
+        val dups = raw.groupBy(config.businessKeys.map(col): _*)
+          .count().filter(col("count") > 1).limit(5)
+          .collect()
+        if (dups.nonEmpty) throw new IllegalArgumentException(
+          "duplicate business keys in one batch (nondeterministic MERGE, " +
+            s"Snowflake would raise too); first offenders: ${dups.mkString(", ")}. " +
+            "Set ScdConfig.duplicatePolicy = DuplicatePolicy.KeepOne to dedupe.")
+        raw
+      case DuplicatePolicy.KeepOne =>
+        val cols = raw.columns.toSeq
+        raw.groupBy(config.businessKeys.map(col): _*)
+          .agg(min(struct(cols.map(col): _*)).as("__row"))
+          .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+    }
+
   /** Peek the unconsumed stream (SELECT * FROM stream,
     * `SCD-Configuration Setup.sql:127` — side-effect free). */
   def streamChanges(): DataFrame =
@@ -81,8 +100,9 @@ class ScdPipeline(
     // files can be purged after commit and downstream reads are from
     // parquet, not the half-typed CSV path.
     val rawVersion = store.stage(Raw, rawBatch)
-    val raw = store.readVersion(Raw, rawVersion, config.baseSchema)
-    val rowsLoaded = raw.count()
+    val rawLoaded = store.readVersion(Raw, rawVersion, config.baseSchema)
+    val rowsLoaded = rawLoaded.count()
+    val raw = applyDuplicatePolicy(rawLoaded)
 
     // task3: MERGE raw → landing (J1), null-propagating change detection.
     val landingNext = Merge.upsert(landingPrev, raw, config.businessKeys,
@@ -172,7 +192,14 @@ case class ScdConfig(
     trackedCols: Seq[String],
     /** columns whose change triggers a landing update (None = all
       * non-key columns, the reference behavior) */
-    compareCols: Option[Seq[String]] = None) {
+    compareCols: Option[Seq[String]] = None,
+    /** What to do when one batch carries the same business key twice.
+      * [[DuplicatePolicy.Error]] (default) mirrors Snowflake's
+      * nondeterministic-MERGE error; [[DuplicatePolicy.KeepOne]] keeps a
+      * deterministic representative (min by full row) — duplicates left in
+      * place would multiply landing rows through the merge join AND make
+      * the CDC snapshot diff self-join explode. */
+    duplicatePolicy: DuplicatePolicy = DuplicatePolicy.Error) {
   require(businessKeys.nonEmpty, "businessKeys must be non-empty")
   /** The reference-style SCD match key: business key + tracked column
     * (`SCD-Automation.sql:85`). */
@@ -186,4 +213,14 @@ object ScdConfig {
     baseSchema = Schemas.supplierBase,
     businessKeys = Seq("supplier_code"),
     trackedCols = Seq("supplier_state"))
+}
+
+sealed trait DuplicatePolicy
+object DuplicatePolicy {
+  /** Fail the cycle — Snowflake raises on a MERGE where one target row
+    * matches several source rows. */
+  case object Error extends DuplicatePolicy
+  /** Keep one deterministic representative per key (min by the full row —
+    * arbitrary but stable across runs and engines). */
+  case object KeepOne extends DuplicatePolicy
 }

@@ -47,6 +47,32 @@ class GenericDimensionSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.exists("product_staging") shouldBe true
   }
 
+  test("duplicate keys in one batch: Error policy raises, KeepOne dedupes") {
+    val dupCsv = "1,SKU-1,Widget,LOW\n2,SKU-1,Widget,HIGH\n3,SKU-2,Gadget,MID"
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+
+    // default (Snowflake-faithful): nondeterministic MERGE is an error
+    val store1 = new TableStore(tmpDir("dup-err"), spark)
+    val stage1 = new Stage(tmpDir("dup-err-stage"))
+    stage1.putContent("b.csv", dupCsv)
+    val err = intercept[IllegalArgumentException] {
+      new ScdPipeline(spark, store1, faithful = true, productConfig)
+        .runCycle(stage1, t1)
+    }
+    err.getMessage should include("duplicate business keys")
+
+    // KeepOne: deterministic representative, invariants hold
+    val store2 = new TableStore(tmpDir("dup-keep"), spark)
+    val stage2 = new Stage(tmpDir("dup-keep-stage"))
+    stage2.putContent("b.csv", dupCsv)
+    val p = new ScdPipeline(spark, store2, faithful = true,
+      productConfig.copy(duplicatePolicy = DuplicatePolicy.KeepOne))
+    p.runCycle(stage2, t1)
+    p.landing.count() shouldBe 2
+    p.landing.filter("sku = 'SKU-1'").count() shouldBe 1
+    p.streamChanges().count() shouldBe 0
+  }
+
   test("corrected-mode pipeline reopens a returning tracked value") {
     val store = new TableStore(tmpDir("corr-store"), spark)
     val stage = new Stage(tmpDir("corr-stage"))
