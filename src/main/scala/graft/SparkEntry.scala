@@ -256,6 +256,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "q13_percentiles" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "q11_rollup" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -540,6 +550,13 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q13_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q11_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
