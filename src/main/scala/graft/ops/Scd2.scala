@@ -63,6 +63,16 @@ object Scd2 {
 
     def hint(df: DataFrame) = if (broadcastCdc) broadcast(df) else df
 
+    // Match-key equality: faithful mode keeps Snowflake's null-unsafe `=`
+    // (a NULL tracked value never matches, so NULL-keyed images re-insert
+    // every cycle — the reference's observable behavior); corrected mode
+    // matches null-safely so NULL is one value like any other.
+    def keyCond(left: String, right: String): Column =
+      matchKeys.map { k =>
+        if (faithful) col(s"$left.$k") === col(s"$right.$k")
+        else col(s"$left.$k") <=> col(s"$right.$k")
+      }.reduce(_ && _)
+
     // WHEN MATCHED AND action='DELETE' → close out.
     val closeKeys = hint(cdc
       .filter(col(Schemas.cdcActionCol) === "DELETE")
@@ -71,17 +81,18 @@ object Scd2 {
       .withColumn("__close", lit(true)))
 
     val matchableForClose =
-      if (faithful) lit(true) else col("current_flag") === "Y"
+      if (faithful) lit(true) else col("st.current_flag") === "Y"
 
-    val closed = staging
-      .join(closeKeys, matchKeys, "left_outer")
-      .withColumn("end_date",
-        when(col("__close").isNotNull && matchableForClose, ts)
-          .otherwise(col("end_date")))
-      .withColumn("current_flag",
-        when(col("__close").isNotNull && matchableForClose, lit("N"))
-          .otherwise(col("current_flag")))
-      .drop("__close")
+    val hit = col("__ck.__close").isNotNull && matchableForClose
+    val closed = staging.alias("st")
+      .join(closeKeys.alias("__ck"), keyCond("st", "__ck"), "left_outer")
+      .select(staging.columns.toSeq.map {
+        case "end_date" =>
+          when(hit, ts).otherwise(col("st.end_date")).as("end_date")
+        case "current_flag" =>
+          when(hit, lit("N")).otherwise(col("st.current_flag")).as("current_flag")
+        case c => col(s"st.$c").as(c)
+      }: _*)
 
     // WHEN NOT MATCHED AND action='INSERT' → open a new version. In faithful
     // mode "matched" means *any* history row (closed-out rows swallow
@@ -93,7 +104,9 @@ object Scd2 {
     val opened = cdc
       .filter(col(Schemas.cdcActionCol) === "INSERT")
       .select(baseCols.map(col): _*)
-      .join(antiTarget.select(matchKeys.map(col): _*), matchKeys, "left_anti")
+      .alias("in")
+      .join(antiTarget.select(matchKeys.map(col): _*).alias("at"),
+        keyCond("in", "at"), "left_anti")
       .withColumn("start_date", ts)
       .withColumn("end_date", lit(null).cast(TimestampType))
       .withColumn("current_flag", lit("Y"))

@@ -169,6 +169,22 @@ class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       "supplier_name", "supplier_state")).count() shouldBe 0
   }
 
+  test("scd2 NULL tracked value: faithful re-inserts (Snowflake =), corrected matches null-safely") {
+    val staging = history(
+      (9L, "A109", "Nobody", null.asInstanceOf[String], t1, None, "Y"))
+    val delta = cdc((9L, "A109", "Nobody", null.asInstanceOf[String], "INSERT", false))
+
+    // faithful: NULL never matches → a duplicate open version appears
+    Scd2.merge(staging, delta, t2,
+      Seq("supplier_code", "supplier_state"), faithful = true)
+      .count() shouldBe 2
+
+    // corrected: NULL <=> NULL matches → swallowed, history unchanged
+    Scd2.merge(staging, delta, t2,
+      Seq("supplier_code", "supplier_state"), faithful = false)
+      .count() shouldBe 1
+  }
+
   test("scd2: plain inserts open versions with null end_date") {
     val staging = history()
     val delta = cdc((7L, "A107", "Pujara", "Saurasthra", "INSERT", false))
