@@ -104,6 +104,16 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Rolling-hash document fingerprint: one 64-bit value over the ordered
+    * window-hash sequence (tokenize → per-window wrapping-polynomial hashes
+    * via [[MinHash.shingleHashes]] → xxhash64 of the sequence). Unlike the
+    * md5 [[fingerprint]] it is order-sensitive at shingle granularity and
+    * runs entirely in fused codegen kernels — the fast dedup key when
+    * cross-engine comparability is not needed (xxhash64 is Spark-specific). */
+  def rollingFingerprint(text: Column, shingleSize: Int = 3): Column =
+    xxhash64(MinHash.shingleHashes(
+      split(lower(trim(text)), "\\s+"), shingleSize))
+
   /** Word n-gram shingles of the lowercased text; documents shorter than
     * `n` tokens collapse to a single whole-text shingle. */
   def wordShingles(text: Column, n: Int = 3): Column = {

@@ -35,6 +35,28 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("FullOuter")
   }
 
+  test("SCD2 merge broadcasts the CDC side, never the history") {
+    val s = spark
+    import s.implicits._
+    val staging = (1 to 1000).map(i => (i.toLong, s"C$i", s"N$i", s"S${i % 10}",
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        null.asInstanceOf[java.sql.Timestamp], "Y"))
+      .toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state",
+        "start_date", "end_date", "current_flag")
+    val cdc = Seq((1L, "C1", "N1", "S0", "DELETE", true))
+      .toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state",
+        "_action", "_is_update")
+    for (faithful <- Seq(true, false)) {
+      val plan = executedPlan(graft.ops.Scd2.merge(staging, cdc,
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"),
+        Seq("supplier_code", "supplier_state"), faithful = faithful))
+      withClue(s"faithful=$faithful") {
+        plan should not include "SortMergeJoin"
+        plan should include("BroadcastHashJoin")
+      }
+    }
+  }
+
   test("parquet filter pushdown and column pruning reach the scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .filter(col("c_mktsegment") === "BUILDING")

@@ -214,6 +214,15 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       files.collect().sortBy(_.media_id).map(_.payload.toSeq).toSeq
   }
 
+  test("rolling fingerprint: whitespace-insensitive via tokenization, order-sensitive") {
+    val d = docs((1L, "a b c d"), (2L, "a  b   c d"), (3L, "d c b a"))
+    // doc 2 differs only in whitespace → same fingerprint; doc 3 reorders → different
+    val byDoc = d.select(col("doc_id"), T.rollingFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byDoc(1L) shouldBe byDoc(2L)
+    byDoc(1L) should not be byDoc(3L)
+  }
+
   test("bpe-ish token count approximates pre-tokenization") {
     val d = docs(
       (1L, "hello world"),          // 2
