@@ -124,12 +124,14 @@ object SparkEntry {
     val li = s.read.parquet(s"$dir/lineitem.parquet")
     // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
     // aggregate to a keyed dimension with order-independent (max/min)
-    // aggregates so both engines derive bit-identical values
-    def base = li
+    // aggregates so both engines derive bit-identical values. Barrier: base
+    // feeds b1, the delta, and (via upsert) the diff — without it the keyed
+    // groupBy is recomputed once per reference.
+    val base = cycleBarrier(li
       .groupBy((col("l_orderkey") * 8 + col("l_linenumber")).as("dim_id"))
       .agg(max(col("l_quantity")).as("qty"),
         max(col("l_extendedprice")).as("price"),
-        min(col("l_returnflag")).as("flag"))
+        min(col("l_returnflag")).as("flag")))
     val changed = base
       .filter(col("dim_id") % 7 === 0 || col("dim_id") % 5 === 0)
       .select(col("dim_id"),
