@@ -14,6 +14,24 @@ import org.apache.spark.sql.types._
   * pinned to UTC (build.sbt sets `spark.sql.session.timeZone=UTC`), which is
   * observationally identical to NTZ and keeps parquet interop simple.
   */
+/** Typed row models for the supplier dimension (SURVEY.md §1.2: a typed
+  * `Dataset[SupplierVersion]` view of the staging table for compile-time
+  * field checks where that helps; the engine itself stays schema-dynamic). */
+case class Supplier(
+    supplier_key: Long,
+    supplier_code: String,
+    supplier_name: String,
+    supplier_state: String)
+
+case class SupplierVersion(
+    supplier_key: Long,
+    supplier_code: String,
+    supplier_name: String,
+    supplier_state: String,
+    start_date: java.sql.Timestamp,
+    end_date: Option[java.sql.Timestamp],
+    current_flag: String)
+
 object Schemas {
 
   /** Base supplier columns, shared by raw / landing / master

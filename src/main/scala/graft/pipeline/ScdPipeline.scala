@@ -153,6 +153,12 @@ class ScdPipeline(
   }
 
   // -- verification reads (SURVEY.md §3.3) --------------------------------
+
+  /** Typed view of any tier for case-class consumers
+    * (`pipeline.as[SupplierVersion](pipeline.staging)`). */
+  def as[T: org.apache.spark.sql.Encoder](df: DataFrame): org.apache.spark.sql.Dataset[T] =
+    df.as[T]
+
   def raw: DataFrame = store.readOrEmpty(Raw, config.baseSchema)
   def landing: DataFrame = store.readOrEmpty(Landing, config.baseSchema)
   def staging: DataFrame = store.readOrEmpty(Staging, stagingSchema)

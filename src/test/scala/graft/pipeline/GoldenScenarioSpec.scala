@@ -89,6 +89,15 @@ class GoldenScenarioSpec extends AnyFunSuite with Matchers with SparkSpec {
     val hist = pipeline.taskHistory.collect()
     hist.length shouldBe 2
     hist.map(_.getAs[Long]("rows_loaded")).toSeq shouldBe Seq(4L, 6L)
+
+    // typed Dataset view of the history (SURVEY §1.2)
+    {
+      val s = spark
+      import s.implicits._
+      val typed = pipeline.as[graft.core.SupplierVersion](pipeline.staging)
+      typed.filter(_.current_flag == "Y").count() shouldBe 8
+      typed.filter(_.end_date.isDefined).count() shouldBe 2
+    }
   }
 
   test("mid-cycle stream peek shows the update pair with stable row ids") {
