@@ -17,10 +17,18 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // min of two runs per query: local[N] timings are noisy (GC, page
     // cache); the min is the reproducible cost
+    //
+    // Timing action is a noop-format write, NOT count(): under count()
+    // Catalyst prunes every column (deterministic projections drop,
+    // EliminateSorts removes presentation sorts, count prunes straight
+    // through explode), so narrow-map queries would time only the parquet
+    // scan. The noop sink fully evaluates every output row/column with no
+    // driver collect and no filesystem write.
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

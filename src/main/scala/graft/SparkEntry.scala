@@ -144,11 +144,14 @@ object SparkEntry {
     (base, changed.unionByName(inserts))
   }
 
-  private def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
+    * (set in the Bench/Verify/test builders — events.parquet carries
+    * nanosecond timestamps). Deliberately NOT set here: a query builder
+    * mutating shared session config is a side effect library code must not
+    * have. */
+  private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
-  }
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -426,6 +429,26 @@ object SparkEntry {
           threshold = 0.1, maxId = 150L)
         .orderBy("id_a", "id_b")),
 
+    // the exact-verify stage of minhash dedup (Jaccard over the hashed
+    // shingle sets from the ShingleHashes kernel), oracled against DuckDB
+    // computing Jaccard over the shingle STRINGS — identical up to 64-bit
+    // hash collisions, so a hash match proves the kernel's window/hash/
+    // distinct semantics. Band selection remains the only unoracled stage.
+    "minhash_verify_pairs" -> ((s, dir) => {
+      val sh = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300)
+        .select(col("doc_id").as("id"),
+          graft.functions.MinHash.shingleHashes(
+            split(lower(trim(col("text"))), "\\s+"), 3).as("sh"))
+      val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // -- similarity search ------------------------------------------------
     "knn_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -466,7 +489,10 @@ object SparkEntry {
 
     "knn_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.ivfFit(e, numCells = 8).topK(e, queryVec(s, dir), k = 20, nProbes = 2)
+      // centroids fit on a half-sample: statistically identical centers,
+      // half the k-means scan cost (at 100 TB the sample IS the only way)
+      Similarity.ivfFit(e, numCells = 8, fitSampleFraction = 0.5)
+        .topK(e, queryVec(s, dir), k = 20, nProbes = 3)
     }),
 
     "knn_join" -> ((s, dir) => {
@@ -819,6 +845,25 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.id < b.id
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(a.sh || b.sh)) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "minhash_verify_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents WHERE doc_id <= 300)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  round(len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.id < b.id
+        |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |      len(list_distinct(a.sh || b.sh)) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
 
     "knn_brute" ->

@@ -104,6 +104,37 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature derived from an ALREADY-HASHED shingle array
+  * (`array<long>`, the output of [[ShingleHashes]]): only the k cheap
+  * multiply-add mixes run — no string hashing at all. Lets callers persist
+  * the hashed-shingle projection once and derive both the banding
+  * signature and the exact-verify sets from it: exactly one pass of
+  * string hashing per document, however many downstream uses.
+  * `signatureFromHashes(shingleHashes(toks)) == signatureFromTokens(toks)`
+  * by construction (same window-hash values feed the same min-reduction).
+  */
+case class MinHashFromHashes(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_from_hashes requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashImpl.computeFromHashes(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashImpl.computeFromHashes($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromHashes =
+    copy(child = newChild)
+}
+
 object MinHashImpl {
   final val Seed = 42L
   final val MaxHashes = 256
@@ -178,6 +209,26 @@ object MinHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Kernel for [[MinHashFromHashes]]: min-reduce the k universal-hash
+    * mixes over pre-hashed shingles. */
+  def computeFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
+    require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var j = 0
+    while (j < n) {
+      val h = hashes.getLong(j)
+      var k = 0
+      while (k < numHashes) {
+        val m = as(k) * h + bs(k)
+        if (m < mins(k)) mins(k) = m
+        k += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(shingles: ArrayData, numHashes: Int): ArrayData = {
     require(numHashes <= MaxHashes, s"numHashes > $MaxHashes")
@@ -215,6 +266,10 @@ object MinHash {
   /** All window hashes (the hashed shingle set — see [[ShingleHashes]]). */
   def shingleHashes(tokens: Column, shingleSize: Int = 3): Column =
     Bridge.column(ShingleHashes(Bridge.expression(tokens), shingleSize))
+
+  /** Signature from a pre-hashed shingle array (see [[MinHashFromHashes]]). */
+  def signatureFromHashes(hashes: Column, numHashes: Int = 64): Column =
+    Bridge.column(MinHashFromHashes(Bridge.expression(hashes), numHashes))
 
   /** Register for SQL: `minhash_signature(arr)` with k=64. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

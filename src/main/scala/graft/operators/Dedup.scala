@@ -76,11 +76,16 @@ object Dedup {
       .groupBy(col(keyCol))
       .agg(collect_list(col(idCol)).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
+    // pair expansion in two pipelined generates: posexplode the bucket, then
+    // explode each element's suffix slice. Peak per-row state is ONE bucket's
+    // id array (≤ maxBucket longs, ~80 KB), not the full n²/2 pair array —
+    // the earlier `flatten(transform(…))` form built every pair of a bucket
+    // into a single array value (~GBs for a 10k-id hot bucket) before the
+    // explode could stream it.
     ids
-      .select(explode(flatten(transform(col("ids"), (a, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(col("ids"), posexplode(col("ids")))
+      .select(col("col").as("id_a"),
+        explode(slice(col("ids"), col("pos") + lit(2), size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -122,15 +127,25 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.8): DataFrame = {
     val rows = numHashes / bands
-    // slim candidate generation: only (band, id) crosses the shuffle, and
-    // the signature comes from the fused token-window kernel
-    // (MinHashTokens) — materializing shingle strings costs more than the
-    // whole rest of the pipeline
-    val banded = df
+    // SINGLE corpus scan: the hashed-shingle projection (id, sh) is
+    // persisted once and every downstream stage — banding signature, the
+    // candidate hot-key guard, and BOTH exact-verify join sides — derives
+    // from it. Tokenize + string hashing (the expensive part) runs exactly
+    // once per document; the banding signature is k cheap multiply-add
+    // mixes over the cached longs (MinHashFromHashes). Without this the
+    // corpus was scanned and re-hashed 4×. The cache is keyed by logical
+    // plan, so repeated calls over the same input reuse it; at 100 TB this
+    // is the difference between one and four passes over the corpus.
+    val base = df
       .select(col(idCol).as("id"),
-        split(lower(trim(col(textCol))), "\\s+").as("toks"))
+        graft.functions.MinHash.shingleHashes(
+          split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // slim candidate generation: only (band, id) crosses the shuffle
+    val banded = base
       .withColumn("band", explode(lshBandKeys(
-        graft.functions.MinHash.signatureFromTokens(col("toks"), shingleSize, numHashes),
+        graft.functions.MinHash.signatureFromHashes(col("sh"), numHashes),
         bands, rows)))
       .select(col("band"), col("id"))
 
@@ -139,12 +154,9 @@ object Dedup {
     // exact-verify on hashed shingle sets (identical Jaccard up to 64-bit
     // collisions; long arrays are far cheaper than shingle strings to
     // build, ship, and intersect)
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.MinHash.shingleHashes(
-        split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))
     candidates
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -171,18 +183,21 @@ object Dedup {
       idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 4 × 16-bit chunks of the 64-bit hash
+    // single corpus scan: the (id, simhash) projection is persisted once;
+    // chunk keys, the candidate guard, and both verify sides derive from
+    // the cached 64-bit hashes (tokenize+simhash ran 3× before)
+    val hashes = df.select(col(idCol).as("id"),
+      SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // chunk keys via ONE transform over the hash (an array(4 × struct(sh…))
     // form would re-run tokenize+simhash per chunk after CollapseProject
     // inlining); key = xxhash64(chunk index, 16-bit chunk value)
-    val blocked = df.select(col(idCol).as("id"),
-      SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))
+    val blocked = hashes
       .withColumn("chunk", explode(
         transform(sequence(lit(0), lit(chunks - 1)), c =>
           xxhash64(c, ushr(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))))))
       .select(col("chunk"), col("id"))
-
-    val hashes = df.select(col(idCol).as("id"),
-      SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))
 
     candidatePairs(blocked, "chunk", "id")
       .join(hashes.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -236,10 +251,13 @@ object Dedup {
       numPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
     val planes = V.randomPlanes(numPlanes, dim, seed)
-    val blocked = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // single corpus scan: (id, vec) persisted once; bucket keys and both
+    // verify sides derive from the cache instead of 4 more parquet scans
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val blocked = vecs
       .withColumn("bucket", V.hyperplaneBucket(col("vec"), planes))
       .select(col("bucket"), col("id"))
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     candidatePairs(blocked, "bucket", "id")
       .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")

@@ -43,9 +43,26 @@ object Similarity {
     df.withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes))
   }
 
+  /** Per-table hyperplane sets: independent seeds per table (the OR-of-ANDs
+    * amplification of classic LSH — a neighbor is a candidate if it
+    * collides in ANY table, so recall compounds as 1-(1-p)^L while the
+    * per-table selectivity stays sharp). */
+  private def planeTables(numTables: Int, numPlanes: Int, dim: Int,
+      seed: Long): Seq[Seq[Seq[Float]]] =
+    (0 until numTables).map(t => V.randomPlanes(numPlanes, dim, seed + t * 1000003L))
+
   /** ANN top-k: score only vectors whose bucket is within `probeHamming`
-    * bits of the query's bucket (multi-probe LSH — probing neighbors
-    * recovers most of the recall lost to unlucky hyperplane splits). */
+    * bits of the query's bucket in at least one of `numTables` hash tables
+    * (multi-probe + multi-table LSH: probing Hamming neighbors recovers
+    * recall lost to unlucky splits near a plane; extra tables recover
+    * recall for moderate-similarity neighbors, compounding as 1-(1-p)^L).
+    *
+    * At 100 TB a multi-table index is L bucket-partitioned copies of the
+    * id+vector projection (the standard LSH index layout — see
+    * [[bucketize]], one write per table seed); each table's probe is then a
+    * partition-pruned read of its own copy and the candidate union feeds
+    * one top-k. On a single scan (here) the same semantics is the OR
+    * filter below. */
   def lshTopK(
       df: DataFrame,
       query: Seq[Float],
@@ -55,17 +72,22 @@ object Similarity {
       numPlanes: Int = 8,
       dim: Int = 64,
       probeHamming: Int = 1,
-      seed: Long = 42L): DataFrame = {
-    val planes = V.randomPlanes(numPlanes, dim, seed)
-    // query bucket computed driver-side (tiny), then pushed as a literal
-    // predicate → with bucket-partitioned storage this is partition pruning
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
-      if (d > 0) 1L << i else 0L
-    }.sum
+      seed: Long = 42L,
+      numTables: Int = 4): DataFrame = {
+    val tables = planeTables(numTables, numPlanes, dim, seed)
+    // query buckets computed driver-side (tiny), pushed as literal
+    // predicates → with per-table bucket-partitioned storage each disjunct
+    // is a partition-pruning probe of that table's copy
+    val cond = tables.map { planes =>
+      val qBucket = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
+        if (d > 0) 1L << i else 0L
+      }.sum
+      bit_count(V.hyperplaneBucket(col(vecCol), planes)
+        .bitwiseXOR(lit(qBucket))) <= probeHamming
+    }.reduce(_ || _)
 
-    df.withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes))
-      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= probeHamming)
+    df.filter(cond)
       .select(col(idCol),
         round(V.cosine(col(vecCol), V.vectorLit(query)), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
@@ -80,10 +102,17 @@ object Similarity {
     * but data-adaptive (tighter cells than random hyperplanes on clustered
     * corpora). */
   def ivfFit(df: DataFrame, vecCol: String = "embedding",
-      numCells: Int = 16, seed: Long = 42L): IvfIndex = {
+      numCells: Int = 16, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val featured = df.withColumn("__features", array_to_vector(col(vecCol)))
+    // k-means centroids converge on a sample: at 100 TB fitting on the full
+    // corpus would iterate the whole dataset per k-means step, while a few
+    // hundred points per target cell give statistically identical centers.
+    // The assignment pass (the part that must see every row) stays full.
+    val fitDf = if (fitSampleFraction < 1.0)
+      df.sample(withReplacement = false, fitSampleFraction, seed) else df
+    val featured = fitDf.withColumn("__features", array_to_vector(col(vecCol)))
     val model = new KMeans().setK(numCells).setSeed(seed)
       .setFeaturesCol("__features").fit(featured)
     IvfIndex(model)
@@ -121,27 +150,41 @@ object Similarity {
   }
 
   /** All-pairs top-k join (each left row → its k nearest right rows) via
-    * LSH blocking + windowed rank. Use for bulk kNN-graph construction;
-    * the brute-force equivalent is an O(n²) cross join and intentionally
-    * not provided. */
+    * multi-table LSH blocking + windowed rank. A pair is a candidate when
+    * the two vectors share a bucket in ANY of `numTables` independent
+    * tables (join key = xxhash64(table, bucket), exploded per table):
+    * fewer planes per table keep per-table collision probability usable,
+    * extra tables compound recall as 1-(1-p^planes)^L — single-table
+    * exact-bucket equality missed all but the nearest pairs. Candidates
+    * are deduped across tables BEFORE cosine scoring so each surviving
+    * pair is scored once. Use for bulk kNN-graph construction; the
+    * brute-force equivalent is an O(n²) cross join and intentionally not
+    * provided. */
   def knnJoin(
       left: DataFrame,
       right: DataFrame,
       k: Int = 10,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
-      numPlanes: Int = 8,
+      numPlanes: Int = 4,
       dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
-    val planes = V.randomPlanes(numPlanes, dim, seed)
+      seed: Long = 42L,
+      numTables: Int = 8): DataFrame = {
+    val tables = planeTables(numTables, numPlanes, dim, seed)
+    // per-row array of per-table join keys; vec is a plain column ref so
+    // the L bucket computations stay one narrow projection
+    def keys(vec: Column): Column = array(tables.zipWithIndex.map {
+      case (planes, t) => xxhash64(lit(t), V.hyperplaneBucket(vec, planes))
+    }: _*)
     val l = left.select(col(idCol).as("id_l"), col(vecCol).as("v_l"))
-      .withColumn("bucket", V.hyperplaneBucket(col("v_l"), planes))
+      .withColumn("key", explode(keys(col("v_l"))))
     val r = right.select(col(idCol).as("id_r"), col(vecCol).as("v_r"))
-      .withColumn("bucket", V.hyperplaneBucket(col("v_r"), planes))
+      .withColumn("key", explode(keys(col("v_r"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
-    l.join(r, "bucket")
+    l.join(r, "key")
       .filter(col("id_l") =!= col("id_r"))
+      .dropDuplicates("id_l", "id_r")
       .withColumn("cos", round(V.cosine(col("v_l"), col("v_r")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -161,6 +161,67 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     top.head.getAs[Double]("cos") shouldBe 1.0
   }
 
+  test("candidatePairs streams a hot bucket without materializing the pair array") {
+    val s = spark
+    import s.implicits._
+    // one 6000-id hot bucket → 18M pairs. The pre-fix formulation built all
+    // of them into a single array value (~0.5–1 GB) before exploding; the
+    // posexplode+slice form streams them with peak per-row state of one
+    // bucket's id array, so this completes comfortably in the test heap.
+    val n = 6000
+    val blocked = ((0 until n).map(i => ("hot", i.toLong)) ++
+      Seq(("cold", 100001L), ("cold", 100002L))).toDF("key", "id")
+    val agg = Dedup.candidatePairs(blocked, "key", "id")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"id_a" >= $"id_b", 1L).otherwise(0L)).as("bad"))
+      .head()
+    agg.getAs[Long]("n") shouldBe (n.toLong * (n - 1) / 2 + 1)
+    agg.getAs[Long]("bad") shouldBe 0L
+  }
+
+  test("ANN recall floors vs brute force (testdata embeddings)") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    val brute = ids(Similarity.bruteForceTopK(e, q, k = 20))
+
+    // the exact parameters the driver queries use — a recall regression in
+    // either approximate path now fails the build instead of being invisible
+    val lsh = ids(Similarity.lshTopK(e, q, k = 20, probeHamming = 2))
+    (brute.intersect(lsh).size / 20.0) should be >= 0.6
+
+    val ivf = ids(Similarity.ivfFit(e, numCells = 8, fitSampleFraction = 0.5)
+      .topK(e, q, k = 20, nProbes = 3))
+    (brute.intersect(ivf).size / 20.0) should be >= 0.6
+  }
+
+  test("knn_join mean recall vs per-row brute top-k") {
+    val s = spark
+    import s.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val left = e.filter(col("vec_id") < 50)
+    val k = 5
+    val joined = Similarity.knnJoin(left, e, k = k).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val l = left.select(col("vec_id").as("id_l"), col("embedding").as("v_l"))
+    val r = e.select(col("vec_id").as("id_r"), col("embedding").as("v_r"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
+    val brute = l.crossJoin(r).filter($"id_l" =!= $"id_r")
+      .withColumn("cos", round(V.cosine(col("v_l"), col("v_r")), 4))
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rank" <= k).select("id_l", "id_r").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val recalls = brute.map { case (id, bs) =>
+      joined.getOrElse(id, Set.empty[Long]).intersect(bs).size.toDouble / k
+    }
+    (recalls.sum / recalls.size) should be >= 0.5
+  }
+
   test("GraftExtensions registers SQL functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // builds without throwing
