@@ -80,6 +80,15 @@ object Schemas {
     StructField("status", StringType)
   ))
 
+  /** COPY load-history ledger — one row per stage file ever loaded, the
+    * stand-in for Snowflake's per-table load history that makes a re-run of
+    * COPY with PURGE=FALSE skip already-loaded files
+    * (`SCD-Configuration Setup.sql:183-185`). */
+  val loadHistory: StructType = StructType(Seq(
+    StructField("file_name", StringType),
+    StructField("batch_time", TimestampType)
+  ))
+
   /** SCD2 version columns appended to any dimension's base schema. */
   def scd2(base: StructType): StructType = StructType(base.fields ++ Seq(
     StructField("start_date", TimestampType),

@@ -74,18 +74,25 @@ class TableStore(val root: String, spark: SparkSession) {
     * table has no committed version yet. The schema is passed explicitly
     * (never inferred): an empty partitioned version has no files to infer
     * from, and at scale skipping footer-sampling on wide tables is free
-    * planning time. */
+    * planning time. Versions staged with [[stageBucketed]] are read through
+    * their catalog entry so the scan reports its hash partitioning (the
+    * plain parquet path would silently forget it and joins would
+    * re-shuffle). */
   def readOrEmpty(table: String, schema: StructType): DataFrame =
-    currentPath(table) match {
-      case Some(p) => spark.read.schema(schema).parquet(p)
+    manifest.get(table) match {
+      case Some(v) => readVersion(table, v, schema)
       case None    => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
 
   /** Read a specific (possibly uncommitted) version with an explicit
-    * schema. */
+    * schema (catalog-aware — see [[readOrEmpty]]). */
   def readVersion(table: String, version: String, schema: StructType): DataFrame =
-    spark.read.schema(schema).parquet(versionDir(table, version).toString)
+    catalogNameIfBucketed(table, version) match {
+      case Some(name) => spark.table(name)
+      case None =>
+        spark.read.schema(schema).parquet(versionDir(table, version).toString)
+    }
 
   /** Time travel: versions are immutable and named in commit order
     * (nanotime-prefixed), so any un-vacuumed version remains readable. */
@@ -116,11 +123,54 @@ class TableStore(val root: String, spark: SparkSession) {
     * refresh). Partition columns must be last in the schema so reads
     * preserve column order. */
   def stage(table: String, df: DataFrame, partitionBy: Seq[String] = Nil): String = {
-    val version = f"v${System.nanoTime()}%019d-${UUID.randomUUID().toString.take(8)}"
+    val version = newVersion()
     val writer = df.write.mode("errorifexists")
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(versionDir(table, version).toString)
     version
+  }
+
+  private def newVersion(): String =
+    f"v${System.nanoTime()}%019d-${UUID.randomUUID().toString.take(8)}"
+
+  /** Stage `df` hash-bucketed (and per-bucket sorted) on `bucketCols` — the
+    * layout that makes every subsequent equi-join/diff on those columns
+    * exchange-free: the scan of a bucketed version reports
+    * `HashPartitioning(bucketCols, numBuckets)`, so two snapshots staged
+    * with the same spec sort-merge-join with NO shuffle on either side
+    * (the CDC diff's whole cost at scale). The one shuffle left is the
+    * `repartition` at WRITE time — paid once per version instead of twice
+    * per downstream read — and it also yields exactly one file per bucket,
+    * which lets the reader use the per-file sort and skip the join sort.
+    *
+    * Spark only carries bucket metadata through the catalog, so the
+    * version is registered as an external catalog table pointing at the
+    * version dir; [[readVersion]]/[[readOrEmpty]] resolve it
+    * transparently. The files are ordinary parquet — if the catalog entry
+    * is gone (new session; the test catalog is in-memory), reads fall back
+    * to the plain path and only the co-partitioning guarantee is lost. At
+    * scale the entry lives in a persistent metastore and this caveat
+    * disappears. */
+  def stageBucketed(table: String, df: DataFrame, bucketCols: Seq[String],
+      numBuckets: Int): String = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val version = newVersion()
+    df.repartition(numBuckets,
+        bucketCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("errorifexists")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", versionDir(table, version).toString)
+      .saveAsTable(catalogName(table, version))
+    version
+  }
+
+  private def catalogName(table: String, version: String): String =
+    s"graft_${table}_$version".replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
+
+  private def catalogNameIfBucketed(table: String, version: String): Option[String] = {
+    val name = catalogName(table, version)
+    if (spark.catalog.tableExists(name)) Some(name) else None
   }
 
   /** Atomically point each table at its staged version — one manifest swap
@@ -154,7 +204,14 @@ class TableStore(val root: String, spark: SparkSession) {
           Files.list(tableDir).iterator().asScala
             .filter(Files.isDirectory(_))
             .filterNot(d => live.contains(d.toAbsolutePath))
-            .foreach(deleteRecursively)
+            .foreach { d =>
+              // bucketed versions also carry a catalog entry (external, so
+              // dropping it never touches the files)
+              catalogNameIfBucketed(tableDir.getFileName.toString,
+                  d.getFileName.toString)
+                .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+              deleteRecursively(d)
+            }
         }
     }
   }

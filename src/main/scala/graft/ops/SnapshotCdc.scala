@@ -39,7 +39,12 @@ class SnapshotCdc(
     store: TableStore,
     snapshotTable: String,
     keys: Seq[String],
-    schema: StructType) {
+    schema: StructType,
+    /** When set, snapshots are staged hash-bucketed on `keys` with this
+      * bucket count ([[TableStore.stageBucketed]]) so the diff against an
+      * equally-bucketed current table runs with no Exchange on either
+      * side — the scale story of the class doc, implemented. */
+    buckets: Option[Int] = None) {
 
   def lastSnapshot: DataFrame = store.readOrEmpty(snapshotTable, schema)
 
@@ -53,7 +58,10 @@ class SnapshotCdc(
     * `snapshotTable -> version` in the consumer's commit to advance the
     * stream atomically with the consuming write. */
   def stageAdvance(current: DataFrame): (String, String) =
-    snapshotTable -> store.stage(snapshotTable, current)
+    snapshotTable -> (buckets match {
+      case Some(n) => store.stageBucketed(snapshotTable, current, keys, n)
+      case None    => store.stage(snapshotTable, current)
+    })
 
   private def diff(prev: DataFrame, curr: DataFrame, keys: Seq[String]): DataFrame =
     SnapshotCdc.diff(prev, curr, keys)

@@ -1,6 +1,9 @@
 package graft.pipeline
 
+import java.nio.file.Paths
 import java.sql.Timestamp
+
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -48,11 +51,22 @@ class ScdPipeline(
   private val Master = config.table("master")
   private val CdcSnapshot = config.table("landing__cdc_snapshot")
   private val RunLog = s"${config.prefix}_run_log"
+  private val LoadHistory = s"${config.prefix}_load_history"
 
   private val stagingSchema = Schemas.scd2(config.baseSchema)
 
   private val cdcStream =
-    new SnapshotCdc(store, CdcSnapshot, config.businessKeys, config.baseSchema)
+    new SnapshotCdc(store, CdcSnapshot, config.businessKeys, config.baseSchema,
+      buckets = config.snapshotBuckets)
+
+  /** Landing and the CDC snapshot share one layout: bucketed by business
+    * key when [[ScdConfig.snapshotBuckets]] is set, so the per-cycle diff
+    * joins co-partitioned scans with no Exchange. */
+  private def stageLanding(df: DataFrame): String =
+    config.snapshotBuckets match {
+      case Some(n) => store.stageBucketed(Landing, df, config.businessKeys, n)
+      case None    => store.stage(Landing, df)
+    }
 
   /** Enforce [[ScdConfig.duplicatePolicy]] on a loaded batch. */
   private def applyDuplicatePolicy(raw: DataFrame): DataFrame =
@@ -78,19 +92,75 @@ class ScdPipeline(
   def streamChanges(): DataFrame =
     cdcStream.changes(store.readOrEmpty(Landing, config.baseSchema))
 
+  /** Stage-file names already loaded, per the committed ledger. Collected
+    * driver-side: the ledger is one row per file ever loaded (the same
+    * cardinality Structured Streaming keeps in its checkpoint file log),
+    * metadata-sized even at 100 TB of data. */
+  private def loadedFileNames(): Set[String] =
+    store.readOrEmpty(LoadHistory, Schemas.loadHistory)
+      .select("file_name").collect().map(_.getString(0)).toSet
+
   /** Run one pipeline cycle over the files currently in `stage`.
-    * Returns the number of rows loaded from the stage. */
+    * Returns the number of rows loaded from the stage.
+    *
+    * COPY load-history semantics (`SCD-Configuration Setup.sql:183-185`):
+    * files whose NAME is already in the per-table ledger are skipped, so a
+    * re-run with `purge=false` over the same staged files loads 0 rows —
+    * Snowflake's load history keyed the same way (re-PUT of the same name
+    * is skipped without FORCE). The ledger row lands in the SAME atomic
+    * commit as the cycle's tables: a crash before the commit re-loads the
+    * file (exactly-once per file), never half-loads it. */
   def runCycle(stage: Stage, batchTime: Timestamp,
       purge: Boolean = true): Long = {
     val files = stage.list()
-    runCycleWithBatch(stage.readCsv(spark, config.baseSchema), batchTime,
-      afterCommit = () => if (purge) stage.rm(files))
+    val loaded = loadedFileNames()
+    val newFiles = files.filterNot(f =>
+      loaded.contains(Paths.get(f).getFileName.toString))
+    runCycleWithBatch(Stage.readCsv(spark, config.baseSchema, newFiles),
+      batchTime,
+      afterCommit = () => if (purge) stage.rm(files),
+      loadedFiles = newFiles.map(f => Paths.get(f).getFileName.toString))
   }
 
   /** Run one cycle with an already-loaded raw batch (the foreachBatch entry
-    * used by [[ScdStream]]). */
+    * used by [[ScdStream]]). A cycle that throws leaves the previous
+    * manifest fully intact and appends a best-effort FAILED row to the run
+    * log (the reference's TASK_HISTORY records failed runs too,
+    * `SCD-Automation.sql:116,147`); the FAILED append is deliberately
+    * OUTSIDE the atomic commit — there is no cycle commit to share. */
   def runCycleWithBatch(rawBatch: DataFrame, batchTime: Timestamp,
-      afterCommit: () => Unit = () => ()): Long = {
+      afterCommit: () => Unit = () => (),
+      loadedFiles: Seq[String] = Nil): Long =
+    try runCycleInner(rawBatch, batchTime, afterCommit, loadedFiles)
+    catch {
+      case e: Throwable =>
+        recordFailure(batchTime)
+        throw e
+    }
+
+  /** Best-effort FAILED history row (never masks the original failure). */
+  private def recordFailure(batchTime: Timestamp): Unit =
+    try {
+      val prevLog = store.readOrEmpty(RunLog, Schemas.runLog)
+      store.overwrite(RunLog, prevLog.unionByName(logRow(batchTime,
+        rowsLoaded = null, status = "FAILED")))
+    } catch { case _: Throwable => () }
+
+  /** One run-log row; `cycle_id` derives from the run log's staged-version
+    * count (monotonic, no Spark action — the earlier `prevLog.count()+1`
+    * was an extra driver-side job per cycle). */
+  private def logRow(batchTime: Timestamp, rowsLoaded: java.lang.Long,
+      status: String): DataFrame = {
+    val cycleId = java.lang.Long.valueOf(store.versions(RunLog).size + 1L)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(
+        cycleId, batchTime, rowsLoaded,
+        new Timestamp(System.currentTimeMillis()), status)),
+      Schemas.runLog)
+  }
+
+  private def runCycleInner(rawBatch: DataFrame, batchTime: Timestamp,
+      afterCommit: () => Unit, loadedFiles: Seq[String]): Long = {
 
     // ---- read a consistent pre-cycle snapshot (one manifest read) --------
     val landingPrev = store.readOrEmpty(Landing, config.baseSchema)
@@ -107,7 +177,7 @@ class ScdPipeline(
     // task3: MERGE raw → landing (J1), null-propagating change detection.
     val landingNext = Merge.upsert(landingPrev, raw, config.businessKeys,
       compareCols = config.compareCols)
-    val landingVersion = store.stage(Landing, landingNext)
+    val landingVersion = stageLanding(landingNext)
     val landingNew = store.readVersion(Landing, landingVersion, config.baseSchema)
 
     // the stream on landing now holds the delta since last consumption
@@ -131,13 +201,20 @@ class ScdPipeline(
 
     // run-log append (TASK_HISTORY stand-in)
     val prevLog = store.readOrEmpty(RunLog, Schemas.runLog)
-    val cycleId = prevLog.count() + 1
-    val logRow = spark.createDataFrame(
-      java.util.Collections.singletonList(org.apache.spark.sql.Row(
-        cycleId, batchTime, rowsLoaded,
-        new Timestamp(System.currentTimeMillis()), "SUCCEEDED")),
-      Schemas.runLog)
-    val logVersion = store.stage(RunLog, prevLog.unionByName(logRow))
+    val logVersion = store.stage(RunLog, prevLog.unionByName(
+      logRow(batchTime, rowsLoaded, "SUCCEEDED")))
+
+    // COPY load-history ledger: the newly loaded file names join the same
+    // commit, so "loaded" and "visible in the tables" are one atomic fact
+    val ledgerUpdate =
+      if (loadedFiles.isEmpty) Map.empty[String, String]
+      else {
+        val prevLedger = store.readOrEmpty(LoadHistory, Schemas.loadHistory)
+        val rows = spark.createDataFrame(
+          loadedFiles.map(f => org.apache.spark.sql.Row(f, batchTime)).asJava,
+          Schemas.loadHistory)
+        Map(LoadHistory -> store.stage(LoadHistory, prevLedger.unionByName(rows)))
+      }
 
     // ---- the atomic multi-table commit ----------------------------------
     store.commit(Map(
@@ -146,11 +223,15 @@ class ScdPipeline(
       Staging -> stagingVersion,
       Master -> masterVersion,
       snapTable -> snapVersion,
-      RunLog -> logVersion))
+      RunLog -> logVersion) ++ ledgerUpdate)
 
     afterCommit()
     rowsLoaded
   }
+
+  /** The COPY load-history ledger (file name → load batch time). */
+  def loadHistory: DataFrame =
+    store.readOrEmpty(LoadHistory, Schemas.loadHistory)
 
   // -- verification reads (SURVEY.md §3.3) --------------------------------
 
@@ -205,7 +286,14 @@ case class ScdConfig(
       * deterministic representative (min by full row) — duplicates left in
       * place would multiply landing rows through the merge join AND make
       * the CDC snapshot diff self-join explode. */
-    duplicatePolicy: DuplicatePolicy = DuplicatePolicy.Error) {
+    duplicatePolicy: DuplicatePolicy = DuplicatePolicy.Error,
+    /** When set, the landing table and its CDC snapshot are stored
+      * hash-bucketed on the business key with this bucket count, making
+      * the per-cycle snapshot diff exchange-free on both sides — the last
+      * full shuffle in the core pipeline at 100 TB. Size so one bucket of
+      * the dimension fits an executor core (e.g. 4096 for a 10 TB
+      * dimension). */
+    snapshotBuckets: Option[Int] = None) {
   require(businessKeys.nonEmpty, "businessKeys must be non-empty")
   /** The reference-style SCD match key: business key + tracked column
     * (`SCD-Automation.sql:85`). */

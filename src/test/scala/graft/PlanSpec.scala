@@ -97,6 +97,40 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(_.get(0).toString).toSeq shouldBe Seq("3")
   }
 
+  test("bucketed snapshots make the CDC diff exchange-free") {
+    val store = new graft.core.TableStore(tmpDir("buck-store"), spark)
+    val stage = new graft.sources.Stage(tmpDir("buck-stage"))
+    val pipeline = new graft.pipeline.ScdPipeline(spark, store,
+      config = graft.pipeline.ScdConfig.supplier.copy(
+        snapshotBuckets = Some(8)))
+
+    stage.putContent("b1.csv",
+      "1,A101,One,S1\n2,A102,Two,S2\n3,A103,Three,S3")
+    pipeline.runCycle(stage, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    stage.putContent("b2.csv", "2,A102,Two,S9\n4,A104,Four,S4")
+    pipeline.runCycle(stage, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+
+    // results identical to the unbucketed layout
+    pipeline.staging.count() shouldBe 5 // 4 current + 1 closed
+    pipeline.master.count() shouldBe 4
+
+    // the diff of two equally-bucketed snapshots plans with NO shuffle on
+    // either side: both scans report HashPartitioning(business key, 8), so
+    // the full-outer sort-merge join needs no Exchange — at 100 TB this was
+    // the last full-shuffle-per-cycle in the core pipeline. Auto-broadcast
+    // is disabled for the assertion: at test row counts Spark would prefer
+    // a broadcast join, which hides the co-partitioned path that matters
+    // at scale (a 100 TB snapshot is never broadcastable).
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = executedPlan(pipeline.streamChanges())
+      plan should not include "Exchange"
+      plan should include("SortMergeJoin")
+      plan should include("SelectedBucketsCount")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -100,6 +100,65 @@ class GoldenScenarioSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("COPY load-history: PURGE=FALSE re-run skips already-loaded files") {
+    // the reference's second COPY with PURGE=FALSE relies on load history
+    // to not double-load on re-run (SCD-Configuration Setup.sql:183-185)
+    val store = new TableStore(tmpDir("ledger-store"), spark)
+    val stage = new Stage(tmpDir("ledger-stage"))
+    val pipeline = new ScdPipeline(spark, store)
+
+    stage.putContent("suppliers.csv", scenario1)
+    pipeline.runCycle(stage, t1, purge = false) shouldBe 6L
+    stage.list().size shouldBe 1 // file kept (no purge)
+    pipeline.loadHistory.count() shouldBe 1
+
+    // same staged file, new cycle: load history skips it — 0 rows loaded,
+    // staging history unchanged
+    pipeline.runCycle(stage, t2, purge = false) shouldBe 0L
+    pipeline.staging.count() shouldBe 6
+    pipeline.staging.filter("current_flag = 'Y'").count() shouldBe 6
+
+    // a genuinely new file still loads alongside the skipped one
+    stage.putContent("suppliers_v2.csv", scenario2)
+    pipeline.runCycle(stage, t2, purge = false) shouldBe 4L
+    pipeline.staging.count() shouldBe 10
+    pipeline.loadHistory.count() shouldBe 2
+  }
+
+  test("a poisoned batch leaves a FAILED history row and an intact manifest") {
+    val store = new TableStore(tmpDir("fail-store"), spark)
+    val stage = new Stage(tmpDir("fail-stage"))
+    val pipeline = new ScdPipeline(spark, store) // DuplicatePolicy.Error
+
+    stage.putContent("suppliers.csv", scenario1)
+    pipeline.runCycle(stage, t1)
+    val manifestBefore = store.manifest
+
+    // duplicate business key A105 in one batch → the cycle must throw
+    stage.putContent("poison.csv",
+      "9,A105,Dup One,StateA\n10,A105,Dup Two,StateB")
+    an[IllegalArgumentException] should be thrownBy
+      pipeline.runCycle(stage, t2)
+
+    // every data table still points at the pre-failure version; only the
+    // run log advanced (the best-effort FAILED append)
+    val after = store.manifest
+    manifestBefore.keys.filterNot(_ == ScdPipeline.RunLog).foreach { t =>
+      after(t) shouldBe manifestBefore(t)
+    }
+    pipeline.staging.count() shouldBe 6
+    pipeline.streamChanges().count() shouldBe 0
+
+    val latest = pipeline.taskHistory.collect().head
+    latest.getAs[String]("status") shouldBe "FAILED"
+    latest.isNullAt(latest.fieldIndex("rows_loaded")) shouldBe true
+    // and a subsequent good cycle succeeds normally
+    stage.rm()
+    stage.putContent("suppliers_v2.csv", scenario2)
+    pipeline.runCycle(stage, t2) shouldBe 4L
+    pipeline.taskHistory.collect().head.getAs[String]("status") shouldBe "SUCCEEDED"
+  }
+
   test("mid-cycle stream peek shows the update pair with stable row ids") {
     val store = new TableStore(tmpDir("peek-store"), spark)
     val stage = new Stage(tmpDir("peek-stage"))
