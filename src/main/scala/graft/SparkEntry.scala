@@ -386,13 +386,18 @@ object SparkEntry {
 
     // -- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
+      // fused one-pass kernel (TextStatsExpr): the compositional columns
+      // would re-run split/regexp per statistic; equivalence is pinned by
+      // ExtensionsSpec and the DuckDB oracle
       val d = s.read.parquet(s"$dir/documents.parquet")
       d.select(col("doc_id"),
-          T.tokenCount(col("text")).cast("long").as("n_tokens"),
-          round(T.punctRatio(col("text")), 4).as("punct_ratio"),
-          round(T.meanTokenLen(col("text")), 4).as("mean_token_len"),
-          round(T.stopwordRatio(col("text")), 4).as("stopword_ratio"),
-          T.qualityScore(col("text")).as("quality"))
+          graft.functions.TextKernels.textStats(col("text")).as("__st"))
+        .select(col("doc_id"),
+          col("__st.n_tokens").as("n_tokens"),
+          round(col("__st.punct_ratio"), 4).as("punct_ratio"),
+          round(col("__st.mean_token_len"), 4).as("mean_token_len"),
+          round(col("__st.stopword_ratio"), 4).as("stopword_ratio"),
+          col("__st.quality").as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -406,7 +411,8 @@ object SparkEntry {
 
     "text_langid" -> ((s, dir) => {
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), T.langId(col("text")).as("lang_pred"))
+        .select(col("doc_id"),
+          graft.functions.TextKernels.langId(col("text")).as("lang_pred"))
         .orderBy("doc_id")
     }),
 

@@ -1,0 +1,201 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.util.Locale
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused one-pass text-analysis kernels.
+  *
+  * The compositional forms in [[TextFunctions]] are correct and
+  * SQL-expressible, but a projection that derives five statistics re-runs
+  * `split`/`regexp_replace` per statistic (and the quality score re-derives
+  * three of them again) — ~8 regex passes per row. These native expressions
+  * compute the same values in ONE pass over the string with precompiled
+  * patterns, staying inside whole-stage codegen via static kernels like
+  * [[MinHashTokens]]. Semantics are bit-identical to the compositional
+  * forms (same `\s+` tokenizer with Java split limit=-1, space-only trim,
+  * ASCII character classes, HALF_UP rounding), which the DuckDB oracle
+  * verifies end-to-end.
+  */
+case class TextStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"text_stats requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = TextKernelImpl.statsType
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelImpl.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelImpl.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
+
+/** One-pass language ID — same marker-word scoring and tie-break as
+  * [[TextFunctions.langId]] (counts of non-overlapping `" word "`
+  * occurrences in the padded lowercased text; argmax in declaration order;
+  * 'und' when nothing fires), without the 16 `regexp_replace` passes. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"lang_id requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelImpl.langId(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelImpl.langId($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
+object TextKernelImpl {
+
+  val statsType: StructType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("punct_ratio", DoubleType, nullable = false),
+    StructField("mean_token_len", DoubleType, nullable = false),
+    StructField("stopword_ratio", DoubleType, nullable = false),
+    StructField("quality", DoubleType, nullable = false)))
+
+  private val Ws = Pattern.compile("\\s+")
+  private val Stopwords: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    TextFunctions.stopwords.foreach(s.add)
+    s
+  }
+
+  /** Spark `trim` removes only 0x20 space characters — not general \s. */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  private def isWs(cp: Int): Boolean = // Java regex \s (ASCII)
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+
+  private def isAlnum(cp: Int): Boolean =
+    (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9')
+
+  private def round4(v: Double): Double =
+    new JBigDecimal(v).setScale(4, RoundingMode.HALF_UP).doubleValue()
+
+  /** One pass: (n_tokens, punct_ratio, mean_token_len, stopword_ratio,
+    * quality) with the exact semantics of the five compositional columns. */
+  def stats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    // char-class counts in codepoints (matches Spark/DuckDB length())
+    var len = 0; var punct = 0; var nonWs = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      len += 1
+      if (!isWs(cp)) {
+        nonWs += 1
+        if (!isAlnum(cp)) punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+
+    val trimmed = trimSpaces(str)
+    // Java split with limit -1 = Spark's split(col, "\\s+") semantics
+    // (keeps leading/trailing empty tokens around non-space whitespace)
+    val tokens = if (trimmed.isEmpty) Array.empty[String] else Ws.split(trimmed, -1)
+    val n = tokens.length
+    var stopHits = 0
+    var t = 0
+    while (t < n) {
+      if (Stopwords.contains(tokens(t).toLowerCase(Locale.ROOT))) stopHits += 1
+      t += 1
+    }
+
+    val punctRatio = if (len == 0) 0.0 else punct.toDouble / len
+    val meanTokenLen = if (n == 0) 0.0 else nonWs.toDouble / n
+    val stopRatio = if (n == 0) 0.0 else stopHits.toDouble / n
+    val lengthOk = if (n >= 10 && n <= 1000) 1.0 else if (n > 0) 0.5 else 0.0
+    val punctOk = if (punctRatio <= 0.2) 1.0 else 0.0
+    val stopOk = if (stopRatio >= 0.05) 1.0 else 0.0
+    val quality = round4((lengthOk + punctOk + stopOk) / 3.0)
+
+    new GenericInternalRow(Array[Any](
+      n.toLong, punctRatio, meanTokenLen, stopRatio, quality))
+  }
+
+  private val langLabels: Array[UTF8String] =
+    TextFunctions.langMarkers.map(m => UTF8String.fromString(m._1)).toArray
+  private val langTokens: Array[Array[String]] =
+    TextFunctions.langMarkers.map(_._2.map(w => s" $w ").toArray).toArray
+  private val Und = UTF8String.fromString("und")
+
+  /** Non-overlapping left-to-right occurrence count — exactly what the
+    * compositional form's `regexp_replace(padded, quoted, " ")` length
+    * delta measures (the regex engine also scans the original string and
+    * never re-feeds replacements). */
+  private def countOccurrences(hay: String, needle: String): Int = {
+    var count = 0
+    var from = hay.indexOf(needle)
+    while (from >= 0) {
+      count += 1
+      from = hay.indexOf(needle, from + needle.length)
+    }
+    count
+  }
+
+  def langId(s: UTF8String): UTF8String = {
+    val padded = " " + s.toString.toLowerCase(Locale.ROOT) + " "
+    val scores = new Array[Int](langLabels.length)
+    var l = 0
+    while (l < langLabels.length) {
+      val toks = langTokens(l)
+      var w = 0
+      while (w < toks.length) {
+        scores(l) += countOccurrences(padded, toks(w))
+        w += 1
+      }
+      l += 1
+    }
+    var best = 0; l = 1
+    while (l < scores.length) { if (scores(l) > scores(best)) best = l; l += 1 }
+    if (scores(best) <= 0) Und
+    else {
+      // argmax with first-in-declaration-order tie-break (en > de > fr > es)
+      var first = 0
+      while (scores(first) != scores(best)) first += 1
+      langLabels(first)
+    }
+  }
+}
+
+object TextKernels {
+  /** All five text statistics as ONE struct column, computed in one pass. */
+  def textStats(text: Column): Column =
+    Bridge.column(TextStatsExpr(Bridge.expression(text)))
+
+  /** Fused language ID (same result as [[TextFunctions.langId]]). */
+  def langId(text: Column): Column =
+    Bridge.column(LangIdExpr(Bridge.expression(text)))
+}

@@ -59,8 +59,13 @@ object Media {
   /** STUB decoder — deterministic pseudo-decode keyed on payload bytes.
     * Swap for a real codec (javacv / soundlibs) in production; the
     * signature is the contract: bytes in, fixed-width features out. */
-  def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val h = MessageDigest.getInstance("SHA-256").digest(payload)
+  def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    decodeFromDigest(kind, MessageDigest.getInstance("SHA-256").digest(payload))
+
+  /** The stub's body, keyed on an already-computed payload digest — lets
+    * [[extractFeatures]] hash each payload exactly once for both the
+    * pseudo-decode and the reported sha256. */
+  private def decodeFromDigest(kind: String, h: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     def u(i: Int): Int = java.lang.Byte.toUnsignedInt(h(i))
     val width = 64 + (u(0) << 4)    // fake px / sample-rate
     val height = 64 + (u(1) << 2)
@@ -85,9 +90,9 @@ object Media {
       // expensive; never per-row)
       val sha = MessageDigest.getInstance("SHA-256")
       it.map { f =>
-        val (w, hgt, nf, feat) = decodeStub(f.kind, f.payload)
-        val digest = sha.digest(f.payload).map("%02x".format(_)).mkString
-        sha.reset()
+        val h = sha.digest(f.payload) // digest() resets the instance
+        val (w, hgt, nf, feat) = decodeFromDigest(f.kind, h)
+        val digest = h.map("%02x".format(_)).mkString
         MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nf, feat)
       }
     }

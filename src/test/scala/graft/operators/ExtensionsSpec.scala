@@ -161,6 +161,40 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     top.head.getAs[Double]("cos") shouldBe 1.0
   }
 
+  test("fused text kernels match the compositional columns exactly") {
+    import graft.functions.TextKernels
+    // edge cases: empty, space-only, tab-boundaries (split keeps the empty
+    // tokens Spark's split(-1) keeps), unicode, punctuation-heavy, markers
+    val edge = docs(
+      (1L, ""), (2L, "   "), (3L, "\tfoo\tbar\t"), (4L, "!!! ??? ###"),
+      (5L, "the quick brown fox and the lazy dog of it all"),
+      (6L, "der hund und das ist gut"),
+      (7L, "café naïve déjà-vu ünïcödé"),
+      (8L, "THE AND IS OF the and is of"),
+      (9L, "one"), (10L, "a b  c\nd\r\ne"))
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val all = edge.unionByName(real)
+
+    val cmp = all.select(
+      TextKernels.textStats(col("text")).as("st"),
+      T.tokenCount(col("text")).cast("long").as("e_n"),
+      T.punctRatio(col("text")).as("e_p"),
+      T.meanTokenLen(col("text")).as("e_m"),
+      T.stopwordRatio(col("text")).as("e_s"),
+      T.qualityScore(col("text")).as("e_q"),
+      TextKernels.langId(col("text")).as("l_fused"),
+      T.langId(col("text")).as("l_comp"))
+    val mismatches = cmp.filter(
+      col("st.n_tokens") =!= col("e_n") ||
+        abs(col("st.punct_ratio") - col("e_p")) > 1e-12 ||
+        abs(col("st.mean_token_len") - col("e_m")) > 1e-12 ||
+        abs(col("st.stopword_ratio") - col("e_s")) > 1e-12 ||
+        col("st.quality") =!= col("e_q") ||
+        col("l_fused") =!= col("l_comp")).count()
+    mismatches shouldBe 0L
+  }
+
   test("candidatePairs streams a hot bucket without materializing the pair array") {
     val s = spark
     import s.implicits._
