@@ -444,12 +444,13 @@ object SparkEntry {
       val sh = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") <= 300)
         .select(col("doc_id").as("id"),
-          graft.functions.MinHash.shingleHashes(
+          graft.functions.MinHash.shingleHashesSorted(
             split(lower(trim(col("text"))), "\\s+"), 3).as("sh"))
       val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
       val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
+        .withColumn("jaccard",
+          graft.functions.MinHash.jaccardSorted(col("sh_a"), col("sh_b")))
         .filter(col("jaccard") >= 0.05)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")

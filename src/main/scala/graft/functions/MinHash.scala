@@ -104,6 +104,67 @@ case class ShingleHashes(child: Expression, shingleSize: Int)
     copy(child = newChild)
 }
 
+/** The hashed shingle SET, sorted and deduplicated — the verify-side
+  * representation: Jaccard over two of these is a linear merge
+  * ([[JaccardSorted]]) instead of a per-pair hash-set build, and the
+  * MinHash signature is unaffected (a min-reduction ignores order and
+  * duplicates), so one sorted array serves both banding and verification.
+  * Sorting costs O(w log w) ONCE per document; the candidate-pair verify
+  * stage compares each document against many partners, so the per-pair
+  * saving dominates. Use [[ShingleHashes]] where window ORDER matters
+  * (e.g. [[TextFunctions.rollingFingerprint]]). */
+case class ShingleHashesSorted(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_sorted requires array<string>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_sorted"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashImpl.shingleHashesSorted(input.asInstanceOf[ArrayData], shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashImpl.shingleHashesSorted($c, $shingleSize)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesSorted =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard over two SORTED-DISTINCT long arrays (the
+  * [[ShingleHashesSorted]] output): one linear merge per pair, no per-pair
+  * allocation. Equals `|a ∩ b| / |a ∪ b|` with distinct-set semantics
+  * (0.0 when both are empty) — the same value
+  * [[TextFunctions.jaccard]] computes via array_intersect/array_union,
+  * at a fraction of the cost in the quadratic verify stage. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted requires two array<bigint>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHashImpl.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MinHashImpl.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardSorted = copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature derived from an ALREADY-HASHED shingle array
   * (`array<long>`, the output of [[ShingleHashes]]): only the k cheap
   * multiply-add mixes run — no string hashing at all. Lets callers persist
@@ -209,6 +270,35 @@ object MinHashImpl {
     new GenericArrayData(out)
   }
 
+  /** Kernel for [[ShingleHashesSorted]]: window hashes, sorted, deduped. */
+  def shingleHashesSorted(tokens: ArrayData, shingleSize: Int): ArrayData = {
+    val h = shingleHashes(tokens, shingleSize).toLongArray()
+    java.util.Arrays.sort(h)
+    var n = 0
+    var i = 0
+    while (i < h.length) {
+      if (i == 0 || h(i) != h(i - 1)) { h(n) = h(i); n += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (n == h.length) h else java.util.Arrays.copyOf(h, n))
+  }
+
+  /** Kernel for [[JaccardSorted]]: linear merge of two sorted-distinct
+    * arrays. */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Kernel for [[MinHashFromHashes]]: min-reduce the k universal-hash
     * mixes over pre-hashed shingles. */
   def computeFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
@@ -270,6 +360,15 @@ object MinHash {
   /** Signature from a pre-hashed shingle array (see [[MinHashFromHashes]]). */
   def signatureFromHashes(hashes: Column, numHashes: Int = 64): Column =
     Bridge.column(MinHashFromHashes(Bridge.expression(hashes), numHashes))
+
+  /** Sorted-distinct hashed shingle set (see [[ShingleHashesSorted]]). */
+  def shingleHashesSorted(tokens: Column, shingleSize: Int = 3): Column =
+    Bridge.column(ShingleHashesSorted(Bridge.expression(tokens), shingleSize))
+
+  /** Merge-based Jaccard over two sorted-distinct arrays
+    * (see [[JaccardSorted]]). */
+  def jaccardSorted(a: Column, b: Column): Column =
+    Bridge.column(JaccardSorted(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register for SQL: `minhash_signature(arr)` with k=64. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -136,9 +136,12 @@ object Dedup {
     // corpus was scanned and re-hashed 4×. The cache is keyed by logical
     // plan, so repeated calls over the same input reuse it; at 100 TB this
     // is the difference between one and four passes over the corpus.
+    // sorted-distinct shingle sets: the signature is order/duplicate-
+    // insensitive (min-reduction), and the verify Jaccard becomes a linear
+    // merge per pair instead of a per-pair hash-set build
     val base = df
       .select(col(idCol).as("id"),
-        graft.functions.MinHash.shingleHashes(
+        graft.functions.MinHash.shingleHashesSorted(
           split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -157,7 +160,8 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.MinHash.jaccardSorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

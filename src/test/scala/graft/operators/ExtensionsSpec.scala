@@ -161,6 +161,27 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     top.head.getAs[Double]("cos") shouldBe 1.0
   }
 
+  test("sorted-merge jaccard matches set-based jaccard on real docs") {
+    import graft.functions.MinHash
+    val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter(col("doc_id") <= 60)
+      .select(col("doc_id").as("id"),
+        MinHash.shingleHashes(split(lower(trim(col("text"))), "\\s+"), 3).as("sh"),
+        MinHash.shingleHashesSorted(split(lower(trim(col("text"))), "\\s+"), 3).as("shs"))
+    val a = sh.select(col("id").as("ia"), col("sh").as("a"), col("shs").as("as_"))
+    val b = sh.select(col("id").as("ib"), col("sh").as("b"), col("shs").as("bs"))
+    val mism = a.join(b, col("ia") < col("ib"))
+      .filter(abs(T.jaccard(col("a"), col("b")) -
+        MinHash.jaccardSorted(col("as_"), col("bs"))) > 1e-12)
+      .count()
+    mism shouldBe 0L
+    // and the signature is insensitive to the sort+dedup
+    val sigMism = sh.filter(
+      MinHash.signatureFromHashes(col("sh")) =!=
+        MinHash.signatureFromHashes(col("shs"))).count()
+    sigMism shouldBe 0L
+  }
+
   test("fused text kernels match the compositional columns exactly") {
     import graft.functions.TextKernels
     // edge cases: empty, space-only, tab-boundaries (split keeps the empty
