@@ -27,7 +27,11 @@ import graft.sources.Stage
   *
   * The driver program '''is''' the DAG (SURVEY.md §2.7 W3): the five tasks
   * are sequential statements here; Snowflake's AFTER-chaining is Scala
-  * statement order. Cron scheduling lives in [[ScdStream]].
+  * statement order. Cron scheduling lives in [[ScdStream]]. The
+  * reference's resume-children-before-root ordering
+  * (`SCD-Automation.sql:108-114`) collapses into `ScdStream.start()`: with
+  * the five tasks expressed as one driver function there is no window in
+  * which a resumed root could tick before its children are resumed.
   *
   * Atomicity: every table version is staged first (plain immutable parquet
   * writes), then ONE [[TableStore.commit]] flips raw, landing, staging,
