@@ -468,6 +468,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // exact per-left top-k join on a small left subset — the DuckDB-oracled
+    // baseline for the LSH-blocked knn_join (which is checked by recall
+    // floor in ExtensionsSpec instead)
+    "knn_join_brute" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val l = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("id_l"), col("embedding").as("v_l"))
+      val r = e.select(col("vec_id").as("id_r"), col("embedding").as("v_r"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
+      l.crossJoin(r).filter(col("id_l") =!= col("id_r"))
+        .withColumn("cos", round(V.cosine(col("v_l"), col("v_r")), 4))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
+        .orderBy("id_l", "rank")
+    }),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -888,6 +906,23 @@ object SparkEntry {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
         |  label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "knn_join_brute" ->
+      """WITH l AS (
+        |  SELECT vec_id AS id_l, embedding AS v_l FROM embeddings WHERE vec_id < 20),
+        |r AS (SELECT vec_id AS id_r, embedding AS v_r FROM embeddings),
+        |scored AS (
+        |  SELECT id_l, id_r,
+        |    round(list_sum(list_transform(range(1, len(v_l) + 1),
+        |            i -> CAST(v_l[i] AS DOUBLE) * CAST(v_r[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(v_l, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(v_r, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM l, r WHERE id_l <> id_r),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY id_l ORDER BY cos DESC, id_r) AS rank
+        |  FROM scored)
+        |SELECT id_l, id_r, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY id_l, rank""".stripMargin,
 
     "media_meta" ->
       """SELECT doc_id AS media_id,

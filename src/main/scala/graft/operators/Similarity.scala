@@ -176,15 +176,24 @@ object Similarity {
     def keys(vec: Column): Column = array(tables.zipWithIndex.map {
       case (planes, t) => xxhash64(lit(t), V.hyperplaneBucket(vec, planes))
     }: _*)
+    // candidate generation carries ONLY (key, id): the L-way explode, the
+    // blocking join, and the cross-table dedup shuffle 16-byte rows instead
+    // of rows dragging two dim-sized vectors (at dim=64 that is ~32× less
+    // shuffle width through the skew-prone stage). Vectors are attached
+    // afterwards by id-keyed joins against the un-exploded inputs — the
+    // same narrow-candidates shape as [[Dedup.candidatePairs]].
     val l = left.select(col(idCol).as("id_l"), col(vecCol).as("v_l"))
-      .withColumn("key", explode(keys(col("v_l"))))
     val r = right.select(col(idCol).as("id_r"), col(vecCol).as("v_r"))
-      .withColumn("key", explode(keys(col("v_r"))))
+    val candidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
+      .join(r.select(col("id_r"), explode(keys(col("v_r"))).as("key")), "key")
+      .filter(col("id_l") =!= col("id_r"))
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
-    l.join(r, "key")
-      .filter(col("id_l") =!= col("id_r"))
-      .dropDuplicates("id_l", "id_r")
+    candidates
+      .join(l, "id_l")
+      .join(r, "id_r")
       .withColumn("cos", round(V.cosine(col("v_l"), col("v_r")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -68,4 +68,51 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkSpec {
       sess.getAs[Timestamp]("session_end") shouldBe ts(0, 10)
     } finally q.stop()
   }
+
+  test("streaming exact dedup drops in-watermark duplicates across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = StreamingDedup.exact(docs, watermarkDelay = "10 minutes")
+      .writeStream.format("memory").queryName("sdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 2 duplicates doc 1 up to whitespace/case
+      input.addData((1L, ts(0), "Hello  World"), (2L, ts(1), "hello world"),
+        (3L, ts(1), "unique one"))
+      q.processAllAvailable()
+      // batch 2: another in-watermark duplicate + a new doc
+      input.addData((4L, ts(2), "HELLO WORLD"), (5L, ts(3), "brand new"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val kept = spark.table("sdedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(1L, 3L, 5L)
+  }
+
+  test("streaming simhash dedup collapses token-jitter duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ingest_ts", "text")
+    val q = StreamingDedup.simhashExact(docs)
+      .writeStream.format("memory").queryName("shdedup")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts(0), "alpha beta gamma delta"),
+        (2L, ts(1), "alpha  BETA gamma\tdelta"), // same token multiset
+        (3L, ts(1), "totally different content"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table("shdedup").select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+  }
 }
