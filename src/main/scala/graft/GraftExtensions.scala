@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{MinHashSignature, MinHashTokens, ShingleHashes, SimHash64}
+import graft.functions.{JaccardSorted, LangIdExpr, MinHashFromHashes, MinHashSignature, MinHashTokens, ShingleHashes, ShingleHashesSorted, SimHash64, TextStatsExpr}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -41,6 +41,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft.functions.ShingleHashes", "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         if (exprs.length > 1) intArg(exprs(1), "shingleSize") else 3)))
+
+    ext.injectFunction((FunctionIdentifier("shingle_hashes_sorted"),
+      info("graft.functions.ShingleHashesSorted", "shingle_hashes_sorted"),
+      (exprs: Seq[Expression]) => ShingleHashesSorted(exprs.head,
+        if (exprs.length > 1) intArg(exprs(1), "shingleSize") else 3)))
+
+    ext.injectFunction((FunctionIdentifier("minhash_from_hashes"),
+      info("graft.functions.MinHashFromHashes", "minhash_from_hashes"),
+      (exprs: Seq[Expression]) => MinHashFromHashes(exprs.head,
+        if (exprs.length > 1) intArg(exprs(1), "numHashes") else 64)))
+
+    ext.injectFunction((FunctionIdentifier("jaccard_sorted"),
+      info("graft.functions.JaccardSorted", "jaccard_sorted"),
+      (exprs: Seq[Expression]) => JaccardSorted(exprs(0), exprs(1))))
+
+    ext.injectFunction((FunctionIdentifier("text_stats"),
+      info("graft.functions.TextStatsExpr", "text_stats"),
+      (exprs: Seq[Expression]) => TextStatsExpr(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("lang_id"),
+      info("graft.functions.LangIdExpr", "lang_id"),
+      (exprs: Seq[Expression]) => LangIdExpr(exprs.head)))
   }
 
   private def intArg(e: Expression, name: String): Int = e match {

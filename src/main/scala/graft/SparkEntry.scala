@@ -468,6 +468,22 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // exact all-pairs cosine near-dup on an id range — the DuckDB-oracled
+    // baseline for the verify stage of dedup_embedding (whose LSH blocking
+    // is not SQL-expressible)
+    "embedding_dup_brute" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 200)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val a = e.select(col("id").as("id_a"), col("v").as("v_a"))
+      val b = e.select(col("id").as("id_b"), col("v").as("v_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+        .filter(col("cos") >= 0.4)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // exact per-left top-k join on a small left subset — the DuckDB-oracled
     // baseline for the LSH-blocked knn_join (which is checked by recall
     // floor in ExtensionsSpec instead)
@@ -906,6 +922,19 @@ object SparkEntry {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
         |  label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "embedding_dup_brute" ->
+      """WITH e AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings WHERE vec_id < 200),
+        |scored AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.v) + 1),
+        |        i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(a.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(b.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM e a JOIN e b ON a.id < b.id)
+        |SELECT id_a, id_b, round(cos, 4) AS cos FROM scored
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     "knn_join_brute" ->
       """WITH l AS (
