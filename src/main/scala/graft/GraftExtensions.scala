@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("graft.functions.LangIdExpr", "lang_id"),
       (exprs: Seq[Expression]) => LangIdExpr(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("graft.functions.CosineSimFloat", "cosine_sim"),
+      (exprs: Seq[Expression]) => graft.functions.CosineSimFloat(exprs(0), exprs(1))))
   }
 
   private def intArg(e: Expression, name: String): Int = e match {

@@ -478,7 +478,7 @@ object SparkEntry {
       val a = e.select(col("id").as("id_a"), col("v").as("v_a"))
       val b = e.select(col("id").as("id_b"), col("v").as("v_b"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+        .withColumn("cos", V.cosineFused(col("v_a"), col("v_b")))
         .filter(col("cos") >= 0.4)
         .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
         .orderBy("id_a", "id_b")
@@ -495,7 +495,7 @@ object SparkEntry {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
       l.crossJoin(r).filter(col("id_l") =!= col("id_r"))
-        .withColumn("cos", round(V.cosine(col("v_l"), col("v_r")), 4))
+        .withColumn("cos", round(V.cosineFused(col("v_l"), col("v_r")), 4))
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5)
         .select(col("id_l"), col("id_r"), col("cos"), col("rank"))

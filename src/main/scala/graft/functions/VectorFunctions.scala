@@ -1,7 +1,68 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Fused cosine similarity over two `array<float>` columns — one tight
+  * loop, no intermediate array. The compositional [[VectorFunctions.cosine]]
+  * (`zip_with` + `aggregate`) allocates a zipped array per comparison and
+  * evaluates three lambda chains; in pairwise scoring (the inner loop of
+  * every ANN/near-dup operator, millions of pairs at scale) the fused
+  * kernel is the difference between memory-bound and compute-bound. The
+  * accumulation order matches the compositional form exactly (dot and both
+  * norms summed left-to-right in doubles), so results are bit-identical
+  * and the DuckDB oracles still hash-match. */
+case class CosineSimFloat(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<float>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelImpl.cosineF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernelImpl.cosineF($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): CosineSimFloat = copy(left = newLeft, right = newRight)
+}
+
+object VectorKernelImpl {
+  /** Cosine over float arrays; norms over each full array, dot over the
+    * common prefix (vectors are expected to share a dimension). 0.0 when
+    * either norm is zero — same guard as the compositional form. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    val n = math.min(na, nb)
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    var qa = 0.0; i = 0
+    while (i < na) { val x = a.getFloat(i).toDouble; qa += x * x; i += 1 }
+    var qb = 0.0; i = 0
+    while (i < nb) { val x = b.getFloat(i).toDouble; qb += x * x; i += 1 }
+    val denom = math.sqrt(qa) * math.sqrt(qb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
 
 /** Embedding-vector column functions over `array<float>` (the
   * `embeddings.embedding` column shape).
@@ -24,11 +85,18 @@ object VectorFunctions {
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
-  /** cosine(a, b) ∈ [-1, 1]; 0 when either vector is all-zero. */
+  /** cosine(a, b) ∈ [-1, 1]; 0 when either vector is all-zero.
+    * Compositional (any numeric element type, SQL-expressible shape);
+    * hot pairwise paths use [[cosineFused]]. */
   def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
     when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
   }
+
+  /** Fused-kernel cosine for `array<float>` columns (bit-identical to
+    * [[cosine]] — see [[CosineSimFloat]]). */
+  def cosineFused(a: Column, b: Column): Column =
+    Bridge.column(CosineSimFloat(Bridge.expression(a), Bridge.expression(b)))
 
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =

@@ -265,7 +265,7 @@ object Dedup {
     candidatePairs(blocked, "bucket", "id")
       .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
-      .withColumn("cos", V.cosine(col("v_a"), col("v_b")))
+      .withColumn("cos", V.cosineFused(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -31,7 +31,7 @@ object Similarity {
       vecCol: String = "embedding",
       idCol: String = "vec_id"): DataFrame =
     df.select(col(idCol),
-        round(V.cosine(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
 
@@ -89,7 +89,7 @@ object Similarity {
 
     df.filter(cond)
       .select(col(idCol),
-        round(V.cosine(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
@@ -143,7 +143,7 @@ object Similarity {
       assign(df, vecCol)
         .filter(col("cell").isInCollection(probeCells))
         .select(col(idCol),
-          round(V.cosine(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+          round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
         .orderBy(col("cos").desc, col(idCol))
         .limit(k)
     }
@@ -194,7 +194,7 @@ object Similarity {
     candidates
       .join(l, "id_l")
       .join(r, "id_r")
-      .withColumn("cos", round(V.cosine(col("v_l"), col("v_r")), 4))
+      .withColumn("cos", round(V.cosineFused(col("v_l"), col("v_r")), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
