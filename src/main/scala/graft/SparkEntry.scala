@@ -384,6 +384,29 @@ object SparkEntry {
         .orderBy("_action", "_is_update")
     }),
 
+    // -- skew mitigation (operators under graft.operators.Salt): results
+    //    must equal the unsalted plan bit-for-bit — the oracle runs the
+    //    plain GROUP BY / join -------------------------------------------
+    "salted_agg" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      graft.operators.Salt.saltedSumCount(li, Seq("l_returnflag"), "l_quantity",
+          saltFactor = 16)
+        .select(col("l_returnflag"),
+          round(col("sum_l_quantity"), 2).as("sum_qty"), col("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    "salted_join" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Salt.saltedJoin(o, c, Seq("o_custkey"), saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
     // -- text analysis ----------------------------------------------------
     "text_stats" -> ((s, dir) => {
       // fused one-pass kernel (TextStatsExpr): the compositional columns
@@ -804,6 +827,17 @@ object SparkEntry {
         |  SELECT 'INSERT', FALSE, count(*), round(sum(qty), 2)
         |  FROM base WHERE dim_id % 11 = 0)
         |ORDER BY _action, _is_update""".stripMargin,
+
+    "salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "salted_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,
