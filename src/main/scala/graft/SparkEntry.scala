@@ -384,6 +384,28 @@ object SparkEntry {
         .orderBy("_action", "_is_update")
     }),
 
+    // the same fact-scale CDC diff, but through the production path: both
+    // snapshots STORED hash-bucketed on the key, so the diff join plans
+    // with no Exchange on either side. Timing includes the bucketed writes
+    // — one write-side shuffle per snapshot replacing two read-side
+    // shuffles per diff (and every later consumer). Same oracle as
+    // scd_cdc_large: the layout is physical, the result identical.
+    "scd_cdc_stored" -> ((s, dir) => {
+      val (b1, b2) = largeDim(s, dir)
+      val merged = Merge.upsert(b1, b2, Seq("dim_id"))
+      val store = new graft.core.TableStore(
+        java.nio.file.Files.createTempDirectory("graft-cdc-stored").toString, s)
+      store.commit(Map(
+        "snap_prev" -> store.stageBucketed("snap_prev", b1, Seq("dim_id"), 32),
+        "snap_curr" -> store.stageBucketed("snap_curr", merged, Seq("dim_id"), 32)))
+      SnapshotCdc.diff(store.read("snap_prev"), store.read("snap_curr"),
+          Seq("dim_id"))
+        .groupBy(col(graft.core.Schemas.cdcActionCol).as("_action"),
+          col(graft.core.Schemas.cdcIsUpdateCol).as("_is_update"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("qty")), 2).as("sum_qty"))
+        .orderBy("_action", "_is_update")
+    }),
+
     // -- skew mitigation (operators under graft.operators.Salt): results
     //    must equal the unsalted plan bit-for-bit — the oracle runs the
     //    plain GROUP BY / join -------------------------------------------
@@ -810,6 +832,23 @@ object SparkEntry {
         |SELECT flag, count(*) AS cnt, round(sum(qty), 2) AS sum_qty,
         |  round(sum(price), 2) AS sum_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "scd_cdc_stored" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
+        |         max(l_extendedprice) AS price, min(l_returnflag) AS flag
+        |  FROM lineitem GROUP BY 1),
+        |ch AS (SELECT * FROM base WHERE dim_id % 7 = 0 OR dim_id % 5 = 0)
+        |SELECT * FROM (
+        |  SELECT 'DELETE' AS _action, TRUE AS _is_update, count(*) AS cnt,
+        |    round(sum(qty), 2) AS sum_qty FROM ch
+        |  UNION ALL
+        |  SELECT 'INSERT', TRUE, count(*),
+        |    round(sum(CASE WHEN dim_id % 7 = 0 THEN qty + 1 ELSE qty END), 2) FROM ch
+        |  UNION ALL
+        |  SELECT 'INSERT', FALSE, count(*), round(sum(qty), 2)
+        |  FROM base WHERE dim_id % 11 = 0)
+        |ORDER BY _action, _is_update""".stripMargin,
 
     "scd_cdc_large" ->
       """WITH base AS (

@@ -65,10 +65,14 @@ class TableStore(val root: String, spark: SparkSession) {
   def currentPath(table: String): Option[String] =
     manifest.get(table).map(v => versionDir(table, v).toString)
 
-  /** Read the current version. Fails if the table was never committed. */
-  def read(table: String): DataFrame =
-    spark.read.parquet(currentPath(table).getOrElse(
-      throw new IllegalStateException(s"table '$table' does not exist in $root")))
+  /** Read the current version (catalog-aware for bucketed versions).
+    * Fails if the table was never committed. */
+  def read(table: String): DataFrame = manifest.get(table) match {
+    case Some(v) => catalogNameIfBucketed(table, v).map(spark.table)
+      .getOrElse(spark.read.parquet(versionDir(table, v).toString))
+    case None =>
+      throw new IllegalStateException(s"table '$table' does not exist in $root")
+  }
 
   /** Read the current version, or an empty DataFrame of `schema` if the
     * table has no committed version yet. The schema is passed explicitly

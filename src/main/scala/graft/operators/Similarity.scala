@@ -103,17 +103,26 @@ object Similarity {
     * corpora). */
   def ivfFit(df: DataFrame, vecCol: String = "embedding",
       numCells: Int = 16, seed: Long = 42L,
-      fitSampleFraction: Double = 1.0): IvfIndex = {
+      fitSampleFraction: Double = 1.0,
+      maxIter: Int = 10): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     // k-means centroids converge on a sample: at 100 TB fitting on the full
     // corpus would iterate the whole dataset per k-means step, while a few
     // hundred points per target cell give statistically identical centers.
     // The assignment pass (the part that must see every row) stays full.
+    // maxIter bounds the fit (each iteration is a full pass over the fit
+    // set plus a scheduling round-trip); IVF cells only need to be
+    // approximately Voronoi — probe recall, not centroid convergence, is
+    // the quality metric, and it plateaus within a few iterations.
     val fitDf = if (fitSampleFraction < 1.0)
       df.sample(withReplacement = false, fitSampleFraction, seed) else df
     val featured = fitDf.withColumn("__features", array_to_vector(col(vecCol)))
-    val model = new KMeans().setK(numCells).setSeed(seed)
+    // random init instead of k-means|| — the parallel init alone costs
+    // several extra passes over the fit set, and with Lloyd iterations to
+    // follow, cell quality (probe recall) ends up the same
+    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("__features").fit(featured)
     IvfIndex(model)
   }

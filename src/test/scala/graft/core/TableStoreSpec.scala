@@ -91,6 +91,40 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count(_.toString.endsWith(".parquet")) shouldBe 1
   }
 
+  test("bucketed versions: partitioning-aware reads, plain-parquet fallback, vacuum drops catalog") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts-buck"), spark)
+    val df = (1 to 100).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val ver = store.stageBucketed("bt", df, Seq("k"), 4)
+    store.commit(Map("bt" -> ver))
+
+    // catalog-aware read reports the bucket layout: an aggregation on the
+    // bucket key needs no Exchange (a bare count disables bucketed reading
+    // by design — nothing needs the distribution there)
+    val read = store.readOrEmpty("bt", df.schema)
+    read.count() shouldBe 100
+    val aggPlan = read.groupBy("k").count().queryExecution.executedPlan.toString
+    aggPlan should include("SelectedBucketsCount")
+    aggPlan should not include "Exchange"
+
+    // simulate a fresh session (catalog entry gone): the same files read
+    // fine as plain parquet — only the co-partitioning metadata is lost
+    val cat = spark.sessionState.catalog.listTables("default")
+      .map(_.table).find(_.contains("bt_")).get
+    spark.sql(s"DROP TABLE $cat")
+    val fallback = store.readOrEmpty("bt", df.schema)
+    fallback.count() shouldBe 100
+    fallback.orderBy("k").collect().map(_.getLong(0)).take(3) shouldBe Array(1L, 2L, 3L)
+
+    // a superseded bucketed version loses both its files and its entry
+    val ver2 = store.stageBucketed("bt", df.filter($"k" <= 10), Seq("k"), 4)
+    store.commit(Map("bt" -> ver2))
+    store.vacuum()
+    store.versions("bt") shouldBe Seq(ver2)
+    store.readOrEmpty("bt", df.schema).count() shouldBe 10
+  }
+
   test("truncate commits an empty version with the right schema") {
     val s = spark
     import s.implicits._
