@@ -165,6 +165,37 @@ case class JaccardSorted(left: Expression, right: Expression)
       newRight: Expression): JaccardSorted = copy(left = newLeft, right = newRight)
 }
 
+/** Exact Jaccard over two SORTED-DISTINCT string arrays (binary UTF8
+  * order, i.e. the output of `array_sort(array_distinct(...))`): linear
+  * merge with bytewise compares — the string-exact counterpart of
+  * [[JaccardSorted]] for baselines that must stay on shingle STRINGS
+  * (no hashing) yet not pay a per-pair hash-set build. Arrays must not
+  * contain nulls. */
+case class JaccardSortedStrings(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaccard_sorted_str requires two array<string>, got ${l.catalogString}, ${r.catalogString}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "jaccard_sorted_str"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    MinHashImpl.jaccardSortedStr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.MinHashImpl.jaccardSortedStr($a, $b)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): JaccardSortedStrings =
+    copy(left = newLeft, right = newRight)
+}
+
 /** MinHash signature derived from an ALREADY-HASHED shingle array
   * (`array<long>`, the output of [[ShingleHashes]]): only the k cheap
   * multiply-add mixes run — no string hashing at all. Lets callers persist
@@ -299,6 +330,22 @@ object MinHashImpl {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Kernel for [[JaccardSortedStrings]]: linear merge of two
+    * sorted-distinct UTF8String arrays. */
+  def jaccardSortedStr(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Kernel for [[MinHashFromHashes]]: min-reduce the k universal-hash
     * mixes over pre-hashed shingles. */
   def computeFromHashes(hashes: ArrayData, numHashes: Int): ArrayData = {
@@ -369,6 +416,11 @@ object MinHash {
     * (see [[JaccardSorted]]). */
   def jaccardSorted(a: Column, b: Column): Column =
     Bridge.column(JaccardSorted(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Merge-based Jaccard over two sorted-distinct STRING arrays
+    * (see [[JaccardSortedStrings]]). */
+  def jaccardSortedStr(a: Column, b: Column): Column =
+    Bridge.column(JaccardSortedStrings(Bridge.expression(a), Bridge.expression(b)))
 
   /** Register for SQL: `minhash_signature(arr)` with k=64. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -42,7 +42,57 @@ case class CosineSimFloat(left: Expression, right: Expression)
       newRight: Expression): CosineSimFloat = copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment: index of the closest center (squared
+  * euclidean) for an `array<float>` vector — the IVF assignment pass as
+  * one native expression instead of MLlib's per-row UDF + Vector
+  * conversion. Ties resolve to the lowest index, like k-means
+  * `findClosest`. */
+case class NearestCenter(child: Expression, centers: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_center requires array<float>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_center"
+
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernelImpl.nearest(input.asInstanceOf[ArrayData], centers)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.VectorKernelImpl.nearest($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCenter =
+    copy(child = newChild)
+}
+
 object VectorKernelImpl {
+  /** Kernel for [[NearestCenter]]. */
+  def nearest(v: ArrayData, centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val n = math.min(v.numElements(), ctr.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Cosine over float arrays; norms over each full array, dot over the
     * common prefix (vectors are expected to share a dimension). 0.0 when
     * either norm is zero — same guard as the compositional form. */
@@ -97,6 +147,10 @@ object VectorFunctions {
     * [[cosine]] — see [[CosineSimFloat]]). */
   def cosineFused(a: Column, b: Column): Column =
     Bridge.column(CosineSimFloat(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Index of the nearest centroid (see [[NearestCenter]]). */
+  def nearestCenter(vec: Column, centers: Array[Array[Double]]): Column =
+    Bridge.column(NearestCenter(Bridge.expression(vec), centers))
 
   /** Squared euclidean distance. */
   def l2Sq(a: Column, b: Column): Column =

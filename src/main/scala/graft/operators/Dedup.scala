@@ -231,12 +231,18 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxId: Long = Long.MaxValue): DataFrame = {
+    // shingle STRINGS (the point of this exact baseline — no hashing), but
+    // sorted+deduped once per doc so the quadratic pair stage is a linear
+    // merge per pair (JaccardSortedStrings) instead of a per-pair hash-set
+    // build; distinct-set Jaccard is unchanged
     val sh = df.filter(col(idCol) <= maxId)
-      .select(col(idCol).as("id"), T.wordShingles(col(textCol), shingleSize).as("sh"))
+      .select(col(idCol).as("id"),
+        array_sort(array_distinct(T.wordShingles(col(textCol), shingleSize))).as("sh"))
     val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("jaccard", T.jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard",
+        graft.functions.MinHash.jaccardSortedStr(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }

@@ -128,15 +128,17 @@ object Similarity {
   }
 
   case class IvfIndex(model: org.apache.spark.ml.clustering.KMeansModel) {
-    import org.apache.spark.ml.functions.array_to_vector
 
     def centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
 
-    /** Assign each row to its cell (write `partitionBy("cell")` at scale). */
+    /** Assign each row to its cell (write `partitionBy("cell")` at scale).
+      * Native nearest-centroid expression, NOT `model.transform`: the
+      * MLlib path is a per-row UDF plus an array→Vector conversion per
+      * row — the assignment pass is the one that must see every row at
+      * 100 TB, so it stays a codegen'd narrow map like every other kernel
+      * here. */
     def assign(df: DataFrame, vecCol: String = "embedding"): DataFrame =
-      model.setPredictionCol("cell")
-        .transform(df.withColumn("__features", array_to_vector(col(vecCol))))
-        .drop("__features")
+      df.withColumn("cell", V.nearestCenter(col(vecCol), centers))
 
     /** ANN top-k probing the `nProbes` nearest cells to the query. */
     def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
