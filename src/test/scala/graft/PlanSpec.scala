@@ -80,6 +80,30 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     formatted should include("graft.functions.MinHashImpl.computeFromTokens")
   }
 
+  test("round-2 kernels (text stats, lang id, cosine, nearest-center) stay codegen'd") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.TextKernels.textStats(col("text")).as("st"),
+        graft.functions.TextKernels.langId(col("text")).as("lang"))
+    val dGen = docs.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    dGen should include("WholeStageCodegen")
+    dGen should include("graft.functions.TextKernelImpl.stats")
+    dGen should include("graft.functions.TextKernelImpl.langId")
+
+    val q = Seq.fill(64)(0.1f)
+    val centers = Array.fill(4)(Array.fill(64)(0.0))
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(
+        graft.functions.VectorFunctions.cosineFused(col("embedding"),
+          graft.functions.VectorFunctions.vectorLit(q)).as("cos"),
+        graft.functions.VectorFunctions.nearestCenter(col("embedding"), centers).as("cell"))
+    val vGen = vecs.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    vGen should include("WholeStageCodegen")
+    vGen should include("graft.functions.VectorKernelImpl.cosineF")
+    vGen should include("graft.functions.VectorKernelImpl.nearest")
+  }
+
   test("bucketized ANN storage prunes partitions on probe") {
     val s = spark
     import s.implicits._
