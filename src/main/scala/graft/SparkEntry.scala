@@ -501,6 +501,26 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // transitive duplicate groups over the verify pairs: Spark runs
+    // iterative min-label propagation; the oracle computes the same
+    // closure with a recursive CTE — two entirely different execution
+    // strategies, one answer
+    "dedup_groups" -> ((s, dir) => {
+      val sh = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300)
+        .select(col("doc_id").as("id"),
+          graft.functions.MinHash.shingleHashesSorted(
+            split(lower(trim(col("text"))), "\\s+"), 3).as("sh"))
+      val a = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      val b = sh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          graft.functions.MinHash.jaccardSorted(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= 0.05)
+        .select(col("id_a"), col("id_b"))
+      Dedup.duplicateGroups(pairs).orderBy("id")
+    }),
+
     // -- similarity search ------------------------------------------------
     "knn_brute" -> ((s, dir) =>
       Similarity.bruteForceTopK(
@@ -995,6 +1015,34 @@ object SparkEntry {
         |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
         |  label
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "dedup_groups" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents WHERE doc_id <= 300),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(a.sh || b.sh)) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT id, min(lbl) AS group_id FROM (
+        |  SELECT src AS id, dst AS lbl FROM reach
+        |  UNION SELECT src, src FROM edges)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "embedding_dup_brute" ->
       """WITH e AS (

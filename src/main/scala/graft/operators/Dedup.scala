@@ -283,4 +283,50 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  // ---- transitive duplicate groups -----------------------------------------
+
+  /** Connected components over a duplicate-pair edge list: every node gets
+    * `group_id` = the smallest id reachable through any chain of pairs.
+    * Resolves the transitive case the smallest-id-per-PAIR policy of the
+    * `minhash`/`simhash`/`embedding` dedup entry points does not: A~B and
+    * B~C but not A~C (near-dup chains across a long document drift).
+    *
+    * Iterative min-label propagation, the standard Spark shape for
+    * iterative graph algorithms: a driver loop over DataFrame steps, each
+    * iteration one join + partial-aggregated `min`, lineage truncated per
+    * step with `localCheckpoint` (an unmaterialized N-step loop re-executes
+    * the whole prefix every step). Labels move one hop per iteration —
+    * near-dup groups have tiny diameters (pairs already passed a similarity
+    * threshold), so `maxIterations` defaults low; raise it for deliberate
+    * long-chain inputs. Each iteration shuffles only `(id, label)` longs.
+    * The convergence check is one `isEmpty` action per iteration — at
+    * 100 TB that is metadata-cheap next to the join it gates. */
+  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIterations) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          (col("nlabel") < col("label")).as("__changed"))
+        .localCheckpoint(true)
+      converged = updated.filter(col("__changed")).isEmpty
+      labels = updated.select(col("id"), col("label"))
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("group_id"))
+  }
 }

@@ -161,6 +161,22 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     top.head.getAs[Double]("cos") shouldBe 1.0
   }
 
+  test("duplicateGroups resolves transitive chains to the smallest id") {
+    val s = spark
+    import s.implicits._
+    // chain 1-2-3-4 (one component), pair 10-11, isolated-pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (21L, 20L))
+      .toDF("id_a", "id_b")
+    val groups = Dedup.duplicateGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    groups shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L)
+    // a long chain still converges (label moves one hop per iteration)
+    val chain = (1L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    Dedup.duplicateGroups(chain, maxIterations = 10).collect()
+      .map(_.getLong(1)).distinct shouldBe Array(1L)
+  }
+
   test("sorted-merge jaccard matches set-based jaccard on real docs") {
     import graft.functions.MinHash
     val sh = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
