@@ -610,7 +610,16 @@ object SparkEntry {
     "media_features" -> ((s, dir) =>
       Media.extractFeatures(
           Media.synthesize(s.read.parquet(s"$dir/documents.parquet")))
-        .toDF().drop("features").orderBy("media_id"))
+        .toDF().drop("features").orderBy("media_id")),
+
+    "media_frames" -> ((s, dir) =>
+      Media.sampleFrames(
+          Media.extractFeatures(
+            Media.synthesize(s.read.parquet(s"$dir/documents.parquet"))),
+          stride = 30)
+        .select(col("media_id"),
+          size(col("frame_indices")).cast("long").as("n_sampled"))
+        .orderBy("media_id"))
   )
 
   // ---- DuckDB oracles -----------------------------------------------------

@@ -100,6 +100,23 @@ class GoldenScenarioSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("empty-stage cycle is a no-op, not a crash (bucketed default)") {
+    val store = new TableStore(tmpDir("empty-store"), spark)
+    val stage = new Stage(tmpDir("empty-stage"))
+    val pipeline = new ScdPipeline(spark, store)
+
+    pipeline.runCycle(stage, t1) shouldBe 0L
+    pipeline.staging.count() shouldBe 0
+    pipeline.master.count() shouldBe 0
+
+    // a real cycle, then another empty one: nothing moves
+    stage.putContent("suppliers.csv", scenario1)
+    pipeline.runCycle(stage, t2) shouldBe 6L
+    pipeline.runCycle(stage, t2) shouldBe 0L
+    pipeline.staging.count() shouldBe 6
+    pipeline.streamChanges().count() shouldBe 0
+  }
+
   test("COPY load-history: PURGE=FALSE re-run skips already-loaded files") {
     // the reference's second COPY with PURGE=FALSE relies on load history
     // to not double-load on re-run (SCD-Configuration Setup.sql:183-185)
