@@ -262,12 +262,19 @@ object SparkEntry {
     }),
 
     "q13_percentiles" -> ((s, dir) => {
+      // ONE percentile buffer for both quantiles (the array form): two
+      // scalar percentile() calls would each accumulate their own
+      // value-count map over the same column — at 100 TB that is double
+      // the aggregation state for identical inputs
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("__p"),
           round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+        .select(col("l_returnflag"),
+          round(element_at(col("__p"), 1), 4).as("p50"),
+          round(element_at(col("__p"), 2), 4).as("p90"),
+          col("sd_qty"))
         .orderBy("l_returnflag")
     }),
 
