@@ -125,6 +125,26 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.readOrEmpty("bt", df.schema).count() shouldBe 10
   }
 
+  test("concurrent commits from many threads all land in the manifest") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts-conc"), spark)
+    val versions = (0 until 16).map { i =>
+      i -> store.stage(s"t$i", Seq((i, s"v$i")).toDF("k", "v"))
+    }
+    // 16 threads race single-table commits; the synchronized read-modify-
+    // write plus atomic manifest rename must lose none of them
+    val threads = versions.map { case (i, v) =>
+      new Thread(() => store.commit(Map(s"t$i" -> v)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    (0 until 16).foreach { i =>
+      store.manifest.keySet should contain(s"t$i")
+      store.read(s"t$i").count() shouldBe 1
+    }
+  }
+
   test("truncate commits an empty version with the right schema") {
     val s = spark
     import s.implicits._
