@@ -1,0 +1,26 @@
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for headline queries → stdout.
+  * Drive with the compile-and-run recipe in .claude/skills/verify
+  * (or `scala-cli` equivalents); used to regenerate PLANS.md. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val names = if (args.nonEmpty) args.toSeq else Seq(
+      "q10_revenue_by_nation", "scd2_history", "scd_cdc_stored",
+      "dedup_minhash", "knn_lsh", "salted_join", "text_stats")
+    names.foreach { n =>
+      println(s"===== $n =====")
+      println(graft.SparkEntry.queries(n)(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
+    spark.stop()
+  }
+}
