@@ -600,6 +600,18 @@ object SparkEntry {
       Similarity.lshTopK(s.read.parquet(s"$dir/embeddings.parquet"),
         queryVec(s, dir), k = 20, probeHamming = 2)),
 
+    // ANN against the STORED multi-table LSH index: write L bucket-
+    // partitioned copies, probe each with a partition-pruned read
+    // (PlanSpec asserts pruning + result equality with the scan variant).
+    // Timing includes the index writes — the trade the index makes.
+    "knn_lsh_indexed" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = java.nio.file.Files.createTempDirectory("graft-lsh-index").toString
+      Similarity.writeLshIndex(e, path)
+      Similarity.lshTopKIndexed(s, path, queryVec(s, dir), k = 20,
+        probeHamming = 2)
+    }),
+
     "knn_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       // centroids fit on a half-sample: statistically identical centers,

@@ -94,6 +94,64 @@ object Similarity {
       .limit(k)
   }
 
+  /** Materialize the multi-table LSH index: one bucket-PARTITIONED copy of
+    * the `(id, vec)` projection per hash table (the standard LSH index
+    * layout — L copies, each ~the corpus projection's size). A probe of
+    * table `t` then reads only the partitions within `probeHamming` bits
+    * of the query's bucket in that table: partition pruning does the work
+    * the OR-filter scan of [[lshTopK]] does by brute force. */
+  def writeLshIndex(df: DataFrame, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      numTables: Int = 4): Unit = {
+    val tables = planeTables(numTables, numPlanes, dim, seed)
+    tables.zipWithIndex.foreach { case (planes, t) =>
+      df.select(col(idCol), col(vecCol))
+        .withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/table=$t")
+    }
+  }
+
+  /** ANN top-k against a [[writeLshIndex]] index: per-table
+    * PARTITION-PRUNED reads (the Hamming predicate is a function of the
+    * partition column, so it prunes at planning time), candidate union,
+    * id-dedup, one top-k. Must be called with the same
+    * planes/seed/numTables the index was written with. Identical result
+    * set to [[lshTopK]] at the same parameters — the index trades L copies
+    * of storage for reading only ~L·C(planes,≤h)/2^planes of the corpus
+    * per query. */
+  def lshTopKIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Float],
+      k: Int = 10,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      probeHamming: Int = 1,
+      seed: Long = 42L,
+      numTables: Int = 4): DataFrame = {
+    val tables = planeTables(numTables, numPlanes, dim, seed)
+    val perTable = tables.zipWithIndex.map { case (planes, t) =>
+      val qBucket = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
+        if (d > 0) 1L << i else 0L
+      }.sum
+      spark.read.parquet(s"$path/table=$t")
+        .filter(bit_count(col("bucket").cast("long")
+          .bitwiseXOR(lit(qBucket))) <= probeHamming)
+        .select(col(idCol), col(vecCol))
+    }
+    perTable.reduce(_ unionByName _)
+      .dropDuplicates(idCol)
+      .select(col(idCol),
+        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: k-means cells over the corpus; queries probe
     * only the `nProbes` nearest cells. The training pass is one k-means fit
     * (sampled corpus at 100 TB); the assignment pass is a narrow map. Stored

@@ -121,6 +121,42 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(_.get(0).toString).toSeq shouldBe Seq("3")
   }
 
+  test("stored multi-table LSH index probes with partition pruning, same results as the scan") {
+    val dir = tmpDir("lsh-index")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+    graft.operators.Similarity.writeLshIndex(e, dir)
+    val indexed = graft.operators.Similarity.lshTopKIndexed(
+      spark, dir, q, k = 20, probeHamming = 2)
+
+    // the probe's Hamming predicate is a function of the partition column
+    // → classified as a PartitionFilter (planning-time pruning), with NO
+    // row-level filter left over
+    val plan = executedPlan(indexed)
+    plan should include("PartitionFilters: [isnotnull(bucket")
+    plan should include("bit_count")
+    plan should include("DataFilters: []")
+    // and the scan's numFiles metric confirms only probed partitions read
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val probe = spark.read.parquet(s"$dir/table=0")
+      .filter(bit_count(col("bucket").cast("long")) <= 2)
+    probe.collect()
+    val probedFiles = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    val all = spark.read.parquet(s"$dir/table=0")
+    all.collect()
+    val allFiles = all.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    probedFiles should be < allFiles
+
+    // identical result set to the single-scan OR-filter variant
+    val scan = graft.operators.Similarity.lshTopK(e, q, k = 20, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe scan
+  }
+
   test("bucketed snapshots make the CDC diff exchange-free") {
     val store = new graft.core.TableStore(tmpDir("buck-store"), spark)
     val stage = new graft.sources.Stage(tmpDir("buck-stage"))
