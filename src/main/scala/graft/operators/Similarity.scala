@@ -198,24 +198,50 @@ object Similarity {
     def assign(df: DataFrame, vecCol: String = "embedding"): DataFrame =
       df.withColumn("cell", V.nearestCenter(col(vecCol), centers))
 
-    /** ANN top-k probing the `nProbes` nearest cells to the query. */
-    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
-        vecCol: String = "embedding", idCol: String = "vec_id",
-        nProbes: Int = 2): DataFrame = {
+    /** The `nProbes` cells nearest to the query (driver-side — centers are
+      * a tiny array). */
+    private def probeCells(query: Seq[Float], nProbes: Int): Seq[Int] = {
       val qc = query.map(_.toDouble).toArray
-      val probeCells = centers.zipWithIndex
+      centers.zipWithIndex
         .map { case (c, i) =>
           val d = c.zip(qc).map { case (a, b) => (a - b) * (a - b) }.sum
           (i, d)
         }
         .sortBy(_._2).take(nProbes).map(_._1).toSeq
+    }
+
+    /** ANN top-k probing the `nProbes` nearest cells to the query. */
+    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
+        vecCol: String = "embedding", idCol: String = "vec_id",
+        nProbes: Int = 2): DataFrame =
       assign(df, vecCol)
-        .filter(col("cell").isInCollection(probeCells))
+        .filter(col("cell").isInCollection(probeCells(query, nProbes)))
         .select(col(idCol),
           round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
         .orderBy(col("cos").desc, col(idCol))
         .limit(k)
-    }
+
+    /** Materialize the IVF index: the assigned corpus partitioned by
+      * `cell`, so a probe is a partition-pruned read of `nProbes` of
+      * `numCells` partitions (same storage story as
+      * [[Similarity.writeLshIndex]], but data-adaptive cells and a single
+      * copy). */
+    def write(df: DataFrame, path: String, vecCol: String = "embedding"): Unit =
+      assign(df, vecCol).write.mode("overwrite").partitionBy("cell").parquet(path)
+
+    /** ANN top-k against a [[write]]-materialized index: the `cell IN`
+      * predicate is on the partition column → pruned at planning time.
+      * Identical results to [[topK]] over the same corpus. */
+    def topKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+        query: Seq[Float], k: Int = 10,
+        vecCol: String = "embedding", idCol: String = "vec_id",
+        nProbes: Int = 2): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("cell").isInCollection(probeCells(query, nProbes)))
+        .select(col(idCol),
+          round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
   }
 
   /** All-pairs top-k join (each left row → its k nearest right rows) via

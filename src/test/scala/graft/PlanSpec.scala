@@ -157,6 +157,25 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe scan
   }
 
+  test("stored IVF index probes with partition pruning, same results as in-memory") {
+    val dir = tmpDir("ivf-index")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+    val idx = graft.operators.Similarity.ivfFit(e, numCells = 8,
+      fitSampleFraction = 0.5)
+    idx.write(e, dir)
+
+    val stored = idx.topKStored(spark, dir, q, k = 20, nProbes = 3)
+    val plan = executedPlan(stored)
+    plan should include("PartitionFilters: [cell")
+    plan should include("DataFilters: []")
+
+    val inMem = idx.topK(e, q, k = 20, nProbes = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe inMem
+  }
+
   test("bucketed snapshots make the CDC diff exchange-free") {
     val store = new graft.core.TableStore(tmpDir("buck-store"), spark)
     val stage = new graft.sources.Stage(tmpDir("buck-stage"))
