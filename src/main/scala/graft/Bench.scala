@@ -15,8 +15,9 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first timed query doesn't absorb startup
     spark.range(1000000).selectExpr("sum(id)").collect()
-    // min of two runs per query: local[N] timings are noisy (GC, page
-    // cache); the min is the reproducible cost
+    // min of three runs per query: local[N] timings are noisy (GC, page
+    // cache, thermal state — observed ±30% run-to-run on identical
+    // plans); the min is the reproducible cost
     //
     // Timing action is a noop-format write, NOT count(): under count()
     // Catalyst prunes every column (deterministic projections drop,
@@ -31,7 +32,7 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -106,8 +106,14 @@ object Similarity {
       numTables: Int = 4): Unit = {
     val tables = planeTables(numTables, numPlanes, dim, seed)
     tables.zipWithIndex.foreach { case (planes, t) =>
+      // repartition on the partition column first: without it every write
+      // task opens a file in every bucket dir (tasks × 2^planes tiny
+      // files); with it each bucket is one task → one file per dir. Size
+      // numPlanes so a bucket holds many rows — 2^planes should be far
+      // below the corpus row count.
       df.select(col(idCol), col(vecCol))
         .withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes))
+        .repartition(col("bucket"))
         .write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$path/table=$t")
     }
@@ -227,7 +233,9 @@ object Similarity {
       * [[Similarity.writeLshIndex]], but data-adaptive cells and a single
       * copy). */
     def write(df: DataFrame, path: String, vecCol: String = "embedding"): Unit =
-      assign(df, vecCol).write.mode("overwrite").partitionBy("cell").parquet(path)
+      assign(df, vecCol)
+        .repartition(col("cell")) // one file per cell dir, not tasks×cells
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
 
     /** ANN top-k against a [[write]]-materialized index: the `cell IN`
       * predicate is on the partition column → pruned at planning time.
