@@ -166,15 +166,41 @@ class TableStore(val root: String, spark: SparkSession) {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .option("path", versionDir(table, version).toString)
       .saveAsTable(catalogName(table, version))
+    // persist the bucket spec beside the data: catalog entries are
+    // per-session (in-memory catalog), but the version outlives the
+    // session — a later JVM re-registers from this file so the scan still
+    // reports its hash partitioning instead of silently degrading to a
+    // plain (re-shuffling) parquet read
+    Files.write(versionDir(table, version).resolve(BucketSpecFile),
+      s"$numBuckets\t${bucketCols.mkString(",")}".getBytes(StandardCharsets.UTF_8))
     version
   }
+
+  private val BucketSpecFile = "_graft_buckets"
 
   private def catalogName(table: String, version: String): String =
     s"graft_${table}_$version".replaceAll("[^a-zA-Z0-9_]", "_").toLowerCase
 
   private def catalogNameIfBucketed(table: String, version: String): Option[String] = {
     val name = catalogName(table, version)
-    if (spark.catalog.tableExists(name)) Some(name) else None
+    if (spark.catalog.tableExists(name)) Some(name)
+    else {
+      val spec = versionDir(table, version).resolve(BucketSpecFile)
+      if (!Files.exists(spec)) None
+      else {
+        // re-register the external bucketed table from the persisted spec
+        val Array(n, cols) =
+          new String(Files.readAllBytes(spec), StandardCharsets.UTF_8).split('\t')
+        val dir = versionDir(table, version).toString
+        val schema = spark.read.parquet(dir).schema.toDDL
+        val bucketCols = cols.split(',').mkString(", ")
+        spark.sql(
+          s"""CREATE TABLE $name ($schema) USING parquet
+             |CLUSTERED BY ($bucketCols) SORTED BY ($bucketCols)
+             |INTO $n BUCKETS LOCATION '$dir'""".stripMargin)
+        Some(name)
+      }
+    }
   }
 
   /** Atomically point each table at its staged version — one manifest swap

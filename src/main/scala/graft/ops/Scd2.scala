@@ -118,4 +118,36 @@ object Scd2 {
     * (`SCD-Configuration Setup.sql:160-161`; P1+P2+D4). */
   def currentView(staging: DataFrame, baseCols: Seq[String]): DataFrame =
     staging.filter(col("current_flag") === "Y").select(baseCols.map(col): _*)
+
+  /** Point-in-time (as-of) join — THE consumption pattern of an SCD2
+    * history: each fact row picks the dimension version that was valid at
+    * its timestamp (`start_date <= ts` and `ts < end_date`, open versions
+    * unbounded). Left join: facts with no valid version at their time
+    * (unknown key, or ts before the first version) keep null dimension
+    * columns. The SCD2 invariant (versions of a key have disjoint
+    * [start, end) ranges) guarantees at most one match per fact.
+    *
+    * Plan shape: an EQUI join on the business key with the range predicate
+    * as a residual filter — the hash/sort-merge join machinery (and AQE
+    * skew handling) applies untouched, so this scales exactly like any
+    * key join; the range never degenerates into a cross product. History
+    * is the small side of the build when facts dominate (the usual case) —
+    * pass `broadcastHistory = true` when the dimension fits. */
+  def pointInTime(
+      facts: DataFrame,
+      history: DataFrame,
+      tsCol: String,
+      keys: Seq[String],
+      broadcastHistory: Boolean = true): DataFrame = {
+    val f = facts.alias("__f")
+    val h0 = history.alias("__h")
+    val h = if (broadcastHistory) broadcast(h0) else h0
+    val keyCond = keys.map(k => col(s"__f.$k") === col(s"__h.$k")).reduce(_ && _)
+    val rangeCond = col(s"__f.$tsCol") >= col("__h.start_date") &&
+      (col("__h.end_date").isNull || col(s"__f.$tsCol") < col("__h.end_date"))
+    val dimCols = history.columns.filterNot(keys.contains)
+    f.join(h, keyCond && rangeCond, "left")
+      .select(facts.columns.map(c => col(s"__f.$c")) ++
+        dimCols.map(c => col(s"__h.$c")): _*)
+  }
 }

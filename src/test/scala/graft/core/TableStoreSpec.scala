@@ -108,14 +108,18 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     aggPlan should include("SelectedBucketsCount")
     aggPlan should not include "Exchange"
 
-    // simulate a fresh session (catalog entry gone): the same files read
-    // fine as plain parquet — only the co-partitioning metadata is lost
+    // simulate a fresh session (catalog entry gone): the bucket spec is
+    // persisted beside the data, so the read RE-REGISTERS the external
+    // table and the scan still reports its hash partitioning
     val cat = spark.sessionState.catalog.listTables("default")
       .map(_.table).find(_.contains("bt_")).get
     spark.sql(s"DROP TABLE $cat")
-    val fallback = store.readOrEmpty("bt", df.schema)
-    fallback.count() shouldBe 100
-    fallback.orderBy("k").collect().map(_.getLong(0)).take(3) shouldBe Array(1L, 2L, 3L)
+    val reread = store.readOrEmpty("bt", df.schema)
+    reread.count() shouldBe 100
+    reread.orderBy("k").collect().map(_.getLong(0)).take(3) shouldBe Array(1L, 2L, 3L)
+    val rereadPlan = reread.groupBy("k").count().queryExecution.executedPlan.toString
+    rereadPlan should include("SelectedBucketsCount")
+    rereadPlan should not include "Exchange"
 
     // a superseded bucketed version loses both its files and its entry
     val ver2 = store.stageBucketed("bt", df.filter($"k" <= 10), Seq("k"), 4)

@@ -194,4 +194,33 @@ class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.head.getAs[String]("current_flag") shouldBe "Y"
     out.head.getAs[Timestamp]("start_date") shouldBe t1
   }
+
+  test("point-in-time join picks the version valid at each fact timestamp") {
+    val s = spark
+    import s.implicits._
+    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = Timestamp.valueOf("2024-02-01 00:00:00")
+    // two versions of A1 ([t1,t2) then [t2,∞)), one open version of A2
+    val history = Seq(
+      ("A1", "StateOld", t1, Some(t2), "N"),
+      ("A1", "StateNew", t2, None, "Y"),
+      ("A2", "StateX", t1, None, "Y"))
+      .toDF("supplier_code", "supplier_state", "start_date", "end_date", "current_flag")
+      .withColumn("end_date", col("end_date").cast("timestamp"))
+    val facts = Seq(
+      (1L, "A1", Timestamp.valueOf("2024-01-15 00:00:00")), // old version
+      (2L, "A1", Timestamp.valueOf("2024-02-15 00:00:00")), // new version
+      (3L, "A1", Timestamp.valueOf("2024-02-01 00:00:00")), // boundary → new (start inclusive, end exclusive)
+      (4L, "A2", Timestamp.valueOf("2024-03-01 00:00:00")), // open version
+      (5L, "A1", Timestamp.valueOf("2023-12-01 00:00:00")), // before first version → null
+      (6L, "A9", Timestamp.valueOf("2024-02-15 00:00:00"))) // unknown key → null
+      .toDF("fact_id", "supplier_code", "fact_ts")
+
+    val out = Scd2.pointInTime(facts, history, "fact_ts", Seq("supplier_code"))
+      .orderBy("fact_id").collect()
+    out.map(r => Option(r.getAs[String]("supplier_state"))).toSeq shouldBe Seq(
+      Some("StateOld"), Some("StateNew"), Some("StateNew"),
+      Some("StateX"), None, None)
+    out.length shouldBe 6 // at most one version per fact (disjoint ranges)
+  }
 }
