@@ -66,6 +66,38 @@ class ScdPropertySpec extends AnyFunSuite with Matchers with SparkSpec {
 
       // stream fully consumed after every cycle
       pipeline.streamChanges().count() shouldBe 0L
+
+      // as-of join property: for any probe time, each (code, ts) fact
+      // matches AT MOST one version (disjoint validity ranges), and
+      // pointInTime picks exactly the row a brute driver-side scan picks
+      {
+        val s2 = spark
+        import s2.implicits._
+        val probes = Seq("2024-01-01 12:00:00", "2024-01-02 12:00:00",
+          "2024-01-03 12:00:00").map(Timestamp.valueOf)
+        val facts = probes.zipWithIndex.flatMap { case (ts, i) =>
+          codes.map(c => (s"$c-$i", c, ts))
+        }.toDF("fact_id", "supplier_code", "fact_ts")
+        val joined = graft.ops.Scd2.pointInTime(
+          facts, pipeline.staging, "fact_ts", Seq("supplier_code"))
+        withClue(s"seed=$seed") {
+          joined.count() shouldBe facts.count() // left join never multiplied
+        }
+        val hist = staging.map(r => (r.getAs[String]("supplier_code"),
+          r.getAs[Timestamp]("start_date"),
+          Option(r.getAs[Timestamp]("end_date")),
+          r.getAs[String]("supplier_state")))
+        joined.collect().foreach { r =>
+          val code = r.getAs[String]("supplier_code")
+          val ts = r.getAs[Timestamp]("fact_ts")
+          val valid = hist.filter(h => h._1 == code &&
+            !h._2.after(ts) && h._3.forall(e => ts.before(e))).map(_._4)
+          withClue(s"seed=$seed code=$code ts=$ts") {
+            valid.length should be <= 1
+            Option(r.getAs[String]("supplier_state")) shouldBe valid.headOption
+          }
+        }
+      }
     }
   }
 
