@@ -319,6 +319,22 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // interval×point range join WITHOUT an equi key (sessions × ALL
+    // events): binned into an equi join on the bin id — the naive form is
+    // a nested-loop cross product. Counts events from any user falling
+    // inside each session's time window.
+    "session_concurrency" -> ((s, dir) => {
+      val sessions = queries("event_sessions")(s, dir)
+        .select("user_id", "session_id", "session_start_us", "session_end_us")
+      val points = events(s, dir).select(col("event_id"), col("ts_us"))
+      graft.operators.RangeJoin.intervalPoint(sessions, points,
+          "session_start_us", "session_end_us", "ts_us",
+          binWidth = 3600L * 1000000L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_concurrent"))
+        .orderBy("user_id", "session_id")
+    }),
+
     "q09_event_type_stats" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"))
@@ -791,6 +807,24 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(t) AS session_start_us, max(t) AS session_end_us
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "session_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |marks AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marks),
+        |sessions AS (
+        |  SELECT user_id, session_id, min(t) AS s_us, max(t) AS e_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT s.user_id, s.session_id, count(*) AS n_concurrent
+        |FROM sessions s JOIN e ON e.t BETWEEN s.s_us AND s.e_us
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q09_event_type_stats" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value,

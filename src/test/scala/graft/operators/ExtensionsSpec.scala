@@ -161,6 +161,23 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     top.head.getAs[Double]("cos") shouldBe 1.0
   }
 
+  test("range join: inclusive bounds, multi-bin intervals, no duplicates") {
+    val s = spark
+    import s.implicits._
+    val intervals = Seq((1L, 100L, 250L), (2L, 260L, 260L), (3L, 0L, 50L))
+      .toDF("iv_id", "lo", "hi")
+    val points = Seq((10L, 100L), (11L, 250L), (12L, 255L), (13L, 260L),
+      (14L, 173L)).toDF("pt_id", "ts")
+    // binWidth 100 → interval 1 spans bins 1..2, both bounds inclusive
+    val out = RangeJoin.intervalPoint(intervals, points, "lo", "hi", "ts", 100L)
+      .select("iv_id", "pt_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    out shouldBe Seq((1L, 10L), (1L, 11L), (1L, 14L), (2L, 13L))
+    // bin width far larger than the data changes nothing (single shared bin)
+    RangeJoin.intervalPoint(intervals, points, "lo", "hi", "ts", 1000000L)
+      .count() shouldBe 4
+  }
+
   test("duplicateGroups resolves transitive chains to the smallest id") {
     val s = spark
     import s.implicits._
