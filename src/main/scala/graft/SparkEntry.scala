@@ -2,6 +2,8 @@ package graft
 
 import java.sql.Timestamp
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -152,6 +154,33 @@ object SparkEntry {
   private def events(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
+
+  /** Cache key for the build-once-probe-many driver queries
+    * (`scd_cdc_stored`, `knn_lsh_indexed`): a content fingerprint of the
+    * source parquet — full absolute path plus every file's name, size, and
+    * mtime. Regenerated test data at the same path changes the
+    * fingerprint, so a stale index/snapshot is never silently reused (the
+    * earlier key, `dir.hashCode` alone, reused whatever was on disk). */
+  private def corpusFingerprint(sourceDirs: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    sourceDirs.sorted.foreach { d =>
+      val p = java.nio.file.Paths.get(d).toAbsolutePath
+      md.update(p.toString.getBytes("UTF-8"))
+      if (java.nio.file.Files.exists(p)) {
+        val files = java.nio.file.Files.walk(p)
+        try files.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .toSeq.sortBy(_.toString)
+          .foreach { f =>
+            md.update(s"$f|${java.nio.file.Files.size(f)}|${
+              java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+              .getBytes("UTF-8"))
+          }
+        finally files.close()
+      }
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -399,7 +428,10 @@ object SparkEntry {
             .otherwise(lit(Timestamp.valueOf("2024-02-15 00:00:00")))
             .as("fact_ts"),
           col("l_quantity").as("qty"))
-      Scd2.pointInTime(facts, scd2After2(s, dir), "fact_ts", Seq("supplier_code"))
+      // explicit broadcast: this history is checkpointed supplier-dim
+      // sized (AQE can't see a localCheckpoint's size pre-join)
+      Scd2.pointInTime(facts, scd2After2(s, dir), "fact_ts", Seq("supplier_code"),
+          broadcastHistory = true)
         .groupBy(col("supplier_state"), col("current_flag"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("qty")), 2).as("sum_qty"))
         .orderBy("supplier_state", "current_flag")
@@ -435,7 +467,7 @@ object SparkEntry {
     // diff. Same oracle: the layout is physical, the result identical.
     "scd_cdc_stored" -> ((s, dir) => {
       val root = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-        "graft-cdc-stored-" + java.lang.Integer.toHexString(dir.hashCode))
+        "graft-cdc-stored-" + corpusFingerprint(Seq(s"$dir/lineitem.parquet")))
       val store = new graft.core.TableStore(root.toString, s)
       if (!store.exists("snap_prev")) {
         val (b1, b2) = largeDim(s, dir)
@@ -663,7 +695,7 @@ object SparkEntry {
       // scale).
       val path = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        "graft-lsh-index-" + java.lang.Integer.toHexString(dir.hashCode))
+        "graft-lsh-index-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
       if (!java.nio.file.Files.exists(path))
         Similarity.writeLshIndex(e, path.toString, numPlanes = 6)
       Similarity.lshTopKIndexed(s, path.toString, queryVec(s, dir), k = 20,

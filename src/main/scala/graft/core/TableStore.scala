@@ -170,9 +170,13 @@ class TableStore(val root: String, spark: SparkSession) {
     // per-session (in-memory catalog), but the version outlives the
     // session — a later JVM re-registers from this file so the scan still
     // reports its hash partitioning instead of silently degrading to a
-    // plain (re-shuffling) parquet read
+    // plain (re-shuffling) parquet read. The schema DDL rides along so
+    // re-registration never has to infer from the files (an EMPTY bucketed
+    // version has no files to infer from, and readVersion's contract is
+    // explicit schemas everywhere).
     Files.write(versionDir(table, version).resolve(BucketSpecFile),
-      s"$numBuckets\t${bucketCols.mkString(",")}".getBytes(StandardCharsets.UTF_8))
+      s"$numBuckets\t${bucketCols.mkString(",")}\t${df.schema.toDDL}"
+        .getBytes(StandardCharsets.UTF_8))
     version
   }
 
@@ -188,11 +192,18 @@ class TableStore(val root: String, spark: SparkSession) {
       val spec = versionDir(table, version).resolve(BucketSpecFile)
       if (!Files.exists(spec)) None
       else {
-        // re-register the external bucketed table from the persisted spec
-        val Array(n, cols) =
-          new String(Files.readAllBytes(spec), StandardCharsets.UTF_8).split('\t')
+        // re-register the external bucketed table from the persisted spec;
+        // the DDL is the third field (older two-field specs fall back to
+        // inference — only correct for non-empty versions, which is all a
+        // two-field spec can have come from)
+        val fields =
+          new String(Files.readAllBytes(spec), StandardCharsets.UTF_8)
+            .split('\t')
+        val (n, cols) = (fields(0), fields(1))
         val dir = versionDir(table, version).toString
-        val schema = spark.read.parquet(dir).schema.toDDL
+        val schema =
+          if (fields.length > 2) fields(2)
+          else spark.read.parquet(dir).schema.toDDL
         val bucketCols = cols.split(',').mkString(", ")
         spark.sql(
           s"""CREATE TABLE $name ($schema) USING parquet
@@ -236,10 +247,13 @@ class TableStore(val root: String, spark: SparkSession) {
             .filterNot(d => live.contains(d.toAbsolutePath))
             .foreach { d =>
               // bucketed versions also carry a catalog entry (external, so
-              // dropping it never touches the files)
-              catalogNameIfBucketed(tableDir.getFileName.toString,
-                  d.getFileName.toString)
-                .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+              // dropping it never touches the files). Drop by COMPUTED
+              // name — re-registering a table only to drop it would do
+              // pointless catalog work and, pre-fix, threw on empty
+              // versions (schema inference with no files).
+              if (Files.exists(d.resolve(BucketSpecFile)))
+                spark.sql(s"DROP TABLE IF EXISTS ${catalogName(
+                  tableDir.getFileName.toString, d.getFileName.toString)}")
               deleteRecursively(d)
             }
         }

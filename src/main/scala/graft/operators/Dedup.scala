@@ -47,6 +47,24 @@ object Dedup {
 
   // ---- shared candidate generation ----------------------------------------
 
+  /** Scoped cache for the single-scan near-dup pipelines: persist the
+    * per-document projection, build the pair result over it, materialize
+    * that (small) result with an eager localCheckpoint, then unpersist the
+    * projection. The cache lives exactly as long as the one call that
+    * needs it — the earlier persist-and-return shape leaked a cached copy
+    * of every corpus ever deduped into the session's CacheManager (which
+    * pins plan-level caches until an explicit unpersist; executors fill
+    * with dead blocks across calls). The checkpointed pair list is
+    * per-bucket-bounded candidate pairs, orders of magnitude smaller than
+    * the corpus, and its blocks are released by the ContextCleaner when
+    * the caller drops the result. */
+  private def withProjectionCache(base: DataFrame)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try build(cached).localCheckpoint(true)
+    finally cached.unpersist(false)
+  }
+
   /** Candidate pairs (id_a < id_b) from a blocking table `(key, id)`: one
     * shuffle groups ids per key, pairs are generated *within* each bucket
     * with higher-order functions, then deduped across buckets.
@@ -139,31 +157,31 @@ object Dedup {
     // sorted-distinct shingle sets: the signature is order/duplicate-
     // insensitive (min-reduction), and the verify Jaccard becomes a linear
     // merge per pair instead of a per-pair hash-set build
-    val base = df
+    withProjectionCache(df
       .select(col(idCol).as("id"),
         graft.functions.MinHash.shingleHashesSorted(
-          split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))) { base =>
 
-    // slim candidate generation: only (band, id) crosses the shuffle
-    val banded = base
-      .withColumn("band", explode(lshBandKeys(
-        graft.functions.MinHash.signatureFromHashes(col("sh"), numHashes),
-        bands, rows)))
-      .select(col("band"), col("id"))
+      // slim candidate generation: only (band, id) crosses the shuffle
+      val banded = base
+        .withColumn("band", explode(lshBandKeys(
+          graft.functions.MinHash.signatureFromHashes(col("sh"), numHashes),
+          bands, rows)))
+        .select(col("band"), col("id"))
 
-    val candidates = candidatePairs(banded, "band", "id")
+      val candidates = candidatePairs(banded, "band", "id")
 
-    // exact-verify on hashed shingle sets (identical Jaccard up to 64-bit
-    // collisions; long arrays are far cheaper than shingle strings to
-    // build, ship, and intersect)
-    candidates
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard",
-        graft.functions.MinHash.jaccardSorted(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      // exact-verify on hashed shingle sets (identical Jaccard up to 64-bit
+      // collisions; long arrays are far cheaper than shingle strings to
+      // build, ship, and intersect)
+      candidates
+        .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard",
+          graft.functions.MinHash.jaccardSorted(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
   }
 
   /** MinHash-LSH dedup: drop every doc with a verified smaller-id dup. */
@@ -187,28 +205,29 @@ object Dedup {
       idCol: String = "doc_id",
       maxHamming: Int = 3): DataFrame = {
     val chunks = 4 // 4 × 16-bit chunks of the 64-bit hash
-    // single corpus scan: the (id, simhash) projection is persisted once;
-    // chunk keys, the candidate guard, and both verify sides derive from
-    // the cached 64-bit hashes (tokenize+simhash ran 3× before)
-    val hashes = df.select(col(idCol).as("id"),
-      SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // single corpus scan: the (id, simhash) projection is cached for the
+    // duration of this call; chunk keys, the candidate guard, and both
+    // verify sides derive from the cached 64-bit hashes (tokenize+simhash
+    // ran 3× before)
+    withProjectionCache(df.select(col(idCol).as("id"),
+      SimHash.simhash64(split(lower(trim(col(textCol))), "\\s+")).as("sh"))) { hashes =>
 
-    // chunk keys via ONE transform over the hash (an array(4 × struct(sh…))
-    // form would re-run tokenize+simhash per chunk after CollapseProject
-    // inlining); key = xxhash64(chunk index, 16-bit chunk value)
-    val blocked = hashes
-      .withColumn("chunk", explode(
-        transform(sequence(lit(0), lit(chunks - 1)), c =>
-          xxhash64(c, ushr(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))))))
-      .select(col("chunk"), col("id"))
+      // chunk keys via ONE transform over the hash (an array(4 × struct(sh…))
+      // form would re-run tokenize+simhash per chunk after CollapseProject
+      // inlining); key = xxhash64(chunk index, 16-bit chunk value)
+      val blocked = hashes
+        .withColumn("chunk", explode(
+          transform(sequence(lit(0), lit(chunks - 1)), c =>
+            xxhash64(c, ushr(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL))))))
+        .select(col("chunk"), col("id"))
 
-    candidatePairs(blocked, "chunk", "id")
-      .join(hashes.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(hashes.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      candidatePairs(blocked, "chunk", "id")
+        .join(hashes.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(hashes.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }
   }
 
   def simhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
@@ -261,19 +280,21 @@ object Dedup {
       numPlanes: Int = 8,
       seed: Long = 42L): DataFrame = {
     val planes = V.randomPlanes(numPlanes, dim, seed)
-    // single corpus scan: (id, vec) persisted once; bucket keys and both
-    // verify sides derive from the cache instead of 4 more parquet scans
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = vecs
-      .withColumn("bucket", V.hyperplaneBucket(col("vec"), planes))
-      .select(col("bucket"), col("id"))
-    candidatePairs(blocked, "bucket", "id")
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
-      .withColumn("cos", V.cosineFused(col("v_a"), col("v_b")))
-      .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    // single corpus scan: (id, vec) cached for this call; bucket keys and
+    // both verify sides derive from the cache instead of 4 more parquet
+    // scans
+    withProjectionCache(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val blocked = vecs
+        .withColumn("bucket", V.hyperplaneBucket(col("vec"), planes))
+        .select(col("bucket"), col("id"))
+      candidatePairs(blocked, "bucket", "id")
+        .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+        .withColumn("cos", V.cosineFused(col("v_a"), col("v_b")))
+        .filter(col("cos") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }
   }
 
   def embedding(df: DataFrame, vecCol: String = "embedding",

@@ -131,14 +131,19 @@ object Scd2 {
     * as a residual filter — the hash/sort-merge join machinery (and AQE
     * skew handling) applies untouched, so this scales exactly like any
     * key join; the range never degenerates into a cross product. History
-    * is the small side of the build when facts dominate (the usual case) —
-    * pass `broadcastHistory = true` when the dimension fits. */
+    * is often the small side when facts dominate — pass
+    * `broadcastHistory = true` to hint that explicitly when the dimension
+    * is KNOWN to fit an executor. The default is false: a forced broadcast
+    * hint bypasses Spark's size threshold, so defaulting it on would OOM
+    * on exactly the large histories this engine targets; with no hint AQE
+    * still picks a broadcast join whenever the history measures small at
+    * runtime, so small-dimension callers lose nothing. */
   def pointInTime(
       facts: DataFrame,
       history: DataFrame,
       tsCol: String,
       keys: Seq[String],
-      broadcastHistory: Boolean = true): DataFrame = {
+      broadcastHistory: Boolean = false): DataFrame = {
     val f = facts.alias("__f")
     val h0 = history.alias("__h")
     val h = if (broadcastHistory) broadcast(h0) else h0

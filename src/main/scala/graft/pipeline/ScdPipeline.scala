@@ -146,19 +146,23 @@ class ScdPipeline(
   private def recordFailure(batchTime: Timestamp): Unit =
     try {
       val prevLog = store.readOrEmpty(RunLog, Schemas.runLog)
-      store.overwrite(RunLog, prevLog.unionByName(logRow(batchTime,
+      store.overwrite(RunLog, prevLog.unionByName(logRow(prevLog, batchTime,
         rowsLoaded = null, status = "FAILED")))
     } catch { case _: Throwable => () }
 
-  /** One run-log row; `cycle_id` derives from the run log's staged-version
-    * count (monotonic, no Spark action — the earlier `prevLog.count()+1`
-    * was an extra driver-side job per cycle). */
-  private def logRow(batchTime: Timestamp, rowsLoaded: java.lang.Long,
-      status: String): DataFrame = {
-    val cycleId = java.lang.Long.valueOf(store.versions(RunLog).size + 1L)
+  /** One run-log row; `cycle_id` = max(cycle_id)+1 from the PREVIOUS log
+    * contents — a one-row driver read of a table that grows one row per
+    * cycle, so it stays metadata-cheap at any data scale. (Counting the
+    * on-disk version dirs instead broke monotonicity: `vacuum()` deletes
+    * superseded versions, so every post-vacuum cycle re-counted to the
+    * same id.) */
+  private def logRow(prevLog: DataFrame, batchTime: Timestamp,
+      rowsLoaded: java.lang.Long, status: String): DataFrame = {
+    val maxPrev = Option(prevLog.agg(max(col("cycle_id"))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     spark.createDataFrame(
       java.util.Collections.singletonList(org.apache.spark.sql.Row(
-        cycleId, batchTime, rowsLoaded,
+        java.lang.Long.valueOf(maxPrev + 1L), batchTime, rowsLoaded,
         new Timestamp(System.currentTimeMillis()), status)),
       Schemas.runLog)
   }
@@ -206,7 +210,7 @@ class ScdPipeline(
     // run-log append (TASK_HISTORY stand-in)
     val prevLog = store.readOrEmpty(RunLog, Schemas.runLog)
     val logVersion = store.stage(RunLog, prevLog.unionByName(
-      logRow(batchTime, rowsLoaded, "SUCCEEDED")))
+      logRow(prevLog, batchTime, rowsLoaded, "SUCCEEDED")))
 
     // COPY load-history ledger: the newly loaded file names join the same
     // commit, so "loaded" and "visible in the tables" are one atomic fact

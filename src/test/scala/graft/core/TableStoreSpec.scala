@@ -129,6 +129,37 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.readOrEmpty("bt", df.schema).count() shouldBe 10
   }
 
+  test("EMPTY bucketed version: cross-session re-registration and vacuum never infer from files") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("ts-buck-empty"), spark)
+    val df = Seq((1L, "a")).toDF("k", "v")
+    val empty = df.filter($"k" < 0)
+    val ver = store.stageBucketed("bt", empty, Seq("k"), 4)
+    store.commit(Map("bt" -> ver))
+
+    // drop the catalog entry to simulate a fresh session: re-registration
+    // must come from the persisted schema DDL (there are NO parquet files
+    // to infer from in an empty bucketed version)
+    val cat = spark.sessionState.catalog.listTables("default")
+      .map(_.table).find(_.contains("bt_")).get
+    spark.sql(s"DROP TABLE $cat")
+    val reread = store.readOrEmpty("bt", df.schema)
+    reread.count() shouldBe 0
+    reread.schema.fieldNames.toSeq shouldBe Seq("k", "v")
+
+    // drop again — vacuum of a superseded EMPTY bucketed version must not
+    // re-register (pre-fix it inferred the schema and threw)
+    val cat2 = spark.sessionState.catalog.listTables("default")
+      .map(_.table).find(_.contains("bt_")).get
+    spark.sql(s"DROP TABLE $cat2")
+    val ver2 = store.stageBucketed("bt", df, Seq("k"), 4)
+    store.commit(Map("bt" -> ver2))
+    store.vacuum()
+    store.versions("bt") shouldBe Seq(ver2)
+    store.readOrEmpty("bt", df.schema).count() shouldBe 1
+  }
+
   test("concurrent commits from many threads all land in the manifest") {
     val s = spark
     import s.implicits._

@@ -70,6 +70,18 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
 
+  test("near-dup pipelines leave no cached plans behind (no session-lifetime leak)") {
+    // the single-scan projection cache is scoped to each call: repeated
+    // calls over different corpora must not accumulate CacheManager
+    // entries (plan-level caches are pinned until explicit unpersist)
+    spark.catalog.clearCache()
+    val d1 = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "zzz"))
+    val d2 = docs((1L, "one two three"), (2L, "one two three four"))
+    Dedup.minhashDuplicatePairs(d1, threshold = 0.5).collect()
+    Dedup.simhashDuplicatePairs(d2).collect()
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
   test("simhash expression + near-dup blocking") {
     // identical token multiset → identical simhash
     val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),

@@ -176,6 +176,28 @@ class GoldenScenarioSpec extends AnyFunSuite with Matchers with SparkSpec {
     pipeline.taskHistory.collect().head.getAs[String]("status") shouldBe "SUCCEEDED"
   }
 
+  test("cycle ids stay monotonic across vacuum (TASK_HISTORY ordering)") {
+    // regression: deriving cycle_id from the on-disk version-dir count
+    // broke after vacuum() deleted superseded versions — every later cycle
+    // re-counted to the same id. Ids now come from max(cycle_id)+1 of the
+    // previous log contents.
+    val store = new TableStore(tmpDir("cycle-store"), spark)
+    val stage = new Stage(tmpDir("cycle-stage"))
+    val pipeline = new ScdPipeline(spark, store)
+
+    stage.putContent("suppliers.csv", scenario1)
+    pipeline.runCycle(stage, t1)
+    store.vacuum()
+    stage.putContent("suppliers_v2.csv", scenario2)
+    pipeline.runCycle(stage, t2)
+    store.vacuum()
+    pipeline.runCycle(stage, t2) // empty stage — still a logged cycle
+    store.vacuum()
+
+    pipeline.taskHistory.collect().map(_.getAs[Long]("cycle_id")).toSeq shouldBe
+      Seq(3L, 2L, 1L)
+  }
+
   test("mid-cycle stream peek shows the update pair with stable row ids") {
     val store = new TableStore(tmpDir("peek-store"), spark)
     val stage = new Stage(tmpDir("peek-stage"))
