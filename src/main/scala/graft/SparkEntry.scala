@@ -307,6 +307,58 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // the same exact quantiles through the SORT-based operator — the
+    // 100 TB path: the built-in percentile's per-group value map IS the
+    // column for a continuous measure, while a range-partitioned parallel
+    // sort spreads even a single group across every core
+    // (graft.operators.Percentiles.exactByGroupSorted)
+    "q14_percentiles_sorted" -> ((s, dir) => {
+      graft.operators.Percentiles.exactByGroupSorted(
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          Seq("l_linestatus"), "l_discount", Seq(0.25, 0.5, 0.95))
+        .select(col("l_linestatus"),
+          round(col("p25"), 4).as("p25"),
+          round(col("p50"), 4).as("p50"),
+          round(col("p95"), 4).as("p95"))
+        .orderBy("l_linestatus")
+    }),
+
+    // CUBE: all 4 grouping combinations in one pass (rollup covers the
+    // hierarchy case in q11; cube is the full lattice)
+    "q15_cube" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // exact distinct counts (the expensive-but-oracled baseline; the
+    // 100 TB companion is approx_count_distinct's HLL sketch — mergeable,
+    // constant memory — whose ≤5%-error contract is a spec test, not an
+    // oracle row, because no two engines share sketch bits)
+    "q16_distinct_counts" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+
+    // PIVOT: status categories to columns. The value list is explicit —
+    // an unlisted-values pivot runs a driver-side distinct job first and
+    // can't plan until it returns; at 100 TB the category set must be
+    // declared (it's schema, not data)
+    "q17_pivot" -> ((s, dir) => {
+      s.read.parquet(s"$dir/orders.parquet")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnsRenamed(Map("F" -> "total_f", "O" -> "total_o", "P" -> "total_p"))
+        .orderBy("o_orderpriority")
+    }),
+
     "q11_rollup" -> ((s, dir) => {
       s.read.parquet(s"$dir/orders.parquet")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -809,6 +861,33 @@ object SparkEntry {
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q14_percentiles_sorted" ->
+      """SELECT l_linestatus,
+        |  round(quantile_cont(l_discount, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_discount, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_discount, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q16_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_pivot" ->
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS total_f,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS total_o,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS total_p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q11_rollup" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
