@@ -140,17 +140,23 @@ object Similarity {
       seed: Long = 42L,
       numTables: Int = 4): DataFrame = {
     val tables = planeTables(numTables, numPlanes, dim, seed)
-    val perTable = tables.zipWithIndex.map { case (planes, t) =>
+    // ONE read of the whole index root: `table` and `bucket` are both
+    // partition columns, so the per-table Hamming disjunction is entirely
+    // a partition predicate — identical pruning to four separate reads,
+    // but one file-listing, one plan, one scan job instead of a 4-way
+    // union of single-table reads
+    val cond = tables.zipWithIndex.map { case (planes, t) =>
       val qBucket = planes.zipWithIndex.map { case (p, i) =>
         val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
         if (d > 0) 1L << i else 0L
       }.sum
-      spark.read.parquet(s"$path/table=$t")
-        .filter(bit_count(col("bucket").cast("long")
-          .bitwiseXOR(lit(qBucket))) <= probeHamming)
-        .select(col(idCol), col(vecCol))
-    }
-    perTable.reduce(_ unionByName _)
+      col("table") === t &&
+        bit_count(col("bucket").cast("long")
+          .bitwiseXOR(lit(qBucket))) <= probeHamming
+    }.reduce(_ || _)
+    spark.read.parquet(path)
+      .filter(cond)
+      .select(col(idCol), col(vecCol))
       .dropDuplicates(idCol)
       .select(col(idCol),
         round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))

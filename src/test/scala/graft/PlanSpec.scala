@@ -131,11 +131,12 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     val indexed = graft.operators.Similarity.lshTopKIndexed(
       spark, dir, q, k = 20, probeHamming = 2)
 
-    // the probe's Hamming predicate is a function of the partition column
-    // → classified as a PartitionFilter (planning-time pruning), with NO
-    // row-level filter left over
+    // the probe is ONE read of the index root: the per-table Hamming
+    // disjunction references only partition columns (table, bucket), so
+    // the whole predicate is classified as a PartitionFilter
+    // (planning-time pruning), with NO row-level filter left over
     val plan = executedPlan(indexed)
-    plan should include("PartitionFilters: [isnotnull(bucket")
+    plan should include("PartitionFilters: [((((")
     plan should include("bit_count")
     plan should include("DataFilters: []")
     // and the scan's numFiles metric confirms only probed partitions read
