@@ -608,6 +608,40 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // -- dataset curation (graft.operators.Curation) ----------------------
+    // hash-deterministic train/val/test split: a narrow map, stable under
+    // re-runs/retries/appends (rand() would reshuffle rows between splits
+    // on every one of those). Checked via per-split aggregates.
+    "curation_split" -> ((s, dir) => {
+      graft.operators.Curation.deterministicSplit(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split")
+    }),
+
+    // exact-n deterministic per-group sample (md5 hash order — the oracle
+    // reproduces the identical choice, which no rand()-based sample can)
+    "curation_sample" -> ((s, dir) =>
+      graft.operators.Curation.samplePerGroup(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("source"), n = 3, idCol = "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy("source", "doc_id")),
+
+    // train→test n-gram contamination (string-shingle form for the SQL
+    // oracle; the hashed slim-shuffle form is proven equivalent in
+    // CurationSpec)
+    "curation_contamination" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.contamination(
+          train = d.filter(col("doc_id") % 2 === 0),
+          test = d.filter(col("doc_id") % 2 =!= 0),
+          hashShingles = false)
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
@@ -1204,6 +1238,42 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+
+    "curation_split" ->
+      """WITH f AS (
+        |  SELECT n_chars,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-split'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS frac
+        |  FROM documents)
+        |SELECT CASE WHEN frac < 0.8 THEN 'train'
+        |            WHEN frac < (0.8 + 0.1) THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "curation_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source, row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft-sample'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
+
+    "curation_contamination" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents),
+        |train AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE id % 2 = 0),
+        |test AS (SELECT id, unnest(list_distinct(sh)) AS s FROM sh WHERE id % 2 <> 0)
+        |SELECT t.id AS doc_id, count(*) AS n_shared_shingles
+        |FROM test t JOIN train tr ON t.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,

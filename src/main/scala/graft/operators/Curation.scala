@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => T}
+
+/** Dataset-curation operators for training-data pipelines: deterministic
+  * train/val/test splitting, per-group sampling, and train→test
+  * contamination detection.
+  *
+  * Everything here is '''hash-deterministic, never random''': a split or
+  * sample decided by `rand()` changes when a task retries, when the
+  * partition count changes, or when the job re-runs — which silently
+  * leaks validation data into training across pipeline versions. A
+  * decision derived from a stable document id is reproducible across
+  * runs, engines, and cluster layouts, and every operator below is
+  * verifiable row-for-row against an independent SQL engine because of
+  * it.
+  */
+object Curation {
+
+  /** Uniform-ish fraction in [0, 1) derived from a stable id: the first
+    * 8 hex chars of md5(id || salt) as a 32-bit integer over 2^32.
+    * md5, not xxhash64, deliberately: portable across engines (the DuckDB
+    * oracle computes the identical value), and 32 of md5's 128 bits are
+    * plenty for split assignment. Change `salt` to draw an independent
+    * split from the same corpus. */
+  def hashFraction(id: Column, salt: String): Column =
+    conv(substring(md5(concat(id.cast("string"), lit(salt))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+
+  /** Assign each row to a named split with the given weights (need not
+    * sum to 1 — they are normalized). Purely a narrow map: no shuffle, no
+    * state, trivially parallel at any scale, and stable under re-runs,
+    * retries, and corpus appends (a new document never moves an existing
+    * one between splits — the property `rand()`-based splitting loses). */
+  def deterministicSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "graft-split"): DataFrame = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    // cumulative thresholds; the last split takes the remainder so the
+    // full [0,1) range is always covered. The fraction is materialized
+    // once in its own projection — a CASE chain referencing the md5
+    // expression per branch would re-hash per comparison.
+    val thresholds = splits.map(_._2 / total).scanLeft(0.0)(_ + _).tail
+    val f = col("__split_f")
+    val assign = splits.init.zip(thresholds.init)
+      .foldLeft(None: Option[Column]) { case (acc, ((name, _), cum)) =>
+        Some(acc match {
+          case None => when(f < cum, name)
+          case Some(c) => c.when(f < cum, name)
+        })
+      }
+      .map(_.otherwise(splits.last._1))
+      .getOrElse(lit(splits.last._1))
+    df.withColumn("__split_f", hashFraction(col(idCol), salt))
+      .withColumn("split", assign)
+      .drop("__split_f")
+  }
+
+  /** Exactly `n` rows per group, chosen by hash order (md5 of id+salt):
+    * a deterministic uniform sample that any engine reproduces. Ranking
+    * is a per-group window sort — fine up to very large groups (the sort
+    * spills); when groups are huge and `n` tiny, pre-filter with
+    * [[hashFraction]] to ~`5n/|group|` first so the window sorts a sliver
+    * instead of the corpus (two narrow passes, same result with
+    * overwhelming probability, and the window then certifies exact-n). */
+  def samplePerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      n: Int,
+      idCol: String,
+      salt: String = "graft-sample"): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Train→test contamination: for each test document, how many of its
+    * distinct word shingles appear in ANY training document. A test doc
+    * with high overlap was (near-)copied into the training set — the
+    * standard n-gram decontamination check for evaluation integrity.
+    *
+    * Plan shape: both sides explode to distinct per-doc shingles; the
+    * train side is reduced to a global distinct shingle set (one
+    * hash-aggregate — at 100 TB this is the corpus vocabulary of
+    * `shingleSize`-grams, far smaller than the corpus); the test side
+    * joins against it and counts hits per doc. Only docs with ≥1 shared
+    * shingle are returned.
+    *
+    * `hashShingles = true` (default) joins on 64-bit shingle hashes —
+    * an 8-byte shuffle key instead of a string, the scale path.
+    * `false` joins on the shingle strings themselves: bit-identical
+    * semantics minus hash collisions, and expressible in portable SQL —
+    * the oracle-checkable form (the equivalence of the two is a spec
+    * test). */
+  def contamination(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      hashShingles: Boolean = true): DataFrame = {
+    val shingles: Column =
+      if (hashShingles)
+        graft.functions.MinHash.shingleHashesSorted(
+          split(lower(trim(col(textCol))), "\\s+"), shingleSize)
+      else array_distinct(T.wordShingles(col(textCol), shingleSize))
+    val trainSh = train.select(explode(shingles).as("__sh")).distinct()
+    test
+      .select(col(idCol), explode(shingles).as("__sh"))
+      .join(trainSh, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+}

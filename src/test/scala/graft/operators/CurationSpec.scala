@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("deterministicSplit: stable across runs, covers all rows, roughly honors weights") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 10000L).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.deterministicSplit(df, "doc_id", splits)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    counts.values.sum shouldBe 10000L
+    counts("train").toDouble shouldBe 8000.0 +- 300
+    counts("val").toDouble shouldBe 1000.0 +- 150
+    counts("test").toDouble shouldBe 1000.0 +- 150
+
+    // byte-identical on a re-run (the whole point vs rand())
+    val again = Curation.deterministicSplit(df, "doc_id", splits)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    out.orderBy("doc_id").collect().map(_.getString(1)) shouldBe again
+  }
+
+  test("deterministicSplit: appending rows never moves existing assignments") {
+    val s = spark
+    import s.implicits._
+    val splits = Seq("train" -> 0.9, "test" -> 0.1)
+    val small = Curation.deterministicSplit((1L to 500L).toDF("doc_id"),
+      "doc_id", splits).orderBy("doc_id").collect().map(_.getString(1))
+    val grown = Curation.deterministicSplit((1L to 1000L).toDF("doc_id"),
+      "doc_id", splits).filter(col("doc_id") <= 500)
+      .orderBy("doc_id").collect().map(_.getString(1))
+    grown shouldBe small
+  }
+
+  test("samplePerGroup: exact n per group, deterministic, different salts differ") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 900).map(i => (i.toLong, s"g${i % 3}")).toDF("doc_id", "g")
+    val sampled = Curation.samplePerGroup(df, Seq("g"), 10, "doc_id")
+    sampled.groupBy("g").count().collect()
+      .map(_.getLong(1)).toSeq shouldBe Seq(10L, 10L, 10L)
+
+    val ids1 = sampled.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Curation.samplePerGroup(df, Seq("g"), 10, "doc_id")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    ids1 shouldBe ids2
+    val other = Curation.samplePerGroup(df, Seq("g"), 10, "doc_id", salt = "other")
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    ids1 should not be other
+  }
+
+  test("contamination finds the planted copy and ignores disjoint docs") {
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val train = docs((1L, shared), (2L, "completely different training text here"))
+    val test = docs(
+      (10L, shared),                                   // full copy
+      (11L, (5 to 12).map(i => s"tok$i").mkString(" ")), // partial overlap
+      (12L, "nothing in common with anything at all zz"))
+    val out = Curation.contamination(train, test).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(10L) shouldBe 28L // 30 tokens → 28 distinct 3-shingles
+    out(11L) shouldBe 6L  // 8 tokens → 6 shingles, all inside the copy
+    out.contains(12L) shouldBe false
+  }
+
+  test("hashed and string contamination agree on the real corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = d.filter(col("doc_id") % 2 === 0)
+    val test = d.filter(col("doc_id") % 2 =!= 0)
+    val hashed = Curation.contamination(train, test, hashShingles = true)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val strings = Curation.contamination(train, test, hashShingles = false)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    hashed shouldBe strings
+  }
+}
