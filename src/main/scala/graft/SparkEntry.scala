@@ -510,6 +510,25 @@ object SparkEntry {
         .orderBy("_action", "_is_update")
     }),
 
+    // CDC-maintained materialized aggregate: the stored GROUP BY is
+    // refreshed by signed application of the delta (DELETE images
+    // subtract, INSERT images add) — refresh cost ∝ delta + group domain,
+    // never the corpus. The oracle computes the full post-delta aggregate
+    // in closed form; matching it proves the incremental path lands on
+    // exactly the recompute answer.
+    "incremental_agg" -> ((s, dir) => {
+      val (b1, b2) = largeDim(s, dir)
+      val merged = Merge.upsert(b1, b2, Seq("dim_id"))
+      val maintained = graft.ops.IncrementalAgg.applyCdc(
+        graft.ops.IncrementalAgg.fullAggregate(b1, Seq("flag"), Seq("qty", "price")),
+        SnapshotCdc.diff(b1, merged, Seq("dim_id")),
+        Seq("flag"), Seq("qty", "price"))
+      maintained.select(col("flag"), col("cnt"),
+          round(col("sum_qty"), 2).as("sum_qty"),
+          round(col("sum_price"), 2).as("sum_price"))
+        .orderBy("flag")
+    }),
+
     // the same fact-scale CDC diff, but through the production path: both
     // snapshots STORED hash-bucketed on the key, so the diff join plans
     // with no Exchange on either side. The snapshots are materialized once
@@ -1119,6 +1138,23 @@ object SparkEntry {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
     "scd_upsert_large" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
+        |         max(l_extendedprice) AS price, min(l_returnflag) AS flag
+        |  FROM lineitem GROUP BY 1),
+        |merged AS (
+        |  SELECT dim_id,
+        |    CASE WHEN dim_id % 7 = 0 THEN qty + 1 ELSE qty END AS qty,
+        |    CASE WHEN dim_id % 5 = 0 THEN price * 2 ELSE price END AS price,
+        |    flag
+        |  FROM base
+        |  UNION ALL
+        |  SELECT dim_id + 1000000000, qty, price, 'X' FROM base WHERE dim_id % 11 = 0)
+        |SELECT flag, count(*) AS cnt, round(sum(qty), 2) AS sum_qty,
+        |  round(sum(price), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "incremental_agg" ->
       """WITH base AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
         |         max(l_extendedprice) AS price, min(l_returnflag) AS flag

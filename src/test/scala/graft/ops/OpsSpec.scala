@@ -223,4 +223,63 @@ class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       Some("StateX"), None, None)
     out.length shouldBe 6 // at most one version per fact (disjoint ranges)
   }
+
+  // ---- IncrementalAgg (CDC-maintained materialized aggregate) ------------
+
+  test("incremental aggregate from CDC equals full recompute (insert/update/delete)") {
+    val s = spark
+    import s.implicits._
+    val snap1 = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0), ("c", 4L, 40.0))
+      .toDF("grp", "id", "x")
+    val snap2 = Seq(
+      ("a", 1L, 15.0),  // update (DELETE 10.0 + INSERT 15.0)
+      ("a", 2L, 20.0),  // unchanged
+      ("a", 5L, 50.0),  // insert
+      ("b", 3L, 30.0))  // unchanged; id 4 deleted → group c empties
+      .toDF("grp", "id", "x")
+
+    val maintained = IncrementalAgg.applyCdc(
+      IncrementalAgg.fullAggregate(snap1, Seq("grp"), Seq("x")),
+      SnapshotCdc.diff(snap1, snap2, Seq("id")),
+      Seq("grp"), Seq("x"))
+    val recomputed = IncrementalAgg.fullAggregate(snap2, Seq("grp"), Seq("x"))
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("grp").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    rows(maintained) shouldBe rows(recomputed)
+    rows(maintained) shouldBe Seq(("a", 3L, 85.0), ("b", 1L, 30.0)) // no "c"
+  }
+
+  test("incremental aggregate stays correct across chained deltas") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    var snap = (1 to 200).map(i => (s"g${i % 5}", i.toLong, rnd.nextInt(100).toDouble))
+      .toDF("grp", "id", "x").localCheckpoint(true)
+    var agg = IncrementalAgg.fullAggregate(snap, Seq("grp"), Seq("x"))
+      .localCheckpoint(true)
+    (1 to 3).foreach { step =>
+      // mutate: change ~1/3 of values, drop ids divisible by (6+step),
+      // insert a fresh block
+      val next = snap
+        .filter(col("id") % (6 + step) =!= 0)
+        .withColumn("x",
+          when(col("id") % 3 === 0, col("x") + step).otherwise(col("x")))
+        .unionByName((1 to 20).map(i =>
+            (s"g${i % 5}", 1000L * step + i, i.toDouble))
+          .toDF("grp", "id", "x"))
+        .localCheckpoint(true)
+      agg = IncrementalAgg.applyCdc(agg,
+        SnapshotCdc.diff(snap, next, Seq("id")), Seq("grp"), Seq("x"))
+        .localCheckpoint(true)
+      snap = next
+    }
+    val expected = IncrementalAgg.fullAggregate(snap, Seq("grp"), Seq("x"))
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    agg.orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe expected
+  }
 }
