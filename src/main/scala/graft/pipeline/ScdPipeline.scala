@@ -188,8 +188,13 @@ class ScdPipeline(
     val landingVersion = stageLanding(landingNext)
     val landingNew = store.readVersion(Landing, landingVersion, config.baseSchema)
 
-    // the stream on landing now holds the delta since last consumption
-    val cdc = cdcStream.changes(landingNew)
+    // the stream on landing now holds the delta since last consumption.
+    // With registered aggregates the delta is consumed twice (SCD2 merge +
+    // MV maintenance) — materialize it once, delta-sized, instead of
+    // re-running the diff join per consumer.
+    val cdc0 = cdcStream.changes(landingNew)
+    val cdc =
+      if (config.aggregates.isEmpty) cdc0 else cdc0.localCheckpoint(true)
 
     // task4: MERGE stream → staging (J2/SCD2) — consuming the stream.
     // Partitioned by current_flag: the master refresh (and most readers)
@@ -206,6 +211,18 @@ class ScdPipeline(
 
     // stream advance staged, committed together with everything else
     val (snapTable, snapVersion) = cdcStream.stageAdvance(landingNew)
+
+    // registered materialized aggregates: refreshed by signed application
+    // of the SAME consumed delta (IncrementalAgg) and committed in the
+    // SAME manifest swap — the MV, the staging history, and the stream
+    // offset can never disagree, and each refresh costs the delta plus
+    // the group domain, never a landing rescan
+    val mvUpdates = config.aggregates.map { mv =>
+      val tbl = mvTable(mv)
+      val prev = store.readOrEmpty(tbl, mvSchema(mv))
+      tbl -> store.stage(tbl,
+        graft.ops.IncrementalAgg.applyCdc(prev, cdc, mv.keys, mv.measures))
+    }.toMap
 
     // run-log append (TASK_HISTORY stand-in)
     val prevLog = store.readOrEmpty(RunLog, Schemas.runLog)
@@ -231,7 +248,7 @@ class ScdPipeline(
       Staging -> stagingVersion,
       Master -> masterVersion,
       snapTable -> snapVersion,
-      RunLog -> logVersion) ++ ledgerUpdate)
+      RunLog -> logVersion) ++ ledgerUpdate ++ mvUpdates)
 
     afterCommit()
     rowsLoaded
@@ -240,6 +257,29 @@ class ScdPipeline(
   /** The COPY load-history ledger (file name → load batch time). */
   def loadHistory: DataFrame =
     store.readOrEmpty(LoadHistory, Schemas.loadHistory)
+
+  private def mvTable(mv: MaterializedAggregate): String =
+    s"${config.prefix}_mv_${mv.name}"
+
+  /** The MV's schema is whatever [[graft.ops.IncrementalAgg.fullAggregate]]
+    * produces over the base schema — derived from an empty frame so the
+    * two can never drift. */
+  private def mvSchema(mv: MaterializedAggregate) =
+    graft.ops.IncrementalAgg.fullAggregate(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        config.baseSchema),
+      mv.keys, mv.measures).schema
+
+  /** Read a registered materialized aggregate (empty until its first
+    * cycle — the first delta is all INSERT images, so the MV initializes
+    * itself from the empty frame). */
+  def aggregate(name: String): DataFrame = {
+    val mv = config.aggregates.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"no registered aggregate '$name'; registered: ${
+          config.aggregates.map(_.name).mkString(", ")}"))
+    store.readOrEmpty(mvTable(mv), mvSchema(mv))
+  }
 
   // -- verification reads (SURVEY.md §3.3) --------------------------------
 
@@ -301,7 +341,12 @@ case class ScdConfig(
       * full shuffle in the core pipeline at 100 TB. Size so one bucket of
       * the dimension fits an executor core (e.g. 4096 for a 10 TB
       * dimension). */
-    snapshotBuckets: Option[Int] = None) {
+    snapshotBuckets: Option[Int] = None,
+    /** Materialized aggregates over the landing table, maintained
+      * incrementally from each cycle's CDC delta
+      * ([[graft.ops.IncrementalAgg]]) and committed atomically with the
+      * cycle. Additive aggregates only (count + sums). */
+    aggregates: Seq[MaterializedAggregate] = Nil) {
   require(businessKeys.nonEmpty, "businessKeys must be non-empty")
   /** The reference-style SCD match key: business key + tracked column
     * (`SCD-Automation.sql:85`). */
@@ -321,6 +366,15 @@ object ScdConfig {
     businessKeys = Seq("supplier_code"),
     trackedCols = Seq("supplier_state"),
     snapshotBuckets = Some(16))
+}
+
+/** A landing-table aggregate the pipeline maintains incrementally:
+  * `keys` → `count(*) AS cnt` plus `sum(<m>) AS sum_<m>` per measure. */
+case class MaterializedAggregate(
+    name: String,
+    keys: Seq[String],
+    measures: Seq[String] = Nil) {
+  require(name.matches("[a-zA-Z0-9_]+"), s"aggregate name must be [a-zA-Z0-9_]+: $name")
 }
 
 sealed trait DuplicatePolicy
