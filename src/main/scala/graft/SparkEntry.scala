@@ -649,11 +649,26 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("source", "doc_id")),
 
-    // train→test n-gram contamination (string-shingle form for the SQL
-    // oracle; the hashed slim-shuffle form is proven equivalent in
-    // CurationSpec)
+    // train→test n-gram contamination — the PRODUCTION hashed-shingle
+    // form (8-byte shuffle keys). Its (doc_id, count) output is identical
+    // to the string form up to 64-bit collisions, so the string-shingle
+    // oracle SQL still hash-checks it; the bounded string-form query
+    // below witnesses the exact-SQL path separately.
     "curation_contamination" -> ((s, dir) => {
       val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.contamination(
+          train = d.filter(col("doc_id") % 2 === 0),
+          test = d.filter(col("doc_id") % 2 =!= 0),
+          hashShingles = true)
+        .orderBy("doc_id")
+    }),
+
+    // string-shingle contamination on a bounded slice: the literal
+    // closed-form-SQL path (no hashing anywhere), kept small so the bench
+    // measures the production form above, not this witness
+    "curation_contamination_strings" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 200)
       graft.operators.Curation.contamination(
           train = d.filter(col("doc_id") % 2 === 0),
           test = d.filter(col("doc_id") % 2 =!= 0),
@@ -692,6 +707,27 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
+
+    // band selection under portable md5 banding, in isolation: DuckDB
+    // recomputes the identical closed-form banding, so the candidate-pair
+    // set itself is hash-checked — the stage the xxhash64 default leaves
+    // rows-only. 32 bands × 2 rows (vs the 16×4 production default):
+    // weaker bands admit weak pairs as candidates, making the oracled
+    // pair set bigger and the banding check correspondingly sharper
+    "minhash_band_candidates" -> ((s, dir) =>
+      Dedup.minhashPortableCandidates(
+          s.read.parquet(s"$dir/documents.parquet"), bands = 32, maxId = 300L)
+        .orderBy("id_a", "id_b")),
+
+    // the FULL minhash dedup pipeline (banding → candidates → Jaccard
+    // verify → anti-join) in portable md5 mode, end-to-end hash-verified;
+    // xxhash64 banding remains the performance default (`dedup_minhash`)
+    "dedup_minhash_oracled" -> ((s, dir) =>
+      Dedup.minhashPortable(
+          s.read.parquet(s"$dir/documents.parquet"),
+          bands = 32, threshold = 0.5, maxId = 300L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
 
     // transitive duplicate groups over the verify pairs: Spark runs
     // iterative min-label propagation; the oracle computes the same
@@ -1311,6 +1347,23 @@ object SparkEntry {
         |FROM test t JOIN train tr ON t.s = tr.s
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "curation_contamination_strings" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents WHERE doc_id <= 200),
+        |train AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE id % 2 = 0),
+        |test AS (SELECT id, unnest(list_distinct(sh)) AS s FROM sh WHERE id % 2 <> 0)
+        |SELECT t.id AS doc_id, count(*) AS n_shared_shingles
+        |FROM test t JOIN train tr ON t.s = tr.s
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -1353,6 +1406,60 @@ object SparkEntry {
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(a.sh || b.sh)) >= 0.05
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // portable md5 banding recomputed in closed form: permutation i of
+    // shingle s = md5(i ':' s), signature element = lexicographic min,
+    // band key = md5(b '|' row-mins) — identical algebra to
+    // Dedup.portableBandKeys, different engine
+    "minhash_band_candidates" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM documents WHERE doc_id <= 300),
+        |bk AS (
+        |  SELECT id, unnest(list_transform(range(32), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*2, b*2+2), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM sh)
+        |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |FROM bk a JOIN bk b ON a.band = b.band AND a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_minhash_oracled" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM documents WHERE doc_id <= 300),
+        |bk AS (
+        |  SELECT id, unnest(list_transform(range(32), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*2, b*2+2), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b ON a.band = b.band AND a.id < b.id),
+        |dup AS (
+        |  SELECT DISTINCT c.id_b
+        |  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+        |  WHERE len(list_distinct(list_intersect(a.shd, b.shd))) * 1.0 /
+        |        len(list_distinct(a.shd || b.shd)) >= 0.5)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id <= 300 AND doc_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY doc_id""".stripMargin,
 
     "knn_brute" ->
       """SELECT e.vec_id,

@@ -15,11 +15,15 @@ import org.apache.spark.sql.functions._
   * Decode / feature-extraction runs as a partition-mapped batch job
   * (`Dataset.mapPartitions` — the Scala analog of PySpark's
   * `mapInPandas`): one decoder init per partition, rows streamed through
-  * it, output Arrow-friendly fixed-width features. The actual codec step is
-  * STUBBED — this container has no image/audio libraries — behind
-  * [[Media.decodeStub]], a deterministic fake keyed on the payload bytes,
-  * so the Spark-side contract (schema, batching, partitioning, null
-  * handling) is real and tested while the codec is swappable.
+  * it, output Arrow-friendly fixed-width features. IMAGE decode is REAL:
+  * payloads whose magic marks them as PNG/JPEG/GIF/BMP get header-only
+  * dimension extraction and full decode+rescale via JDK `javax.imageio`
+  * ([[Media.imageDimensions]]/[[Media.resizeImage]] — no external jars).
+  * Audio/video codecs (and the feature embedding, which needs a model)
+  * remain STUBBED behind [[Media.decodeStub]], a deterministic fake keyed
+  * on the payload bytes, so the Spark-side contract (schema, batching,
+  * partitioning, null handling) is real and tested while those codecs
+  * stay swappable.
   */
 object Media {
 
@@ -62,6 +66,70 @@ object Media {
   def decodeStub(kind: String, payload: Array[Byte]): (Int, Int, Int, Array[Float]) =
     decodeFromDigest(kind, MessageDigest.getInstance("SHA-256").digest(payload))
 
+  // real codecs never need a display; keep AWT headless before any
+  // ImageIO class initializes
+  System.setProperty("java.awt.headless", "true")
+
+  private def looksLikeImage(p: Array[Byte]): Boolean =
+    p.length >= 4 && (
+      (p(0) == 0x89.toByte && p(1) == 'P' && p(2) == 'N' && p(3) == 'G') || // PNG
+      (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // JPEG
+      (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
+      (p(0) == 'B' && p(1) == 'M'))                                          // BMP
+
+  /** REAL image dimensions via JDK `javax.imageio` — no extra jars.
+    * Dispatched on the payload magic (PNG/JPEG/GIF/BMP); `None` when the
+    * bytes are not a recognizable image, in which case callers fall back
+    * to the deterministic stub. Header-only: `ImageReader.getWidth/
+    * getHeight` parse the format header without decoding pixels, so
+    * metadata extraction stays cheap even for multi-MB payloads — the
+    * property that matters when this runs inside a 100 TB scan. */
+  def imageDimensions(payload: Array[Byte]): Option[(Int, Int)] =
+    if (!looksLikeImage(payload)) None
+    else {
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try { r.setInput(iis); Some((r.getWidth(0), r.getHeight(0))) }
+          finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally if (iis != null) iis.close()
+    }
+
+  /** REAL image resize via JDK imaging: full decode → bilinear scale →
+    * PNG re-encode. `None` when the payload isn't decodable (caller falls
+    * back to the stub). Returns the payload unchanged when it already
+    * fits `maxSide`. */
+  def resizeImage(payload: Array[Byte], maxSide: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val scale = math.min(1.0, maxSide.toDouble / math.max(img.getWidth, img.getHeight))
+        if (scale >= 1.0) Some(payload)
+        else {
+          val w = math.max(1, math.round(img.getWidth * scale).toInt)
+          val h = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Some(bos.toByteArray)
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** The stub's body, keyed on an already-computed payload digest — lets
     * [[extractFeatures]] hash each payload exactly once for both the
     * pseudo-decode and the reported sha256. */
@@ -91,7 +159,16 @@ object Media {
       val sha = MessageDigest.getInstance("SHA-256")
       it.map { f =>
         val h = sha.digest(f.payload) // digest() resets the instance
-        val (w, hgt, nf, feat) = decodeFromDigest(f.kind, h)
+        val (w0, h0, nf, feat) = decodeFromDigest(f.kind, h)
+        // image rows with a real decodable payload report REAL pixel
+        // dimensions (header-only javax.imageio read); everything else —
+        // audio/video, or image kinds whose bytes aren't an image — keeps
+        // the deterministic stub. The 8-dim feature vector stays digest-
+        // derived in both paths: a real embedding needs a model, which is
+        // exactly the swappable part of this contract.
+        val (w, hgt) =
+          if (f.kind == "image") imageDimensions(f.payload).getOrElse((w0, h0))
+          else (w0, h0)
         val digest = h.map("%02x".format(_)).mkString
         MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nf, feat)
       }
@@ -117,14 +194,26 @@ object Media {
     files.mapPartitions { it =>
       it.map { f =>
         if (f.kind != "image") f
-        else {
-          val (w, h, _, _) = decodeStub(f.kind, f.payload)
-          val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
-          // stub re-encode: proportional byte budget, deterministic content
-          val newLen = math.max(1, (f.payload.length * scale * scale).toInt)
-          val out = java.util.Arrays.copyOf(f.payload, newLen)
-          f.copy(payload = out,
-            meta_source = f.meta_source + s";resized=${(w * scale).toInt}x${(h * scale).toInt}")
+        else imageDimensions(f.payload) match {
+          case Some((w, h)) =>
+            // REAL path: decodable image bytes → JDK decode + bilinear
+            // scale + PNG re-encode (resizeImage); metadata records the
+            // actual output geometry
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            val out = resizeImage(f.payload, maxSide).getOrElse(f.payload)
+            f.copy(payload = out,
+              meta_source = f.meta_source +
+                s";resized=${math.max(1, math.round(w * scale).toInt)}x${
+                  math.max(1, math.round(h * scale).toInt)}")
+          case None =>
+            // stub path: not an actual image — keep the deterministic
+            // pseudo-resize so the pipeline shape is still exercised
+            val (w, h, _, _) = decodeStub(f.kind, f.payload)
+            val scale = math.min(1.0, maxSide.toDouble / math.max(w, h))
+            val newLen = math.max(1, (f.payload.length * scale * scale).toInt)
+            val out = java.util.Arrays.copyOf(f.payload, newLen)
+            f.copy(payload = out,
+              meta_source = f.meta_source + s";resized=${(w * scale).toInt}x${(h * scale).toInt}")
         }
       }
     }

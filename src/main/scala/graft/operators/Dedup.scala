@@ -192,6 +192,87 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  // ---- Portable (cross-engine) MinHash banding -----------------------------
+
+  /** Shingle STRINGS (not hashed) with the same window semantics as the
+    * hashed-kernel path: k-token windows over whitespace tokens, whole
+    * text as the single shingle when shorter than k. */
+  private def portableShingleStrings(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    when(size(toks) < k, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+  }
+
+  /** Banded LSH keys where EVERY hash is md5-derived and therefore
+    * reproducible in closed-form SQL by any engine with md5 (the same
+    * portability trick as [[Curation.hashFraction]]): permutation i of
+    * shingle s is `md5(i ':' s)`, a signature element is the lexicographic
+    * MIN of those hex strings, and band b's key is
+    * `md5(b '|' sig[b*rows] '|' … )`. Each (band, row) minimum scans the
+    * shingle array exactly once — 64 md5 passes total, never the
+    * 16×-recompute shape CollapseProject produces when a materialized
+    * signature column is inlined into the band lambda. xxhash64 banding
+    * ([[lshBandKeys]]) stays the performance default; this mode exists so
+    * the full dedup pipeline can be oracle-verified end to end. */
+  private def portableBandKeys(shd: Column, numHashes: Int, bands: Int): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      md5(concat(b.cast("string"), lit("|"),
+        concat_ws("|", transform(sequence(b * rows, b * rows + (rows - 1)),
+          i => array_min(transform(shd,
+            s => md5(concat(i.cast("string"), lit(":"), s)))))))))
+  }
+
+  /** `(id, shd)` base projection for the portable pipeline: distinct
+    * shingle strings per doc, bounded by `maxId` (the portable mode is the
+    * oracle/audit path — bound it; the xxhash64 path is the scale path). */
+  private def portableBase(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, maxId: Long): DataFrame =
+    df.filter(col(idCol) <= maxId)
+      .select(col(idCol).as("id"),
+        array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
+
+  /** Band-candidate pairs (id_a < id_b) under portable md5 banding — the
+    * band-selection stage in isolation, so an external engine recomputing
+    * the same closed-form banding must produce the identical pair set.
+    * Runs through the production [[candidatePairs]] machinery (hot-bucket
+    * guard, streamed in-bucket expansion). */
+  def minhashPortableCandidates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, maxId: Long = 300L): DataFrame =
+    withProjectionCache(portableBase(df, textCol, idCol, shingleSize, maxId)) { base =>
+      val banded = base.select(
+        explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
+        col("id"))
+      candidatePairs(banded, "band", "id")
+    }
+
+  /** Full portable minhash dedup: md5 banding → candidate pairs → exact
+    * Jaccard verify over distinct shingle strings → drop every doc with a
+    * verified smaller-id duplicate. Every stage is reproducible in
+    * closed-form SQL, making the whole pipeline hash-checkable against an
+    * independent engine (banding + verify + anti-join). */
+  def minhashPortable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, threshold: Double = 0.8, maxId: Long = 300L): DataFrame = {
+    val dupIds = withProjectionCache(
+        portableBase(df, textCol, idCol, shingleSize, maxId)) { base =>
+      val banded = base.select(
+        explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
+        col("id"))
+      candidatePairs(banded, "band", "id")
+        .join(base.select(col("id").as("id_a"), col("shd").as("shd_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("shd").as("shd_b")), "id_b")
+        .filter(size(array_intersect(col("shd_a"), col("shd_b"))).cast("double") /
+          size(array_union(col("shd_a"), col("shd_b"))) >= threshold)
+        .select(col("id_b"))
+        .distinct()
+    }
+    df.filter(col(idCol) <= maxId)
+      .join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd

@@ -105,10 +105,24 @@ object Percentiles {
       groupCols: Seq[String],
       valueCol: String,
       percentiles: Seq[Double],
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      maxGroups: Long = 10000L): DataFrame = {
     require(percentiles.nonEmpty, "percentiles must be non-empty")
     require(percentiles.forall(p => p >= 0 && p <= 1),
       s"percentiles must be in [0,1]: $percentiles")
+    // cardinality guard on pass 1's driver collect: it ships
+    // partitions × groups count-tuples, metadata-sized ONLY for the
+    // few-huge-groups shape this form targets. A caller pointing it at a
+    // high-cardinality key (1M groups × 200 partitions = 200M tuples)
+    // must not blow up the driver — measure first with a cheap
+    // approx_count_distinct pass and hand that shape to the window form,
+    // whose state is zero per group and which parallelizes fine when
+    // groups are many.
+    val approxGroups = df
+      .agg(approx_count_distinct(struct(groupCols.map(col): _*)))
+      .head().getLong(0)
+    if (approxGroups > maxGroups)
+      return exactByGroup(df, groupCols, valueCol, percentiles)
     val spark = df.sparkSession
     val gN = groupCols.length
     val proj = df.filter(col(valueCol).isNotNull)

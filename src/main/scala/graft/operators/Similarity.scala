@@ -278,7 +278,8 @@ object Similarity {
       numPlanes: Int = 4,
       dim: Int = 64,
       seed: Long = 42L,
-      numTables: Int = 8): DataFrame = {
+      numTables: Int = 8,
+      maxCandidatesPerLeft: Int = 0): DataFrame = {
     val tables = planeTables(numTables, numPlanes, dim, seed)
     // per-row array of per-table join keys; vec is a plain column ref so
     // the L bucket computations stay one narrow projection
@@ -293,11 +294,28 @@ object Similarity {
     // same narrow-candidates shape as [[Dedup.candidatePairs]].
     val l = left.select(col(idCol).as("id_l"), col(vecCol).as("v_l"))
     val r = right.select(col(idCol).as("id_r"), col(vecCol).as("v_r"))
-    val candidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
+    val rawCandidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
       .join(r.select(col("id_r"), explode(keys(col("v_r"))).as("key")), "key")
       .filter(col("id_l") =!= col("id_r"))
       .select(col("id_l"), col("id_r"))
       .dropDuplicates("id_l", "id_r")
+    // deterministic per-left cap BEFORE vectors are attached: inside one
+    // dense cluster every member collides with every other in every table,
+    // so a hot left row's candidate list is O(cluster²)-ish — unbounded,
+    // it drags that many dim-sized vector pairs into one scoring window
+    // partition. Capping on the slim (id_l, id_r) pairs is a spillable
+    // 16-byte-row sort; hash order (not id order) keeps the kept subset
+    // unbiased, and xxhash64(id_l, id_r) keeps it reproducible across
+    // runs — rand() would make recall flap. Default cap 50·k keeps ≥0.5
+    // recall with a wide margin (the adversarial-cluster spec pins it).
+    val cap = if (maxCandidatesPerLeft > 0) maxCandidatesPerLeft else 50 * k
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l"))
+      .orderBy(xxhash64(col("id_l"), col("id_r")), col("id_r"))
+    val candidates = rawCandidates
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= cap)
+      .drop("__cr")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
     candidates

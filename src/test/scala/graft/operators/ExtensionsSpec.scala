@@ -70,6 +70,24 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
 
+  test("portable md5 minhash: banding finds the near-dup, dedup drops it, cache stays clean") {
+    spark.catalog.clearCache()
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"token$i").mkString(" ")
+    val other = (1 to 40).map(i => s"word$i").mkString(" ")
+    val d = docs((1L, base), (2L, nearDup), (3L, other))
+      .withColumn("source", lit("s"))
+
+    val cands = Dedup.minhashPortableCandidates(d, bands = 32, maxId = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cands should contain((1L, 2L)) // j≈0.95 collides with near-certainty
+    cands should not contain ((1L, 3L))
+
+    Dedup.minhashPortable(d, bands = 32, threshold = 0.5, maxId = 10L)
+      .select("doc_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+  }
+
   test("near-dup pipelines leave no cached plans behind (no session-lifetime leak)") {
     // the single-scan projection cache is scoped to each call: repeated
     // calls over different corpora must not accumulate CacheManager
@@ -320,6 +338,74 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       joined.getOrElse(id, Set.empty[Long]).intersect(bs).size.toDouble / k
     }
     (recalls.sum / recalls.size) should be >= 0.5
+  }
+
+  test("knnJoin candidate cap stays bounded and deterministic under a dense cluster") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    // adversarial shape: ONE dense cluster of 300 near-identical vectors —
+    // every member collides with every other in every LSH table, so the
+    // uncapped candidate list per left row is the whole cluster
+    val baseV = Array.tabulate(dim)(j => math.sin(j * 1.7).toFloat)
+    val rows = (0 until 300).map { i =>
+      (i.toLong, baseV.zipWithIndex.map {
+        case (x, j) => x + ((i * 31 + j) % 7) * 1e-4f
+      }.toSeq)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val k = 3
+    val out = Similarity.knnJoin(e, e, k = k, dim = dim,
+      maxCandidatesPerLeft = 10)
+    val got = out.collect()
+    got.length should be > 0
+    got.groupBy(_.getLong(0)).values.foreach(_.length should be <= k)
+    // deterministic: the hash-ordered cap keeps the SAME subset run-to-run
+    val again = Similarity.knnJoin(e, e, k = k, dim = dim,
+      maxCandidatesPerLeft = 10).collect()
+    got.map(_.toSeq).sortBy(_.toString) shouldBe again.map(_.toSeq).sortBy(_.toString)
+  }
+
+  test("real image payloads decode to exact dimensions; fakes keep the stub") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      img.setRGB(0, 0, 0xAA5533)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    Media.imageDimensions(png(1, 1)) shouldBe Some((1, 1))
+    Media.imageDimensions(png(2, 3)) shouldBe Some((2, 3))
+    Media.imageDimensions(jpg(7, 5)) shouldBe Some((7, 5))
+    Media.imageDimensions("not an image".getBytes("UTF-8")) shouldBe None
+
+    // end-to-end through the partition-mapped extract: image rows with
+    // real bytes report REAL pixel dims; text-payload "images" and audio
+    // keep the deterministic stub (stub dims are always ≥ 64)
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      Media.MediaFile(1L, "image", png(2, 3), "fixture"),
+      Media.MediaFile(2L, "image", "plain text".getBytes("UTF-8"), "fixture"),
+      Media.MediaFile(3L, "audio", png(4, 4), "fixture")).toDS()
+    val rows = Media.extractFeatures(files).collect().sortBy(_.media_id)
+    (rows(0).width, rows(0).height, rows(0).n_frames) shouldBe ((2, 3, 1))
+    rows(1).width should be >= 64
+    rows(2).width should be >= 64
+
+    // real resize: 10×4 at maxSide 5 → a decodable 5×2 PNG, geometry in meta
+    val big = Seq(Media.MediaFile(9L, "image", png(10, 4), "fx")).toDS()
+    val out = Media.resize(big, maxSide = 5).collect().head
+    Media.imageDimensions(out.payload) shouldBe Some((5, 2))
+    out.meta_source should include("resized=5x2")
   }
 
   test("GraftExtensions registers SQL functions") {

@@ -88,6 +88,35 @@ class PercentilesSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("exactByGroupSorted falls back to the window form above the group-cardinality guard") {
+    val s = spark
+    import s.implicits._
+    // 100k single-row groups: pass 1 of the range-sorted form would ship
+    // partitions × 100k count-tuples to the driver — exactly the shape the
+    // guard must reroute. Correctness: a single-row group's percentile is
+    // its value.
+    val n = 100000
+    val df = spark.range(n)
+      .select(col("id").as("g"), (col("id") % 97).cast("double").as("v"))
+    val out = Percentiles.exactByGroupSorted(df, Seq("g"), "v", Seq(0.5))
+    // the sorted path ends in an eager localCheckpoint (LogicalRDD); the
+    // window fallback stays a declarative plan — observable proof the
+    // guard rerouted rather than collected
+    out.queryExecution.optimizedPlan.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    } shouldBe empty
+    out.count() shouldBe n
+    out.filter(col("g") === 12345).head().getDouble(1) shouldBe (12345 % 97).toDouble +- 1e-9
+    out.filter(col("g") === 99999).head().getDouble(1) shouldBe (99999 % 97).toDouble +- 1e-9
+
+    // and a low-cardinality input still takes the range-sorted path
+    val few = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("g", "v")
+    Percentiles.exactByGroupSorted(few, Seq("g"), "v", Seq(0.5))
+      .queryExecution.optimizedPlan.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l
+      } should not be empty
+  }
+
   test("approx_count_distinct stays within 5% of exact (the 100 TB distinct path)") {
     val s = spark
     import s.implicits._
