@@ -211,6 +211,45 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("MV refresh plan reads the delta and the stored MV — never the landing table") {
+    val store = new graft.core.TableStore(tmpDir("mvplan-store"), spark)
+    val stage = new graft.sources.Stage(tmpDir("mvplan-stage"))
+    val mv = graft.pipeline.MaterializedAggregate("by_state",
+      keys = Seq("supplier_state"), measures = Seq("supplier_key"))
+    val pipeline = new graft.pipeline.ScdPipeline(spark, store,
+      config = graft.pipeline.ScdConfig.supplier.copy(aggregates = Seq(mv)))
+
+    stage.putContent("b1.csv",
+      "1,A101,One,S1\n2,A102,Two,S2\n3,A103,Three,S3")
+    pipeline.runCycle(stage, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+
+    // mirror the pipeline's refresh construction exactly: stored MV +
+    // eagerly-materialized delta (the pipeline localCheckpoints the cycle
+    // CDC before fanning it out to the SCD2 merge and each MV)
+    val prev = pipeline.aggregate("by_state")
+    val delta = spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(9L, "A109", "Nine", "S1", "INSERT", true)),
+      org.apache.spark.sql.types.StructType(
+        graft.core.Schemas.supplierBase.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            graft.core.Schemas.cdcActionCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(
+            graft.core.Schemas.cdcIsUpdateCol,
+            org.apache.spark.sql.types.BooleanType))))
+      .localCheckpoint(true)
+    val refresh = graft.ops.IncrementalAgg.applyCdc(
+      prev, delta, mv.keys, mv.measures)
+
+    // the only file scan in the refresh is the group-domain-sized MV
+    // itself; the landing table (corpus-sized at 100 TB) appears nowhere.
+    // The delta enters as the checkpointed RDD, not a re-derived diff.
+    val plan = executedPlan(refresh)
+    plan should include("supplier_mv_by_state")
+    plan should not include "supplier_landing"
+    plan should include("ExistingRDD")
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -198,6 +198,64 @@ class GoldenScenarioSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(3L, 2L, 1L)
   }
 
+  test("maintained aggregate tracks full recompute across cycles, vacuum, and a FAILED cycle") {
+    val store = new TableStore(tmpDir("mv-store"), spark)
+    val stage = new Stage(tmpDir("mv-stage"))
+    val mv = MaterializedAggregate("by_state",
+      keys = Seq("supplier_state"), measures = Seq("supplier_key"))
+    val pipeline = new ScdPipeline(spark, store,
+      config = ScdConfig.supplier.copy(aggregates = Seq(mv)))
+
+    def assertMvMatchesRecompute(): Unit = {
+      val got = pipeline.aggregate("by_state")
+        .orderBy("supplier_state").collect().map(_.toSeq).toSeq
+      val want = graft.ops.IncrementalAgg.fullAggregate(
+          pipeline.landing, mv.keys, mv.measures)
+        .orderBy("supplier_state").collect().map(_.toSeq).toSeq
+      got shouldBe want
+    }
+
+    // cycle 1 initializes the MV from the all-INSERT first delta
+    stage.putContent("suppliers.csv", scenario1)
+    pipeline.runCycle(stage, t1)
+    assertMvMatchesRecompute()
+    pipeline.aggregate("by_state").count() shouldBe 6 // six distinct states
+
+    store.vacuum() // MV versions survive vacuum like any table
+
+    // cycle 2: updates move A105/A106 between states (DELETE+INSERT pairs
+    // hit both the departed and the arrived group) + two inserts
+    stage.putContent("suppliers_v2.csv", scenario2)
+    pipeline.runCycle(stage, t2)
+    assertMvMatchesRecompute()
+
+    // FAILED cycle: duplicate business key → throw; the MV must stay at
+    // its committed value (refresh is inside the atomic commit)
+    val mvBefore = pipeline.aggregate("by_state")
+      .orderBy("supplier_state").collect().map(_.toSeq).toSeq
+    stage.putContent("poison.csv",
+      "9,A105,Dup One,StateA\n10,A105,Dup Two,StateB")
+    an[IllegalArgumentException] should be thrownBy
+      pipeline.runCycle(stage, Timestamp.valueOf("2024-03-28 01:00:00"))
+    pipeline.aggregate("by_state")
+      .orderBy("supplier_state").collect().map(_.toSeq).toSeq shouldBe mvBefore
+    assertMvMatchesRecompute()
+
+    store.vacuum()
+
+    // cycle 3 after the failure: a state flip for A101 still refreshes
+    // correctly from the delta alone
+    stage.rm()
+    stage.putContent("suppliers_v3.csv", "1,A101,Virat Kohli,Goa")
+    pipeline.runCycle(stage, Timestamp.valueOf("2024-03-29 02:00:00"))
+    assertMvMatchesRecompute()
+    // Delhi's count hit zero and must have been dropped, Goa appeared
+    val states = pipeline.aggregate("by_state")
+      .collect().map(_.getString(0)).toSet
+    states should contain("Goa")
+    states should not contain "Delhi"
+  }
+
   test("mid-cycle stream peek shows the update pair with stable row ids") {
     val store = new TableStore(tmpDir("peek-store"), spark)
     val stage = new Stage(tmpDir("peek-stage"))
