@@ -1,0 +1,203 @@
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.TableStore
+import graft.pipeline.{MaterializedAggregate, ScdConfig, ScdPipeline}
+import graft.sources.Stage
+
+/** sf1 scale soak (10× the per-round bench scale).
+  *
+  * 1. Generates /tmp/sf1 from /root/testdata/sf0.1 by 10-way key-shifted
+  *    replication (FK consistency preserved per copy; nation/region kept
+  *    single-copy; embeddings jittered so vectors aren't exact dups).
+  * 2. Times the headline queries through SparkEntry.queries with a
+  *    noop-sink, min of 2 runs → one JSON line (BENCH_sf1).
+  * 3. Asserts the two scale invariants that matter most at this volume:
+  *    the large-dim MERGE stays a broadcast two-branch plan (zero target
+  *    shuffle), and the bucketed CDC diff stays exchange-free.
+  * 4. Runs a 5-cycle × 200k-row duplicate-laden pipeline soak (bucketed
+  *    snapshots + a registered materialized aggregate) and asserts the
+  *    MV equals a full recompute of landing at the end.
+  *
+  * Run via the tools/README scratch-compile recipe; exits nonzero on any
+  * violated invariant.
+  */
+object Sf1Soak {
+  private val Src = "/root/testdata/sf0.1"
+  private val Dst = "/tmp/sf1"
+  private val Copies = 10
+  private val Off = 100000000L // key offset per copy, clears every id space
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark)
+    val times = bench(spark)
+    planInvariants(spark)
+    pipelineSoak(spark)
+
+    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val total = times.map(_._2).sum
+    val json =
+      s"""{"metric":"total_sf1","value":$total,"unit":"sec","queries":$qs,"sf":"$Dst"}"""
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/BENCH_sf1.json"), json + "\n")
+    spark.stop()
+  }
+
+  /** 10× sf0.1 with per-copy key shifts: ~6M lineitem / 1M events /
+    * 50k docs / 20k embeddings. */
+  private def generate(spark: SparkSession): Unit = {
+    val done = java.nio.file.Paths.get(s"$Dst/_GENERATED")
+    if (java.nio.file.Files.exists(done)) { println(s"[gen] $Dst cached"); return }
+    val t0 = System.nanoTime()
+    def src(t: String): DataFrame = spark.read.parquet(s"$Src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.repartition(32).write.mode("overwrite").parquet(s"$Dst/$t.parquet")
+
+    def replicate(t: String, shifts: Map[String, Long],
+        extra: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = src(t)
+      val parts = (0 until Copies).map { i =>
+        val shifted = shifts.foldLeft(base) { case (d, (c, off)) =>
+          d.withColumn(c, col(c) + lit(i * off))
+        }
+        extra(shifted, i)
+      }
+      write(parts.reduce(_ unionByName _), t)
+    }
+
+    // dimensions shared across copies stay single-copy (realistic shape:
+    // fact tables scale, enum-like dims don't)
+    write(src("nation"), "nation")
+    write(src("region"), "region")
+
+    replicate("lineitem", Map("l_orderkey" -> Off, "l_partkey" -> Off, "l_suppkey" -> Off))
+    replicate("orders", Map("o_orderkey" -> Off, "o_custkey" -> Off))
+    replicate("customer", Map("c_custkey" -> Off))
+    replicate("supplier", Map("s_suppkey" -> Off))
+    replicate("part", Map("p_partkey" -> Off))
+    replicate("events", Map("event_id" -> Off, "user_id" -> Off))
+    replicate("documents", Map("doc_id" -> Off))
+    // jitter replicated vectors so ANN isn't probing exact duplicates
+    replicate("embeddings", Map("vec_id" -> Off),
+      (d, i) => if (i == 0) d else d.withColumn("embedding",
+        transform(col("embedding"),
+          x => x + (col("vec_id") % 97).cast("float") * lit(1e-4f * i))))
+
+    java.nio.file.Files.createFile(done)
+    println(f"[gen] built $Dst in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
+  private val Headline = Seq(
+    "q01_pricing_summary", "q10_revenue_by_nation", "q13_percentiles",
+    "q14_percentiles_sorted", "q07_event_gaps", "event_sessions",
+    "session_concurrency", "dedup_exact", "dedup_minhash", "text_stats",
+    "knn_join", "salted_join", "scd_upsert_large", "scd_cdc_large",
+    "incremental_agg")
+
+  private def bench(spark: SparkSession): Seq[(String, Double)] =
+    Headline.map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, Dst).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val t = math.min(once(), once())
+      println(f"[sf1] $name%-28s $t%.2f s")
+      name -> t
+    }
+
+  private def fail(msg: String): Unit = { System.err.println(s"[FAIL] $msg"); sys.exit(1) }
+
+  /** The invariants PlanSpec pins at test scale, re-checked against sf1
+    * volumes (where a silently regressed plan would actually hurt). */
+  private def planInvariants(spark: SparkSession): Unit = {
+    // 1. large-dim MERGE: broadcast two-branch plan, zero target shuffle
+    val li = spark.read.parquet(s"$Dst/lineitem.parquet")
+    val base = li.groupBy((col("l_orderkey") * 8 + col("l_linenumber")).as("dim_id"))
+      .agg(max(col("l_quantity")).as("qty"), min(col("l_returnflag")).as("flag"))
+      .localCheckpoint(true)
+    val delta = base.filter(col("dim_id") % 7 === 0)
+      .select(col("dim_id"), (col("qty") + 1).as("qty"), col("flag"))
+    val mergePlan = graft.ops.Merge.upsert(base, delta, Seq("dim_id"))
+      .queryExecution.executedPlan.toString
+    if (!mergePlan.contains("BroadcastHashJoin"))
+      fail("sf1 MERGE lost its broadcast join")
+    if (mergePlan.contains("SortMergeJoin"))
+      fail("sf1 MERGE sort-merge-joins the target")
+    println("[plan] sf1 MERGE: broadcast two-branch, no target shuffle")
+
+    // 2. bucketed snapshot diff: exchange-free on both sides
+    val root = java.nio.file.Files.createTempDirectory("sf1plan").toString
+    val store = new TableStore(s"$root/w", spark)
+    val cfg = ScdConfig("sf1dim",
+      StructType(Seq(StructField("k", LongType), StructField("code", StringType),
+        StructField("state", StringType))),
+      Seq("code"), Seq("state"),
+      duplicatePolicy = graft.pipeline.DuplicatePolicy.KeepOne,
+      snapshotBuckets = Some(16))
+    val p = new ScdPipeline(spark, store, faithful = true, cfg)
+    def batch(n: Int, salt: Int): DataFrame =
+      spark.range(n).select(col("id").as("k"),
+        concat(lit("C"), col("id")).as("code"),
+        concat(lit("S"), (col("id") + salt) % 50).as("state"))
+    p.runCycleWithBatch(batch(200000, 0), Timestamp.valueOf("2024-01-01 00:00:00"))
+    p.runCycleWithBatch(batch(200000, 1), Timestamp.valueOf("2024-01-02 00:00:00"))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val diffPlan = p.streamChanges().queryExecution.executedPlan.toString
+      if (diffPlan.contains("Exchange")) fail("sf1 bucketed CDC diff grew an Exchange")
+      if (!diffPlan.contains("SelectedBucketsCount"))
+        fail("sf1 CDC diff is not reading bucketed scans")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    println("[plan] sf1 bucketed CDC diff: exchange-free")
+  }
+
+  /** 5 cycles × 200k duplicate-laden rows through the full pipeline with
+    * a registered MV; asserts MV ≡ full recompute at the end. */
+  private def pipelineSoak(spark: SparkSession): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("sf1soak").toString
+    val cfg = ScdConfig("sf1soak",
+      StructType(Seq(StructField("k", LongType), StructField("code", StringType),
+        StructField("name", StringType), StructField("state", StringType))),
+      Seq("code"), Seq("state"),
+      duplicatePolicy = graft.pipeline.DuplicatePolicy.KeepOne,
+      snapshotBuckets = Some(16),
+      aggregates = Seq(MaterializedAggregate("by_state", Seq("state"), Seq("k"))))
+    val store = new TableStore(s"$root/w", spark)
+    val p = new ScdPipeline(spark, store, faithful = true, cfg)
+    val n = 200000
+    val t0 = System.nanoTime()
+    for (cycle <- 1 to 5) {
+      // ~1/3 of keys flip state per cycle; ~5% duplicate rows in-batch
+      val b = spark.range(n)
+        .select(col("id").as("k"),
+          concat(lit("C"), col("id") % 300000).as("code"),
+          concat(lit("N"), col("id") % 300000).as("name"),
+          concat(lit("S"), pmod(col("id") + lit(cycle) * when(col("id") % 3 === 0, 1).otherwise(0), lit(40))).as("state"))
+      p.runCycleWithBatch(b, Timestamp.valueOf(s"2024-02-0$cycle 00:00:00"))
+      store.vacuum()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[soak] 5 cycles x $n rows (bucketed + MV) in $secs%.1f s")
+    val got = p.aggregate("by_state").orderBy("state").collect().map(_.toSeq).toSeq
+    val want = graft.ops.IncrementalAgg.fullAggregate(p.landing, Seq("state"), Seq("k"))
+      .orderBy("state").collect().map(_.toSeq).toSeq
+    if (got != want) fail("sf1 soak: MV diverged from full recompute")
+    println(s"[soak] MV ≡ full recompute over ${p.landing.count()} landing rows")
+  }
+}
