@@ -729,6 +729,23 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // simhash under the portable md5 hash: chunk blocking + Hamming
+    // verify hash-checked as a pair set (DuckDB recomputes the identical
+    // 64-bit sign vector, chunks, and distances in closed form)
+    "simhash_portable_pairs" -> ((s, dir) =>
+      Dedup.simhashPortablePairs(
+          s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6, maxId = 300L)
+        .orderBy("id_a", "id_b")),
+
+    // ...and the full portable simhash dedup (blocking → verify →
+    // anti-join); the codegen'd xxhash64 kernel (`dedup_simhash`) stays
+    // the scale default
+    "dedup_simhash_oracled" -> ((s, dir) =>
+      Dedup.simhashPortable(
+          s.read.parquet(s"$dir/documents.parquet"), maxHamming = 6, maxId = 300L)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // transitive duplicate groups over the verify pairs: Spark runs
     // iterative min-label propagation; the oracle computes the same
     // closure with a recursive CTE — two entirely different execution
@@ -857,10 +874,20 @@ object SparkEntry {
         .orderBy("id_l", "rank")
     }),
 
+    // the digest-derived stub decode is deterministic CLOSED FORM (sha256
+    // bytes → dims/frames/features), so the whole partition-mapped
+    // extract is DuckDB-oracled: every metadata column exactly, and the
+    // 8-dim feature vector via its exact sum (multiples of 1/128 — no
+    // float rounding on either engine)
     "media_features" -> ((s, dir) =>
       Media.extractFeatures(
           Media.synthesize(s.read.parquet(s"$dir/documents.parquet")))
-        .toDF().drop("features").orderBy("media_id")),
+        .toDF()
+        .withColumn("byte_len", col("byte_len").cast("long"))
+        .withColumn("feat_sum",
+          aggregate(col("features"), lit(0.0), (a, x) => a + x.cast("double")))
+        .drop("features")
+        .orderBy("media_id")),
 
     "media_frames" -> ((s, dir) =>
       Media.sampleFrames(
@@ -1347,6 +1374,66 @@ object SparkEntry {
         |FROM test t JOIN train tr ON t.s = tr.s
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // portable simhash recomputed in closed form: per-token md5 → per-bit
+    // ±1 vote (bit b = bit (3-b%4) of hex nibble b/4, sign rule sum>0) →
+    // 64-char bitstring → 16-bit chunk blocking → Hamming verify
+    "simhash_portable_pairs" ->
+      """WITH th AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> md5(t)) AS th
+        |  FROM documents WHERE doc_id <= 300),
+        |bits AS (
+        |  SELECT id, array_to_string(list_transform(range(64), b ->
+        |    CASE WHEN list_sum(list_transform(th, h ->
+        |      CASE WHEN ((CAST('0x' || substr(h, CAST(b // 4 AS INT) + 1, 1) AS INT)
+        |                  >> CAST(3 - b % 4 AS INT)) & 1) = 1
+        |        THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS bits
+        |  FROM th),
+        |ck AS (
+        |  SELECT id, bits, unnest(list_transform(range(4), c ->
+        |    c::VARCHAR || ':' || substr(bits, CAST(c * 16 + 1 AS INT), 16))) AS chunk
+        |  FROM bits),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.id < b.id)
+        |SELECT id_a, id_b, CAST(len(list_filter(range(1, 65), i ->
+        |    substr(ba.bits, CAST(i AS INT), 1) <> substr(bb.bits, CAST(i AS INT), 1)))
+        |  AS INTEGER) AS hamming
+        |FROM cand JOIN bits ba ON ba.id = id_a JOIN bits bb ON bb.id = id_b
+        |WHERE len(list_filter(range(1, 65), i ->
+        |    substr(ba.bits, CAST(i AS INT), 1) <> substr(bb.bits, CAST(i AS INT), 1))) <= 6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_simhash_oracled" ->
+      """WITH th AS (
+        |  SELECT doc_id AS id,
+        |    list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> md5(t)) AS th
+        |  FROM documents WHERE doc_id <= 300),
+        |bits AS (
+        |  SELECT id, array_to_string(list_transform(range(64), b ->
+        |    CASE WHEN list_sum(list_transform(th, h ->
+        |      CASE WHEN ((CAST('0x' || substr(h, CAST(b // 4 AS INT) + 1, 1) AS INT)
+        |                  >> CAST(3 - b % 4 AS INT)) & 1) = 1
+        |        THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END), '') AS bits
+        |  FROM th),
+        |ck AS (
+        |  SELECT id, bits, unnest(list_transform(range(4), c ->
+        |    c::VARCHAR || ':' || substr(bits, CAST(c * 16 + 1 AS INT), 16))) AS chunk
+        |  FROM bits),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM ck a JOIN ck b ON a.chunk = b.chunk AND a.id < b.id),
+        |dup AS (
+        |  SELECT DISTINCT c.id_b
+        |  FROM cand c JOIN bits ba ON ba.id = c.id_a JOIN bits bb ON bb.id = c.id_b
+        |  WHERE len(list_filter(range(1, 65), i ->
+        |    substr(ba.bits, CAST(i AS INT), 1) <> substr(bb.bits, CAST(i AS INT), 1))) <= 6)
+        |SELECT doc_id, source FROM documents
+        |WHERE doc_id <= 300 AND doc_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
     "curation_contamination_strings" ->
       """WITH sh AS (
         |  SELECT doc_id AS id,
@@ -1541,6 +1628,45 @@ object SparkEntry {
         |    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  strlen(text) AS byte_len,
         |  sha256(text) AS sha256
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the stub decode recomputed in closed form: byte i of the payload
+    // sha256 is CAST('0x'||substr(hex, i*2+1, 2)), dims/frames/features
+    // are fixed arithmetic on those bytes (Media.decodeFromDigest)
+    "media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    strlen(text) AS byte_len,
+        |    sha256(text) AS h
+        |  FROM documents),
+        |u AS (
+        |  SELECT *,
+        |    CAST(('0x' || substr(h, 1, 2)) AS INT) AS u0,
+        |    CAST(('0x' || substr(h, 3, 2)) AS INT) AS u1,
+        |    CAST(('0x' || substr(h, 5, 2)) AS INT) AS u2,
+        |    CAST(('0x' || substr(h, 7, 2)) AS INT) AS u3
+        |  FROM m)
+        |SELECT media_id, kind, byte_len, h AS sha256,
+        |  CAST(64 + u0 * 16 AS INTEGER) AS width,
+        |  CAST(64 + u1 * 4 AS INTEGER) AS height,
+        |  CAST(CASE kind WHEN 'image' THEN 1 WHEN 'audio' THEN 1 + u2 % 32
+        |    ELSE 1 + u3 % 300 END AS INTEGER) AS n_frames,
+        |  list_sum(list_transform(range(8), i ->
+        |    (CAST(('0x' || substr(h, i*4+1, 2)) AS INT) - 128) / 128.0)) AS feat_sum
+        |FROM u ORDER BY media_id""".stripMargin,
+
+    "media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    sha256(text) AS h
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(len(range(0, 1 + CAST(('0x' || substr(h, 7, 2)) AS INT) % 300, 30))
+        |    AS BIGINT) AS n_sampled
+        |FROM m WHERE kind = 'video' ORDER BY media_id""".stripMargin
   )
 }

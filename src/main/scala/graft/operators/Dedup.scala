@@ -273,6 +273,69 @@ object Dedup {
       .join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
   }
 
+  // ---- Portable (cross-engine) SimHash -------------------------------------
+
+  /** Bit b of the md5 hex string `h` under the portable layout: bit
+    * (3 - b%4) of nibble b/4 — pure arithmetic (no literal-only shift
+    * builtins), so the same closed form runs in any SQL engine. */
+  private def portableBit(h: Column, b: Column): Column = {
+    val nibble = conv(h.substr((b / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
+    val shift = (lit(3) - pmod(b, lit(4))).cast("double")
+    pmod((nibble.cast("double") / pow(lit(2.0), shift)).cast("int"), lit(2))
+  }
+
+  /** 64-char '0'/'1' SimHash string where every token hash is md5-derived
+    * — the [[SimHash64]] algorithm (per-bit ±1 vote over the token
+    * MULTISET, sign rule `sum > 0`) with the engine-portable hash and a
+    * string representation any engine can chunk and compare. `th` is the
+    * per-token md5 hex array (hash each token ONCE; the per-bit lambda
+    * only extracts nibble bits from the precomputed hex). */
+  private def portableSimhashBits(th: Column): Column =
+    concat_ws("", transform(sequence(lit(0), lit(63)), b =>
+      when(aggregate(th, lit(0),
+        (acc, h) => acc + when(portableBit(h, b) === 1, lit(1)).otherwise(lit(-1)))
+        > 0, lit("1")).otherwise(lit("0"))))
+
+  /** Hamming distance between two 64-char bitstrings. */
+  private def hammingBits(a: Column, b: Column): Column =
+    size(filter(sequence(lit(1), lit(64)),
+      i => a.substr(i, lit(1)) =!= b.substr(i, lit(1))))
+
+  /** SimHash near-dup pairs under the portable md5 hash: the same
+    * pigeonhole 16-bit-chunk blocking and Hamming verify as
+    * [[simhashDuplicatePairs]], every stage reproducible in closed-form
+    * SQL — the cross-engine witness for the whole simhash pipeline
+    * (the xxhash64 kernel path stays the scale default). */
+  def simhashPortablePairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxId: Long = 300L): DataFrame =
+    withProjectionCache(df.filter(col(idCol) <= maxId)
+      .select(col(idCol).as("id"),
+        portableSimhashBits(transform(
+          split(lower(trim(col(textCol))), "\\s+"), t => md5(t))).as("bits"))) { base =>
+      val blocked = base.select(
+        explode(transform(sequence(lit(0), lit(3)), c =>
+          concat(c.cast("string"), lit(":"),
+            col("bits").substr(c * 16 + 1, lit(16))))).as("chunk"),
+        col("id"))
+      candidatePairs(blocked, "chunk", "id")
+        .join(base.select(col("id").as("id_a"), col("bits").as("bits_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("bits").as("bits_b")), "id_b")
+        .withColumn("hamming", hammingBits(col("bits_a"), col("bits_b")))
+        .filter(col("hamming") <= maxHamming)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }
+
+  /** Full portable simhash dedup: drop every doc with a portable-hash
+    * near-dup of smaller id. */
+  def simhashPortable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      maxId: Long = 300L): DataFrame = {
+    val dupIds = simhashPortablePairs(df, textCol, idCol, maxHamming, maxId)
+      .select(col("id_b").as(idCol)).distinct()
+    df.filter(col(idCol) <= maxId).join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash -------------------------------------------------------------
 
   /** SimHash near-dup pairs: 64-bit simhash per doc (custom codegen'd
