@@ -96,13 +96,24 @@ class ScdPipeline(
   def streamChanges(): DataFrame =
     cdcStream.changes(store.readOrEmpty(Landing, config.baseSchema))
 
-  /** Stage-file names already loaded, per the committed ledger. Collected
-    * driver-side: the ledger is one row per file ever loaded (the same
-    * cardinality Structured Streaming keeps in its checkpoint file log),
-    * metadata-sized even at 100 TB of data. */
-  private def loadedFileNames(): Set[String] =
-    store.readOrEmpty(LoadHistory, Schemas.loadHistory)
-      .select("file_name").collect().map(_.getString(0)).toSet
+  /** Of the staged files, the ones NOT yet in the committed load-history
+    * ledger. An anti-join against the ledger, not a driver-side Set of
+    * every file ever loaded: only the current stage listing (one cycle's
+    * files) and the anti-join survivors ever reach the driver, so the
+    * check stays cycle-sized even after millions of loaded files. */
+  private def unloadedFiles(files: Seq[String]): Seq[String] = {
+    if (files.isEmpty) return Nil
+    val staged = spark.createDataFrame(
+      files.map(f =>
+        org.apache.spark.sql.Row(f, Paths.get(f).getFileName.toString)).asJava,
+      new org.apache.spark.sql.types.StructType()
+        .add("path", org.apache.spark.sql.types.StringType)
+        .add("file_name", org.apache.spark.sql.types.StringType))
+    staged
+      .join(store.readOrEmpty(LoadHistory, Schemas.loadHistory)
+        .select("file_name"), Seq("file_name"), "left_anti")
+      .select("path").collect().map(_.getString(0)).toSeq
+  }
 
   /** Run one pipeline cycle over the files currently in `stage`.
     * Returns the number of rows loaded from the stage.
@@ -117,9 +128,7 @@ class ScdPipeline(
   def runCycle(stage: Stage, batchTime: Timestamp,
       purge: Boolean = true): Long = {
     val files = stage.list()
-    val loaded = loadedFileNames()
-    val newFiles = files.filterNot(f =>
-      loaded.contains(Paths.get(f).getFileName.toString))
+    val newFiles = unloadedFiles(files)
     runCycleWithBatch(Stage.readCsv(spark, config.baseSchema, newFiles),
       batchTime,
       afterCommit = () => if (purge) stage.rm(files),
