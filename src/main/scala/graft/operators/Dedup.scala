@@ -230,6 +230,10 @@ object Dedup {
   private def portableBase(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int, maxId: Long): DataFrame =
     df.filter(col(idCol) <= maxId)
+      // the maxId filter typically collapses the scan to ONE input split,
+      // which would run the 64-pass md5 projection single-threaded; a
+      // cheap pre-shuffle of the bounded slice spreads it across cores
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("id"),
         array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
 
@@ -310,6 +314,9 @@ object Dedup {
       idCol: String = "doc_id", maxHamming: Int = 3,
       maxId: Long = 300L): DataFrame =
     withProjectionCache(df.filter(col(idCol) <= maxId)
+      // same single-split hazard as portableBase: parallelize the 64-bit
+      // vote projection across cores
+      .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("id"),
         portableSimhashBits(transform(
           split(lower(trim(col(textCol))), "\\s+"), t => md5(t))).as("bits"))) { base =>
