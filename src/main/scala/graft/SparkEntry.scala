@@ -676,6 +676,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // context-window chunking: every doc → fixed-size token windows with
+    // overlap (stride 12 = 16 - 4); pure narrow map + explode
+    "curation_chunks" -> ((s, dir) =>
+      graft.operators.Curation.chunkDocuments(
+          s.read.parquet(s"$dir/documents.parquet"),
+          maxTokens = 16, overlap = 4)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // greedy sequence packing into 128-token bins within 100-id shards;
+    // the oracle replays the same greedy fold as a recursive CTE
+    "curation_packed" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.packSequences(
+          d, tokenCol = size(split(trim(col("text")), "\\s+")),
+          budget = 128, shardSize = 100L)
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
@@ -1433,6 +1451,40 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id <= 300 AND doc_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY doc_id""".stripMargin,
+
+    "curation_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(trim(text), '\s+') AS toks,
+        |    len(string_split_regex(trim(text), '\s+')) AS n
+        |  FROM documents),
+        |w AS (SELECT doc_id, toks, n, unnest(range(0, greatest(n, 1), 12)) AS s FROM t)
+        |SELECT doc_id,
+        |  CAST(s // 12 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[CAST(s + 1 AS INT):CAST(s + 16 AS INT)], ' ') AS chunk_text,
+        |  CAST(least(16, n - s) AS INTEGER) AS n_tokens
+        |FROM w ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // the same greedy fold (id order, close a bin when the next doc
+    // overflows the budget, oversized docs get their own bin) replayed as
+    // a per-shard recursive CTE
+    "curation_packed" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, CAST(doc_id // 100 AS BIGINT) AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok,
+        |    row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |g AS (
+        |  SELECT shard, rn, doc_id, tok, CAST(0 AS BIGINT) AS bin, tok AS used
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.rn, d.doc_id, d.tok,
+        |    CASE WHEN g.used + d.tok > 128 AND g.used > 0
+        |      THEN g.bin + 1 ELSE g.bin END,
+        |    CASE WHEN g.used + d.tok > 128 AND g.used > 0
+        |      THEN d.tok ELSE g.used + d.tok END
+        |  FROM g JOIN d ON d.shard = g.shard AND d.rn = g.rn + 1)
+        |SELECT doc_id, shard, bin FROM g ORDER BY doc_id""".stripMargin,
 
     "curation_contamination_strings" ->
       """WITH sh AS (

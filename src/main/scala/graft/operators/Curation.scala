@@ -121,4 +121,78 @@ object Curation {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
+
+  /** Split each document into fixed-size token windows with overlap — the
+    * context-length chunking step of a pretraining/RAG pipeline. Stride =
+    * `maxTokens - overlap`; a window starts at every stride position below
+    * the token count, so trailing windows may be short and a short doc is
+    * one chunk. Purely a narrow map + explode (no shuffle, no state):
+    * embarrassingly parallel at any corpus size, and closed-form enough
+    * for a SQL oracle to reproduce chunk-for-chunk. */
+  def chunkDocuments(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxTokens: Int = 128,
+      overlap: Int = 0): DataFrame = {
+    val stride = maxTokens - overlap
+    require(stride >= 1, s"overlap ($overlap) must be < maxTokens ($maxTokens)")
+    df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0),
+          greatest(size(col("__toks")) - 1, lit(0)), lit(stride))).as("__s"))
+      .select(col(idCol),
+        (col("__s") / stride).cast("long").as("chunk_idx"),
+        concat_ws(" ", slice(col("__toks"), col("__s") + 1, lit(maxTokens)))
+          .as("chunk_text"),
+        least(lit(maxTokens), size(col("__toks")) - col("__s")).as("n_tokens"))
+  }
+
+  /** Greedy sequence packing: assign whole documents (id order) to bins of
+    * at most `budget` tokens — the example-packing step that turns a
+    * ragged corpus into fixed-budget training sequences. A document larger
+    * than the budget gets a bin to itself.
+    *
+    * Packing is inherently sequential, so it is sharded: documents pack
+    * within deterministic shards of `shardSize` contiguous ids, and shards
+    * pack independently — embarrassingly parallel, stable under re-runs
+    * and appends (new ids land in new shards), and exactly what a 100 TB
+    * pipeline wants (global packing order is meaningless; per-shard
+    * sequences feed per-worker batches). The greedy fold itself runs as a
+    * Catalyst `aggregate` higher-order function over each shard's sorted
+    * doc list — sequential logic without a UDF and without leaving
+    * codegen; per-shard state is one array of (id, bin) pairs, bounded by
+    * `shardSize`. */
+  def packSequences(
+      df: DataFrame,
+      idCol: String = "doc_id",
+      tokenCol: Column,
+      budget: Int = 2048,
+      shardSize: Long = 1000L): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val docs = df.select(
+      (col(idCol) / shardSize).cast("long").as("shard"),
+      struct(col(idCol).cast("long").as("id"),
+        tokenCol.cast("long").as("tok")).as("d"))
+    val accType = "struct<assigned:array<struct<id:bigint,bin:bigint>>,bin:bigint,used:bigint>"
+    val zero = struct(
+      array().cast("array<struct<id:bigint,bin:bigint>>").as("assigned"),
+      lit(0L).as("bin"), lit(0L).as("used")).cast(accType)
+    docs.groupBy(col("shard"))
+      .agg(array_sort(collect_list(col("d"))).as("docs"))
+      .select(col("shard"), aggregate(col("docs"), zero, (acc, d) => {
+        val overflow = acc.getField("used") + d.getField("tok") > budget &&
+          acc.getField("used") > 0
+        val bin = when(overflow, acc.getField("bin") + 1)
+          .otherwise(acc.getField("bin"))
+        val used = when(overflow, d.getField("tok"))
+          .otherwise(acc.getField("used") + d.getField("tok"))
+        struct(
+          concat(acc.getField("assigned"),
+            array(struct(d.getField("id").as("id"), bin.as("bin")))).as("assigned"),
+          bin.as("bin"), used.as("used")).cast(accType)
+      }).getField("assigned").as("assigned"))
+      .select(col("shard"), explode(col("assigned")).as("a"))
+      .select(col("a.id").as(idCol), col("shard"), col("a.bin").as("bin"))
+  }
 }

@@ -78,6 +78,53 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.contains(12L) shouldBe false
   }
 
+  test("chunkDocuments: stride windows with overlap, short docs are one chunk") {
+    val d = docs(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"))                                    // short: single chunk
+    // maxTokens=4, overlap=1 → stride 3 → starts 0,3,6,9
+    val out = Curation.chunkDocuments(d, maxTokens = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    c1.map(_.getLong(1)).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    c1.map(_.getString(2)).toSeq shouldBe Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10")
+    c1.map(_.getInt(3)).toSeq shouldBe Seq(4, 4, 4, 1)
+    val c2 = out.filter(_.getLong(0) == 2L)
+    c2.map(r => (r.getLong(1), r.getString(2), r.getInt(3))).toSeq shouldBe
+      Seq((0L, "a b", 2))
+  }
+
+  test("packSequences: greedy bins respect the budget; oversized docs get their own bin") {
+    val s = spark
+    import s.implicits._
+    // shard 0 (ids 0..9): tokens 60,60,60 → bins (0)(1)(2)? greedy:
+    // 60 → bin0(60); +60 > 100 → bin1(60); +60 > 100 → bin2.
+    // then 30,30 → bin2 had 60, +30=90 ok, +30 > 100 → bin3.
+    // id 5: 250 > budget alone → closes bin3, own bin4.
+    val d = Seq(
+      (0L, 60L), (1L, 60L), (2L, 60L), (3L, 30L), (4L, 30L), (5L, 250L),
+      (100L, 10L), (101L, 10L)) // separate shard restarts at bin 0
+      .toDF("doc_id", "tok")
+    val out = Curation.packSequences(d, tokenCol = col("tok"),
+        budget = 100, shardSize = 100L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      (0L, 0L, 0L), (1L, 0L, 1L), (2L, 0L, 2L), (3L, 0L, 2L), (4L, 0L, 3L),
+      (5L, 0L, 4L), (100L, 1L, 0L), (101L, 1L, 0L))
+    // no bin over budget except single-doc oversize bins
+    val sums = d.withColumn("shard", (col("doc_id") / 100).cast("long"))
+      .join(Curation.packSequences(d, tokenCol = col("tok"),
+        budget = 100, shardSize = 100L), Seq("doc_id", "shard"))
+      .groupBy("shard", "bin")
+      .agg(sum("tok").as("t"), count(lit(1)).as("n")).collect()
+    sums.foreach { r =>
+      assert(r.getLong(2) <= 100 || r.getLong(3) == 1L,
+        s"overfull multi-doc bin: $r")
+    }
+  }
+
   test("hashed and string contamination agree on the real corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = d.filter(col("doc_id") % 2 === 0)

@@ -32,7 +32,12 @@ class ScdPropertySpec extends AnyFunSuite with Matchers with SparkSpec {
       val rnd = new scala.util.Random(seed)
       val store = new TableStore(tmpDir("prop-store"), spark)
       val stage = new Stage(tmpDir("prop-stage"))
-      val pipeline = new ScdPipeline(spark, store)
+      // a registered MV rides along: its invariant (≡ full recompute of
+      // landing) must hold after EVERY random cycle sequence
+      val mv = MaterializedAggregate("by_state",
+        keys = Seq("supplier_state"), measures = Seq("supplier_key"))
+      val pipeline = new ScdPipeline(spark, store,
+        config = ScdConfig.supplier.copy(aggregates = Seq(mv)))
 
       for (i <- 0 until 3) {
         val csv = randomBatch(rnd).mkString("\n")
@@ -66,6 +71,15 @@ class ScdPropertySpec extends AnyFunSuite with Matchers with SparkSpec {
 
       // stream fully consumed after every cycle
       pipeline.streamChanges().count() shouldBe 0L
+
+      // maintained aggregate ≡ full recompute, whatever the random history
+      withClue(s"seed=$seed MV") {
+        pipeline.aggregate("by_state")
+          .orderBy("supplier_state").collect().map(_.toSeq).toSeq shouldBe
+          graft.ops.IncrementalAgg.fullAggregate(
+              pipeline.landing, mv.keys, mv.measures)
+            .orderBy("supplier_state").collect().map(_.toSeq).toSeq
+      }
 
       // as-of join property: for any probe time, each (code, ts) fact
       // matches AT MOST one version (disjoint validity ranges), and
