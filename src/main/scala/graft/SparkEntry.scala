@@ -676,6 +676,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition quality signals, computed entirely within
+    // the row (sorted-run fold for the top bigram — zero shuffle); the
+    // oracle recomputes via the relational explode→groupBy→max formulation
+    "text_repetition" -> ((s, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          round(T.dupTokenFrac(toks), 4).as("dup_token_frac"),
+          round(T.topBigramFrac(toks), 4).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
     // context-window chunking: every doc → fixed-size token windows with
     // overlap (stride 12 = 16 - 4); pure narrow map + explode
     "curation_chunks" -> ((s, dir) =>
@@ -1451,6 +1463,31 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id <= 300 AND doc_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+        |      ELSE list_transform(range(len(toks) - 1),
+        |        i -> toks[i+1] || ' ' || toks[i+2]) END AS bgs
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, max(n) AS best FROM (
+        |    SELECT doc_id, count(*) AS n
+        |    FROM (SELECT doc_id, unnest(bgs) AS g FROM bg)
+        |    GROUP BY doc_id, g)
+        |  GROUP BY doc_id)
+        |SELECT bg.doc_id,
+        |  round(CASE WHEN len(bg.toks) = 0 THEN 0
+        |    ELSE 1.0 - len(list_distinct(bg.toks)) * 1.0 / len(bg.toks) END, 4)
+        |    AS dup_token_frac,
+        |  round(coalesce(top.best * 1.0 / nullif(len(bg.bgs), 0), 0), 4)
+        |    AS top_bigram_frac
+        |FROM bg LEFT JOIN top ON bg.doc_id = top.doc_id
+        |ORDER BY bg.doc_id""".stripMargin,
 
     "curation_chunks" ->
       """WITH t AS (

@@ -129,4 +129,38 @@ object TextFunctions {
     when(size(array_union(a, b)) === 0, lit(0.0)).otherwise(
       size(array_intersect(a, b)).cast("double") /
         size(array_union(a, b)))
+
+  /** Fraction of tokens that are repeats of an earlier token
+    * (1 − distinct/total) — the token-level duplicate-content signal of
+    * Gopher-style quality filtering. Zero for empty/single-token docs. */
+  def dupTokenFrac(tokens: Column): Column =
+    when(size(tokens) === 0, lit(0.0)).otherwise(
+      lit(1.0) - size(array_distinct(tokens)).cast("double") / size(tokens))
+
+  /** Fraction of bigrams accounted for by the single most frequent bigram
+    * — the repeated-phrase signal (a doc that is one sentence pasted 50
+    * times scores ~1.0). Computed entirely WITHIN the row: sort the
+    * bigram array, then count the longest equal-run with an `aggregate`
+    * fold — a narrow map with zero shuffle (the relational
+    * explode→groupBy→max formulation shuffles one row per bigram, which
+    * at 100 TB is the corpus re-keyed; the oracle uses exactly that
+    * formulation as an independent check). Zero when the doc has no
+    * bigrams. */
+  def topBigramFrac(tokens: Column): Column = {
+    val bigrams = when(size(tokens) < 2,
+        array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(tokens) - 2),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(2)))))
+    val accType = "struct<prev:string,run:bigint,best:bigint>"
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best")).cast(accType)
+    val best = aggregate(array_sort(bigrams), zero, (acc, b) => {
+      val run = when(acc.getField("prev") === b,
+        acc.getField("run") + 1L).otherwise(lit(1L))
+      struct(b.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best")).cast(accType)
+    }).getField("best")
+    when(size(bigrams) === 0, lit(0.0))
+      .otherwise(best.cast("double") / size(bigrams))
+  }
 }

@@ -49,6 +49,23 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Seq("en", "de", "fr", "und")
   }
 
+  test("repetition signals: pasted phrase scores high, varied text low") {
+    val pasted = Seq.fill(10)("buy cheap pills now").mkString(" ") // 40 tokens
+    val varied = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs((1L, pasted), (2L, varied), (3L, "single"), (4L, "a b"))
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val out = d.select(col("doc_id"),
+        T.dupTokenFrac(toks).as("dup"), T.topBigramFrac(toks).as("top"))
+      .orderBy("doc_id").collect()
+    // pasted: 4 distinct of 40 tokens; "now buy" appears 9×, "buy cheap" 10×
+    out(0).getDouble(1) shouldBe (1.0 - 4.0 / 40) +- 1e-9
+    out(0).getDouble(2) shouldBe (10.0 / 39) +- 1e-9
+    out(1).getDouble(1) shouldBe 0.0 +- 1e-9
+    out(1).getDouble(2) shouldBe (1.0 / 39) +- 1e-9 // every bigram unique
+    out(2).getDouble(2) shouldBe 0.0 +- 1e-9 // no bigrams
+    out(3).getDouble(2) shouldBe 1.0 +- 1e-9 // one bigram = 100%
+  }
+
   test("exact dedup keeps the smallest id per normalized text") {
     val d = docs((5L, "Hello  World"), (2L, "hello world"), (9L, "unique"))
     val kept = Dedup.exact(d).select("doc_id").collect().map(_.getLong(0)).sorted
