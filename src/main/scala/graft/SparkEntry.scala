@@ -682,6 +682,10 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => {
       val toks = split(lower(trim(col("text"))), "\\s+")
       s.read.parquet(s"$dir/documents.parquet")
+        // the small bench parquet is one input split; pre-shuffle so the
+        // per-row folds use every core (a real corpus scan has thousands
+        // of splits and needs no such step)
+        .repartition(32)
         .select(col("doc_id"),
           round(T.dupTokenFrac(toks), 4).as("dup_token_frac"),
           round(T.topBigramFrac(toks), 4).as("top_bigram_frac"))

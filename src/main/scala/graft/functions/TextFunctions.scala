@@ -151,16 +151,20 @@ object TextFunctions {
         array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(tokens) - 2),
         i => concat_ws(" ", slice(tokens, i + 1, lit(2)))))
-    val accType = "struct<prev:string,run:bigint,best:bigint>"
+    // zero carries the full accumulator type (null string unifies with the
+    // merge branches); the merge itself must NOT cast per step — a
+    // per-element struct cast measured ~2.5× the whole fold
     val zero = struct(lit(null).cast("string").as("prev"),
-      lit(0L).as("run"), lit(0L).as("best")).cast(accType)
+      lit(0L).as("run"), lit(0L).as("best"))
     val best = aggregate(array_sort(bigrams), zero, (acc, b) => {
       val run = when(acc.getField("prev") === b,
         acc.getField("run") + 1L).otherwise(lit(1L))
       struct(b.as("prev"), run.as("run"),
-        greatest(acc.getField("best"), run).as("best")).cast(accType)
+        greatest(acc.getField("best"), run).as("best"))
     }).getField("best")
-    when(size(bigrams) === 0, lit(0.0))
-      .otherwise(best.cast("double") / size(bigrams))
+    // guard + divisor derive from the TOKEN count (n_bigrams = n_tok - 1),
+    // so the bigram transform appears exactly once in the expression tree
+    when(size(tokens) < 2, lit(0.0))
+      .otherwise(best.cast("double") / (size(tokens) - 1))
   }
 }

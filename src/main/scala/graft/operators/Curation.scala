@@ -174,10 +174,12 @@ object Curation {
       (col(idCol) / shardSize).cast("long").as("shard"),
       struct(col(idCol).cast("long").as("id"),
         tokenCol.cast("long").as("tok")).as("d"))
-    val accType = "struct<assigned:array<struct<id:bigint,bin:bigint>>,bin:bigint,used:bigint>"
+    // the zero carries the full accumulator type via the empty-array cast;
+    // the merge must NOT cast per step (a per-element struct cast copies
+    // the whole accumulated array — it doubled the fold's O(n²) constant)
     val zero = struct(
       array().cast("array<struct<id:bigint,bin:bigint>>").as("assigned"),
-      lit(0L).as("bin"), lit(0L).as("used")).cast(accType)
+      lit(0L).as("bin"), lit(0L).as("used"))
     docs.groupBy(col("shard"))
       .agg(array_sort(collect_list(col("d"))).as("docs"))
       .select(col("shard"), aggregate(col("docs"), zero, (acc, d) => {
@@ -190,7 +192,7 @@ object Curation {
         struct(
           concat(acc.getField("assigned"),
             array(struct(d.getField("id").as("id"), bin.as("bin")))).as("assigned"),
-          bin.as("bin"), used.as("used")).cast(accType)
+          bin.as("bin"), used.as("used"))
       }).getField("assigned").as("assigned"))
       .select(col("shard"), explode(col("assigned")).as("a"))
       .select(col("a.id").as(idCol), col("shard"), col("a.bin").as("bin"))
