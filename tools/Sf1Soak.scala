@@ -105,7 +105,8 @@ object Sf1Soak {
     "q14_percentiles_sorted", "q07_event_gaps", "event_sessions",
     "session_concurrency", "dedup_exact", "dedup_minhash", "text_stats",
     "knn_join", "salted_join", "scd_upsert_large", "scd_cdc_large",
-    "incremental_agg", "curation_chunks", "curation_packed")
+    "incremental_agg", "curation_chunks", "curation_packed",
+    "text_repetition")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] =
     Headline.map { name =>
