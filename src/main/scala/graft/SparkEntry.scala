@@ -155,6 +155,24 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
 
+  /** Documents with deterministic synthetic PII appended (the corpus has
+    * none): email always, ipv4 on doc_id%2=0, phone on %3=0, ssn on %5=0.
+    * The DuckDB oracle constructs the identical strings, so the pii_*
+    * hash checks verify regex semantics cross-engine, not the data. */
+  private def piiDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet").select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      when(col("doc_id") % 2 === 0, concat(lit(" from 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, concat(lit(" tel 555-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-0142")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(lit(" ssn 078-05-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("text"))
+
   /** Cache key for the build-once-probe-many driver queries
     * (`scd_cdc_stored`, `knn_lsh_indexed`): a content fingerprint of the
     * source parquet — full absolute path plus every file's name, size, and
@@ -627,7 +645,34 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // -- PII scrubbing (graft.operators.Pii) -------------------------------
+    // The corpus is synthetic (no real PII), so the queries inject
+    // deterministic PII derived from doc_id — email always, ipv4 on
+    // doc_id%2=0, phone on %3=0, ssn on %5=0 — and the DuckDB oracle
+    // injects the identical strings, so a hash match verifies the REGEX
+    // SEMANTICS cross-engine (Java regex here, RE2 there), not the data.
+    "pii_stats" -> ((s, dir) =>
+      graft.operators.Pii.stats(piiDocs(s, dir))
+        .select("doc_id", "n_email", "n_ipv4", "n_phone", "n_ssn")
+        .orderBy("doc_id")),
+
+    "pii_redact" -> ((s, dir) =>
+      graft.operators.Pii.redact(piiDocs(s, dir))
+        .select("doc_id", "text")
+        .orderBy("doc_id")),
+
     // -- dataset curation (graft.operators.Curation) ----------------------
+    // temperature mixture sampling (count^alpha rebalancing over the
+    // skewed lang column): one group-cardinality aggregate + broadcast
+    // rate filter, corpus scanned once, never shuffled. md5-deterministic
+    // draw → the oracle reproduces the exact row set.
+    "mixture_sample" -> ((s, dir) =>
+      graft.operators.Curation.mixtureSample(
+          s.read.parquet(s"$dir/documents.parquet"),
+          groupCol = "lang", idCol = "doc_id", targetRows = 200, alpha = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")),
+
     // hash-deterministic train/val/test split: a narrow map, stable under
     // re-runs/retries/appends (rand() would reshuffle rows between splits
     // on every one of those). Checked via per-split aggregates.
@@ -944,6 +989,23 @@ object SparkEntry {
       |         'ST' || CAST(s_nationkey % 25 AS VARCHAR) AS state0,
       |         'ST' || CAST((s_nationkey + 7) % 25 AS VARCHAR) AS state1
       |  FROM supplier)""".stripMargin
+
+  /** Shared CTE body: documents with the identical synthetic PII the
+    * Spark-side [[piiDocs]] injects (same strings, same doc_id gates). */
+  // NOTE: interpolated into outer `.stripMargin` templates — no line here
+  // may begin with whitespace+`|` (the outer stripMargin would eat the
+  // leading `||` concat operator), so `||` sits at line ends.
+  private val piiDocsSql =
+    """SELECT doc_id,
+      |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN ' from 10.' ||
+      |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+      |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' tel 555-' ||
+      |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0142' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' ssn 078-05-' ||
+      |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+      |  FROM documents""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1371,6 +1433,38 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
+
+    "pii_stats" ->
+      s"""WITH p AS ($piiDocsSql)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phone,
+        |  len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "pii_redact" ->
+      s"""WITH p AS ($piiDocsSql)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
+        |    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS text
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "mixture_sample" ->
+      """WITH c AS (
+        |  SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+        |w AS (SELECT lang, c, pow(c, 0.5) AS w FROM c),
+        |r AS (SELECT lang,
+        |  least(1.0, 200.0 * w / (sum(w) OVER ()) / c) AS rate FROM w)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)
+        |    || 'graft-mixture'), 1, 8)) AS UBIGINT) / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin,
 
     "curation_split" ->
       """WITH f AS (

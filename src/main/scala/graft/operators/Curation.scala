@@ -122,6 +122,47 @@ object Curation {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Temperature-weighted mixture sampling: draw ~`targetRows` documents
+    * with per-group rates proportional to `count^alpha` — the standard
+    * multilingual/multi-source rebalancing step (alpha=1 keeps the corpus
+    * distribution, alpha=0 equalizes groups, alpha≈0.3–0.7 is the usual
+    * compromise that upweights tail languages without starving the head).
+    *
+    * Plan shape at scale: one hash-aggregate whose OUTPUT is one row per
+    * group (languages/sources — tiny by construction), the rate table
+    * broadcast back, and a narrow hash filter. The corpus is scanned once
+    * and never shuffled. The group-level sum-of-weights runs as an
+    * unpartitioned window over the rate table only — single-partition by
+    * design and correct at any corpus size because its input is
+    * group-cardinality, not row-cardinality.
+    *
+    * Selection reuses [[hashFraction]] (md5-derived), so the draw is
+    * deterministic across runs/engines and independently verifiable —
+    * and appends don't reshuffle prior decisions: a document's fate
+    * changes only if its group's rate does. */
+  def mixtureSample(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      targetRows: Long,
+      alpha: Double = 0.5,
+      salt: String = "graft-mixture"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1]: $alpha")
+    require(targetRows > 0, "targetRows must be positive")
+    val rates = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .withColumn("__w", pow(col("__c"), lit(alpha)))
+      .withColumn("__tw", sum(col("__w")).over(Window.partitionBy()))
+      // rate ordering mirrors the oracle SQL exactly (left-assoc chain) so
+      // both engines round identically at every step
+      .select(col(groupCol), least(lit(1.0),
+        lit(targetRows.toDouble) * col("__w") / col("__tw") / col("__c"))
+        .as("__rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashFraction(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
   /** Split each document into fixed-size token windows with overlap — the
     * context-length chunking step of a pretraining/RAG pipeline. Stride =
     * `maxTokens - overlap`; a window starts at every stride position below

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** PII detection and redaction — the scrubbing pass every training-data
+  * pipeline runs before text leaves curation (emails, IP addresses, phone
+  * numbers, SSN-shaped ids).
+  *
+  * Design constraints, in order:
+  *
+  *  - '''Narrow map only.''' Detection and redaction are per-row regexes
+  *    over the text column: no shuffle, no state, no driver round-trip.
+  *    At 100 TB this pass is scan-bound and embarrassingly parallel — the
+  *    plan must stay a single `Project` over the parquet scan, inside
+  *    whole-stage codegen (Spark's `RegExpReplace`/`RegExpCount` are
+  *    codegen'd expressions; a UDF here would de-optimize the hottest
+  *    full-corpus pass in the pipeline).
+  *  - '''Portable pattern subset.''' Patterns stick to the common subset
+  *    of Java regex and RE2 (character classes, bounded repetition, `\b`
+  *    anchors — no lookaround, no backreferences), so an independent
+  *    engine (the DuckDB oracle, or a sibling pipeline in Go/C++ whose
+  *    regex engine is RE2) reproduces matches byte-for-byte. Scrubbing
+  *    that cannot be cross-verified is a compliance risk, not a feature.
+  *  - '''Fixed replacement tokens''' (`<EMAIL>` etc.), not deletion:
+  *    downstream tokenizers see a stable vocabulary item and document
+  *    lengths stay roughly honest.
+  *
+  * Redaction order is longest-pattern-first (email before ipv4 — an email
+  * host can contain digit runs; phone before ssn — both are dash-digit
+  * shapes and `\b` keeps them disjoint, but the order makes the intent
+  * explicit and future-proofs pattern edits).
+  */
+object Pii {
+
+  /** (name, pattern, replacement) — the scrub classes, in the order
+    * redaction applies them. Patterns are RE2-safe (see scaladoc). */
+  val classes: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"))
+
+  /** Per-document match counts: one `n_<class>` long column per scrub
+    * class. A pipeline gates on these (e.g. drop documents whose PII
+    * density exceeds a threshold) before paying for redaction. */
+  def stats(df: DataFrame, textCol: String = "text"): DataFrame =
+    classes.foldLeft(df) { case (acc, (name, pat, _)) =>
+      acc.withColumn(s"n_$name",
+        regexp_count(col(textCol), lit(pat)).cast("long"))
+    }
+
+  /** The redacted text as a column (all classes applied in order). */
+  def redactCol(text: Column): Column =
+    classes.foldLeft(text) { case (acc, (_, pat, repl)) =>
+      regexp_replace(acc, pat, repl)
+    }
+
+  /** Replace the text column with its redacted form. */
+  def redact(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn(textCol, redactCol(col(textCol)))
+}
