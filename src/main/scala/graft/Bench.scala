@@ -17,7 +17,9 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     // min of three runs per query: local[N] timings are noisy (GC, page
     // cache, thermal state — observed ±30% run-to-run on identical
-    // plans); the min is the reproducible cost
+    // plans); the min is the reproducible cost, the median is kept in the
+    // self-written artifact so noise-vs-regression adjudication doesn't
+    // need a re-run
     //
     // Timing action is a noop-format write, NOT count(): under count()
     // Catalyst prunes every column (deterministic projections drop,
@@ -25,18 +27,39 @@ object Bench {
     // through explode), so narrow-map queries would time only the parquet
     // scan. The noop sink fully evaluates every output row/column with no
     // driver collect and no filesystem write.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val runs = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> Seq(once(), once(), once()).min
+      name -> Seq(once(), once(), once())
     }
+    def r(d: Double): Double = math.rint(d * 10000) / 10000
+    val results = runs.map { case (k, v) => k -> r(v.min) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) r(results.values.sum) else 0.0
+    // Self-written artifact with the FULL per-query map: stdout capture
+    // truncates (a past round lost the head of the map and made
+    // regression adjudication manual), so the bench reports itself.
+    val detail = runs.map { case (k, v) =>
+      val sorted = v.sorted
+      s"""    "$k":{"runs":[${v.map(r).mkString(",")}],"min":${r(sorted.head)},"median":${r(sorted(v.size / 2))}}"""
+    }.mkString("{\n", ",\n", "\n  }")
+    val json =
+      s"""{
+         |  "metric": "total",
+         |  "value": $total,
+         |  "unit": "sec",
+         |  "sf": "$sfDir",
+         |  "num_queries": ${runs.size},
+         |  "queries": $detail
+         |}""".stripMargin
+    val out = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
