@@ -891,6 +891,53 @@ object SparkEntry {
         .orderBy("id_l", "rank")
     }),
 
+    // band... er, bucket selection under PORTABLE md5-derived integer
+    // planes, in isolation: DuckDB recomputes the identical closed-form
+    // bucket bits (exact integer dot signs — no FP sign-flip risk), so
+    // the hyperplane blocking stage itself is hash-checked, the way
+    // minhash_band_candidates pins minhash banding
+    "lsh_bucket_candidates" -> ((s, dir) =>
+      Dedup.embeddingPortableCandidates(
+          s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("id_a", "id_b")),
+
+    // the FULL embedding near-dup pipeline (portable hyperplane blocking
+    // → candidates → exact cosine verify → anti-join) end-to-end
+    // hash-verified; Gaussian planes stay the perf default
+    // (`dedup_embedding`). Threshold 0.4: the corpus holds ~59 pairs
+    // above it, so the verify stage does real work (579 candidates → 1
+    // surviving dup at sf0.01) instead of passing everything through
+    "dedup_embedding_oracled" -> ((s, dir) =>
+      Dedup.embeddingPortable(
+          s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
+    // ANN against the STORED portable-plane index: the partition-pruned
+    // probe path itself (write → Hamming partition predicate → top-k) is
+    // hash-checked, not just the scan-side blocking. Index built once per
+    // corpus into a deterministic location (same amortization argument as
+    // knn_lsh_indexed)
+    "knn_lsh_indexed_oracled" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-lsh-pindex-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+      if (!java.nio.file.Files.exists(path))
+        Similarity.writeLshIndexPortable(e, path.toString)
+      Similarity.lshTopKIndexedPortable(s, path.toString, queryVec(s, dir),
+        k = 20, probeHamming = 2)
+    }),
+
+    // IVF assignment with FIXED md5-derived centroids: pins the native
+    // NearestCenter expression (the per-row kernel of the IVF family)
+    // against DuckDB's argmin of closed-form distances; the k-means fit
+    // (not SQL-expressible) stays covered by the recall spec
+    "ivf_assign_oracled" -> ((s, dir) =>
+      Similarity.ivfAssignPortable(
+          s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("vec_id")),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -1007,7 +1054,70 @@ object SparkEntry {
       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
       |  FROM documents""".stripMargin
 
+  /** Closed-form portable hyperplane bucket bits over an `embedding`
+    * column — DuckDB spelling of
+    * [[graft.functions.VectorFunctions.portableBucketBits]]: quantize with
+    * floor(x·1000), integer dot against md5-derived components in [-4,4],
+    * bit = sign. Exact integer arithmetic on both engines. */
+  private val duckBucketBits: String =
+    """array_to_string(list_transform(range(8), p ->
+      |    CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
+      |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+      |      (CAST(('0x' || substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 9 - 4)
+      |    )) > 0 THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** Closed-form cosine between two embedding list columns (DuckDB). */
+  private def duckCos(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, len($a)+1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) /
+       |    (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+       |     sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "lsh_bucket_candidates" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id AS id, $duckBucketBits AS bucket FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_embedding_oracled" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
+        |dup AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  WHERE ${duckCos("va", "vb")} >= 0.4)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY vec_id""".stripMargin,
+
+    "knn_lsh_indexed_oracled" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id, embedding, $duckBucketBits AS bucket FROM embeddings),
+        |q AS (
+        |  SELECT embedding, $duckBucketBits AS qb FROM embeddings WHERE vec_id = 0)
+        |SELECT bk.vec_id,
+        |  round(${duckCos("bk.embedding", "q.embedding")}, 4) AS cos
+        |FROM bk, q
+        |WHERE len(list_filter(range(1, 9),
+        |  i -> substr(bk.bucket, i, 1) <> substr(q.qb, i, 1))) <= 2
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "ivf_assign_oracled" ->
+      """WITH d AS (
+        |  SELECT vec_id, list_transform(range(8), j ->
+        |    list_sum(list_transform(
+        |      list_transform(range(1, len(embedding)+1), i ->
+        |        CAST(embedding[i] AS DOUBLE) -
+        |        (CAST(('0x' || substr(md5('ivf:' || j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
+        |      x -> x * x))) AS dl
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

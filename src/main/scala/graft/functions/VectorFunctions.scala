@@ -179,4 +179,65 @@ object VectorFunctions {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
+
+  // ---- portable (cross-engine) hyperplane LSH ------------------------------
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** First 8 hex chars of md5(key) as a (positive) long — the shared
+    * pseudo-random scalar both engines can derive in closed form:
+    * DuckDB spells it `CAST(('0x' || substr(md5(key), 1, 8)) AS BIGINT)`. */
+  private def md5Int(key: String): Long =
+    java.lang.Long.parseLong(md5Hex(key).substring(0, 8), 16)
+
+  /** md5-derived INTEGER hyperplane components: component (p, i) =
+    * `md5int(p ':' i) mod 9 - 4` ∈ [-4, 4]. Integer components (instead of
+    * Gaussian floats) make the bucket bits exact integer arithmetic — the
+    * sign decision can never flip between engines on a last-ulp float
+    * difference, which is what makes the whole LSH blocking stage
+    * hash-checkable against an independent SQL engine. Sign-LSH only needs
+    * the plane directions to be spread; a 9-level discrete distribution is
+    * as good a random direction source as a Gaussian for 64 dims. */
+  def portablePlanes(numPlanes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until numPlanes).map(p => (0 until dim).map(i => md5Int(s"$p:$i") % 9 - 4))
+
+  /** Portable bucket: a `numPlanes`-char '0'/'1' bitstring where bit p =
+    * `[ Σᵢ floor(vᵢ·1000)·c(p,i) > 0 ]`. The vector is quantized with
+    * `floor(x·1000)` (float→double is exact and IEEE ×/floor are
+    * deterministic, so both engines produce identical longs) and the dot
+    * is pure integer math — bit-exact across engines by construction.
+    * A bitstring (not a packed long) so external SQL needs no bit
+    * builtins: Hamming distance is 8 char comparisons. One `transform`
+    * over the plane index with the components as a nested array literal —
+    * a per-plane `array(P × aggregate(…))` form would re-inline the
+    * quantization per branch (CollapseProject duplicates HOF forms). */
+  def portableBucketBits(vec: Column, planes: Seq[Seq[Long]]): Column = {
+    val planesCol = array(planes.map(pl => array(pl.map(lit(_)): _*)): _*)
+    concat_ws("", transform(sequence(lit(0), lit(planes.size - 1)), p =>
+      when(aggregate(
+          zip_with(vec, element_at(planesCol, p + 1),
+            (x, c) => floor(x.cast("double") * lit(1000.0)).cast("long") * c),
+          lit(0L), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))))
+  }
+
+  /** Driver-side twin of [[portableBucketBits]] for a literal query vector
+    * (same integer algebra, so a driver-computed probe key matches the
+    * executor-computed bucket column exactly). */
+  def portableBucketBitsLocal(vec: Seq[Float], planes: Seq[Seq[Long]]): String =
+    planes.map { pl =>
+      val dot = vec.zip(pl).map { case (x, c) =>
+        math.floor(x.toDouble * 1000.0).toLong * c
+      }.sum
+      if (dot > 0) "1" else "0"
+    }.mkString
+
+  /** md5-derived fixed centroids for the IVF assignment oracle: center
+    * (j, i) = `(md5int('ivf:' j ':' i) mod 2001 - 1000) / 1000.0` ∈
+    * [-1, 1]. The division by 1000.0 is a single IEEE operation, so both
+    * engines hold bit-identical doubles. */
+  def portableCentroids(numCells: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numCells, dim)((j, i) =>
+      (md5Int(s"ivf:$j:$i") % 2001 - 1000) / 1000.0)
 }

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * payloads whose magic marks them as PNG/JPEG/GIF/BMP get header-only
   * dimension extraction and full decode+rescale via JDK `javax.imageio`
   * ([[Media.imageDimensions]]/[[Media.resizeImage]] — no external jars).
-  * Audio/video codecs (and the feature embedding, which needs a model)
-  * remain STUBBED behind [[Media.decodeStub]], a deterministic fake keyed
-  * on the payload bytes, so the Spark-side contract (schema, batching,
+  * AUDIO decode is REAL for WAV: payloads with the RIFF/WAVE magic get
+  * header-only sample-rate/channels/frame-count extraction via JDK
+  * `javax.sound.sampled` ([[Media.audioMeta]]). VIDEO codecs (no JDK
+  * decoder exists) and the feature embedding (needs a model) remain
+  * STUBBED behind [[Media.decodeStub]], a deterministic fake keyed on the
+  * payload bytes, so the Spark-side contract (schema, batching,
   * partitioning, null handling) is real and tested while those codecs
   * stay swappable.
   */
@@ -76,6 +79,35 @@ object Media {
       (p(0) == 0xFF.toByte && p(1) == 0xD8.toByte && p(2) == 0xFF.toByte) || // JPEG
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
       (p(0) == 'B' && p(1) == 'M'))                                          // BMP
+
+  private def looksLikeWav(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL audio metadata via JDK `javax.sound.sampled` — no extra jars,
+    * same trick as [[imageDimensions]]. Dispatched on the RIFF/WAVE magic;
+    * `None` when the bytes are not a parseable WAV, in which case callers
+    * fall back to the deterministic stub. Header-only: `AudioSystem`
+    * parses the fmt/data chunks without decoding samples, so metadata
+    * extraction stays cheap for multi-MB payloads. Returns
+    * `(sampleRate, channels, frames)` — the audio analog of image
+    * `(width, height, n_frames)`. */
+  def audioMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (!looksLikeWav(payload)) None
+    else {
+      var in: javax.sound.sampled.AudioInputStream = null
+      try {
+        in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        if (fmt.getSampleRate <= 0 || frames < 0) None
+        else Some((fmt.getSampleRate.toInt, fmt.getChannels,
+          math.min(frames, Int.MaxValue.toLong).toInt))
+      } catch { case _: Exception => None }
+      finally if (in != null) in.close()
+    }
 
   /** REAL image dimensions via JDK `javax.imageio` — no extra jars.
     * Dispatched on the payload magic (PNG/JPEG/GIF/BMP); `None` when the
@@ -161,16 +193,23 @@ object Media {
         val h = sha.digest(f.payload) // digest() resets the instance
         val (w0, h0, nf, feat) = decodeFromDigest(f.kind, h)
         // image rows with a real decodable payload report REAL pixel
-        // dimensions (header-only javax.imageio read); everything else —
-        // audio/video, or image kinds whose bytes aren't an image — keeps
-        // the deterministic stub. The 8-dim feature vector stays digest-
-        // derived in both paths: a real embedding needs a model, which is
-        // exactly the swappable part of this contract.
-        val (w, hgt) =
-          if (f.kind == "image") imageDimensions(f.payload).getOrElse((w0, h0))
-          else (w0, h0)
+        // dimensions (header-only javax.imageio read); audio rows with a
+        // real WAV payload report REAL (sample_rate, channels, frames)
+        // via javax.sound.sampled. Everything else — video, or payloads
+        // whose bytes aren't the claimed format — keeps the deterministic
+        // stub. The 8-dim feature vector stays digest-derived in all
+        // paths: a real embedding needs a model, which is exactly the
+        // swappable part of this contract.
+        val (w, hgt, nfr) = f.kind match {
+          case "image" =>
+            val (w1, h1) = imageDimensions(f.payload).getOrElse((w0, h0))
+            (w1, h1, nf)
+          case "audio" =>
+            audioMeta(f.payload).getOrElse((w0, h0, nf))
+          case _ => (w0, h0, nf)
+        }
         val digest = h.map("%02x".format(_)).mkString
-        MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nf, feat)
+        MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nfr, feat)
       }
     }
   }

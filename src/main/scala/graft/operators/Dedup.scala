@@ -456,6 +456,55 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  // ---- portable (cross-engine) hyperplane LSH ------------------------------
+
+  /** Candidate pairs from PORTABLE hyperplane blocking in isolation — the
+    * bucket-selection stage the Gaussian-plane default leaves rows-only,
+    * hash-checkable because the bucket bits are exact integer arithmetic
+    * from md5-derived plane components (see
+    * [[graft.functions.VectorFunctions.portablePlanes]]); an external
+    * engine recomputing the same closed form must produce the identical
+    * pair set. Runs through the production [[candidatePairs]] machinery
+    * (hot-bucket guard, streamed in-bucket expansion). */
+  def embeddingPortableCandidates(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64,
+      numPlanes: Int = 8): DataFrame = {
+    val planes = V.portablePlanes(numPlanes, dim)
+    withProjectionCache(
+      df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val blocked = vecs
+        .withColumn("bucket", V.portableBucketBits(col("vec"), planes))
+        .select(col("bucket"), col("id"))
+      candidatePairs(blocked, "bucket", "id")
+    }
+  }
+
+  /** Full portable embedding dedup: integer-exact hyperplane blocking →
+    * candidate pairs → exact cosine verify → drop every vector with a
+    * verified smaller-id near-dup. Every stage is reproducible in
+    * closed-form SQL (the verify cosine is the same double algebra the
+    * `embedding_dup_brute` oracle already hash-matches), so the whole
+    * block→verify→anti-join pipeline is end-to-end checkable; the
+    * Gaussian-plane [[embedding]] stays the performance default. */
+  def embeddingPortable(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64,
+      threshold: Double = 0.4, numPlanes: Int = 8): DataFrame = {
+    val planes = V.portablePlanes(numPlanes, dim)
+    val dupIds = withProjectionCache(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val blocked = vecs
+        .withColumn("bucket", V.portableBucketBits(col("vec"), planes))
+        .select(col("bucket"), col("id"))
+      candidatePairs(blocked, "bucket", "id")
+        .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+        .filter(V.cosineFused(col("v_a"), col("v_b")) >= threshold)
+        .select(col("id_b"))
+        .distinct()
+    }
+    df.join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
+  }
+
   // ---- transitive duplicate groups -----------------------------------------
 
   /** Connected components over a duplicate-pair edge list: every node gets

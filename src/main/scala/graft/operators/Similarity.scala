@@ -164,6 +164,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** PORTABLE stored LSH index: one copy of the `(id, vec)` projection
+    * partitioned by the integer-exact md5-plane bucket bitstring (see
+    * [[graft.functions.VectorFunctions.portableBucketBits]]) — the same
+    * partition-pruned probe layout as [[writeLshIndex]], but every bucket
+    * value is reproducible in closed-form SQL, so the probe path (not just
+    * the scan path) is hash-checkable against an external engine. Bucket
+    * values are prefixed 'b' because a bare '0'/'1' bitstring in a
+    * partition directory would be type-inferred back as a number on read
+    * (leading zeros lost). */
+  def writeLshIndexPortable(df: DataFrame, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      numPlanes: Int = 8, dim: Int = 64): Unit = {
+    val planes = V.portablePlanes(numPlanes, dim)
+    df.select(col(idCol), col(vecCol))
+      .withColumn("bucket",
+        concat(lit("b"), V.portableBucketBits(col(vecCol), planes)))
+      .repartition(col("bucket")) // one file per bucket dir, not tasks×buckets
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(path)
+  }
+
+  /** ANN top-k against a [[writeLshIndexPortable]] index: the Hamming
+    * predicate is 8 char comparisons on the partition column — entirely a
+    * partition predicate, pruned at planning time. The query's bucket is
+    * computed driver-side with the same integer algebra
+    * ([[graft.functions.VectorFunctions.portableBucketBitsLocal]]), so the
+    * probe key matches the stored buckets exactly. */
+  def lshTopKIndexedPortable(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Float],
+      k: Int = 10,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      probeHamming: Int = 2): DataFrame = {
+    val planes = V.portablePlanes(numPlanes, dim)
+    val qBits = V.portableBucketBitsLocal(query, planes)
+    // Hamming over the 'b'-prefixed bitstring: position p of the bits is
+    // char p+2 of the partition value
+    val ham = (0 until numPlanes).map { p =>
+      when(substring(col("bucket"), p + 2, 1) === lit(qBits.substring(p, p + 1)),
+        lit(0)).otherwise(lit(1))
+    }.reduce(_ + _)
+    spark.read.parquet(path)
+      .filter(ham <= probeHamming)
+      .select(col(idCol),
+        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: k-means cells over the corpus; queries probe
     * only the `nProbes` nearest cells. The training pass is one k-means fit
     * (sampled corpus at 100 TB); the assignment pass is a narrow map. Stored
@@ -257,6 +310,18 @@ object Similarity {
         .orderBy(col("cos").desc, col(idCol))
         .limit(k)
   }
+
+  /** IVF assignment with FIXED md5-derived centroids (see
+    * [[graft.functions.VectorFunctions.portableCentroids]]) — the
+    * assignment stage of [[ivfFit]] in isolation, pinned cross-engine: the
+    * k-means FIT is not SQL-expressible, but nearest-center over known
+    * centroids is (argmin of closed-form distances), so this oracles the
+    * native [[graft.functions.NearestCenter]] expression — the kernel that
+    * must see every row at 100 TB — against an independent engine. */
+  def ivfAssignPortable(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", numCells: Int = 8, dim: Int = 64): DataFrame =
+    df.select(col(idCol),
+      V.nearestCenter(col(vecCol), V.portableCentroids(numCells, dim)).as("cell"))
 
   /** All-pairs top-k join (each left row → its k nearest right rows) via
     * multi-table LSH blocking + windowed rank. A pair is a candidate when

@@ -158,6 +158,59 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe scan
   }
 
+  test("portable-plane stored LSH index probes with partition pruning, same results as a scan") {
+    val dir = tmpDir("lsh-pindex")
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding")
+      .head().getSeq[Float](0)
+
+    graft.operators.Similarity.writeLshIndexPortable(e, dir)
+    val indexed = graft.operators.Similarity.lshTopKIndexedPortable(
+      spark, dir, q, k = 20, probeHamming = 2)
+
+    // the Hamming predicate is substring comparisons on the 'b'-prefixed
+    // bitstring partition column — entirely a PartitionFilter (pruned at
+    // planning time), no row-level filter left over
+    val plan = executedPlan(indexed)
+    plan should include("PartitionFilters: [(((")
+    plan should include("substring(bucket")
+    plan should include("DataFilters: []")
+    // numFiles metric confirms only the ≤ham2 partitions are read
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val planes = graft.functions.VectorFunctions.portablePlanes(8, 64)
+    val qBits = graft.functions.VectorFunctions.portableBucketBitsLocal(q, planes)
+    val ham = (0 until 8).map { p =>
+      when(substring(col("bucket"), p + 2, 1) === lit(qBits.substring(p, p + 1)),
+        lit(0)).otherwise(lit(1))
+    }.reduce(_ + _)
+    val probe = spark.read.parquet(dir).filter(ham <= 2)
+    probe.collect()
+    val probedFiles = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    val all = spark.read.parquet(dir)
+    all.collect()
+    val allFiles = all.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f }.head.metrics("numFiles").value
+    probedFiles should be < allFiles
+
+    // identical result to computing the same Hamming filter + top-k over
+    // the raw corpus (no index) — the scan-form witness
+    val scan = e
+      .withColumn("bits",
+        graft.functions.VectorFunctions.portableBucketBits(col("embedding"), planes))
+      .filter((0 until 8).map { p =>
+        when(substring(col("bits"), p + 1, 1) === lit(qBits.substring(p, p + 1)),
+          lit(0)).otherwise(lit(1))
+      }.reduce(_ + _) <= 2)
+      .select(col("vec_id"),
+        round(graft.functions.VectorFunctions.cosineFused(col("embedding"),
+          graft.functions.VectorFunctions.vectorLit(q)), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe scan
+  }
+
   test("stored IVF index probes with partition pruning, same results as in-memory") {
     val dir = tmpDir("ivf-index")
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

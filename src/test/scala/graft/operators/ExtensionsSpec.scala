@@ -105,6 +105,58 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.sharedState.cacheManager.isEmpty shouldBe true
   }
 
+  test("portable-plane embedding LSH: blocking finds near-dups, probe key matches executor bits") {
+    spark.catalog.clearCache()
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val base = (0 until dim).map(j => math.cos(j * 0.37).toFloat)
+    val near = base.updated(0, base(0) + 1e-4f)
+    val far = (0 until dim).map(j => math.sin(j * 1.13 + 2).toFloat)
+    val e = Seq((1L, base), (2L, near), (7L, far)).toDF("vec_id", "embedding")
+
+    // near-identical vectors share every sign bit → same bucket → candidate
+    val cands = Dedup.embeddingPortableCandidates(e, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    cands should contain((1L, 2L))
+
+    // full pipeline: the verified near-dup (cos ≈ 1) is dropped, the far
+    // vector survives, and the scoped projection cache is released
+    Dedup.embeddingPortable(e, dim = dim, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 7L)
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+
+    // driver twin == executor column for every row — the property the
+    // stored-index probe key depends on
+    val planes = V.portablePlanes(8, dim)
+    val got = e.select(col("vec_id"),
+        V.portableBucketBits(col("embedding"), planes).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    Seq(1L -> base, 2L -> near, 7L -> far).foreach { case (id, v) =>
+      V.portableBucketBitsLocal(v, planes) shouldBe got(id)
+    }
+  }
+
+  test("portable IVF assignment matches a driver-side argmin") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    def v(i: Int): Seq[Float] =
+      (0 until dim).map(j => math.sin(i * 3.1 + j * 0.71).toFloat)
+    val e = (0 until 50).map(i => (i.toLong, v(i))).toDF("vec_id", "embedding")
+    val centers = V.portableCentroids(8, dim)
+    val got = Similarity.ivfAssignPortable(e, numCells = 8, dim = dim)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0 until 50).foreach { i =>
+      val exp = centers.zipWithIndex.map { case (c, ci) =>
+        (ci, v(i).zip(c).map { case (x, cc) =>
+          val d = x.toDouble - cc; d * d
+        }.sum)
+      }.minBy(_._2)._1
+      got(i.toLong) shouldBe exp
+    }
+  }
+
   test("near-dup pipelines leave no cached plans behind (no session-lifetime leak)") {
     // the single-scan projection cache is scoped to each call: repeated
     // calls over different corpora must not accumulate CacheManager
@@ -423,6 +475,40 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val out = Media.resize(big, maxSide = 5).collect().head
     Media.imageDimensions(out.payload) shouldBe Some((5, 2))
     out.meta_source should include("resized=5x2")
+  }
+
+  test("real WAV payloads decode to exact rate/channels/frames; fakes keep the stub") {
+    // deterministic PCM WAV fixture via the same JDK API the decoder uses
+    def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true, false)
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      var i = 0
+      while (i < data.length) { data(i) = (i * 7 % 251).toByte; i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    Media.audioMeta(wav(16000f, 1, 1600)) shouldBe Some((16000, 1, 1600))
+    Media.audioMeta(wav(44100f, 2, 441)) shouldBe Some((44100, 2, 441))
+    Media.audioMeta("not audio".getBytes("UTF-8")) shouldBe None
+
+    // end-to-end through the partition-mapped extract: audio rows with
+    // real WAV bytes report REAL (sample_rate, channels, frames); text
+    // payloads keep the stub; video stays stubbed even with WAV bytes
+    // (kind-dispatched, and no JDK video codec exists)
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      Media.MediaFile(1L, "audio", wav(8000f, 1, 800), "fixture"),
+      Media.MediaFile(2L, "audio", "plain text".getBytes("UTF-8"), "fixture"),
+      Media.MediaFile(3L, "video", wav(8000f, 1, 800), "fixture")).toDS()
+    val rows = Media.extractFeatures(files).collect().sortBy(_.media_id)
+    (rows(0).width, rows(0).height, rows(0).n_frames) shouldBe ((8000, 1, 800))
+    rows(1).width should be >= 64 // stub sample-rate floor
+    rows(2).n_frames should be >= 1 // video: digest-derived stub
   }
 
   test("GraftExtensions registers SQL functions") {
