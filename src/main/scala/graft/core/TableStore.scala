@@ -240,6 +240,14 @@ class TableStore(val root: String, spark: SparkSession) {
   def vacuum(): Unit = {
     val live = manifest.map { case (t, v) => versionDir(t, v).toAbsolutePath }.toSet
     if (Files.exists(rootPath)) {
+      // stale tmp manifests are the debris of a crash in the one
+      // non-atomic window (between tmp-write and rename in [[commit]]):
+      // the published manifest is intact, the tmp is garbage — sweep it
+      // with the orphaned versions. Never matches the live `_manifest`.
+      Files.list(rootPath).iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.startsWith("_manifest.tmp-"))
+        .foreach(Files.deleteIfExists(_))
       Files.list(rootPath).iterator().asScala
         .filter(Files.isDirectory(_)).foreach { tableDir =>
           Files.list(tableDir).iterator().asScala

@@ -43,6 +43,77 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
   }
 
+  test("crash between tmp-write and manifest rename: old snapshot intact, cycle re-applies exactly-once") {
+    // the ONE non-atomic window in the commit protocol (SURVEY §7.5.1):
+    // the tmp manifest is on disk but the rename never happened. Inject
+    // exactly that state: the first commit writes its tmp file and dies.
+    class CrashingStore(root: String) extends TableStore(root, spark) {
+      var armed = true
+      override def commit(updates: Map[String, String]): Unit =
+        if (!armed) super.commit(updates)
+        else {
+          armed = false
+          val next = manifest ++ updates
+          val tmp = java.nio.file.Paths.get(root)
+            .resolve("_manifest.tmp-injected-crash")
+          java.nio.file.Files.write(tmp,
+            next.toSeq.sorted.map { case (t, v) => s"$t\t$v" }
+              .mkString("\n").getBytes("UTF-8"))
+          throw new RuntimeException(
+            "injected kill between tmp-write and manifest rename")
+        }
+    }
+
+    val store = new CrashingStore(tmpDir("ts-crash"))
+    val stage = new graft.sources.Stage(tmpDir("ts-crash-stage"))
+    val pipeline = new graft.pipeline.ScdPipeline(spark, store,
+      config = graft.pipeline.ScdConfig.supplier)
+    stage.putContent("b1.csv", "1,A101,One,S1\n2,A102,Two,S2")
+
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    intercept[RuntimeException] {
+      pipeline.runCycle(stage, t1)
+    }
+
+    // the published snapshot is fully intact: no table from the dead
+    // cycle is visible, the ledger never recorded the file, and the CSV
+    // was not purged (afterCommit never ran)
+    pipeline.staging.count() shouldBe 0
+    pipeline.master.count() shouldBe 0
+    pipeline.loadHistory.count() shouldBe 0
+    stage.list().size shouldBe 1
+    // the debris of the crash is exactly one dangling tmp manifest
+    java.nio.file.Files.exists(java.nio.file.Paths.get(store.root)
+      .resolve("_manifest.tmp-injected-crash")) shouldBe true
+
+    // re-running the SAME cycle applies the file exactly once — the
+    // ledger anti-join re-selects it (it never became "loaded"), and the
+    // result is indistinguishable from a crash-free run
+    pipeline.runCycle(stage, t1)
+    pipeline.staging.count() shouldBe 2
+    pipeline.master.count() shouldBe 2
+    pipeline.loadHistory.collect().map(_.getString(0)).toSeq shouldBe Seq("b1.csv")
+
+    // ...and a THIRD cycle over the same stage loads nothing (the
+    // post-rename world is exactly-once too; purge already emptied it)
+    pipeline.runCycle(stage, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"))
+    pipeline.staging.count() shouldBe 2
+    pipeline.loadHistory.count() shouldBe 1
+
+    // vacuum sweeps the orphaned write-ahead versions AND the stale tmp
+    // manifest; the live snapshot is untouched
+    store.vacuum()
+    java.nio.file.Files.list(java.nio.file.Paths.get(store.root))
+      .filter(p => p.getFileName.toString.startsWith("_manifest.tmp-"))
+      .count() shouldBe 0
+    pipeline.staging.count() shouldBe 2
+
+    // the FAILED attempt and both completed cycles are in the run log
+    val statuses = pipeline.taskHistory.collect().map(_.getAs[String]("status"))
+    statuses.count(_ == "FAILED") shouldBe 1
+    statuses.count(_ == "SUCCEEDED") shouldBe 2
+  }
+
   test("vacuum removes only unreferenced versions") {
     val s = spark
     import s.implicits._
