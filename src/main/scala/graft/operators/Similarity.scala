@@ -344,7 +344,8 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       numTables: Int = 8,
-      maxCandidatesPerLeft: Int = 0): DataFrame = {
+      maxCandidatesPerLeft: Int = 0,
+      maxRightPerKey: Int = 0): DataFrame = {
     val tables = planeTables(numTables, numPlanes, dim, seed)
     // per-row array of per-table join keys; vec is a plain column ref so
     // the L bucket computations stay one narrow projection
@@ -359,8 +360,29 @@ object Similarity {
     // same narrow-candidates shape as [[Dedup.candidatePairs]].
     val l = left.select(col(idCol).as("id_l"), col(vecCol).as("v_l"))
     val r = right.select(col(idCol).as("id_r"), col(vecCol).as("v_r"))
+    // deterministic per-(table,bucket) cap on the RIGHT side BEFORE the
+    // blocking join: one mega bucket (boilerplate-duplicate embeddings —
+    // a real 100 TB corpus shape) would otherwise make the join output
+    // |left∩bucket|·|bucket| rows per table; the per-left cap below
+    // bounds the scoring stage but not that join fan-out. Capping the
+    // exploded right to a hash-ordered sample per key bounds it at
+    // |left∩bucket|·cap while leaving sub-cap buckets untouched (the
+    // normal case — the cap only engages on degenerate buckets). Inside
+    // a near-duplicate mega bucket any cap-sized sample carries the same
+    // neighbors, so recall is preserved where it matters; xxhash64 order
+    // keeps the sample unbiased and reproducible. Cost when no skew
+    // exists: a row_number over rows the join was about to shuffle on
+    // the same key anyway.
+    val rCap = if (maxRightPerKey > 0) maxRightPerKey else 200 * k
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key"))
+      .orderBy(xxhash64(col("key"), col("id_r")), col("id_r"))
+    val rKeys = r.select(col("id_r"), explode(keys(col("v_r"))).as("key"))
+      .withColumn("__rr", row_number().over(wr))
+      .filter(col("__rr") <= rCap)
+      .drop("__rr")
     val rawCandidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
-      .join(r.select(col("id_r"), explode(keys(col("v_r"))).as("key")), "key")
+      .join(rKeys, "key")
       .filter(col("id_l") =!= col("id_r"))
       .select(col("id_l"), col("id_r"))
       .dropDuplicates("id_l", "id_r")

@@ -433,6 +433,18 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val again = Similarity.knnJoin(e, e, k = k, dim = dim,
       maxCandidatesPerLeft = 10).collect()
     got.map(_.toSeq).sortBy(_.toString) shouldBe again.map(_.toSeq).sortBy(_.toString)
+
+    // per-(table,bucket) RIGHT cap: with the whole cluster in one bucket
+    // per table, a tight right cap still yields k results per left (any
+    // cap-sized sample of a near-dup cluster carries the same neighbors)
+    // and stays deterministic
+    val capped = Similarity.knnJoin(e, e, k = k, dim = dim,
+      maxRightPerKey = 50)
+    val cgot = capped.collect()
+    cgot.groupBy(_.getLong(0)).values.foreach(_.length shouldBe k)
+    val cagain = Similarity.knnJoin(e, e, k = k, dim = dim,
+      maxRightPerKey = 50).collect()
+    cgot.map(_.toSeq).sortBy(_.toString) shouldBe cagain.map(_.toSeq).sortBy(_.toString)
   }
 
   test("real image payloads decode to exact dimensions; fakes keep the stub") {

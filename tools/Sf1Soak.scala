@@ -21,6 +21,11 @@ import graft.sources.Stage
   * 4. Runs a 5-cycle × 200k-row duplicate-laden pipeline soak (bucketed
   *    snapshots + a registered materialized aggregate) and asserts the
   *    MV equals a full recompute of landing at the end.
+  * 5. Adversarial skew soak: a boilerplate-duplicate document corpus
+  *    (50% identical docs + a 50%-shared token) and a dense embedding
+  *    cluster — the shapes that explode an unguarded blocking stage
+  *    quadratically. Asserts the hot-bucket guard and the knnJoin
+  *    right/left candidate caps keep pair counts and outputs bounded.
   *
   * Run via the tools/README scratch-compile recipe; exits nonzero on any
   * violated invariant.
@@ -45,8 +50,10 @@ object Sf1Soak {
     val times = bench(spark)
     planInvariants(spark)
     pipelineSoak(spark)
+    val skewTimes = adversarialSoak(spark)
 
-    val qs = times.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val qs = (times ++ skewTimes)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
     val json =
       s"""{"metric":"total_sf1","value":$total,"unit":"sec","queries":$qs,"sf":"$Dst"}"""
@@ -166,6 +173,85 @@ object Sf1Soak {
         fail("sf1 CDC diff is not reading bucketed scans")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     println("[plan] sf1 bucketed CDC diff: exchange-free")
+  }
+
+  /** Adversarial skew shapes for the dedup/ANN family, at sizes where an
+    * unguarded blocking stage would expand hundreds of millions of pairs.
+    * Assertions are on OUTPUT BOUNDS (the observable of bounded per-task
+    * work), not wall-clock: a dropped guard here means a ~200M-pair
+    * expansion that either OOMs or produces a pair count the bounds
+    * catch. */
+  private def adversarialSoak(spark: SparkSession): Seq[(String, Double)] = {
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, math.rint((System.nanoTime() - t0) / 1e9 * 100) / 100)
+    }
+
+    // 1) hot-token corpus: 40k docs — 20k byte-identical boilerplate (one
+    //    signature → one 20k-row bucket in EVERY band, vs maxBucket 10k)
+    //    and 20k unique docs that all share one hot token. The guard must
+    //    drop the mega buckets: unguarded expansion is 20k²/2 ≈ 2·10⁸
+    //    pairs from the boilerplate alone.
+    val docs = spark.range(40000).select(
+        col("id").as("doc_id"),
+        when(col("id") % 2 === 0,
+          lit("the quick brown fox jumps over the lazy dog and runs far away"))
+          .otherwise(concat_ws(" ",
+            lit("hot_shared_token doc"), col("id").cast("string"),
+            (col("id") * 7919 % 104729).cast("string"),
+            (col("id") * 104729 % 7919).cast("string"),
+            (col("id") * 31 % 9973).cast("string")))
+          .as("text"))
+      .repartition(32).localCheckpoint(true)
+    val (nPairs, tHot) = timed {
+      graft.operators.Dedup.minhashDuplicatePairs(docs, threshold = 0.8).count()
+    }
+    if (nPairs > 1000000)
+      fail(s"hot-token dedup expanded $nPairs pairs — hot-bucket guard not engaged")
+    // the identical docs are exact-dedup's job (the documented policy for
+    // degenerate buckets): one boilerplate survivor + 20k unique docs
+    val nExact = graft.operators.Dedup.exact(docs).count()
+    if (nExact != 20001) fail(s"exact dedup kept $nExact of 40000 (want 20001)")
+    println(f"[skew] hot-token dedup: $nPairs%d pairs in $tHot%.2f s; exact keeps $nExact%d")
+
+    // 2) dense embedding cluster: 20k near-identical vectors (one LSH
+    //    bucket per table) + 5k spread. knnJoin for a 200-query batch —
+    //    the right cap bounds the blocking join to |left∩bucket|·cap
+    //    instead of |left∩bucket|·20k, the left cap bounds scoring.
+    val dim = 64
+    val vecs = spark.range(25000).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)), j =>
+          (when(col("id") < 20000,
+            sin(j.cast("double") * lit(0.37)) +
+              (col("id") % 97).cast("double") * lit(1e-5))
+            .otherwise(sin((col("id") * 31 + j).cast("double") * lit(0.11))))
+            .cast("float")).as("embedding"))
+      .repartition(32).localCheckpoint(true)
+    val k = 5
+    val (knn, tKnn) = timed {
+      graft.operators.Similarity.knnJoin(
+          vecs.filter(col("vec_id") < 200), vecs, k = k, dim = dim)
+        .groupBy("id_l").count().collect()
+    }
+    if (knn.length != 200) fail(s"dense-cluster knnJoin covered ${knn.length}/200 left ids")
+    if (knn.exists(_.getLong(1) > k)) fail("dense-cluster knnJoin exceeded k per left id")
+    println(f"[skew] dense-cluster knnJoin(200×25k): 200 left ids × ≤$k in $tKnn%.2f s")
+
+    // 3) embedding near-dup on the same cluster: the 20k bucket trips the
+    //    hot-bucket guard (> maxBucket 10k) and is dropped, so the pair
+    //    list stays far below the 2·10⁸ unguarded expansion
+    val (nEmb, tEmb) = timed {
+      graft.operators.Dedup.embeddingDuplicatePairs(vecs, dim = dim).count()
+    }
+    if (nEmb > 1000000)
+      fail(s"dense-cluster embedding dedup expanded $nEmb pairs — guard not engaged")
+    println(f"[skew] dense-cluster embedding near-dup: $nEmb%d pairs in $tEmb%.2f s")
+
+    Seq("skew_hot_token_dedup" -> tHot,
+      "skew_dense_knn_join" -> tKnn,
+      "skew_dense_embed_dedup" -> tEmb)
   }
 
   /** 5 cycles × 200k duplicate-laden rows through the full pipeline with
