@@ -938,6 +938,18 @@ object SparkEntry {
           s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("vec_id")),
 
+    // the FULL kNN-join pipeline (2-table blocking join on slim keys →
+    // cross-table dedup → per-left rank window) under portable buckets,
+    // hash-checked end to end; ranks order by rounded cosine + id so
+    // rank assignment is engine-independent. knn_join (Gaussian planes,
+    // hot-bucket caps) stays the scale path; left is bounded here as in
+    // knn_join_brute
+    "knn_join_oracled" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.knnJoinPortable(e.filter(col("vec_id") < 50), e, k = 5)
+        .orderBy("id_l", "rank")
+    }),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -1058,13 +1070,16 @@ object SparkEntry {
     * column — DuckDB spelling of
     * [[graft.functions.VectorFunctions.portableBucketBits]]: quantize with
     * floor(x·1000), integer dot against md5-derived components in [-4,4],
-    * bit = sign. Exact integer arithmetic on both engines. */
-  private val duckBucketBits: String =
-    """array_to_string(list_transform(range(8), p ->
+    * bit = sign. Exact integer arithmetic on both engines. `ns` selects an
+    * independent plane table (matches `portablePlanes(…, ns)`). */
+  private def duckBucketBitsNs(ns: String): String =
+    s"""array_to_string(list_transform(range(8), p ->
       |    CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
       |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
-      |      (CAST(('0x' || substr(md5(p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 9 - 4)
+      |      (CAST(('0x' || substr(md5('$ns' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 9 - 4)
       |    )) > 0 THEN '1' ELSE '0' END), '')""".stripMargin
+
+  private val duckBucketBits: String = duckBucketBitsNs("")
 
   /** Closed-form cosine between two embedding list columns (DuckDB). */
   private def duckCos(a: String, b: String): String =
@@ -1106,6 +1121,34 @@ object SparkEntry {
         |WHERE len(list_filter(range(1, 9),
         |  i -> substr(bk.bucket, i, 1) <> substr(q.qb, i, 1))) <= 2
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "knn_join_oracled" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |    ${duckBucketBitsNs("t0:")} AS b0,
+        |    ${duckBucketBitsNs("t1:")} AS b1
+        |  FROM embeddings),
+        |lk AS (
+        |  SELECT vec_id AS id_l, unnest(['0:' || b0, '1:' || b1]) AS key
+        |  FROM bk WHERE vec_id < 50),
+        |rk AS (
+        |  SELECT vec_id AS id_r, unnest(['0:' || b0, '1:' || b1]) AS key
+        |  FROM bk),
+        |cand AS (
+        |  SELECT DISTINCT id_l, id_r
+        |  FROM lk JOIN rk USING (key) WHERE id_l <> id_r),
+        |scored AS (
+        |  SELECT id_l, id_r,
+        |    round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+        |  FROM cand
+        |  JOIN embeddings a ON a.vec_id = id_l
+        |  JOIN embeddings b ON b.vec_id = id_r),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY id_l ORDER BY cos DESC, id_r) AS rank
+        |  FROM scored)
+        |SELECT id_l, id_r, cos, rank FROM ranked WHERE rank <= 5
+        |ORDER BY id_l, rank""".stripMargin,
 
     "ivf_assign_oracled" ->
       """WITH d AS (

@@ -193,15 +193,17 @@ object VectorFunctions {
     java.lang.Long.parseLong(md5Hex(key).substring(0, 8), 16)
 
   /** md5-derived INTEGER hyperplane components: component (p, i) =
-    * `md5int(p ':' i) mod 9 - 4` ∈ [-4, 4]. Integer components (instead of
-    * Gaussian floats) make the bucket bits exact integer arithmetic — the
-    * sign decision can never flip between engines on a last-ulp float
+    * `md5int(ns p ':' i) mod 9 - 4` ∈ [-4, 4]. Integer components (instead
+    * of Gaussian floats) make the bucket bits exact integer arithmetic —
+    * the sign decision can never flip between engines on a last-ulp float
     * difference, which is what makes the whole LSH blocking stage
     * hash-checkable against an independent SQL engine. Sign-LSH only needs
     * the plane directions to be spread; a 9-level discrete distribution is
-    * as good a random direction source as a Gaussian for 64 dims. */
-  def portablePlanes(numPlanes: Int, dim: Int): Seq[Seq[Long]] =
-    (0 until numPlanes).map(p => (0 until dim).map(i => md5Int(s"$p:$i") % 9 - 4))
+    * as good a random direction source as a Gaussian for 64 dims. `ns`
+    * namespaces independent plane tables (multi-table OR-amplification)
+    * inside the same md5 scheme. */
+  def portablePlanes(numPlanes: Int, dim: Int, ns: String = ""): Seq[Seq[Long]] =
+    (0 until numPlanes).map(p => (0 until dim).map(i => md5Int(s"$ns$p:$i") % 9 - 4))
 
   /** Portable bucket: a `numPlanes`-char '0'/'1' bitstring where bit p =
     * `[ Σᵢ floor(vᵢ·1000)·c(p,i) > 0 ]`. The vector is quantized with

@@ -311,6 +311,48 @@ object Similarity {
         .limit(k)
   }
 
+  /** PORTABLE kNN join: the [[knnJoin]] pipeline shape — multi-table
+    * blocking join on slim keys, cross-table candidate dedup, per-left
+    * rank window — with integer-exact md5-plane buckets as the blocking
+    * keys, so every stage is reproducible in closed-form SQL and the
+    * whole join pipeline is hash-checkable cross-engine. Ranks order by
+    * the ROUNDED cosine (4 dp) with an id tiebreak so rank assignment is
+    * engine-independent. The Gaussian-plane [[knnJoin]] (with its hot-
+    * bucket caps) stays the scale path; bound `left` here — the portable
+    * mode is the oracle/audit path. */
+  def knnJoinPortable(
+      left: DataFrame,
+      right: DataFrame,
+      k: Int = 5,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      numTables: Int = 2): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      V.portablePlanes(numPlanes, dim, ns = s"t$t:"))
+    def keys(vec: Column): Column = array(tables.zipWithIndex.map {
+      case (planes, t) =>
+        concat(lit(s"$t:"), V.portableBucketBits(vec, planes))
+    }: _*)
+    val l = left.select(col(idCol).as("id_l"), col(vecCol).as("v_l"))
+    val r = right.select(col(idCol).as("id_r"), col(vecCol).as("v_r"))
+    val candidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
+      .join(r.select(col("id_r"), explode(keys(col("v_r"))).as("key")), "key")
+      .filter(col("id_l") =!= col("id_r"))
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
+    candidates
+      .join(l, "id_l")
+      .join(r, "id_r")
+      .withColumn("cos", round(V.cosineFused(col("v_l"), col("v_r")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
+  }
+
   /** IVF assignment with FIXED md5-derived centroids (see
     * [[graft.functions.VectorFunctions.portableCentroids]]) — the
     * assignment stage of [[ivfFit]] in isolation, pinned cross-engine: the
