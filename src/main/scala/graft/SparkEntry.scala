@@ -938,6 +938,14 @@ object SparkEntry {
           s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("vec_id")),
 
+    // the multi-table OR-amplified ANN scan under portable buckets: the
+    // scan-side complement of knn_lsh_indexed_oracled — a row qualifies
+    // when within Hamming-2 of the query in EITHER namespaced table, and
+    // DuckDB reproduces the OR filter + top-k in closed form
+    "knn_lsh_oracled" -> ((s, dir) =>
+      Similarity.lshTopKPortable(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir), k = 20)),
+
     // the FULL kNN-join pipeline (2-table blocking join on slim keys →
     // cross-table dedup → per-left rank window) under portable buckets,
     // hash-checked end to end; ranks order by rounded cosine + id so
@@ -1120,6 +1128,22 @@ object SparkEntry {
         |FROM bk, q
         |WHERE len(list_filter(range(1, 9),
         |  i -> substr(bk.bucket, i, 1) <> substr(q.qb, i, 1))) <= 2
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+
+    "knn_lsh_oracled" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id, embedding,
+        |    ${duckBucketBitsNs("t0:")} AS b0,
+        |    ${duckBucketBitsNs("t1:")} AS b1
+        |  FROM embeddings),
+        |q AS (SELECT b0 AS q0, b1 AS q1, embedding FROM bk WHERE vec_id = 0)
+        |SELECT bk.vec_id,
+        |  round(${duckCos("bk.embedding", "q.embedding")}, 4) AS cos
+        |FROM bk, q
+        |WHERE len(list_filter(range(1, 9),
+        |        i -> substr(bk.b0, i, 1) <> substr(q.q0, i, 1))) <= 2
+        |   OR len(list_filter(range(1, 9),
+        |        i -> substr(bk.b1, i, 1) <> substr(q.q1, i, 1))) <= 2
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
     "knn_join_oracled" ->

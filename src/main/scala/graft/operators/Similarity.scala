@@ -311,6 +311,39 @@ object Similarity {
         .limit(k)
   }
 
+  /** PORTABLE multi-table OR-amplified ANN scan: the [[lshTopK]] shape —
+    * a vector is scored when its bucket is within `probeHamming` bits of
+    * the query's bucket in ANY of `numTables` namespaced portable-plane
+    * tables — with integer-exact buckets, so the multi-probe multi-table
+    * OR filter itself is reproducible in closed-form SQL (the scan-side
+    * complement of [[lshTopKIndexedPortable]]'s partition-pruned probe). */
+  def lshTopKPortable(
+      df: DataFrame,
+      query: Seq[Float],
+      k: Int = 10,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      probeHamming: Int = 2,
+      numTables: Int = 2): DataFrame = {
+    val tables = (0 until numTables).map(t =>
+      V.portablePlanes(numPlanes, dim, ns = s"t$t:"))
+    val cond = tables.map { planes =>
+      val qBits = V.portableBucketBitsLocal(query, planes)
+      val bits = V.portableBucketBits(col(vecCol), planes)
+      (0 until numPlanes).map { p =>
+        when(substring(bits, p + 1, 1) === lit(qBits.substring(p, p + 1)),
+          lit(0)).otherwise(lit(1))
+      }.reduce(_ + _) <= probeHamming
+    }.reduce(_ || _)
+    df.filter(cond)
+      .select(col(idCol),
+        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** PORTABLE kNN join: the [[knnJoin]] pipeline shape — multi-table
     * blocking join on slim keys, cross-table candidate dedup, per-left
     * rank window — with integer-exact md5-plane buckets as the blocking
