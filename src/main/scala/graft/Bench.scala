@@ -27,11 +27,18 @@ object Bench {
     // through explode), so narrow-map queries would time only the parquet
     // scan. The noop sink fully evaluates every output row/column with no
     // driver collect and no filesystem write.
+    val errors = scala.collection.mutable.Map[String, String]()
     val runs = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
+        // a failure is recorded, never swallowed: a silently-failing query
+        // would otherwise bench as a suspiciously-fast near-zero time
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       name -> Seq(once(), once(), once())
@@ -46,7 +53,8 @@ object Bench {
     // regression adjudication manual), so the bench reports itself.
     val detail = runs.map { case (k, v) =>
       val sorted = v.sorted
-      s"""    "$k":{"runs":[${v.map(r).mkString(",")}],"min":${r(sorted.head)},"median":${r(sorted(v.size / 2))}}"""
+      val err = errors.get(k).map(m => s""","err":"$m"""").getOrElse("")
+      s"""    "$k":{"runs":[${v.map(r).mkString(",")}],"min":${r(sorted.head)},"median":${r(sorted(v.size / 2))}$err}"""
     }.mkString("{\n", ",\n", "\n  }")
     val json =
       s"""{
@@ -55,6 +63,7 @@ object Bench {
          |  "unit": "sec",
          |  "sf": "$sfDir",
          |  "num_queries": ${runs.size},
+         |  "num_failed": ${errors.size},
          |  "queries": $detail
          |}""".stripMargin
     val out = java.nio.file.Paths.get(
