@@ -19,10 +19,12 @@ import org.apache.spark.sql.functions._
   * payloads whose magic marks them as PNG/JPEG/GIF/BMP get header-only
   * dimension extraction and full decode+rescale via JDK `javax.imageio`
   * ([[Media.imageDimensions]]/[[Media.resizeImage]] — no external jars).
-  * AUDIO decode is REAL for WAV: payloads with the RIFF/WAVE magic get
-  * header-only sample-rate/channels/frame-count extraction via JDK
-  * `javax.sound.sampled` ([[Media.audioMeta]]). VIDEO codecs (no JDK
-  * decoder exists) and the feature embedding (needs a model) remain
+  * ([[Media.imageMeta]] additionally reports true frame counts for
+  * animated GIFs). AUDIO decode is REAL for WAV: payloads with the
+  * RIFF/WAVE magic get header-only sample-rate/channels/frame-count
+  * extraction via JDK `javax.sound.sampled` ([[Media.audioMeta]]).
+  * VIDEO codecs (no JDK decoder exists) and the feature embedding
+  * (needs a model) remain
   * STUBBED behind [[Media.decodeStub]], a deterministic fake keyed on the
   * payload bytes, so the Spark-side contract (schema, batching,
   * partitioning, null handling) is real and tested while those codecs
@@ -84,6 +86,34 @@ object Media {
     p.length >= 12 &&
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
       p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** REAL image metadata including frame count: `(width, height,
+    * n_frames)` — `getNumImages(allowSearch = true)` walks the stream, so
+    * animated GIFs report their true frame count (PNG/JPEG/BMP report 1).
+    * Costlier than [[imageDimensions]] (the walk reads every frame
+    * header); use this in feature extraction where n_frames is wanted,
+    * and the header-only dims probe in the resize path. */
+  def imageMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    if (!looksLikeImage(payload)) None
+    else {
+      var iis: javax.imageio.stream.ImageInputStream = null
+      try {
+        iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          // seekForwardOnly=false so getNumImages may search the stream
+          try {
+            r.setInput(iis, false)
+            Some((r.getWidth(0), r.getHeight(0),
+              math.max(1, r.getNumImages(true))))
+          } finally r.dispose()
+        }
+      } catch { case _: Exception => None }
+      finally if (iis != null) iis.close()
+    }
 
   /** REAL audio metadata via JDK `javax.sound.sampled` — no extra jars,
     * same trick as [[imageDimensions]]. Dispatched on the RIFF/WAVE magic;
@@ -202,8 +232,10 @@ object Media {
         // swappable part of this contract.
         val (w, hgt, nfr) = f.kind match {
           case "image" =>
-            val (w1, h1) = imageDimensions(f.payload).getOrElse((w0, h0))
-            (w1, h1, nf)
+            // full meta (incl. animated-GIF frame count); stub frame
+            // count for real images is 1, real single-frame formats also
+            // report 1, so only true animations change n_frames
+            imageMeta(f.payload).getOrElse((w0, h0, nf))
           case "audio" =>
             audioMeta(f.payload).getOrElse((w0, h0, nf))
           case _ => (w0, h0, nf)

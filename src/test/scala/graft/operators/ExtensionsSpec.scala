@@ -463,10 +463,32 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       javax.imageio.ImageIO.write(img, "jpg", bos)
       bos.toByteArray
     }
+    def animatedGif(frames: Int, w: Int, h: Int): Array[Byte] = {
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { i =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        img.setRGB(0, 0, i * 1000)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.close()
+      writer.dispose()
+      bos.toByteArray
+    }
     Media.imageDimensions(png(1, 1)) shouldBe Some((1, 1))
     Media.imageDimensions(png(2, 3)) shouldBe Some((2, 3))
     Media.imageDimensions(jpg(7, 5)) shouldBe Some((7, 5))
     Media.imageDimensions("not an image".getBytes("UTF-8")) shouldBe None
+    // full meta: single-frame formats report 1 frame, animated GIFs their
+    // true frame count
+    Media.imageMeta(png(2, 3)) shouldBe Some((2, 3, 1))
+    Media.imageMeta(animatedGif(3, 4, 2)) shouldBe Some((4, 2, 3))
+    Media.imageMeta("nope".getBytes("UTF-8")) shouldBe None
 
     // end-to-end through the partition-mapped extract: image rows with
     // real bytes report REAL pixel dims; text-payload "images" and audio
