@@ -29,32 +29,54 @@ object Bench {
     // driver collect and no filesystem write.
     val errors = scala.collection.mutable.Map[String, String]()
     val runs = SparkEntry.queries.map { case (name, fn) =>
-      def once(): Double = {
+      // a failure is recorded, never swallowed: a silently-failing query
+      // would otherwise bench as a suspiciously-fast near-zero time
+      def once(): (Double, Boolean) = {
         val t0 = System.nanoTime()
-        // a failure is recorded, never swallowed: a silently-failing query
-        // would otherwise bench as a suspiciously-fast near-zero time
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
-          System.err.println(s"[bench] $name FAILED: ${errors(name)}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] $name FAILED: ${errors(name)}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
       name -> Seq(once(), once(), once())
     }
     def r(d: Double): Double = math.rint(d * 10000) / 10000
-    val results = runs.map { case (k, v) => k -> r(v.min) }
+    // min over SUCCESSFUL runs only — a fast failure must not masquerade
+    // as the query's reproducible cost; all-failed → -1 (clearly invalid)
+    // and excluded from the total
+    val results = runs.map { case (k, v) =>
+      val ok = v.collect { case (t, true) => t }
+      k -> (if (ok.nonEmpty) r(ok.min) else -1.0)
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) r(results.values.sum) else 0.0
+    val total = r(results.values.filter(_ >= 0).sum)
+    // full JSON string escape (same contract as Verify's q()): every
+    // control char < 0x20 — a raw \f or \b in an exception message would
+    // make the artifact unparseable exactly in the failure case it
+    // exists to record
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     // Self-written artifact with the FULL per-query map: stdout capture
     // truncates (a past round lost the head of the map and made
     // regression adjudication manual), so the bench reports itself.
     val detail = runs.map { case (k, v) =>
-      val sorted = v.sorted
-      val err = errors.get(k).map(m => s""","err":"$m"""").getOrElse("")
-      s"""    "$k":{"runs":[${v.map(r).mkString(",")}],"min":${r(sorted.head)},"median":${r(sorted(v.size / 2))}$err}"""
+      val times = v.map(_._1)
+      val sortedOk = v.collect { case (t, true) => t }.sorted
+      val err = errors.get(k).map(m => s""","err":"${esc(m)}"""").getOrElse("")
+      val minOk = if (sortedOk.nonEmpty) r(sortedOk.head) else -1.0
+      val medOk = if (sortedOk.nonEmpty) r(sortedOk(sortedOk.size / 2)) else -1.0
+      s"""    "$k":{"runs":[${times.map(r).mkString(",")}],"min":$minOk,"median":$medOk$err}"""
     }.mkString("{\n", ",\n", "\n  }")
     val json =
       s"""{

@@ -1098,19 +1098,30 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
+    // the ok CTE mirrors the Spark side's candidatePairs hot-bucket guard
+    // (drop buckets with 1 or >10000 members) so the two engines compute
+    // the same pair set even on a corpus with a degenerate mega bucket
     "lsh_bucket_candidates" ->
       s"""WITH bk AS (
-        |  SELECT vec_id AS id, $duckBucketBits AS bucket FROM embeddings)
+        |  SELECT vec_id AS id, $duckBucketBits AS bucket FROM embeddings),
+        |ok AS (
+        |  SELECT bucket FROM bk GROUP BY bucket
+        |  HAVING count(*) > 1 AND count(*) <= 10000)
         |SELECT a.id AS id_a, b.id AS id_b
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+        |WHERE a.bucket IN (SELECT bucket FROM ok)
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_oracled" ->
       s"""WITH bk AS (
         |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+        |ok AS (
+        |  SELECT bucket FROM bk GROUP BY bucket
+        |  HAVING count(*) > 1 AND count(*) <= 10000),
         |cand AS (
         |  SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id),
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE a.bucket IN (SELECT bucket FROM ok)),
         |dup AS (
         |  SELECT DISTINCT id_b FROM cand
         |  WHERE ${duckCos("va", "vb")} >= 0.4)

@@ -235,24 +235,35 @@ class TableStore(val root: String, spark: SparkSession) {
     overwrite(table, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** List a directory through a function, always closing the stream (an
+    * unclosed `Files.list` leaks a directory fd per call). */
+  private def withListing[T](dir: Path)(f: Iterator[Path] => T): T = {
+    val s = Files.list(dir)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   /** Drop version dirs no longer referenced by the manifest (call between
-    * cycles, never during one — late readers may still hold old paths). */
-  def vacuum(): Unit = {
+    * cycles, never during one — late readers may still hold old paths).
+    * `synchronized` with [[commit]]: the tmp-manifest sweep below must not
+    * delete the tmp file of a commit that is between its write and its
+    * rename. */
+  def vacuum(): Unit = synchronized {
     val live = manifest.map { case (t, v) => versionDir(t, v).toAbsolutePath }.toSet
     if (Files.exists(rootPath)) {
       // stale tmp manifests are the debris of a crash in the one
       // non-atomic window (between tmp-write and rename in [[commit]]):
       // the published manifest is intact, the tmp is garbage — sweep it
       // with the orphaned versions. Never matches the live `_manifest`.
-      Files.list(rootPath).iterator().asScala
+      withListing(rootPath)(_
         .filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.startsWith("_manifest.tmp-"))
-        .foreach(Files.deleteIfExists(_))
-      Files.list(rootPath).iterator().asScala
-        .filter(Files.isDirectory(_)).foreach { tableDir =>
-          Files.list(tableDir).iterator().asScala
+        .foreach(Files.deleteIfExists(_)))
+      withListing(rootPath)(_
+        .filter(Files.isDirectory(_)).toSeq).foreach { tableDir =>
+          withListing(tableDir)(_
             .filter(Files.isDirectory(_))
             .filterNot(d => live.contains(d.toAbsolutePath))
+            .toSeq)
             .foreach { d =>
               // bucketed versions also carry a catalog entry (external, so
               // dropping it never touches the files). Drop by COMPUTED
@@ -270,7 +281,7 @@ class TableStore(val root: String, spark: SparkSession) {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      withListing(p)(_.toSeq).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 }

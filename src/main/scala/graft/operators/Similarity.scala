@@ -329,13 +329,17 @@ object Similarity {
       numTables: Int = 2): DataFrame = {
     val tables = (0 until numTables).map(t =>
       V.portablePlanes(numPlanes, dim, ns = s"t$t:"))
+    // single-reference Hamming: the bits expression appears ONCE per
+    // table — a per-position substring form would embed the interpreted
+    // 8-plane×64-dim bucket fold numPlanes× per table per row
+    // (CollapseProject duplicates HOF forms referenced more than once)
     val cond = tables.map { planes =>
       val qBits = V.portableBucketBitsLocal(query, planes)
       val bits = V.portableBucketBits(col(vecCol), planes)
-      (0 until numPlanes).map { p =>
-        when(substring(bits, p + 1, 1) === lit(qBits.substring(p, p + 1)),
-          lit(0)).otherwise(lit(1))
-      }.reduce(_ + _) <= probeHamming
+      aggregate(
+        zip_with(split(bits, ""), split(lit(qBits), ""),
+          (a, b) => when(a === b, lit(0)).otherwise(lit(1))),
+        lit(0), (acc, x) => acc + x) <= probeHamming
     }.reduce(_ || _)
     df.filter(cond)
       .select(col(idCol),

@@ -54,7 +54,9 @@ object Sf1Soak {
 
     val qs = (times ++ skewTimes)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val total = times.map(_._2).sum
+    // total covers every entry in the queries map (bench + skew) so the
+    // artifact's value always equals the sum of its own per-query times
+    val total = (times ++ skewTimes).map(_._2).sum
     val json =
       s"""{"metric":"total_sf1","value":$total,"unit":"sec","queries":$qs,"sf":"$Dst"}"""
     println(json)
