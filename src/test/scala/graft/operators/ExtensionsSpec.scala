@@ -137,6 +137,27 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("portable bucket bits: driver twin equals executor column on 200 random vectors") {
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val rnd = new scala.util.Random(7L)
+    // mixed magnitudes incl. negatives and near-zero components — the
+    // shapes where a float-vs-integer sign decision could diverge
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map(_ =>
+        ((rnd.nextGaussian() * (if (i % 3 == 0) 0.001 else 1.0))).toFloat))
+    }
+    val planes = V.portablePlanes(8, dim, ns = "t1:")
+    val got = vecs.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        V.portableBucketBits(col("embedding"), planes).as("bits"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    vecs.foreach { case (id, v) =>
+      V.portableBucketBitsLocal(v, planes) shouldBe got(id)
+    }
+  }
+
   test("portable IVF assignment matches a driver-side argmin") {
     val s = spark
     import s.implicits._
