@@ -923,7 +923,10 @@ object SparkEntry {
       val path = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         "graft-lsh-pindex-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
-      if (!java.nio.file.Files.exists(path))
+      // reuse is gated on the write's _SUCCESS marker, not bare existence:
+      // an interrupted writeLshIndexPortable leaves a partial directory
+      // that bare Files.exists would reuse forever
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
         Similarity.writeLshIndexPortable(e, path.toString)
       Similarity.lshTopKIndexedPortable(s, path.toString, queryVec(s, dir),
         k = 20, probeHamming = 2)
@@ -938,23 +941,40 @@ object SparkEntry {
           s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("vec_id")),
 
+    // the FULL IVF query path (assignment → nProbes-nearest-cell
+    // selection → cell filter → rounded-cosine top-k) with fixed portable
+    // centroids: every stage closed-form in DuckDB (argmin + filter +
+    // window), so the whole ANN-by-IVF machinery is hash-checked; the
+    // k-means FIT (knn_ivf) stays recall/PlanSpec-pinned — fitted cells
+    // flow through exactly this query path
+    "knn_ivf_oracled" -> ((s, dir) =>
+      Similarity.ivfTopKPortable(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir),
+        k = 20, nProbes = 3)),
+
     // the multi-table OR-amplified ANN scan under portable buckets: the
     // scan-side complement of knn_lsh_indexed_oracled — a row qualifies
     // when within Hamming-2 of the query in EITHER namespaced table, and
-    // DuckDB reproduces the OR filter + top-k in closed form
+    // DuckDB reproduces the OR filter + top-k in closed form. Same
+    // production lshTopK code path as knn_lsh, portable planes swapped in
     "knn_lsh_oracled" -> ((s, dir) =>
-      Similarity.lshTopKPortable(
-        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir), k = 20)),
+      Similarity.lshTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir), k = 20,
+        probeHamming = 2, numTables = 2, portable = true)),
 
     // the FULL kNN-join pipeline (2-table blocking join on slim keys →
     // cross-table dedup → per-left rank window) under portable buckets,
-    // hash-checked end to end; ranks order by rounded cosine + id so
-    // rank assignment is engine-independent. knn_join (Gaussian planes,
-    // hot-bucket caps) stays the scale path; left is bounded here as in
-    // knn_join_brute
+    // hash-checked end to end THROUGH THE PRODUCTION knnJoin — both skew
+    // caps active at their defaults; the corpus is small enough that
+    // neither cap binds (ExtensionsSpec pins capped ≡ uncapped on this
+    // corpus), so the DuckDB oracle needs no cap arithmetic. Ranks order
+    // by rounded cosine + id so rank assignment is engine-independent.
+    // knn_join (Gaussian planes) stays the perf path; left is bounded
+    // here as in knn_join_brute
     "knn_join_oracled" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
-      Similarity.knnJoinPortable(e.filter(col("vec_id") < 50), e, k = 5)
+      Similarity.knnJoin(e.filter(col("vec_id") < 50), e, k = 5,
+          numPlanes = 8, numTables = 2, portable = true)
         .orderBy("id_l", "rank")
     }),
 
@@ -1000,7 +1020,10 @@ object SparkEntry {
       val path = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         "graft-lsh-index-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
-      if (!java.nio.file.Files.exists(path))
+      // gate on the LAST table's _SUCCESS: the 4 per-table writes land in
+      // order, so a crash mid-build leaves table=3 unmarked and the whole
+      // index is rebuilt instead of a partial directory being reused
+      if (!java.nio.file.Files.exists(path.resolve("table=3/_SUCCESS")))
         Similarity.writeLshIndex(e, path.toString, numPlanes = 6)
       Similarity.lshTopKIndexed(s, path.toString, queryVec(s, dir), k = 20,
         numPlanes = 6, probeHamming = 2)
@@ -1196,6 +1219,35 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT vec_id, CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // full IVF query path: per-row distance list to the 8 fixed centroids
+    // (same closed form as ivf_assign_oracled), assignment = argmin, the
+    // query's 3 probe cells = the 3 smallest entries of ITS distance list
+    // (ties → lowest cell), then rounded-cosine top-20 over the probed
+    // cells — the whole ANN pipeline in one closed-form statement
+    "knn_ivf_oracled" ->
+      s"""WITH d AS (
+        |  SELECT vec_id, embedding, list_transform(range(8), j ->
+        |    list_sum(list_transform(
+        |      list_transform(range(1, len(embedding)+1), i ->
+        |        CAST(embedding[i] AS DOUBLE) -
+        |        (CAST(('0x' || substr(md5('ivf:' || j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
+        |      x -> x * x))) AS dl
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+        |  FROM d),
+        |qd AS (SELECT dl, embedding FROM d WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cell FROM (
+        |    SELECT unnest(range(8)) AS cell, unnest(dl) AS dist FROM qd) t
+        |  ORDER BY dist, cell LIMIT 3)
+        |SELECT a.vec_id,
+        |  round(${duckCos("a.embedding", "q.embedding")}, 4) AS cos
+        |FROM assigned a, qd q
+        |WHERE a.cell IN (SELECT cell FROM probe)
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -82,6 +82,9 @@ object Media {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
       (p(0) == 'B' && p(1) == 'M'))                                          // BMP
 
+  private def looksLikeGif(p: Array[Byte]): Boolean =
+    p.length >= 4 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
   private def looksLikeWav(p: Array[Byte]): Boolean =
     p.length >= 12 &&
       p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
@@ -232,10 +235,13 @@ object Media {
         // swappable part of this contract.
         val (w, hgt, nfr) = f.kind match {
           case "image" =>
-            // full meta (incl. animated-GIF frame count); stub frame
-            // count for real images is 1, real single-frame formats also
-            // report 1, so only true animations change n_frames
-            imageMeta(f.payload).getOrElse((w0, h0, nf))
+            // frame-count walk (getNumImages reads every frame header)
+            // only for GIFs — the sole multi-frame format here; PNG/JPEG/
+            // BMP take the header-only dims probe and report 1 frame, so
+            // per-row cost stays flat on the common formats
+            if (looksLikeGif(f.payload)) imageMeta(f.payload).getOrElse((w0, h0, nf))
+            else imageDimensions(f.payload).map { case (iw, ih) => (iw, ih, 1) }
+              .getOrElse((w0, h0, nf))
           case "audio" =>
             audioMeta(f.payload).getOrElse((w0, h0, nf))
           case _ => (w0, h0, nf)

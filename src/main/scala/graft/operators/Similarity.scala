@@ -62,7 +62,14 @@ object Similarity {
     * [[bucketize]], one write per table seed); each table's probe is then a
     * partition-pruned read of its own copy and the candidate union feeds
     * one top-k. On a single scan (here) the same semantics is the OR
-    * filter below. */
+    * filter below.
+    *
+    * `portable = true` swaps the Gaussian planes for the integer-exact
+    * md5-derived plane tables (namespaces `t0:`, `t1:`, … — see
+    * [[graft.functions.VectorFunctions.portablePlanes]]): same filter →
+    * score → top-k code path, but every bucket bit is reproducible in
+    * closed-form SQL, which is what makes the scan hash-checkable against
+    * an external engine. The Gaussian default stays the perf path. */
   def lshTopK(
       df: DataFrame,
       query: Seq[Float],
@@ -73,19 +80,38 @@ object Similarity {
       dim: Int = 64,
       probeHamming: Int = 1,
       seed: Long = 42L,
-      numTables: Int = 4): DataFrame = {
-    val tables = planeTables(numTables, numPlanes, dim, seed)
-    // query buckets computed driver-side (tiny), pushed as literal
-    // predicates → with per-table bucket-partitioned storage each disjunct
-    // is a partition-pruning probe of that table's copy
-    val cond = tables.map { planes =>
-      val qBucket = planes.zipWithIndex.map { case (p, i) =>
-        val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
-        if (d > 0) 1L << i else 0L
-      }.sum
-      bit_count(V.hyperplaneBucket(col(vecCol), planes)
-        .bitwiseXOR(lit(qBucket))) <= probeHamming
-    }.reduce(_ || _)
+      numTables: Int = 4,
+      portable: Boolean = false): DataFrame = {
+    // per-table Hamming predicate; query bucket computed driver-side
+    // (tiny), pushed as literal predicates → with per-table
+    // bucket-partitioned storage each disjunct is a partition-pruning
+    // probe of that table's copy
+    val cond =
+      if (portable) {
+        (0 until numTables).map { t =>
+          val planes = V.portablePlanes(numPlanes, dim, ns = s"t$t:")
+          val qBits = V.portableBucketBitsLocal(query, planes)
+          // single-reference Hamming: the bits expression appears ONCE per
+          // table — a per-position substring form would embed the
+          // interpreted 8-plane×64-dim bucket fold numPlanes× per table
+          // per row (CollapseProject duplicates HOF forms referenced more
+          // than once)
+          val bits = V.portableBucketBits(col(vecCol), planes)
+          aggregate(
+            zip_with(split(bits, ""), split(lit(qBits), ""),
+              (a, b) => when(a === b, lit(0)).otherwise(lit(1))),
+            lit(0), (acc, x) => acc + x) <= probeHamming
+        }.reduce(_ || _)
+      } else {
+        planeTables(numTables, numPlanes, dim, seed).map { planes =>
+          val qBucket = planes.zipWithIndex.map { case (p, i) =>
+            val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
+            if (d > 0) 1L << i else 0L
+          }.sum
+          bit_count(V.hyperplaneBucket(col(vecCol), planes)
+            .bitwiseXOR(lit(qBucket))) <= probeHamming
+        }.reduce(_ || _)
+      }
 
     df.filter(cond)
       .select(col(idCol),
@@ -311,85 +337,6 @@ object Similarity {
         .limit(k)
   }
 
-  /** PORTABLE multi-table OR-amplified ANN scan: the [[lshTopK]] shape —
-    * a vector is scored when its bucket is within `probeHamming` bits of
-    * the query's bucket in ANY of `numTables` namespaced portable-plane
-    * tables — with integer-exact buckets, so the multi-probe multi-table
-    * OR filter itself is reproducible in closed-form SQL (the scan-side
-    * complement of [[lshTopKIndexedPortable]]'s partition-pruned probe). */
-  def lshTopKPortable(
-      df: DataFrame,
-      query: Seq[Float],
-      k: Int = 10,
-      vecCol: String = "embedding",
-      idCol: String = "vec_id",
-      numPlanes: Int = 8,
-      dim: Int = 64,
-      probeHamming: Int = 2,
-      numTables: Int = 2): DataFrame = {
-    val tables = (0 until numTables).map(t =>
-      V.portablePlanes(numPlanes, dim, ns = s"t$t:"))
-    // single-reference Hamming: the bits expression appears ONCE per
-    // table — a per-position substring form would embed the interpreted
-    // 8-plane×64-dim bucket fold numPlanes× per table per row
-    // (CollapseProject duplicates HOF forms referenced more than once)
-    val cond = tables.map { planes =>
-      val qBits = V.portableBucketBitsLocal(query, planes)
-      val bits = V.portableBucketBits(col(vecCol), planes)
-      aggregate(
-        zip_with(split(bits, ""), split(lit(qBits), ""),
-          (a, b) => when(a === b, lit(0)).otherwise(lit(1))),
-        lit(0), (acc, x) => acc + x) <= probeHamming
-    }.reduce(_ || _)
-    df.filter(cond)
-      .select(col(idCol),
-        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
-      .orderBy(col("cos").desc, col(idCol))
-      .limit(k)
-  }
-
-  /** PORTABLE kNN join: the [[knnJoin]] pipeline shape — multi-table
-    * blocking join on slim keys, cross-table candidate dedup, per-left
-    * rank window — with integer-exact md5-plane buckets as the blocking
-    * keys, so every stage is reproducible in closed-form SQL and the
-    * whole join pipeline is hash-checkable cross-engine. Ranks order by
-    * the ROUNDED cosine (4 dp) with an id tiebreak so rank assignment is
-    * engine-independent. The Gaussian-plane [[knnJoin]] (with its hot-
-    * bucket caps) stays the scale path; bound `left` here — the portable
-    * mode is the oracle/audit path. */
-  def knnJoinPortable(
-      left: DataFrame,
-      right: DataFrame,
-      k: Int = 5,
-      vecCol: String = "embedding",
-      idCol: String = "vec_id",
-      numPlanes: Int = 8,
-      dim: Int = 64,
-      numTables: Int = 2): DataFrame = {
-    val tables = (0 until numTables).map(t =>
-      V.portablePlanes(numPlanes, dim, ns = s"t$t:"))
-    def keys(vec: Column): Column = array(tables.zipWithIndex.map {
-      case (planes, t) =>
-        concat(lit(s"$t:"), V.portableBucketBits(vec, planes))
-    }: _*)
-    val l = left.select(col(idCol).as("id_l"), col(vecCol).as("v_l"))
-    val r = right.select(col(idCol).as("id_r"), col(vecCol).as("v_r"))
-    val candidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
-      .join(r.select(col("id_r"), explode(keys(col("v_r"))).as("key")), "key")
-      .filter(col("id_l") =!= col("id_r"))
-      .select(col("id_l"), col("id_r"))
-      .dropDuplicates("id_l", "id_r")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
-    candidates
-      .join(l, "id_l")
-      .join(r, "id_r")
-      .withColumn("cos", round(V.cosineFused(col("v_l"), col("v_r")), 4))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
-  }
-
   /** IVF assignment with FIXED md5-derived centroids (see
     * [[graft.functions.VectorFunctions.portableCentroids]]) — the
     * assignment stage of [[ivfFit]] in isolation, pinned cross-engine: the
@@ -402,6 +349,46 @@ object Similarity {
     df.select(col(idCol),
       V.nearestCenter(col(vecCol), V.portableCentroids(numCells, dim)).as("cell"))
 
+  /** The FULL IVF query path with FIXED md5-derived centroids: assign
+    * every row to its nearest cell (the [[ivfAssignPortable]] kernel),
+    * select the `nProbes` cells nearest the query driver-side, filter to
+    * those cells, exact rounded-cosine top-k — exactly the
+    * [[IvfIndex.topK]] pipeline, but with centroids both engines can
+    * derive in closed form, so assignment + probe selection + top-k are
+    * all hash-checkable cross-engine (argmin + filter + window in SQL).
+    * The k-means-fitted [[ivfFit]] stays the production path — data-
+    * adaptive cells beat fixed random centroids on recall — this pins the
+    * query-path MACHINERY those cells flow through. Probe-cell ties
+    * resolve to the lowest cell index on both engines. */
+  def ivfTopKPortable(
+      df: DataFrame,
+      query: Seq[Float],
+      k: Int = 20,
+      vecCol: String = "embedding",
+      idCol: String = "vec_id",
+      numCells: Int = 8,
+      dim: Int = 64,
+      nProbes: Int = 3): DataFrame = {
+    val centers = V.portableCentroids(numCells, dim)
+    val qc = query.map(_.toDouble)
+    // driver-side twin of the NearestCenter kernel's distance loop (same
+    // ascending-index summation order, so cell ranking matches the
+    // executor- and oracle-side arithmetic exactly)
+    val probed = centers.zipWithIndex.map { case (c, j) =>
+      val n = math.min(c.length, qc.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) { val t = qc(i) - c(i); d += t * t; i += 1 }
+      (j, d)
+    }.sortBy { case (j, d) => (d, j) }.take(nProbes).map(_._1)
+    df.withColumn("cell", V.nearestCenter(col(vecCol), centers))
+      .filter(col("cell").isInCollection(probed))
+      .select(col(idCol),
+        round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
   /** All-pairs top-k join (each left row → its k nearest right rows) via
     * multi-table LSH blocking + windowed rank. A pair is a candidate when
     * the two vectors share a bucket in ANY of `numTables` independent
@@ -412,7 +399,27 @@ object Similarity {
     * are deduped across tables BEFORE cosine scoring so each surviving
     * pair is scored once. Use for bulk kNN-graph construction; the
     * brute-force equivalent is an O(n²) cross join and intentionally not
-    * provided. */
+    * provided.
+    *
+    * Skew caps (BOTH ON BY DEFAULT — the production safety rails):
+    *   - `maxRightPerKey` — per-(table,bucket) cap on the exploded right
+    *     side BEFORE the blocking join. `0` (default) → `200·k`; a
+    *     NEGATIVE value disables the cap (and skips its window shuffle
+    *     entirely); positive → that exact cap. A bucket larger than the
+    *     cap is deterministically hash-sampled, so results on degenerate
+    *     mega buckets are a bounded approximation BY DESIGN — pass `-1`
+    *     when exact candidate enumeration matters more than bounded
+    *     fan-out (e.g. oracled/audit runs on pre-bounded inputs).
+    *   - `maxCandidatesPerLeft` — per-left cap on the deduped candidate
+    *     list before vectors attach. Same sentinel scheme; default `50·k`.
+    *
+    * `portable = true` swaps the Gaussian plane tables for integer-exact
+    * md5-derived plane tables (namespaces `t0:`, `t1:`, …) and string
+    * `"t:bits"` join keys — the SAME pipeline (explode → right cap →
+    * blocking join → cross-table dedup → left cap → score → rank), so an
+    * external-engine oracle exercises the production code path, caps
+    * included. Ranks order by the ROUNDED cosine (4 dp) with an id
+    * tiebreak so rank assignment is engine-independent in both modes. */
   def knnJoin(
       left: DataFrame,
       right: DataFrame,
@@ -424,13 +431,22 @@ object Similarity {
       seed: Long = 42L,
       numTables: Int = 8,
       maxCandidatesPerLeft: Int = 0,
-      maxRightPerKey: Int = 0): DataFrame = {
-    val tables = planeTables(numTables, numPlanes, dim, seed)
+      maxRightPerKey: Int = 0,
+      portable: Boolean = false): DataFrame = {
     // per-row array of per-table join keys; vec is a plain column ref so
     // the L bucket computations stay one narrow projection
-    def keys(vec: Column): Column = array(tables.zipWithIndex.map {
-      case (planes, t) => xxhash64(lit(t), V.hyperplaneBucket(vec, planes))
-    }: _*)
+    def keys(vec: Column): Column =
+      if (portable)
+        array((0 until numTables).map { t =>
+          concat(lit(s"$t:"),
+            V.portableBucketBits(vec, V.portablePlanes(numPlanes, dim, ns = s"t$t:")))
+        }: _*)
+      else {
+        val tables = planeTables(numTables, numPlanes, dim, seed)
+        array(tables.zipWithIndex.map {
+          case (planes, t) => xxhash64(lit(t), V.hyperplaneBucket(vec, planes))
+        }: _*)
+      }
     // candidate generation carries ONLY (key, id): the L-way explode, the
     // blocking join, and the cross-table dedup shuffle 16-byte rows instead
     // of rows dragging two dim-sized vectors (at dim=64 that is ~32× less
@@ -452,14 +468,19 @@ object Similarity {
     // keeps the sample unbiased and reproducible. Cost when no skew
     // exists: a row_number over rows the join was about to shuffle on
     // the same key anyway.
-    val rCap = if (maxRightPerKey > 0) maxRightPerKey else 200 * k
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("key"))
-      .orderBy(xxhash64(col("key"), col("id_r")), col("id_r"))
-    val rKeys = r.select(col("id_r"), explode(keys(col("v_r"))).as("key"))
-      .withColumn("__rr", row_number().over(wr))
-      .filter(col("__rr") <= rCap)
-      .drop("__rr")
+    val rExploded = r.select(col("id_r"), explode(keys(col("v_r"))).as("key"))
+    val rCap = if (maxRightPerKey == 0) 200 * k else maxRightPerKey
+    val rKeys =
+      if (rCap < 0) rExploded // cap disabled: no window, no extra shuffle
+      else {
+        val wr = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key"))
+          .orderBy(xxhash64(col("key"), col("id_r")), col("id_r"))
+        rExploded
+          .withColumn("__rr", row_number().over(wr))
+          .filter(col("__rr") <= rCap)
+          .drop("__rr")
+      }
     val rawCandidates = l.select(col("id_l"), explode(keys(col("v_l"))).as("key"))
       .join(rKeys, "key")
       .filter(col("id_l") =!= col("id_r"))
@@ -474,21 +495,25 @@ object Similarity {
     // unbiased, and xxhash64(id_l, id_r) keeps it reproducible across
     // runs — rand() would make recall flap. Default cap 50·k keeps ≥0.5
     // recall with a wide margin (the adversarial-cluster spec pins it).
-    val cap = if (maxCandidatesPerLeft > 0) maxCandidatesPerLeft else 50 * k
-    val wc = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_l"))
-      .orderBy(xxhash64(col("id_l"), col("id_r")), col("id_r"))
-    val candidates = rawCandidates
-      .withColumn("__cr", row_number().over(wc))
-      .filter(col("__cr") <= cap)
-      .drop("__cr")
+    val cap = if (maxCandidatesPerLeft == 0) 50 * k else maxCandidatesPerLeft
+    val candidates =
+      if (cap < 0) rawCandidates // cap disabled
+      else {
+        val wc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id_l"))
+          .orderBy(xxhash64(col("id_l"), col("id_r")), col("id_r"))
+        rawCandidates
+          .withColumn("__cr", row_number().over(wc))
+          .filter(col("__cr") <= cap)
+          .drop("__cr")
+      }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_l")).orderBy(col("cos").desc, col("id_r"))
     candidates
       .join(l, "id_l")
       .join(r, "id_r")
       .withColumn("cos", round(V.cosineFused(col("v_l"), col("v_r")), 4))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
   }

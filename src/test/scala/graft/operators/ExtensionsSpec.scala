@@ -468,6 +468,37 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     cgot.map(_.toSeq).sortBy(_.toString) shouldBe cagain.map(_.toSeq).sortBy(_.toString)
   }
 
+  test("portable knnJoin runs the production caps without binding on the oracle corpus") {
+    // knn_join_oracled runs the PRODUCTION knnJoin with both skew caps at
+    // their defaults; the DuckDB oracle carries no cap arithmetic, so this
+    // pins the precondition that makes that valid: on the oracle corpus
+    // the capped and cap-disabled runs are row-identical
+    val e = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val left = e.filter(col("vec_id") < 50)
+    def run(capL: Int, capR: Int) =
+      Similarity.knnJoin(left, e, k = 5, numPlanes = 8, numTables = 2,
+          maxCandidatesPerLeft = capL, maxRightPerKey = capR, portable = true)
+        .orderBy("id_l", "rank").collect().map(_.toSeq).toSeq
+    run(0, 0) shouldBe run(-1, -1)
+  }
+
+  test("portable IVF full query path: self-hit top-1 and driver-twin probe cells") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val got = Similarity.ivfTopKPortable(e, q, k = 20, nProbes = 3).collect()
+    got.length shouldBe 20
+    // the query vector's own cell is always among its nProbes nearest
+    // cells, so the query row itself must surface at rank 1 with cos 1.0
+    got.head.getLong(0) shouldBe 0L
+    got.head.getAs[Double]("cos") shouldBe 1.0
+    // widening the probe set to every cell must reproduce brute force
+    val all = Similarity.ivfTopKPortable(e, q, k = 20, nProbes = 8)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.bruteForceTopK(e, q, k = 20)
+      .collect().map(_.toSeq).toSeq
+    all shouldBe brute
+  }
+
   test("real image payloads decode to exact dimensions; fakes keep the stub") {
     def png(w: Int, h: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
