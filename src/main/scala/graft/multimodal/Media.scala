@@ -23,8 +23,11 @@ import org.apache.spark.sql.functions._
   * animated GIFs). AUDIO decode is REAL for WAV: payloads with the
   * RIFF/WAVE magic get header-only sample-rate/channels/frame-count
   * extraction via JDK `javax.sound.sampled` ([[Media.audioMeta]]).
-  * VIDEO codecs (no JDK decoder exists) and the feature embedding
-  * (needs a model) remain
+  * VIDEO container metadata is REAL for MP4 (ISO-BMFF box walk: tkhd
+  * dims, stsz frame count, mvhd duration, trak count) and AVI (RIFF
+  * hdrl/avih header) — pure-JDK byte parsing, no codec needed
+  * ([[Media.videoInfo]]). VIDEO frame-pixel decode (no JDK codec exists)
+  * and the feature embedding (needs a model) remain
   * STUBBED behind [[Media.decodeStub]], a deterministic fake keyed on the
   * payload bytes, so the Spark-side contract (schema, batching,
   * partitioning, null handling) is real and tested while those codecs
@@ -142,6 +145,160 @@ object Media {
       finally if (in != null) in.close()
     }
 
+  /** Parsed video container header: pixel dims, frame count of the video
+    * track, total track count, and duration in milliseconds. */
+  case class VideoInfo(width: Int, height: Int, nFrames: Int,
+      nTracks: Int, durationMs: Long)
+
+  private def looksLikeMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  private def looksLikeAvi(p: Array[Byte]): Boolean =
+    p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+
+  private def be64(p: Array[Byte], o: Int): Long =
+    (be32(p, o) << 32) | be32(p, o + 4)
+
+  private def le32(p: Array[Byte], o: Int): Long =
+    (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+      ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+
+  /** Walk ISO-BMFF boxes in `[start, end)`, calling `f(type, payloadStart,
+    * payloadEnd)` per box. Handles 64-bit `largesize` (size==1) and
+    * to-end-of-enclosing (size==0); stops at the first malformed box
+    * instead of throwing — callers treat a partial walk as best-effort. */
+  private def walkBoxes(p: Array[Byte], start: Int, end: Int)(
+      f: (String, Int, Int) => Unit): Unit = {
+    var o = start
+    var ok = true
+    while (ok && o + 8 <= end) {
+      var size = be32(p, o)
+      var hdr = 8
+      if (size == 1 && o + 16 <= end) { size = be64(p, o + 8); hdr = 16 }
+      else if (size == 0) size = (end - o).toLong
+      if (size < hdr || size > end - o) ok = false
+      else {
+        f(new String(p, o + 4, 4, "ISO-8859-1"), o + hdr, o + size.toInt)
+        o += size.toInt
+      }
+    }
+  }
+
+  /** MP4 (ISO-BMFF) header parse: moov → mvhd (timescale/duration), trak
+    * count, per-trak tkhd dims (16.16 fixed-point), and the video trak's
+    * stsz sample count as the frame count. Header-only byte walk — the
+    * mdat payload is never touched, so this stays cheap inside a 100 TB
+    * scan regardless of clip size. */
+  private def mp4Info(p: Array[Byte]): Option[VideoInfo] =
+    try {
+      var timescale = 0L; var duration = 0L
+      var nTracks = 0
+      var width = 0; var height = 0; var frames = 0
+      walkBoxes(p, 0, p.length) {
+        case ("moov", ms, me) =>
+          walkBoxes(p, ms, me) {
+            case ("mvhd", bs, be) =>
+              val v = p(bs) & 0xff
+              if (v == 1 && be - bs >= 32) {
+                timescale = be32(p, bs + 20); duration = be64(p, bs + 24)
+              } else if (be - bs >= 20) {
+                timescale = be32(p, bs + 12); duration = be32(p, bs + 16)
+              }
+            case ("trak", ts, te) =>
+              nTracks += 1
+              var w = 0; var h = 0; var fc = 0
+              walkBoxes(p, ts, te) {
+                case ("tkhd", bs, be) =>
+                  val v = p(bs) & 0xff
+                  val wOff = if (v == 1) 88 else 76 // width after matrix
+                  if (be - bs >= wOff + 8) {
+                    w = (be32(p, bs + wOff) >> 16).toInt // 16.16 fixed → px
+                    h = (be32(p, bs + wOff + 4) >> 16).toInt
+                  }
+                case ("mdia", ds, de) =>
+                  walkBoxes(p, ds, de) {
+                    case ("minf", fs, fe) =>
+                      walkBoxes(p, fs, fe) {
+                        case ("stbl", ss, se) =>
+                          walkBoxes(p, ss, se) {
+                            case ("stsz", bs, be) if be - bs >= 12 =>
+                              fc = be32(p, bs + 8).toInt // sample_count
+                            case _ =>
+                          }
+                        case _ =>
+                      }
+                    case _ =>
+                  }
+                case _ =>
+              }
+              // the video trak is the one with pixel dims (audio tkhd
+              // reports 0×0); first match wins
+              if (w > 0 && width == 0) { width = w; height = h; frames = fc }
+            case _ =>
+          }
+        case _ =>
+      }
+      if (width <= 0 || nTracks == 0) None
+      else Some(VideoInfo(width, height, frames, nTracks,
+        if (timescale > 0) duration * 1000L / timescale else 0L))
+    } catch { case _: Exception => None }
+
+  /** AVI (RIFF) header parse: LIST/hdrl → avih main header — dims, total
+    * frames, stream count, per-frame micro-seconds → duration. All fields
+    * little-endian; header-only like [[mp4Info]]. */
+  private def aviInfo(p: Array[Byte]): Option[VideoInfo] =
+    try {
+      var out: Option[VideoInfo] = None
+      var o = 12 // past RIFF....AVI<sp>
+      while (out.isEmpty && o + 8 <= p.length) {
+        val fourcc = new String(p, o, 4, "ISO-8859-1")
+        val size = le32(p, o + 4)
+        if (size < 0 || size > p.length - o - 8) o = p.length // malformed → stop
+        else {
+          if (fourcc == "LIST" && size >= 4 &&
+              new String(p, o + 8, 4, "ISO-8859-1") == "hdrl") {
+            var c = o + 12
+            val end = o + 8 + size.toInt
+            while (out.isEmpty && c + 8 <= end) {
+              val cc = new String(p, c, 4, "ISO-8859-1")
+              val cs = le32(p, c + 4)
+              if (cc == "avih" && cs >= 40 && c + 8 + 40 <= p.length) {
+                val usPerFrame = le32(p, c + 8)
+                val totalFrames = le32(p, c + 8 + 16)
+                val streams = le32(p, c + 8 + 24)
+                val w = le32(p, c + 8 + 32)
+                val h = le32(p, c + 8 + 36)
+                out = Some(VideoInfo(w.toInt, h.toInt, totalFrames.toInt,
+                  streams.toInt, usPerFrame * totalFrames / 1000L))
+              }
+              c += 8 + cs.toInt + (cs.toInt & 1) // chunks pad to even
+            }
+          }
+          o += 8 + size.toInt + (size.toInt & 1)
+        }
+      }
+      out
+    } catch { case _: Exception => None }
+
+  /** REAL video container metadata — MP4 or AVI dispatched on magic, like
+    * [[audioMeta]]; `None` when the bytes are neither (callers fall back
+    * to the deterministic stub). */
+  def videoInfo(payload: Array[Byte]): Option[VideoInfo] =
+    if (looksLikeMp4(payload)) mp4Info(payload)
+    else if (looksLikeAvi(payload)) aviInfo(payload)
+    else None
+
+  /** [[videoInfo]] in the `(width, height, n_frames)` shape
+    * [[extractFeatures]] slots into [[MediaFeatures]]. */
+  def videoMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    videoInfo(payload).map(v => (v.width, v.height, v.nFrames))
+
   /** REAL image dimensions via JDK `javax.imageio` — no extra jars.
     * Dispatched on the payload magic (PNG/JPEG/GIF/BMP); `None` when the
     * bytes are not a recognizable image, in which case callers fall back
@@ -244,6 +401,8 @@ object Media {
               .getOrElse((w0, h0, nf))
           case "audio" =>
             audioMeta(f.payload).getOrElse((w0, h0, nf))
+          case "video" =>
+            videoMeta(f.payload).getOrElse((w0, h0, nf))
           case _ => (w0, h0, nf)
         }
         val digest = h.map("%02x".format(_)).mkString

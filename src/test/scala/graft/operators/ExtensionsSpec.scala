@@ -597,6 +597,79 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(2).n_frames should be >= 1 // video: digest-derived stub
   }
 
+  test("real video container headers parse to exact dims/frames/duration; fakes keep the stub") {
+    // hand-built minimal ISO-BMFF: ftyp + moov[mvhd + video trak[tkhd +
+    // mdia/minf/stbl/stsz] + audio trak[tkhd 0×0]] — the exact box layout
+    // the parser walks, with known values in every parsed field
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val b = new Array[Byte](84) // v0 layout; width/height 16.16 fixed at 76/80
+      System.arraycopy(be32(w.toLong << 16), 0, b, 76, 4)
+      System.arraycopy(be32(h.toLong << 16), 0, b, 80, 4)
+      b
+    }
+    val mvhd = {
+      val b = new Array[Byte](100) // v0: timescale at 12, duration at 16
+      System.arraycopy(be32(600), 0, b, 12, 4)
+      System.arraycopy(be32(1200), 0, b, 16, 4)
+      b
+    }
+    def stsz(n: Int): Array[Byte] =
+      new Array[Byte](4) ++ be32(0) ++ be32(n.toLong) ++ new Array[Byte](4 * n)
+    val mp4 = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+      box("moov",
+        box("mvhd", mvhd),
+        box("trak", box("tkhd", tkhd(640, 360)),
+          box("mdia", box("minf", box("stbl", box("stsz", stsz(48)))))),
+        box("trak", box("tkhd", tkhd(0, 0))))
+    // 1200 mvhd units at timescale 600 → 2000 ms; 2 traks; 48 stsz samples
+    Media.videoInfo(mp4) shouldBe Some(Media.VideoInfo(640, 360, 48, 2, 2000L))
+
+    // minimal AVI: RIFF/AVI + LIST hdrl + avih (all little-endian)
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val avih = {
+      val b = new Array[Byte](56)
+      System.arraycopy(le32(33333), 0, b, 0, 4) // µs per frame
+      System.arraycopy(le32(300), 0, b, 16, 4) // dwTotalFrames
+      System.arraycopy(le32(2), 0, b, 24, 4) // dwStreams
+      System.arraycopy(le32(320), 0, b, 32, 4) // dwWidth
+      System.arraycopy(le32(240), 0, b, 36, 4) // dwHeight
+      b
+    }
+    val hdrl = "hdrl".getBytes("ISO-8859-1") ++
+      "avih".getBytes("ISO-8859-1") ++ le32(56) ++ avih
+    val avi = "RIFF".getBytes("ISO-8859-1") ++ le32(4L + 8 + hdrl.length) ++
+      "AVI ".getBytes("ISO-8859-1") ++
+      "LIST".getBytes("ISO-8859-1") ++ le32(hdrl.length.toLong) ++ hdrl
+    // 300 frames × 33333 µs → 9999 ms
+    Media.videoInfo(avi) shouldBe Some(Media.VideoInfo(320, 240, 300, 2, 9999L))
+
+    Media.videoInfo("not a video at all".getBytes("UTF-8")) shouldBe None
+    Media.videoInfo(Array[Byte]()) shouldBe None
+
+    // end-to-end through the partition-mapped extract: video rows with a
+    // real container header report REAL (width, height, n_frames); text
+    // payloads keep the stub; image rows ignore video bytes (kind-dispatched)
+    val s = spark
+    import s.implicits._
+    val files = Seq(
+      Media.MediaFile(1L, "video", mp4, "fixture"),
+      Media.MediaFile(2L, "video", avi, "fixture"),
+      Media.MediaFile(3L, "video", "plain text".getBytes("UTF-8"), "fixture")).toDS()
+    val rows = Media.extractFeatures(files).collect().sortBy(_.media_id)
+    (rows(0).width, rows(0).height, rows(0).n_frames) shouldBe ((640, 360, 48))
+    (rows(1).width, rows(1).height, rows(1).n_frames) shouldBe ((320, 240, 300))
+    rows(2).width should be >= 64 // stub
+  }
+
   test("GraftExtensions registers SQL functions") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new graft.GraftExtensions().apply(ext) // builds without throwing
