@@ -54,7 +54,11 @@ object Bench {
       val ok = v.collect { case (t, true) => t }
       k -> (if (ok.nonEmpty) r(ok.min) else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // stdout map carries only queries with a successful run, so the
+    // printed "value" always equals the sum of its own per-query map;
+    // all-failed queries appear (with their error) in the self-written
+    // artifact below, and in num_failed here
+    val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = r(results.values.filter(_ >= 0).sum)
     // full JSON string escape (same contract as Verify's q()): every
@@ -88,8 +92,11 @@ object Bench {
          |  "num_failed": ${errors.size},
          |  "queries": $detail
          |}""".stripMargin
+    // default artifact path follows the working directory (the repo root
+    // under sbt run), not a hardcoded absolute path
     val out = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json"))
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json").toString))
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()

@@ -57,6 +57,46 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("AQE skew-join splits a skewed shuffle join at runtime") {
+    // complements graft.operators.Salt: salting is the PLANNED answer for
+    // known-hot keys (deterministic, engine-independent); AQE skew-join is
+    // the RUNTIME net for skew nobody predicted. This pins that the net is
+    // actually armed in our config: with thresholds scaled down to test
+    // volume, a 200k-row hot key must make AQE re-plan the sort-merge
+    // join with skew=true (split hot partition + replicated other side).
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    try {
+      // key 0 carries 200k rows; keys 1..3 carry 100 each → the hot
+      // shuffle partition is >>factor×median and >threshold. The join must
+      // be the TOP shuffle consumer: AQE declines to split when another
+      // shuffle sits above the join (the split breaks the hash-partition
+      // guarantee the parent would need), which is exactly why Salt stays
+      // the answer for skewed AGGREGATION paths while AQE nets bare joins
+      val left = spark.range(200300).select(
+        when(col("id") < 200000, lit(0L)).otherwise(col("id") % 3 + 1).as("k"),
+        concat(lit("payload-"), col("id")).as("pl"))
+      val right = spark.range(4).select(col("id").as("k"), lit("r").as("rv"))
+      val j = left.join(right, "k")
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      plan should include("isFinalPlan=true")
+      plan should include("skew=true")
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("parquet filter pushdown and column pruning reach the scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .filter(col("c_mktsegment") === "BUILDING")
