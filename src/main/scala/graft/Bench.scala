@@ -98,7 +98,10 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
         java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json").toString))
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the stdout line stays flat (the driver's parse contract); "detail"
+    // points at the self-written artifact carrying per-run times, medians,
+    // and errors, so no consumer ever needs to tail-parse stdout
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","detail":"${esc(out.toString)}"}""")
     spark.stop()
   }
 }

@@ -32,11 +32,21 @@ import graft.sources.Stage
   */
 object Sf1Soak {
   private val Src = "/root/testdata/sf0.1"
-  private val Dst = "/tmp/sf1"
-  private val Copies = 10
   private val Off = 100000000L // key offset per copy, clears every id space
+  // scale knobs, set from args in main: `Sf1Soak [copies] [label]` —
+  // default 10 copies of sf0.1 ("sf1"); 100 copies = "sf10" (~60M
+  // lineitem / 10M events). Bench runs drop to 1 at the larger scales:
+  // the soak's question there is ≤~linear scaling vs the sf1 numbers,
+  // not min-of-N reproducibility.
+  private var Copies = 10
+  private var Label = "sf1"
+  private var BenchRuns = 2
+  private def Dst = s"/tmp/$Label"
 
   def main(args: Array[String]): Unit = {
+    if (args.length > 0) Copies = args(0).toInt
+    Label = if (args.length > 1) args(1) else s"sf${Copies / 10}"
+    if (Copies > 30) BenchRuns = 1
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -62,15 +72,16 @@ object Sf1Soak {
     val total = times.map(_._2).sum
     val totalSkew = skewTimes.map(_._2).sum
     val json =
-      s"""{"metric":"total_sf1","value":$total,"value_skew":$totalSkew,"unit":"sec","queries":$qs,"sf":"$Dst"}"""
+      s"""{"metric":"total_$Label","value":$total,"value_skew":$totalSkew,"unit":"sec","queries":$qs,"sf":"$Dst"}"""
     println(json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_sf1.json"), json + "\n")
+      java.nio.file.Paths.get(s"/root/repo/BENCH_$Label.json"), json + "\n")
     spark.stop()
   }
 
-  /** 10× sf0.1 with per-copy key shifts: ~6M lineitem / 1M events /
-    * 50k docs / 20k embeddings. */
+  /** `Copies`× sf0.1 with per-copy key shifts (10× → ~6M lineitem / 1M
+    * events / 50k docs / 20k embeddings; 100× → ~60M / 10M / 500k /
+    * 200k). */
   private def generate(spark: SparkSession): Unit = {
     val done = java.nio.file.Paths.get(s"$Dst/_GENERATED")
     if (java.nio.file.Files.exists(done)) { println(s"[gen] $Dst cached"); return }
@@ -129,8 +140,8 @@ object Sf1Soak {
         fn(spark, Dst).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = math.min(once(), once())
-      println(f"[sf1] $name%-28s $t%.2f s")
+      val t = (1 to BenchRuns).map(_ => once()).min
+      println(f"[$Label] $name%-28s $t%.2f s")
       name -> t
     }
 
@@ -149,10 +160,10 @@ object Sf1Soak {
     val mergePlan = graft.ops.Merge.upsert(base, delta, Seq("dim_id"))
       .queryExecution.executedPlan.toString
     if (!mergePlan.contains("BroadcastHashJoin"))
-      fail("sf1 MERGE lost its broadcast join")
+      fail(s"$Label MERGE lost its broadcast join")
     if (mergePlan.contains("SortMergeJoin"))
-      fail("sf1 MERGE sort-merge-joins the target")
-    println("[plan] sf1 MERGE: broadcast two-branch, no target shuffle")
+      fail(s"$Label MERGE sort-merge-joins the target")
+    println(s"[plan] $Label MERGE: broadcast two-branch, no target shuffle")
 
     // 2. bucketed snapshot diff: exchange-free on both sides
     val root = java.nio.file.Files.createTempDirectory("sf1plan").toString
@@ -174,11 +185,11 @@ object Sf1Soak {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val diffPlan = p.streamChanges().queryExecution.executedPlan.toString
-      if (diffPlan.contains("Exchange")) fail("sf1 bucketed CDC diff grew an Exchange")
+      if (diffPlan.contains("Exchange")) fail(s"$Label bucketed CDC diff grew an Exchange")
       if (!diffPlan.contains("SelectedBucketsCount"))
-        fail("sf1 CDC diff is not reading bucketed scans")
+        fail(s"$Label CDC diff is not reading bucketed scans")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    println("[plan] sf1 bucketed CDC diff: exchange-free")
+    println(s"[plan] $Label bucketed CDC diff: exchange-free")
   }
 
   /** Adversarial skew shapes for the dedup/ANN family, at sizes where an
