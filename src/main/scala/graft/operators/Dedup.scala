@@ -45,6 +45,36 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  // ---- tiered (exact → near-dup) -------------------------------------------
+
+  /** Tiered dedup — the production layering for duplicate-saturated
+    * corpora: tier 1 collapses exact duplicates (normalized-fingerprint
+    * hash-agg, min-id representative), tier 2 runs MinHash near-dup over
+    * the SURVIVORS only. On real web/boilerplate corpora most duplication
+    * is byte-identical after whitespace normalization, so tier 1 removes
+    * the mega-groups for the cost of one hash-aggregate and tier 2's
+    * in-bucket quadratic work scores one representative per identical
+    * group instead of the whole group: an n-member identical cluster
+    * costs n·(n-1)/2 verify pairs unlayered but 0 after collapse (the
+    * sf10 soak measured exactly this shape — 100-member groups, ~25M
+    * verify pairs — which this layering removes outright). */
+  def tiered(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      threshold: Double = 0.8): DataFrame =
+    minhash(exact(df, textCol, idCol), textCol, idCol, threshold = threshold)
+
+  /** [[tiered]] under portable md5 banding — both tiers reproducible in
+    * closed-form SQL (tier 1's fingerprint is already md5 of the
+    * normalized text), so the exact-collapse → near-dup layering is
+    * hash-checkable end to end. Bound via `maxId` like every portable
+    * audit path; the xxhash64 [[tiered]] stays the scale default. */
+  def tieredPortable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5, maxId: Long = 300L): DataFrame = {
+    val survivors = exact(df.filter(col(idCol) <= maxId), textCol, idCol)
+    minhashPortable(survivors, textCol, idCol, shingleSize, numHashes,
+      bands, threshold, maxId)
+  }
+
   // ---- shared candidate generation ----------------------------------------
 
   /** Scoped cache for the single-scan near-dup pipelines: persist the

@@ -3,46 +3,75 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 /** Deterministic REPLAY harness for the streaming operators: feeds a
-  * bounded event table through a real Structured Streaming query — file
-  * source, watermarked windowed aggregation, append-mode file sink,
-  * shared checkpoint — as a sequence of stop/start cycles, then returns
-  * the final sink table.
+  * bounded table through a real Structured Streaming query — file
+  * source, stateful transform, append-mode file sink, shared
+  * checkpoint — as a sequence of stop/start cycles, then returns the
+  * final sink table.
   *
-  * This is the batch-equivalence pin for the streaming path: with the
-  * input split into TIME-ORDERED slices, no row is ever late (each
-  * slice's min event time ≥ the previous slice's max, so the watermark
-  * never passes an unseen row), and the final sink must equal a plain
-  * batch `GROUP BY` over the concatenated input — which an external SQL
-  * engine can compute in closed form. What the equality then verifies
-  * cross-engine: exactly-once file-source progress across restarts (a
-  * re-read slice would double counts), watermark-driven append emission
-  * (an unemitted window would drop rows), and state recovery from the
-  * checkpoint at every restart.
-  *
-  * Two far-future SENTINEL slices close the tail: watermark advancement
-  * only takes effect in the micro-batch AFTER the data that moved it, so
-  * sentinel-1 pushes the watermark past every real window during
-  * sentinel-2's run, flushing them to the sink. The sentinels' own
-  * windows are never emitted (nothing ever advances the watermark past
-  * them), so the sink holds exactly the real windows.
+  * This is the batch-equivalence pin for the streaming path: the final
+  * sink must equal a plain batch query over the concatenated input —
+  * which an external SQL engine can compute in closed form. What the
+  * equality then verifies cross-engine: exactly-once file-source
+  * progress across restarts (a re-read slice would duplicate output),
+  * correct stateful semantics (watermark emission / dedup state), and
+  * state recovery from the checkpoint at every restart.
   *
   * Scale note: this is a TEST/AUDIT harness for bounded corpora — the
-  * slicing uses one global sort window, which is fine for the replay's
-  * bounded input and deliberately NOT the production ingest path (that is
-  * `readStream` straight onto the source; see [[EventStreams]]).
+  * slicing uses driver-planned bounded batches, deliberately NOT the
+  * production ingest path (that is `readStream` straight onto the
+  * source; see [[EventStreams]], [[StreamingDedup]]).
   */
 object Replay {
+
+  /** Drive `slices` through `pipeline` as one stop/start streaming cycle
+    * per slice over a shared checkpoint; returns the sink path. The
+    * workDir is wiped first — a partial previous attempt is never
+    * reused. */
+  private def runReplay(
+      spark: SparkSession,
+      slices: Seq[DataFrame],
+      schema: StructType,
+      root: java.nio.file.Path,
+      pipeline: DataFrame => DataFrame): Unit = {
+    deleteRecursively(root)
+    java.nio.file.Files.createDirectories(root)
+    val src = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val sink = root.resolve("sink").toString
+    slices.foreach { slice =>
+      // drop the next slice's files into the source dir, then run the
+      // stream to completion — a full stop/start cycle per slice, so
+      // every restart re-proves checkpoint recovery + exactly-once
+      slice.coalesce(1).write.mode("append").parquet(src)
+      val q = spark.readStream.schema(schema).parquet(src)
+        .transform(pipeline)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+  }
 
   /** Replay `events` (`event_id, ts: timestamp, user_id, event_type,
     * value`) through [[EventStreams.windowedCounts]] in `nBatches`
     * stop/start cycles. Returns `(window_start_us, event_type, cnt,
     * sum_value)` — the sink table, sentinel-free, with the window start
     * as epoch µs (the cross-engine timestamp convention of the event
-    * oracles). The result is built once per `workDir` and gated on a
-    * completion marker; a partial previous attempt is wiped, never
-    * reused. */
+    * oracles). With the input split into TIME-ORDERED slices no row is
+    * ever late (each slice's min event time ≥ the previous slice's max),
+    * so the final sink must equal a plain batch `GROUP BY` over the
+    * whole input. Two far-future SENTINEL slices close the tail:
+    * watermark advancement only takes effect in the micro-batch AFTER
+    * the data that moved it, so sentinel-1 pushes the watermark past
+    * every real window during sentinel-2's run, flushing them to the
+    * sink; the sentinels' own windows are never emitted. The result is
+    * built once per `workDir`, gated on a completion marker. */
   def windowedCountsReplay(
       spark: SparkSession,
       events: DataFrame,
@@ -54,10 +83,6 @@ object Replay {
     val done = root.resolve("_REPLAY_DONE")
     val sink = root.resolve("sink").toString
     if (!java.nio.file.Files.exists(done)) {
-      deleteRecursively(root)
-      java.nio.file.Files.createDirectories(root)
-      val src = root.resolve("src").toString
-      val ckpt = root.resolve("ckpt").toString
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
       val ev = events.select(cols.map(col): _*)
 
@@ -80,28 +105,66 @@ object Replay {
           sliced.filter(col("__slice") === i).drop("__slice")) ++
           Seq(sentinel(1), sentinel(2))
 
-      slices.foreach { slice =>
-        // drop the next slice's files into the source dir, then run the
-        // stream to completion — a full stop/start cycle per slice, so
-        // every restart re-proves checkpoint recovery + exactly-once
-        slice.coalesce(1).write.mode("append").parquet(src)
-        val q = spark.readStream.schema(ev.schema).parquet(src)
-          .transform(df =>
-            EventStreams.windowedCounts(df, windowDuration, watermarkDelay))
-          .writeStream.format("parquet")
-          .option("path", sink)
-          .option("checkpointLocation", ckpt)
-          .outputMode("append")
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
+      runReplay(spark, slices, ev.schema, root, df =>
+        EventStreams.windowedCounts(df, windowDuration, watermarkDelay))
       java.nio.file.Files.createFile(done)
     }
     spark.read.parquet(sink)
       .filter(col("event_type") =!= "__sentinel")
       .select(unix_micros(col("window_start")).as("window_start_us"),
         col("event_type"), col("cnt"), col("sum_value"))
+  }
+
+  /** Replay a document table with RE-SENT duplicates through
+    * [[StreamingDedup.exact]] across stop/start cycles: slice 1..n carry
+    * disjoint id ranges of the corpus, and every later slice RE-SENDS a
+    * deterministic subset of earlier rows byte-identically. The dedup
+    * state must drop every resend — including ones whose original
+    * arrived cycles earlier, which only works if the state survived each
+    * restart — so the final sink must equal the original corpus exactly
+    * (resends are identical rows, making the kept-row set deterministic
+    * regardless of in-batch arrival order). `watermarkDelay` is wide so
+    * no state is evicted inside the bounded replay; eviction semantics
+    * at the production scale are [[StreamingDedup]]'s documented
+    * watermark trade. Returns `(doc_id, len)`; built once per `workDir`,
+    * completion-marker-gated. */
+  def streamingDedupReplay(
+      spark: SparkSession,
+      docs: DataFrame,
+      workDir: String,
+      nBatches: Int = 3,
+      resendEvery: Long = 5L): DataFrame = {
+    val root = java.nio.file.Paths.get(workDir)
+    val done = root.resolve("_REPLAY_DONE")
+    val sink = root.resolve("sink").toString
+    if (!java.nio.file.Files.exists(done)) {
+      // synthetic event time, strictly increasing with doc_id (content
+      // determines the kept set; the ts only feeds the watermark column)
+      val d = docs.select(col("doc_id"),
+          timestamp_micros(lit(1700000000000000L) +
+            col("doc_id") * lit(1000000L)).as("ingest_ts"),
+          col("text"))
+        .localCheckpoint(true)
+      val ids = d.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val per = math.max(1L, (hi - lo + nBatches) / nBatches)
+      val slices = (0 until nBatches).map { i =>
+        val fresh = d.filter(col("doc_id") >= lo + i * per &&
+          col("doc_id") < lo + (i + 1) * per + (if (i == nBatches - 1) 1 else 0))
+        // resend a slice of EVERYTHING already sent (ids % resendEvery),
+        // byte-identical — cross-restart duplicates by construction
+        if (i == 0) fresh
+        else fresh.unionByName(
+          d.filter(col("doc_id") < lo + i * per &&
+            col("doc_id") % resendEvery === 0))
+      }
+      runReplay(spark, slices, slices.head.schema, root, df =>
+        StreamingDedup.exact(df, "text", "ingest_ts",
+          watermarkDelay = "3650 days"))
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(sink)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

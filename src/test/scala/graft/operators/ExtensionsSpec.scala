@@ -209,6 +209,26 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.sql("SELECT simhash64(split(text, ' ')) FROM sh_docs").count() shouldBe 3
   }
 
+  test("tiered dedup: exact tier collapses identical groups before near-dup scoring") {
+    // 3 whitespace-variant copies of doc 1 (identical after fingerprint
+    // normalization), one near-dup of doc 1, one unrelated doc
+    val d = docs(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha  beta gamma  delta epsilon zeta"),
+      (3L, "alpha beta  gamma delta  epsilon  zeta"),
+      (4L, "alpha beta gamma delta epsilon eta"), // near-dup of 1
+      (5L, "totally unrelated content entirely different"))
+    val kept = Dedup.tiered(d, threshold = 0.3).collect().map(_.getLong(0)).toSet
+    // tier 1 keeps min-id per identical group (1 of {1,2,3}); tier 2
+    // drops 4 as a near-dup of 1; 5 survives untouched
+    kept shouldBe Set(1L, 5L)
+
+    // the portable twin agrees on the same corpus
+    val keptP = Dedup.tieredPortable(d, threshold = 0.3, maxId = 100L)
+      .collect().map(_.getLong(0)).toSet
+    keptP shouldBe Set(1L, 5L)
+  }
+
   test("ngram jaccard pairs: exact baseline") {
     val d = docs(
       (1L, "a b c d e f"),
