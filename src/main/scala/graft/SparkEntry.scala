@@ -645,6 +645,22 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // per-doc top-5 terms by smoothed tf-idf; rounded-score ranking keeps
+    // the rank assignment engine-independent (graft.operators.Keywords)
+    "text_tfidf" -> ((s, dir) =>
+      graft.operators.Keywords.tfidfTopTerms(
+          s.read.parquet(s"$dir/documents.parquet"), k = 5)
+        .orderBy("doc_id", "rk")),
+
+    // exact corpus vocabulary (doc freq ≥ 3), top 100 by total count; the
+    // sub-linear CMS path over the same token stream is pinned by
+    // KeywordsSpec (sketches aren't SQL-expressible)
+    "vocab_top_terms" -> ((s, dir) =>
+      graft.operators.Keywords.vocabulary(
+          s.read.parquet(s"$dir/documents.parquet"), minDocFreq = 3)
+        .orderBy(col("total_count").desc, col("term"))
+        .limit(100)),
+
     // -- PII scrubbing (graft.operators.Pii) -------------------------------
     // The corpus is synthetic (no real PII), so the queries inject
     // deterministic PII derived from doc_id — email always, ipv4 on
@@ -752,6 +768,32 @@ object SparkEntry {
       graft.operators.Curation.packSequences(
           d, tokenCol = size(split(trim(col("text")), "\\s+")),
           budget = 128, shardSize = 100L)
+        .orderBy("doc_id")
+    }),
+
+    // the whole curation pipeline composed end-to-end — exact dedup →
+    // quality gate (fused textStats kernel) → n-gram decontamination
+    // against a held-out eval slice (hashed-shingle production path) →
+    // deterministic split — with every surviving doc's final split
+    // assignment pinned row-for-row by one DuckDB CTE chain. This is the
+    // "switch your pipeline to graft" demonstration: each stage is the
+    // production operator, not a query-only re-derivation.
+    "curation_pipeline_e2e" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val evalSet = docs.filter(col("doc_id") % 10 === 7) // held-out bench
+      val pool = docs.filter(col("doc_id") % 10 =!= 7)
+      val qual = Dedup.exact(pool)
+        .withColumn("__q", graft.functions.TextKernels.textStats(col("text"))
+          .getField("quality"))
+        .filter(col("__q") >= 0.8)
+        .drop("__q")
+      val contaminated = graft.operators.Curation.contamination(evalSet, qual)
+        .filter(col("n_shared_shingles") >= 10)
+        .select(col("doc_id"))
+      val clean = qual.join(contaminated, Seq("doc_id"), "left_anti")
+      graft.operators.Curation.deterministicSplit(clean, "doc_id",
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
 
@@ -1736,6 +1778,41 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
 
+    "text_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |    round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4)
+        |      AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score, rk FROM ranked
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "vocab_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term <> '' GROUP BY doc_id, term)
+        |SELECT term, count(*) AS doc_freq,
+        |  CAST(sum(tf) AS BIGINT) AS total_count
+        |FROM tf GROUP BY term HAVING count(*) >= 3
+        |ORDER BY total_count DESC, term LIMIT 100""".stripMargin,
+
     "pii_stats" ->
       s"""WITH p AS ($piiDocsSql)
         |SELECT doc_id,
@@ -1922,6 +1999,52 @@ object SparkEntry {
         |      THEN d.tok ELSE g.used + d.tok END
         |  FROM g JOIN d ON d.shard = g.shard AND d.rn = g.rn + 1)
         |SELECT doc_id, shard, bin FROM g ORDER BY doc_id""".stripMargin,
+
+    "curation_pipeline_e2e" ->
+      """WITH sh AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents),
+        |dedup AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents WHERE doc_id % 10 <> 7
+        |  GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))),
+        |qual AS (
+        |  SELECT s.doc_id, s.sh FROM sh s JOIN dedup d ON s.doc_id = d.doc_id
+        |  WHERE (
+        |    CASE WHEN length(trim(s.text)) = 0 THEN 0.0
+        |         WHEN len(string_split_regex(trim(s.text), '\s+')) BETWEEN 10 AND 1000 THEN 1.0
+        |         ELSE 0.5 END +
+        |    CASE WHEN length(s.text) = 0 OR
+        |      length(regexp_replace(s.text, '[A-Za-z0-9\s]', '', 'g')) * 1.0 / length(s.text) <= 0.2
+        |      THEN 1.0 ELSE 0.0 END +
+        |    CASE WHEN length(trim(s.text)) > 0 AND
+        |      len(list_filter(string_split_regex(lower(trim(s.text)), '\s+'),
+        |        x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) * 1.0 /
+        |      len(string_split_regex(trim(s.text), '\s+')) >= 0.05
+        |      THEN 1.0 ELSE 0.0 END) / 3.0 >= 0.8),
+        |evsh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id % 10 = 7),
+        |contam AS (
+        |  SELECT q.doc_id FROM
+        |    (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM qual) q
+        |  JOIN evsh e ON q.s = e.s GROUP BY q.doc_id HAVING count(*) >= 10),
+        |clean AS (
+        |  SELECT doc_id FROM qual
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam))
+        |SELECT doc_id,
+        |  CASE WHEN frac < 0.9 THEN 'train'
+        |       WHEN frac < (0.9 + 0.05) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-split'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS frac
+        |  FROM clean)
+        |ORDER BY doc_id""".stripMargin,
 
     "curation_contamination_strings" ->
       """WITH sh AS (

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level term statistics for training-data pipelines: TF-IDF
+  * keyword extraction, exact vocabulary building, and a mergeable
+  * count-min-sketch path for heavy-hitter estimation at corpus scale.
+  *
+  * Tokenization is the same whitespace recipe the rest of the text
+  * family uses (`split(lower(trim(text)), "\\s+")`) so every result here
+  * is reproducible in an independent SQL engine — the driver oracles
+  * `text_tfidf` and `vocab_top_terms` row-for-row in DuckDB.
+  *
+  * '''100 TB shape.''' Everything flows through slim `(doc_id, term)` /
+  * `(term, count)` rows — the document text is dropped at the explode, so
+  * the shuffles never carry payloads. The term-frequency aggregation gets
+  * map-side partial combine for free (hash aggregate); the document
+  * frequency table is a second partial-combined aggregate whose output is
+  * vocabulary-sized, orders of magnitude smaller than the token stream.
+  * The tf⋈df join is left to AQE: at bench scale the vocab side
+  * broadcasts, at 100 TB (vocabularies in the 10⁸ range) it degrades to a
+  * shuffle join on `term` — never a cross or nested-loop. Nothing here
+  * collects to the driver except the one scalar `docs.count()` (a
+  * footer-only parquet count job). When even the exact vocabulary is too
+  * hot to materialize, [[tokenSketch]] builds a count-min sketch instead:
+  * fixed `O(width·depth)` memory per partition, merged associatively on
+  * the driver — the classic mergeable-summary answer to heavy hitters
+  * over an unbounded token stream.
+  */
+object Keywords {
+
+  /** Slim `(idCol, term)` token stream: lowercased, whitespace-split,
+    * empty tokens dropped. Matches the `token_histogram` oracle recipe,
+    * so downstream counts are engine-portable. */
+  def tokens(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document top-`k` terms by smoothed TF-IDF.
+    *
+    * `score = tf · (ln((N+1)/(df+1)) + 1)` — the smoothed-idf variant
+    * (sklearn's `smooth_idf`): the +1s keep idf finite and positive even
+    * for corpus-universal terms, so scores stay comparable across
+    * documents. The score is rounded to 4 dp and ties rank by `term`, so
+    * rank assignment is deterministic and engine-independent (the same
+    * rounded-ordering trick the ANN oracles use).
+    *
+    * Output: `(doc_id, term, tf, df, score, rk)` with `rk ∈ [1, k]`.
+    *
+    * Plan shape: explode → hash-agg on `(doc, term)` (partial combine) →
+    * vocab-sized df agg → AQE-chosen join on `term` → per-doc rank
+    * window. Three shuffle boundaries, all over slim rows; no stage sees
+    * document text after the explode. */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val n = docs.count() // scalar; parquet footer count at scan level
+    val tf = tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // df = number of documents containing the term: tf rows are already
+    // distinct (doc, term), so a count per term IS the doc frequency —
+    // no extra distinct pass.
+    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfTab, "term")
+      .withColumn("score", round(col("tf") * idf, 4))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  /** Exact corpus vocabulary: one row per term with its document
+    * frequency and total occurrence count, thresholded at `minDocFreq`.
+    * Two chained partial-combined hash aggregates over slim rows; the
+    * threshold filter sits on the aggregate output, so only the (tiny)
+    * surviving vocabulary flows downstream. */
+  def vocabulary(docs: DataFrame, minDocFreq: Long = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
+      .filter(col("doc_freq") >= minDocFreq)
+
+  /** Count-min sketch over the token stream — the sub-linear scale path
+    * when the exact vocabulary is too large to materialize. Returns the
+    * serialized sketch (deserialize with
+    * `org.apache.spark.util.sketch.CountMinSketch.readFrom`). The sketch
+    * is built per-partition in fixed memory and merged associatively, so
+    * the only thing that moves is `O(width·depth)` counters per
+    * partition — no token shuffle at all. Guarantees (eps, confidence):
+    * estimate ≥ true count, and ≤ true + eps·total with probability ≥
+    * confidence — pinned by KeywordsSpec against the exact counts. */
+  def tokenSketch(docs: DataFrame, eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42,
+      idCol: String = "doc_id", textCol: String = "text"): Array[Byte] =
+    tokens(docs, idCol, textCol)
+      .select(count_min_sketch(col("term"), lit(eps), lit(confidence),
+        lit(seed)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+}

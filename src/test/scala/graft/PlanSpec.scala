@@ -97,6 +97,77 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("dynamic partition pruning injects the dim filter into the fact scan") {
+    // the 100 TB star-join story: when the fact table is laid out
+    // partitioned by the join key (TableStore's partitioned layouts, or
+    // any date/tenant-partitioned lake table), a selective dimension
+    // filter must prune fact PARTITIONS at runtime — reading 1/10 of the
+    // files instead of filtering 10/10 after the scan. Spark's DPP does
+    // this by planting a dynamicpruningexpression subquery (reusing the
+    // dim broadcast) into the scan's PartitionFilters; this pins that our
+    // session config actually arms it on a plain parquet star join.
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("dpp")
+    (1 to 200000).map(i => (i.toLong, i % 50)).toDF("v", "pk")
+      .write.partitionBy("pk").parquet(s"$dir/fact")
+    (0 until 50).map(i => (i, s"g${i % 10}")).toDF("pk", "grp")
+      .write.parquet(s"$dir/dim")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val q = fact.join(dim.filter(col("grp") === "g0"), "pk")
+      .groupBy("grp").agg(sum("v"))
+    val plan = executedPlan(q)
+    plan should include("dynamicpruningexpression")
+    // and the pruning filter sits ON the fact scan's partition filters,
+    // not as a post-scan Filter node
+    plan.split("\n").filter(_.contains("dynamicpruningexpression"))
+      .exists(_.contains("PartitionFilters")) shouldBe true
+  }
+
+  test("runtime bloom filter prunes the probe side of a shuffle join") {
+    // the complement of DPP for UNPARTITIONED join keys: when the fact
+    // side is too big to broadcast and not laid out by the join key, a
+    // bloom filter built from the (filtered) dim side is pushed into the
+    // fact scan, dropping non-matching rows before the shuffle instead of
+    // after it. At 100 TB this turns a full-fact shuffle into a
+    // shuffle of the ~matching slice. Thresholds are scaled down to test
+    // volume (the application-side floor is 10 GB in production).
+    val conf = spark.conf
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val s = spark
+      import s.implicits._
+      val dir = tmpDir("bloom")
+      (1 to 200000).map(i => (i.toLong, s"p$i")).toDF("k", "payload")
+        .write.parquet(s"$dir/big")
+      (1 to 5000).map(i => (i.toLong * 40, i % 7)).toDF("k", "tag")
+        .write.parquet(s"$dir/small")
+      val big = spark.read.parquet(s"$dir/big")
+      val small = spark.read.parquet(s"$dir/small").filter(col("tag") === 3)
+      val j = big.join(small, "k")
+      val plan = executedPlan(j)
+      // the injected filter renders as might_contain(subquery…, xxhash64(k))
+      // sitting on the probe side BELOW its shuffle exchange
+      plan.toLowerCase should include("might_contain")
+      // correctness unchanged by the filter (bloom is pass-through-safe)
+      j.count() shouldBe big.join(small.hint("broadcast"), "k").count()
+    } finally prev.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("parquet filter pushdown and column pruning reach the scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .filter(col("c_mktsegment") === "BUILDING")

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.util.sketch.CountMinSketch
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tfidfTopTerms: rare terms outrank corpus-universal ones") {
+    val d = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the dog sat on the log",
+      3L -> "the quantum flux capacitor hums",
+      4L -> "the cat and the dog")
+    val out = Keywords.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+
+    // doc 3's top terms are its unique words, never "the" (df=4)
+    Set(out((3L, 1L)), out((3L, 2L))) should contain noneOf ("the", "sat")
+    // every doc gets exactly k=2 ranked rows
+    out.keys.map(_._1).toSeq.distinct should have size 4
+  }
+
+  test("tfidfTopTerms: score matches the smoothed-idf formula") {
+    val d = docs(1L -> "alpha alpha beta", 2L -> "beta gamma")
+    val out = Keywords.tfidfTopTerms(d, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(4)).toMap
+    // alpha: tf=2 in doc 1, df=1, N=2 → 2·(ln(3/2)+1)
+    val expected = BigDecimal(2.0 * (math.log(3.0 / 2.0) + 1.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out((1L, "alpha")) shouldBe expected
+  }
+
+  test("vocabulary: doc_freq counts documents, total_count counts occurrences") {
+    val d = docs(
+      1L -> "red red blue",
+      2L -> "red green",
+      3L -> "blue blue")
+    val v = Keywords.vocabulary(d, minDocFreq = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    v("red") shouldBe ((2L, 3L))
+    v("blue") shouldBe ((2L, 3L))
+    v.contains("green") shouldBe false // df=1 < threshold
+  }
+
+  test("tokenSketch: CMS estimates dominate true counts within eps·total") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eps = 0.001
+    val sk = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(Keywords.tokenSketch(d, eps = eps)))
+
+    val exact = Keywords.tokens(d).groupBy("term").count()
+      .orderBy(col("count").desc).limit(50).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = Keywords.tokens(d).count()
+
+    sk.totalCount() shouldBe total
+    exact.foreach { case (term, cnt) =>
+      val est = sk.estimateCount(term)
+      est should be >= cnt // CMS never undercounts
+      est should be <= cnt + math.ceil(eps * total).toLong
+    }
+  }
+
+  test("tokenSketch: sketches from disjoint halves merge to the full-corpus sketch") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def read(b: Array[Byte]) =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+    val lo = read(Keywords.tokenSketch(d.filter(col("doc_id") % 2 === 0)))
+    val hi = read(Keywords.tokenSketch(d.filter(col("doc_id") % 2 === 1)))
+    val full = read(Keywords.tokenSketch(d))
+    val merged = lo.mergeInPlace(hi)
+
+    merged.totalCount() shouldBe full.totalCount()
+    // same seed → identical hash planes → identical counters → identical
+    // estimates for any term (the property that makes per-partition
+    // sketch construction + associative merge exact at any cluster size)
+    Seq("the", "a", "data", "zzz-absent").foreach { t =>
+      merged.estimateCount(t) shouldBe full.estimateCount(t)
+    }
+  }
+}
