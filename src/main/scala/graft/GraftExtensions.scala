@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{JaccardSorted, LangIdExpr, MinHashFromHashes, MinHashSignature, MinHashTokens, ShingleHashes, ShingleHashesSorted, SimHash64, TextStatsExpr}
+import graft.functions.{JaccardSorted, LangIdExpr, MinHashFromHashes, MinHashSignature, MinHashTokens, NormalizeTextExpr, ShingleHashes, ShingleHashesSorted, SimHash64, TextStatsExpr}
 
 /** Session extension registering graft's native expressions for SQL use:
   *
@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("lang_id"),
       info("graft.functions.LangIdExpr", "lang_id"),
       (exprs: Seq[Expression]) => LangIdExpr(exprs.head)))
+
+    ext.injectFunction((FunctionIdentifier("normalize_text"),
+      info("graft.functions.NormalizeTextExpr", "normalize_text"),
+      (exprs: Seq[Expression]) => NormalizeTextExpr(exprs.head)))
 
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("graft.functions.CosineSimFloat", "cosine_sim"),

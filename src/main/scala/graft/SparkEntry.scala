@@ -645,6 +645,19 @@ object SparkEntry {
         .limit(30)
     }),
 
+    // fused NFC normalization kernel vs DuckDB nfc_normalize + regex: the
+    // query injects a decomposed accent (e + U+0301), a combining
+    // diaeresis, tabs, doubled spaces, and control chars around every doc
+    // so the hash match proves composition, control-strip, collapse, and
+    // trim semantics cross-engine (the corpus itself is ASCII)
+    "text_normalize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextKernels.normalizeText(
+            concat(lit("Cafe\u0301\t  "), col("text"),
+              lit("  \u0007nai\u0308ve\r\n"))).as("text"))
+        .orderBy("doc_id")),
+
     // per-doc top-5 terms by smoothed tf-idf; rounded-score ranking keeps
     // the rank assignment engine-independent (graft.operators.Keywords)
     "text_tfidf" -> ((s, dir) =>
@@ -800,6 +813,70 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // int8 symmetric quantization of the embedding column: integer dot
+    // products (exact, hash-checkable) + quantized vs exact cosine on
+    // consecutive-id pairs. The 4×-smaller ANN-index scale path.
+    "embedding_quantized" -> ((s, dir) => {
+      val q = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          V.quantScale(col("embedding")).as("__qs"))
+        .withColumn("__q", V.quantize(col("embedding"), col("__qs")))
+      val a = q.select(col("vec_id"), col("embedding").as("va"),
+        col("__q").as("qa"))
+      val b = q.select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("vb"), col("__q").as("qb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"),
+          V.dotInt(col("qa"), col("qb")).as("dot_q"),
+          round(V.cosineQuantized(col("qa"), col("qb")), 4).as("cos_q"),
+          round(V.cosine(col("va"), col("vb")), 4).as("cos_exact"))
+        .orderBy("vec_id")
+    }),
+
+    // incremental exact dedup: the day's batch (docs ≥ 250, with 1 in 5
+    // rewritten to reuse an already-seen text) against the fingerprint
+    // set of the existing corpus (docs < 250) — O(increment) daily dedup,
+    // never a corpus rescan. The exchange-free bucketed-store plan is
+    // pinned by PlanSpec.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id").as("src_id"),
+        col("text").as("src_text"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .join(base, col("doc_id") - 250 === col("src_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, col("src_text"))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      val seen = Dedup.exact(docs.filter(col("doc_id") < 250))
+        .select(T.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalExact(batch, seen)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // CCNet-style boilerplate-line removal. The synthetic corpus has no
+    // line structure, so the query builds it deterministically (8-token
+    // lines) and injects a corpus-wide header plus an every-other-doc
+    // footer — the oracle rebuilds the identical text, so the hash match
+    // verifies the hot-line counting, anti-join, and order-preserving
+    // reassembly cross-engine (hashed-line production path vs DuckDB
+    // string keys).
+    "dedup_lines" -> ((s, dir) => {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val nl = greatest(ceil(size(toks) / lit(8.0)).cast("int"), lit(1))
+      val body = array_join(transform(sequence(lit(0), nl - 1),
+        i => array_join(slice(toks, i * lit(8) + 1, lit(8)), " ")), "\n")
+      val lined = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("all rights reserved example header\n"), body,
+            when(col("doc_id") % 2 === 0,
+              lit("\nsubscribe to our newsletter footer"))
+              .otherwise(lit(""))).as("text"))
+      Dedup.dedupLines(lined, minDocs = 5)
         .orderBy("doc_id")
     }),
 
@@ -1778,6 +1855,14 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token LIMIT 30""".stripMargin,
 
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    nfc_normalize('Cafe' || chr(769) || chr(9) || '  ' || text ||
+        |      '  ' || chr(7) || 'nai' || chr(776) || 've' || chr(13) || chr(10)),
+        |    '[\x00-\x1f\x7f]', ' ', 'g'), '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "text_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id,
@@ -2067,6 +2152,88 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
+    "embedding_quantized" ->
+      """WITH q AS (
+        |  SELECT vec_id, embedding,
+        |    CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+        |      THEN 0.0
+        |      ELSE 127.0 / list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |    END AS qs
+        |  FROM embeddings),
+        |qq AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * qs) AS INT)) AS q
+        |  FROM q),
+        |j AS (
+        |  SELECT a.vec_id, a.embedding AS va, b.embedding AS vb, a.q AS qa, b.q AS qb
+        |  FROM qq a JOIN qq b ON b.vec_id = a.vec_id + 1),
+        |d AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, len(qa) + 1),
+        |      i -> CAST(qa[i] AS BIGINT) * CAST(qb[i] AS BIGINT))) AS BIGINT) AS dot_q,
+        |    CAST(list_sum(list_transform(qa, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS na,
+        |    CAST(list_sum(list_transform(qb, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS nb,
+        |    list_sum(list_transform(range(1, len(va) + 1),
+        |      i -> CAST(va[i] AS DOUBLE) * CAST(vb[i] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(va, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(vb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosx
+        |  FROM j)
+        |SELECT vec_id, dot_q,
+        |  round(CASE WHEN na * nb = 0 THEN 0.0
+        |    ELSE CAST(dot_q AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END, 4) AS cos_q,
+        |  round(cosx, 4) AS cos_exact
+        |FROM d ORDER BY vec_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 5 = 0 THEN b.text ELSE d.text END AS text,
+        |    d.source
+        |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 250
+        |  WHERE d.doc_id >= 250),
+        |seen AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch GROUP BY 2)
+        |SELECT f.doc_id, b.source FROM fresh f
+        |JOIN batch b ON b.doc_id = f.doc_id
+        |WHERE f.fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |    'all rights reserved example header' || chr(10) ||
+        |    array_to_string(list_transform(
+        |      range(greatest(CAST(ceil(len(tk) / 8.0) AS BIGINT), 1)),
+        |      i -> array_to_string(tk[i*8+1:i*8+8], ' ')), chr(10)) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN chr(10) || 'subscribe to our newsletter footer'
+        |      ELSE '' END AS text
+        |  FROM t),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(len(string_split(text, chr(10))))) AS pos,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM lined),
+        |hot AS (
+        |  SELECT k FROM (
+        |    SELECT DISTINCT doc_id, lower(trim(line)) AS k FROM lines)
+        |  GROUP BY k HAVING count(*) >= 5)
+        |SELECT doc_id,
+        |  string_agg(line, chr(10) ORDER BY pos) AS text,
+        |  count(*) AS n_lines_kept
+        |FROM lines
+        |WHERE lower(trim(line)) NOT IN (SELECT k FROM hot)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH sh AS (

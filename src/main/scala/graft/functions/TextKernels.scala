@@ -70,6 +70,35 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass Unicode text normalization: NFC composition, control
+  * characters (C0 + DEL) to spaces, whitespace runs collapsed to a single
+  * space, ends trimmed. The canonical pre-tokenization cleanup for a
+  * crawled corpus — decomposed accents (`e` + U+0301) and composed (`é`)
+  * forms fingerprint identically after it, so dedup upstream of this
+  * kernel stops treating them as distinct documents. Engine-portable by
+  * construction: DuckDB's `nfc_normalize` + the same two regex passes
+  * produce byte-identical output (the driver oracle pins it), but here it
+  * is one codegen'd pass, not three. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"normalize_text requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelImpl.normalizeText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelImpl.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
 object TextKernelImpl {
 
   val statsType: StructType = StructType(Seq(
@@ -188,6 +217,33 @@ object TextKernelImpl {
       langLabels(first)
     }
   }
+
+  /** NFC composition, then one builder pass: C0/DEL controls and ASCII
+    * whitespace become separators, runs of separators collapse to a
+    * single space, and the ends are trimmed. Unicode spaces (NBSP etc.)
+    * are deliberately preserved — neither Java's nor RE2's `\s` matches
+    * them, so preserving keeps the DuckDB oracle byte-identical (their
+    * removal is a tokenizer decision, not canonicalization). Surrogate
+    * pairs pass through untouched (all comparisons are against ASCII
+    * ranges). */
+  def normalizeText(input: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(
+      input.toString, java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c < 0x20 || c == 0x7F || c == ' ') {
+        if (sb.length > 0) pendingSpace = true // leading ws never flushes
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString) // trailing ws never flushed = trim
+  }
 }
 
 object TextKernels {
@@ -198,4 +254,9 @@ object TextKernels {
   /** Fused language ID (same result as [[TextFunctions.langId]]). */
   def langId(text: Column): Column =
     Bridge.column(LangIdExpr(Bridge.expression(text)))
+
+  /** Fused NFC + control-strip + whitespace-collapse normalization
+    * ([[NormalizeTextExpr]]). */
+  def normalizeText(text: Column): Column =
+    Bridge.column(NormalizeTextExpr(Bridge.expression(text)))
 }

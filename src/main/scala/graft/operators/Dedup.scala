@@ -45,6 +45,69 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Incremental exact dedup: deduplicate a new `batch` against a corpus
+    * already reduced to its fingerprint set, WITHOUT rescanning the
+    * corpus. Returns the batch rows that are new — internally deduped
+    * first ([[exact]]), then anti-joined against `seenFps` (a one-column
+    * `fpCol` relation).
+    *
+    * The 100 TB shape: the corpus fingerprint table is ~32 bytes/doc —
+    * tiny next to the corpus — and when it is stored bucketed on `fpCol`
+    * ([[graft.core.TableStore.stageBucketed]]) the anti-join reads it
+    * with NO exchange: only the day's increment shuffles (PlanSpec pins
+    * the exchange-free stored side). Daily dedup cost is then
+    * O(increment), not O(corpus). After the batch lands, append its
+    * fingerprints to the store to close the loop. */
+  def incrementalExact(batch: DataFrame, seenFps: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpCol: String = "fp"): DataFrame = {
+    val fresh = exact(batch, textCol, idCol)
+      .withColumn(fpCol, T.fingerprint(col(textCol)))
+    fresh.join(seenFps.select(col(fpCol)), Seq(fpCol), "left_anti")
+      .drop(fpCol)
+  }
+
+  /** CCNet-style boilerplate-line removal: drop every line that appears
+    * (normalized: lower+trim) in at least `minDocs` DISTINCT documents,
+    * and reassemble the survivors in original order. Headers, footers,
+    * cookie banners, nav menus — the lines that repeat across a crawl —
+    * vanish; document-unique prose stays. Documents whose every line is
+    * boilerplate disappear from the output (their text would be empty).
+    *
+    * Plan shape: one posexplode to slim `(id, pos, line)` rows; the hot
+    * set is `distinct → count ≥ minDocs` — partial-combined aggregates
+    * whose OUTPUT is the (small) repeated-line set; an anti-join against
+    * it; and one per-doc regroup (`min_by`-style `array_sort(collect_list
+    * (struct(pos, line)))` — no window, no per-partition sort of the
+    * whole corpus). `hashLines = true` (default) keys the hot-set join on
+    * `xxhash64` of the normalized line — an 8-byte shuffle key instead of
+    * the line text, same trick as [[Curation.contamination]]; `false`
+    * joins on the strings (bit-identical minus hash collisions, and
+    * expressible in portable SQL — the driver oracle hash-checks the
+    * hashed path against a string-keyed DuckDB recomputation). */
+  def dedupLines(docs: DataFrame, minDocs: Long = 5,
+      textCol: String = "text", idCol: String = "doc_id",
+      sep: String = "\n", hashLines: Boolean = true): DataFrame = {
+    val norm = lower(trim(col("line")))
+    val key = if (hashLines) xxhash64(norm) else norm
+    val lines = docs
+      .select(col(idCol), posexplode(
+        split(col(textCol), java.util.regex.Pattern.quote(sep))))
+      .withColumnRenamed("col", "line")
+      .withColumn("__k", key)
+    val hot = lines.select(col("__k"), col(idCol)).distinct()
+      .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__k"))
+    lines.join(hot, Seq("__k"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), sep).as(textCol),
+        count(lit(1)).as("n_lines_kept"))
+  }
+
   // ---- tiered (exact → near-dup) -------------------------------------------
 
   /** Tiered dedup — the production layering for duplicate-saturated

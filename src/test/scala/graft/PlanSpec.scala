@@ -375,6 +375,38 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("incremental dedup against a bucketed fingerprint store shuffles only the batch") {
+    // the O(increment) daily-dedup story: the corpus fingerprint store is
+    // laid out bucketed on fp, so the anti-join reads it partition-aware —
+    // the ONLY exchanges in the plan belong to the (small) batch side.
+    // Asserted relatively: same query against a plain-parquet store plans
+    // exactly one more hash exchange (the corpus-side shuffle we avoided),
+    // and the bucketed plan's scan advertises its bucket pruning.
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.TableStore(tmpDir("fps-store"), spark)
+    val fps = (1 to 1000).map(i => f"fp$i%04d").toDF("fp")
+    val vBucketed = store.stageBucketed("seen_fps", fps, Seq("fp"), 8)
+    val vPlain = store.stage("seen_plain", fps)
+    val batch = Seq((1L, "new text one"), (2L, "new text two"), (2L, "new text two"))
+      .toDF("doc_id", "text")
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(executedPlan(df)).size
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = graft.operators.Dedup.incrementalExact(
+        batch, store.readVersion("seen_fps", vBucketed, fps.schema))
+      val plain = graft.operators.Dedup.incrementalExact(
+        batch, store.readVersion("seen_plain", vPlain, fps.schema))
+      executedPlan(bucketed) should include("SelectedBucketsCount")
+      nExchanges(bucketed) shouldBe (nExchanges(plain) - 1)
+      // and the semantics are unaffected by the layout
+      bucketed.select("doc_id").collect().map(_.getLong(0)).sorted shouldBe
+        plain.select("doc_id").collect().map(_.getLong(0)).sorted
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("MV refresh plan reads the delta and the stored MV — never the landing table") {
     val store = new graft.core.TableStore(tmpDir("mvplan-store"), spark)
     val stage = new graft.sources.Stage(tmpDir("mvplan-stage"))

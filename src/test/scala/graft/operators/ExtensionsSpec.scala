@@ -72,6 +72,73 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept shouldBe Array(2L, 9L)
   }
 
+  test("normalizeText: NFC composes, controls strip, whitespace collapses, ends trim") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      "Cafe\u0301  \t x", // decomposed accent + ws run
+      " a \r\n b ", // controls at ends and inside
+      "   ", // ws-only -> empty
+      "plain").toDF("text")
+    val out = d.select(graft.functions.TextKernels.normalizeText(col("text")))
+      .collect().map(_.getString(0))
+    out(0) shouldBe "Caf\u00e9 x" // composed é
+    out(1) shouldBe "a b"
+    out(2) shouldBe ""
+    out(3) shouldBe "plain"
+  }
+
+  test("int8 quantization: domain bounded, quantized cosine tracks exact cosine") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.select(col("vec_id"), col("embedding"),
+        V.quantScale(col("embedding")).as("qs"))
+      .withColumn("q", V.quantize(col("embedding"), col("qs")))
+    // quantized values stay inside the int8 domain
+    q.select(max(array_max(transform(col("q"), x => abs(x)))))
+      .head().getInt(0) should be <= 127
+    // cosine over quantized ints tracks the exact cosine (error ~1/127)
+    val a = q.select(col("vec_id"), col("embedding").as("va"), col("q").as("qa"))
+    val b = q.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("vb"), col("q").as("qb"))
+    val maxErr = a.join(b, "vec_id")
+      .select(abs(V.cosineQuantized(col("qa"), col("qb")) -
+        V.cosine(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).head().getDouble(0)
+    maxErr should be < 0.02
+  }
+
+  test("incremental exact dedup drops batch rows already in the fingerprint store") {
+    val s = spark
+    import s.implicits._
+    val seen = Seq("hello world", "old news").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+    // 11 duplicates seen before; 12/13 duplicate each other inside the batch
+    val batch = docs((10L, "brand new"), (11L, "HELLO   world"),
+      (12L, "fresh too"), (13L, "Fresh  TOO"))
+    val kept = Dedup.incrementalExact(batch, seen)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(10L, 12L)
+  }
+
+  test("dedupLines removes corpus-hot lines, keeps order, drops all-boilerplate docs") {
+    val header = "copyright header"
+    val d = docs(
+      (1L, s"$header\nunique alpha\nunique beta"),
+      (2L, s"$header\nsomething else"),
+      (3L, s"$header\nmore content"),
+      (4L, s"$header"), // all-boilerplate: disappears
+      (5L, s"$header\nlast one"))
+    val out = Dedup.dedupLines(d, minDocs = 4).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L, 5L)
+    out(1L) shouldBe (("unique alpha\nunique beta", 2L)) // order preserved
+    out(2L) shouldBe (("something else", 1L))
+    // string-keyed and hashed paths agree
+    val str = Dedup.dedupLines(d, minDocs = 4, hashLines = false).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    str shouldBe out
+  }
+
   test("minhash LSH finds near-duplicate pairs and dedups them") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"token$i").mkString(" ")
