@@ -820,19 +820,27 @@ object SparkEntry {
     // products (exact, hash-checkable) + quantized vs exact cosine on
     // consecutive-id pairs. The 4×-smaller ANN-index scale path.
     "embedding_quantized" -> ((s, dir) => {
+      // per-vector integer norm computed ONCE alongside the quantized
+      // vector (the stored-index layout: at scale candidate pairs >>
+      // vectors, so norms ride with the index instead of being re-folded
+      // per pair)
       val q = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("embedding"),
           V.quantScale(col("embedding")).as("__qs"))
         .withColumn("__q", V.quantize(col("embedding"), col("__qs")))
+        .withColumn("__nq", V.dotInt(col("__q"), col("__q")))
       val a = q.select(col("vec_id"), col("embedding").as("va"),
-        col("__q").as("qa"))
+        col("__q").as("qa"), col("__nq").as("na"))
       val b = q.select((col("vec_id") - 1).as("vec_id"),
-        col("embedding").as("vb"), col("__q").as("qb"))
+        col("embedding").as("vb"), col("__q").as("qb"), col("__nq").as("nb"))
       a.join(b, "vec_id")
-        .select(col("vec_id"),
-          V.dotInt(col("qa"), col("qb")).as("dot_q"),
-          round(V.cosineQuantized(col("qa"), col("qb")), 4).as("cos_q"),
-          round(V.cosine(col("va"), col("vb")), 4).as("cos_exact"))
+        .withColumn("dot_q", V.dotInt(col("qa"), col("qb")))
+        .select(col("vec_id"), col("dot_q"),
+          round(when(col("na") * col("nb") === 0L, lit(0.0))
+            .otherwise(col("dot_q").cast("double") /
+              sqrt(col("na").cast("double") * col("nb").cast("double"))),
+            4).as("cos_q"),
+          round(V.cosineFused(col("va"), col("vb")), 4).as("cos_exact"))
         .orderBy("vec_id")
     }),
 

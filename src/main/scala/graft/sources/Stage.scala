@@ -56,6 +56,12 @@ class Stage(val dir: String) {
     * materialized — the read is lazy. */
   def readCsv(spark: SparkSession, schema: StructType): DataFrame =
     Stage.readCsv(spark, schema, list())
+
+  /** COPY INTO from JSONL (newline-delimited JSON) — the de-facto
+    * training-corpus interchange format (an extension beyond the
+    * reference's CSV-only S1). See [[Stage.readJsonl]]. */
+  def readJsonl(spark: SparkSession, schema: StructType): DataFrame =
+    Stage.readJsonl(spark, schema, list())
 }
 
 object Stage {
@@ -77,4 +83,34 @@ object Stage {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).options(csvOptions).csv(files: _*)
+
+  /** The quarantine column appended by [[readJsonl]]: NULL for clean rows,
+    * the raw malformed line otherwise. */
+  val CorruptCol = "_corrupt"
+
+  /** JSONL read with explicit schema and malformed-line quarantine.
+    *
+    * Schema is explicit — never inferred — for the same reason
+    * [[readCsv]] takes one: inference is a second full scan of 100 TB and
+    * a silently drifting contract. PERMISSIVE mode captures each
+    * unparseable line whole in [[CorruptCol]] instead of failing the
+    * load, so ingestion splits on `_corrupt IS NULL` into data +
+    * quarantine (one bad crawl record must not kill a day's load; a
+    * quarantine TABLE keeps it auditable). Compression is auto-detected
+    * from the extension (`.gz`, `.zst`, …), matching the CSV path. */
+  def readJsonl(spark: SparkSession, schema: StructType,
+      files: Seq[String]): DataFrame = {
+    require(!schema.fieldNames.contains(CorruptCol),
+      s"schema must not already contain $CorruptCol")
+    val withQuarantine = schema.add(CorruptCol,
+      org.apache.spark.sql.types.StringType)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withQuarantine)
+    else
+      spark.read.schema(withQuarantine)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CorruptCol)
+        .json(files: _*)
+  }
 }

@@ -51,4 +51,49 @@ class StageSpec extends AnyFunSuite with Matchers with SparkSpec {
     stage.rm()
     stage.list() shouldBe empty
   }
+
+  test("JSONL COPY: explicit schema, malformed lines quarantined, gz auto-detected") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val stage = new Stage(tmpDir("jsonl"))
+    stage.putContent("a.jsonl",
+      """{"doc_id":1,"text":"hello","lang":"en"}
+        |{"doc_id":2,"text":"welt","lang":"de"}
+        |{not json at all
+        |{"doc_id":3,"text":"ok"}""".stripMargin)
+    // cache before filtering on the corrupt column: Spark disallows raw
+    // file queries that reference ONLY the internal corrupt-record column
+    val out = stage.readJsonl(spark, schema).cache()
+    try {
+      out.count() shouldBe 4
+      val clean = out.filter(col(Stage.CorruptCol).isNull)
+      val quarantine = out.filter(col(Stage.CorruptCol).isNotNull)
+      clean.count() shouldBe 3 // missing field -> null, still clean
+      quarantine.count() shouldBe 1
+      quarantine.select(Stage.CorruptCol).head().getString(0) should
+        startWith("{not json")
+      clean.filter(col("doc_id") === 3).select("lang").head()
+        .isNullAt(0) shouldBe true
+    } finally out.unpersist()
+
+    // compression auto-detected from the extension, same as the CSV path
+    val gz = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.GZIPOutputStream(gz)
+    z.write("""{"doc_id":9,"text":"zipped","lang":"en"}""".getBytes("UTF-8"))
+    z.close()
+    val gzStage = new Stage(tmpDir("jsonl-gz"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(gzStage.dir, "b.jsonl.gz"), gz.toByteArray)
+    val zipped = gzStage.readJsonl(spark, schema)
+    zipped.count() shouldBe 1
+    zipped.select("text").head().getString(0) shouldBe "zipped"
+
+    // empty stage -> typed empty frame with the quarantine column
+    val empty = new Stage(tmpDir("jsonl-empty")).readJsonl(spark, schema)
+    empty.count() shouldBe 0
+    empty.columns should contain(Stage.CorruptCol)
+  }
 }

@@ -266,9 +266,49 @@ object Sf1Soak {
       fail(s"dense-cluster embedding dedup expanded $nEmb pairs — guard not engaged")
     println(f"[skew] dense-cluster embedding near-dup: $nEmb%d pairs in $tEmb%.2f s")
 
+    // 4) incremental dedup at volume: the corpus fingerprint set staged
+    //    ONCE bucketed on fp, then a ~1k-doc increment (half re-sending
+    //    already-seen texts, half genuinely new) dedups against it. The
+    //    observable: exactly the 500 new docs survive, and the anti-join
+    //    plans exchange-free on the corpus side (the O(increment) claim —
+    //    only the batch shuffles, whatever the corpus size).
+    val corpus = spark.read.parquet(s"$Dst/documents.parquet")
+    val incRoot = java.nio.file.Files.createTempDirectory("incdedup").toString
+    val incStore = new TableStore(incRoot, spark)
+    val fps = corpus.select(
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .distinct()
+    val (v, tStage) = timed {
+      incStore.stageBucketed("seen_fps", fps, Seq("fp"), 32)
+    }
+    val seen = incStore.readVersion("seen_fps", v, fps.schema)
+    val reSent = corpus.select(col("text")).limit(500)
+      .withColumn("doc_id", monotonically_increasing_id() + 2000000000L)
+    val newDocs = spark.range(500).select(
+      (col("id") + 3000000000L).as("doc_id"),
+      concat_ws(" ", lit("incremental unique doc"), col("id").cast("string"),
+        (col("id") * 7919 % 104729).cast("string")).as("text"))
+    val batch = reSent.select("doc_id", "text").unionByName(newDocs)
+      .localCheckpoint(true)
+    val (nNew, tIncr) = timed {
+      graft.operators.Dedup.incrementalExact(batch, seen).count()
+    }
+    if (nNew != 500) fail(s"incremental dedup kept $nNew of the 1000-doc batch (want 500 new)")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = graft.operators.Dedup.incrementalExact(batch, seen)
+        .queryExecution.executedPlan.toString
+      if (!plan.contains("Bucketed: true"))
+        fail(s"$Label incremental dedup is not reading the bucketed fingerprint store")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    println(f"[skew] incremental dedup: 1000-doc batch vs ${Copies * 5000}%d-doc corpus store " +
+      f"in $tIncr%.2f s (one-time fp stage $tStage%.2f s); 500 new kept")
+
     Seq("skew_hot_token_dedup" -> tHot,
       "skew_dense_knn_join" -> tKnn,
-      "skew_dense_embed_dedup" -> tEmb)
+      "skew_dense_embed_dedup" -> tEmb,
+      "incremental_dedup_batch" -> tIncr)
   }
 
   /** 5 cycles × 200k duplicate-laden rows through the full pipeline with
