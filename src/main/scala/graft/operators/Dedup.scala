@@ -90,22 +90,26 @@ object Dedup {
       sep: String = "\n", hashLines: Boolean = true): DataFrame = {
     val norm = lower(trim(col("line")))
     val key = if (hashLines) xxhash64(norm) else norm
-    val lines = docs
+    // the exploded line projection feeds BOTH the hot-set aggregate and
+    // the anti-join — scope-cache it so the corpus is split exactly once
+    // (same pattern as the minhash single-scan path)
+    withProjectionCache(docs
       .select(col(idCol), posexplode(
         split(col(textCol), java.util.regex.Pattern.quote(sep))))
       .withColumnRenamed("col", "line")
-      .withColumn("__k", key)
-    val hot = lines.select(col("__k"), col(idCol)).distinct()
-      .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") >= minDocs)
-      .select(col("__k"))
-    lines.join(hot, Seq("__k"), "left_anti")
-      .groupBy(col(idCol))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("line")))),
-          s => s.getField("line")), sep).as(textCol),
-        count(lit(1)).as("n_lines_kept"))
+      .withColumn("__k", key)) { lines =>
+      val hot = lines.select(col("__k"), col(idCol)).distinct()
+        .groupBy(col("__k")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") >= minDocs)
+        .select(col("__k"))
+      lines.join(hot, Seq("__k"), "left_anti")
+        .groupBy(col(idCol))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")), sep).as(textCol),
+          count(lit(1)).as("n_lines_kept"))
+    }
   }
 
   // ---- tiered (exact → near-dup) -------------------------------------------
@@ -151,7 +155,7 @@ object Dedup {
     * per-bucket-bounded candidate pairs, orders of magnitude smaller than
     * the corpus, and its blocks are released by the ContextCleaner when
     * the caller drops the result. */
-  private def withProjectionCache(base: DataFrame)(
+  private[operators] def withProjectionCache(base: DataFrame)(
       build: DataFrame => DataFrame): DataFrame = {
     val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try build(cached).localCheckpoint(true)

@@ -58,21 +58,25 @@ object Keywords {
   def tfidfTopTerms(docs: DataFrame, k: Int = 5, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val n = docs.count() // scalar; parquet footer count at scan level
-    val tf = tokens(docs, idCol, textCol)
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // df = number of documents containing the term: tf rows are already
-    // distinct (doc, term), so a count per term IS the doc frequency —
-    // no extra distinct pass.
-    val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("score").desc, col("term"))
-    tf.join(dfTab, "term")
-      .withColumn("score", round(col("tf") * idf, 4))
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col(idCol), col("term"), col("tf"), col("df"),
-        col("score"), col("rk"))
+    // the tf aggregate feeds BOTH the df aggregate and the scoring join —
+    // scope-cache it so the corpus is tokenized and aggregated exactly
+    // once (the minhash single-scan pattern)
+    Dedup.withProjectionCache(tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))) { tf =>
+      // df = number of documents containing the term: tf rows are already
+      // distinct (doc, term), so a count per term IS the doc frequency —
+      // no extra distinct pass.
+      val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfTab, "term")
+        .withColumn("score", round(col("tf") * idf, 4))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col(idCol), col("term"), col("tf"), col("df"),
+          col("score"), col("rk"))
+    }
   }
 
   /** Exact corpus vocabulary: one row per term with its document
