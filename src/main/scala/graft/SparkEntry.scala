@@ -816,6 +816,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-label embedding centroids (mean pooling — the k-means M-step /
+    // class-prototype shape) in LONG format (label, pos, sum, n) so every
+    // value is scalar-hash-checkable. Plan: one posexplode to slim rows,
+    // one partial-combined hash aggregate on (label, pos) — the corpus is
+    // scanned once and only 8-byte values shuffle. Components are
+    // floor(x·1000)-quantized (the portable-planes trick) and the OUTPUT
+    // is the exact integer sum + count (mean = sum/(1000·n)): a raw
+    // double avg is float-summation-ORDER-dependent, and even the rounded
+    // quotient of exact integers splits across engines when the double
+    // sits on a 4 dp rounding boundary (both observed at sf0.001/sf0.01
+    // — integers are the only safe cross-engine reduction output).
+    "embedding_centroids" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(sum(floor(col("col").cast("double") * 1000).cast("long"))
+            .as("sum_qv"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "pos")),
+
     // int8 symmetric quantization of the embedding column: integer dot
     // products (exact, hash-checkable) + quantized vs exact cosine on
     // consecutive-id pairs. The 4×-smaller ANN-index scale path.
@@ -2160,6 +2180,17 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
+    "embedding_centroids" ->
+      """SELECT label, pos,
+        |  CAST(sum(CAST(floor(v * 1000) AS BIGINT)) AS BIGINT) AS sum_qv,
+        |  count(*) AS n
+        |FROM (
+        |  SELECT label,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     "embedding_quantized" ->
       """WITH q AS (

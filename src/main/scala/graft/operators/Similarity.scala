@@ -190,6 +190,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** [[writeLshIndex]] variant that stores int8-QUANTIZED vectors
+    * (`array<tinyint>` + the integer self-dot) instead of floats — the
+    * index bytes per element drop 4×, so at 100 TB of embeddings each
+    * probe reads a quarter of the pages for the same bucket pruning.
+    * Bucketing still happens on the float vector (identical partition
+    * layout and pruning to the full-precision index); scoring inside the
+    * probe is exact integer dot products. Quantized cosine sits within
+    * ~1/127 of exact (spec-pinned recall vs the float index), and callers
+    * needing exact order re-rank the returned top-k against the source
+    * table — k rows, not a corpus read. */
+  def writeLshIndexQuantized(df: DataFrame, path: String,
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      numTables: Int = 4): Unit = {
+    val tables = planeTables(numTables, numPlanes, dim, seed)
+    val quantized = df.select(col(idCol), col(vecCol))
+      .withColumn("__qs", V.quantScale(col(vecCol)))
+      .withColumn("q", transform(
+        V.quantize(col(vecCol), col("__qs")), x => x.cast("byte")))
+      .withColumn("nq", V.dotInt(col("q"), col("q")))
+    tables.zipWithIndex.foreach { case (planes, t) =>
+      quantized
+        .withColumn("bucket", V.hyperplaneBucket(col(vecCol), planes))
+        .select(col(idCol), col("q"), col("nq"), col("bucket"))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$path/table=$t")
+    }
+  }
+
+  /** ANN top-k against a [[writeLshIndexQuantized]] index: identical
+    * partition-pruned probe shape to [[lshTopKIndexed]], but candidates
+    * are scored with integer dots against the driver-quantized query
+    * (same symmetric scheme, HALF_UP ties like the executor kernel).
+    * Returns `(idCol, cos_q)` with the QUANTIZED cosine, rounded 4 dp. */
+  def lshTopKIndexedQuantized(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      query: Seq[Float],
+      k: Int = 10,
+      idCol: String = "vec_id",
+      numPlanes: Int = 8,
+      dim: Int = 64,
+      probeHamming: Int = 1,
+      seed: Long = 42L,
+      numTables: Int = 4): DataFrame = {
+    val tables = planeTables(numTables, numPlanes, dim, seed)
+    val maxAbs = query.map(x => math.abs(x.toDouble)).max
+    val qs = if (maxAbs == 0.0) 0.0 else 127.0 / maxAbs
+    val qInt = query.map(x => BigDecimal(x.toDouble * qs)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toInt)
+    val qNorm = qInt.map(x => x.toLong * x).sum.toDouble
+    val cond = tables.zipWithIndex.map { case (planes, t) =>
+      val qBucket = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(query).map { case (a, b) => a.toDouble * b }.sum
+        if (d > 0) 1L << i else 0L
+      }.sum
+      col("table") === t &&
+        bit_count(col("bucket").cast("long")
+          .bitwiseXOR(lit(qBucket))) <= probeHamming
+    }.reduce(_ || _)
+    val qLit = array(qInt.map(x => lit(x)): _*)
+    val dot = V.dotInt(col("q"), qLit).cast("double")
+    spark.read.parquet(path)
+      .filter(cond)
+      .select(col(idCol), col("q"), col("nq"))
+      .dropDuplicates(idCol)
+      .select(col(idCol),
+        round(when(col("nq") === 0L || lit(qNorm) === 0.0, lit(0.0))
+          .otherwise(dot / sqrt(col("nq").cast("double") * lit(qNorm))),
+          4).as("cos_q"))
+      .orderBy(col("cos_q").desc, col(idCol))
+      .limit(k)
+  }
+
   /** PORTABLE stored LSH index: one copy of the `(id, vec)` projection
     * partitioned by the integer-exact md5-plane bucket bitstring (see
     * [[graft.functions.VectorFunctions.portableBucketBits]]) — the same
