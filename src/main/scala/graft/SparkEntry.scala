@@ -665,6 +665,14 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy("doc_id", "rk")),
 
+    // BM25 retrieval: top-20 docs for a fixed 3-term query, scored with
+    // the Lucene-style formula over exact integer tf/df/dl and a
+    // fixed-order per-term sum (graft.operators.Keywords.bm25TopDocs)
+    "text_bm25" -> ((s, dir) =>
+      graft.operators.Keywords.bm25TopDocs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join", "window"), k = 20)),
+
     // exact corpus vocabulary (doc freq ≥ 3), top 100 by total count; the
     // sub-linear CMS path over the same token stream is pinned by
     // KeywordsSpec (sketches aren't SQL-expressible)
@@ -1912,6 +1920,32 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, rk FROM ranked
         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |stats AS (
+        |  SELECT count(*) AS tot, (SELECT count(*) FROM documents) AS n FROM tok2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    (CAST(tf.tf AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(dl.dl AS DOUBLE) / (CAST(s.tot AS DOUBLE) / s.n))))) AS w
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+        |SELECT doc_id,
+        |  round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'join' THEN w END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'window' THEN w END), 0.0), 4) AS bm25
+        |FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
 
     "vocab_top_terms" ->
       """WITH tok AS (

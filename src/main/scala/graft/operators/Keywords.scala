@@ -92,6 +92,58 @@ object Keywords {
       .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** Lucene-style BM25 document scoring for a fixed query-term set — the
+    * retrieval primitive over the same token recipe:
+    * `score(d) = Σ_t idf(t) · tf/(tf + k1·(1-b+b·dl/avgdl))` with
+    * `idf = ln((N-df+0.5)/(df+0.5)+1)`.
+    *
+    * Deterministic cross-engine by construction: the per-`(doc, term)`
+    * weight is per-row float math over exact integer inputs (tf, df, dl,
+    * and the avgdl ratio of two integers), and the final score adds the
+    * per-term weights in FIXED `queryTerms` order via conditional
+    * aggregates over singleton groups — never a float reduction whose
+    * summation order the engine chooses (the lesson the centroids oracle
+    * taught). Ties rank by rounded score then id.
+    *
+    * Plan shape: the cached token projection feeds the doc-length
+    * aggregate and the (query-terms-only) tf aggregate — one corpus
+    * scan; the df table is query-term-sized and broadcast; the dl join
+    * shuffles slim `(doc, dl)` rows. Returns the top `k` docs as
+    * `(idCol, bm25)`. */
+  def bm25TopDocs(docs: DataFrame, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val n = docs.count()
+    Dedup.withProjectionCache(tokens(docs, idCol, textCol)) { toks =>
+      val tot = toks.agg(count(lit(1))).head().getLong(0)
+      val avgdl = tot.toDouble / n // ratio of exact integers: portable
+      val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      val tf = toks.filter(col("term").isin(queryTerms: _*))
+        .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      val dfTab = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val wExpr =
+        log((lit(n.toDouble) - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)) *
+        (col("tf").cast("double") /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) *
+              (col("dl").cast("double") / lit(avgdl)))))
+      val perTerm = tf.join(broadcast(dfTab), "term")
+        .join(dl, Seq(idCol))
+        .withColumn("w", wExpr)
+      // fixed-order sum of per-term weights (each max() is over a
+      // singleton group — (doc, term) rows are unique)
+      val score = queryTerms
+        .map(t => coalesce(max(when(col("term") === t, col("w"))), lit(0.0)))
+        .reduce(_ + _)
+      perTerm.groupBy(col(idCol))
+        .agg(round(score, 4).as("bm25"))
+        .orderBy(col("bm25").desc, col(idCol))
+        .limit(k)
+    }
+  }
+
   /** Count-min sketch over the token stream — the sub-linear scale path
     * when the exact vocabulary is too large to materialize. Returns the
     * serialized sketch (deserialize with

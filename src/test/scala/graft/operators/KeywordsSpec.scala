@@ -53,6 +53,21 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     v.contains("green") shouldBe false // df=1 < threshold
   }
 
+  test("bm25TopDocs: term-dense short docs outrank term-sparse long ones") {
+    val d = docs(
+      1L -> "spark join window spark",
+      2L -> ("spark " + Seq.fill(50)("filler").mkString(" ")),
+      3L -> "nothing relevant here")
+    val out = Keywords.bm25TopDocs(d, Seq("spark", "join"), k = 3).collect()
+    out.head.getLong(0) shouldBe 1L // 2 query terms, short doc
+    // doc 3 has no query term -> no tf row -> absent entirely
+    out.map(_.getLong(0)) should not contain 3L
+    // scores positive and descending
+    val scores = out.map(_.getDouble(1))
+    scores.head should be > scores.last
+    all(scores) should be > 0.0
+  }
+
   test("tokenSketch: CMS estimates dominate true counts within eps·total") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val eps = 0.001
