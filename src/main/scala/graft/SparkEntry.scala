@@ -1121,6 +1121,30 @@ object SparkEntry {
         k = 20, probeHamming = 2)
     }),
 
+    // SemDeDup-style semantic dedup hash-verified end to end: nearest-
+    // centroid cluster blocking (fixed portable centroids → closed-form
+    // argmin in DuckDB) → within-cell cosine verify → drop smaller-id
+    // near-dups. Same threshold as dedup_embedding_oracled so the two
+    // blocking strategies are directly comparable on this corpus; the
+    // production fitted-k-means twin is dedup_semantic
+    "dedup_semantic_oracled" -> ((s, dir) =>
+      Dedup.semantic(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          V.portableCentroids(8, 64), threshold = 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")),
+
+    // the production SemDeDup path: k-means centers fitted on the corpus
+    // (Similarity.ivfFit — not SQL-expressible, hence rows-only), then the
+    // IDENTICAL Dedup.semantic body the oracled twin hash-checks
+    "dedup_semantic" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Dedup.semantic(e, Similarity.ivfFit(e, numCells = 8).centers,
+          threshold = 0.4)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    }),
+
     // IVF assignment with FIXED md5-derived centroids: pins the native
     // NearestCenter expression (the per-row kernel of the IVF family)
     // against DuckDB's argmin of closed-form distances; the k-means fit
@@ -1415,6 +1439,36 @@ object SparkEntry {
         |  FROM scored)
         |SELECT id_l, id_r, cos, rank FROM ranked WHERE rank <= 5
         |ORDER BY id_l, rank""".stripMargin,
+
+    // cell assignment = the ivf_assign_oracled closed form; the ok CTE
+    // mirrors candidatePairs' hot-cell guard; verify + anti-join are the
+    // dedup_embedding_oracled recipe with cells instead of LSH buckets
+    "dedup_semantic_oracled" ->
+      s"""WITH d AS (
+        |  SELECT vec_id AS id, embedding, list_transform(range(8), j ->
+        |    list_sum(list_transform(
+        |      list_transform(range(1, len(embedding)+1), i ->
+        |        CAST(embedding[i] AS DOUBLE) -
+        |        (CAST(('0x' || substr(md5('ivf:' || j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
+        |      x -> x * x))) AS dl
+        |  FROM embeddings),
+        |bk AS (
+        |  SELECT id, embedding,
+        |    CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+        |  FROM d),
+        |ok AS (
+        |  SELECT cell FROM bk GROUP BY cell
+        |  HAVING count(*) > 1 AND count(*) <= 10000),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
+        |  FROM bk a JOIN bk b ON a.cell = b.cell AND a.id < b.id
+        |  WHERE a.cell IN (SELECT cell FROM ok)),
+        |dup AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  WHERE ${duckCos("va", "vb")} >= 0.4)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY vec_id""".stripMargin,
 
     "ivf_assign_oracled" ->
       """WITH d AS (

@@ -602,6 +602,47 @@ object Dedup {
     df.join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
   }
 
+  // ---- semantic (centroid-blocked) dedup -----------------------------------
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * assign every embedding to its nearest centroid, score cosine only
+    * *within* a cell, and drop every vector with a same-cell near-dup of
+    * smaller id. Complements the hyperplane-LSH [[embeddingPortable]]:
+    * clustering blocks by semantic neighborhood — near-dups land in one
+    * cell even when a random hyperplane happens to split them — at the
+    * cost of a centroid fit.
+    *
+    * `centers` is injected: production feeds k-means centers from
+    * [[Similarity.ivfFit]]; the oracle feeds the fixed md5-derived
+    * [[graft.functions.VectorFunctions.portableCentroids]] so DuckDB can
+    * replay assignment as a closed-form argmin — the SAME function body
+    * either way (no parallel oracled implementation).
+    *
+    * Plan shape: one cached corpus scan; assignment is a narrow map of the
+    * native `NearestCenter` expression; the only pre-verify shuffle
+    * carries slim `(cell, id)` rows; in-cell pair expansion runs through
+    * [[candidatePairs]] with its hot-cell guard (`maxCell`), so one
+    * mega-cluster cannot go quadratic at 100 TB — SemDeDup prescribes
+    * raising the cell count until clusters are scoring-sized, and the
+    * guard enforces that assumption instead of silently melting down. */
+  def semantic(df: DataFrame, centers: Array[Array[Double]],
+      vecCol: String = "embedding", idCol: String = "vec_id",
+      threshold: Double = 0.4, maxCell: Int = 10000): DataFrame = {
+    val dupIds = withProjectionCache(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val blocked = vecs
+        .withColumn("cell", V.nearestCenter(col("vec"), centers))
+        .select(col("cell"), col("id"))
+      candidatePairs(blocked, "cell", "id", maxCell)
+        .join(vecs.select(col("id").as("id_a"), col("vec").as("v_a")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("vec").as("v_b")), "id_b")
+        .filter(V.cosineFused(col("v_a"), col("v_b")) >= threshold)
+        .select(col("id_b"))
+        .distinct()
+    }
+    df.join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
+  }
+
   // ---- transitive duplicate groups -----------------------------------------
 
   /** Connected components over a duplicate-pair edge list: every node gets

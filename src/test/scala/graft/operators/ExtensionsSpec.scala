@@ -255,6 +255,30 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("semantic dedup: cluster blocking drops the near-dup, hot-cell guard bounds pair work") {
+    spark.catalog.clearCache()
+    val s = spark
+    import s.implicits._
+    val dim = 64
+    val base = (0 until dim).map(j => math.cos(j * 0.37).toFloat)
+    val near = base.updated(0, base(0) + 1e-4f)
+    val far = (0 until dim).map(j => math.sin(j * 1.13 + 2).toFloat)
+    val e = Seq((1L, base), (2L, near), (7L, far)).toDF("vec_id", "embedding")
+    val centers = V.portableCentroids(8, dim)
+
+    // near-identical vectors share a nearest centroid → candidate pair →
+    // the larger id is dropped; the far vector survives; cache released
+    Dedup.semantic(e, centers, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).sorted shouldBe Array(1L, 7L)
+    spark.sharedState.cacheManager.isEmpty shouldBe true
+
+    // hot-cell guard: maxCell = 1 rejects every cell (each has >1 member or
+    // exactly 1, and pairs need >1 ≤ maxCell) → nothing can be verified →
+    // everything survives. One mega-cluster degrades to no-op, not O(n²).
+    Dedup.semantic(e, centers, threshold = 0.95, maxCell = 1)
+      .count() shouldBe 3L
+  }
+
   test("portable bucket bits: driver twin equals executor column on 200 random vectors") {
     val s = spark
     import s.implicits._
