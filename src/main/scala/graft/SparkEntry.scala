@@ -398,6 +398,51 @@ object SparkEntry {
       withUrgent.unionByName(noOrders).orderBy("c_custkey", "status")
     }),
 
+    // INTERSECT / EXCEPT set semantics (distinct both sides) — the two
+    // branches share one orders scan; Spark plans both as aggregated
+    // joins, no sort
+    "q18_setops" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+      val u = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      f.intersect(u).withColumn("which", lit("both"))
+        .unionByName(f.except(u).withColumn("which", lit("f_only")))
+        .orderBy("which", "o_custkey")
+    }),
+
+    // sliding ROWS-frame window agg (7-event moving sum): values are
+    // quantized to integer mils BEFORE the frame sum — a float moving sum
+    // is summation-order-dependent across engines, an integer one is exact
+    "q19_moving_agg" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val frame = w.rowsBetween(-6, 0)
+      events(s, dir)
+        .withColumn("qv", floor(col("value") * 1000).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("qv")).over(frame).as("mov_sum_mils"),
+          count(lit(1)).over(frame).cast("long").as("mov_n"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // conditional aggregation (FILTER / CASE inside agg) — one scan, one
+    // hash aggregate; the returned-quantity sum goes through floor→long so
+    // the cross-engine sum is integer-exact
+    "q20_conditional_agg" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_highdisc"),
+          count(when(col("l_tax") > 0.04, 1)).as("n_hightax"),
+          sum(when(col("l_returnflag") === "R",
+            floor(col("l_quantity")).cast("long")).otherwise(0L))
+            .as("qty_returned"),
+          max(when(col("l_discount") === 0, col("l_orderkey")))
+            .as("max_nodisc_order"))
+        .orderBy("l_linestatus")
+    }),
+
     "event_sessions" -> ((s, dir) => {
       // batch sessionization: gap > 1h starts a new session (lag + running
       // sum of breaks — the batch counterpart of EventStreams.sessionize)
@@ -721,6 +766,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
         .orderBy("split")
     }),
+
+    // deterministic training-shard export order: shard = 32 md5 bits mod
+    // 8, position = (hash, id) rank within the shard — the reproducible
+    // global shuffle a restartable training job needs; the window's
+    // shard exchange is the same one the sharded write reuses
+    "curation_shard" -> ((s, dir) =>
+      graft.operators.Curation.shard(
+          s.read.parquet(s"$dir/documents.parquet"), nShards = 8,
+          idCol = "doc_id")
+        .select(col("doc_id"), col("shard"), col("position"))
+        .orderBy("shard", "position")),
 
     // exact-n deterministic per-group sample (md5 hash order — the oracle
     // reproduces the identical choice, which no rand()-based sample can)
@@ -1618,6 +1674,36 @@ object SparkEntry {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    "q18_setops" ->
+      """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT o_custkey, 'both' AS which FROM
+        |  (SELECT o_custkey FROM f INTERSECT SELECT o_custkey FROM u)
+        |UNION ALL
+        |SELECT o_custkey, 'f_only' AS which FROM
+        |  (SELECT o_custkey FROM f EXCEPT SELECT o_custkey FROM u)
+        |ORDER BY which, o_custkey""".stripMargin,
+
+    "q19_moving_agg" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_mils,
+        |  count(*) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_n
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q20_conditional_agg" ->
+      """SELECT l_linestatus,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_highdisc,
+        |  count(*) FILTER (WHERE l_tax > 0.04) AS n_hightax,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(floor(l_quantity) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    AS qty_returned,
+        |  max(CASE WHEN l_discount = 0 THEN l_orderkey END) AS max_nodisc_order
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+
     "q12_semi_anti" ->
       """SELECT c_custkey, 'HAS_URGENT' AS status FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
@@ -2057,6 +2143,18 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "curation_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'graft-shard') AS hh
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hh,
+        |    CAST(CAST(('0x' || substr(hh, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+        |  FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS BIGINT) AS position
+        |FROM s ORDER BY shard, position""".stripMargin,
 
     "curation_sample" ->
       """SELECT doc_id, source FROM (

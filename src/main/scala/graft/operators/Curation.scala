@@ -64,6 +64,36 @@ object Curation {
       .drop("__split_f")
   }
 
+  /** Deterministic training-shard assignment + in-shard order: shard =
+    * first 32 md5 bits of (id, salt) mod `nShards`, position = rank within
+    * the shard by (hash, id). Together they define a reproducible global
+    * shuffle of the corpus into `nShards` training files — the export
+    * step after curation, where training-order determinism (restartable
+    * jobs, bitwise-reproducible runs) matters and `rand()` or
+    * `repartition`'s round-robin would not survive a re-run.
+    *
+    * Plan shape: the hash is a narrow map; the only shuffle is the window
+    * partition on `shard` — exactly the exchange the downstream
+    * `.repartition($"shard").sortWithinPartitions("position")` write wants,
+    * so at 100 TB the exchange is reused and each shard lands as one
+    * sorted file (shard width = corpus/nShards; pick nShards so a shard
+    * fits an executor's sort spill budget). Change `salt` to draw an
+    * independent epoch order from the same corpus. */
+  def shard(
+      df: DataFrame,
+      nShards: Int,
+      idCol: String,
+      salt: String = "graft-shard"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", md5(concat(col(idCol).cast("string"), lit(salt))))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 8), 16, 10).cast("long") % nShards)
+          .cast("int"))
+      .withColumn("position", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
+
   /** Exactly `n` rows per group, chosen by hash order (md5 of id+salt):
     * a deterministic uniform sample that any engine reproduces. Ranking
     * is a per-group window sort — fine up to very large groups (the sort
