@@ -1266,6 +1266,21 @@ object SparkEntry {
         .orderBy("window_start_us", "event_type")
     }),
 
+    // the flatMapGroupsWithState sessionizer replayed across 5 stop/start
+    // cycles: closed sessions must equal the batch gap-sessionization of
+    // the whole table — pinning cross-restart session state, inline
+    // gap-close emission, and event-time timeout flushing cross-engine
+    "stream_sessions_oracled" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-sessreplay-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      val ev = events(s, dir).select(col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.Replay.sessionizeReplay(s, ev, work.toString)
+        .orderBy("user_id", "session_start_us")
+    }),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -1727,6 +1742,24 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(t) AS session_start_us, max(t) AS session_end_us
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // batch equivalence for the streaming sessionizer: identical session
+    // derivation to event_sessions, projected to the replay's surface
+    "stream_sessions_oracled" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |marks AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w > 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marks)
+        |SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
 
     "session_concurrency" ->
       """WITH e AS (

@@ -45,17 +45,35 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Full-microsecond epoch value of a Timestamp: `getTime` alone
+    * truncates to ms, silently shifting session bounds on µs-resolution
+    * sources (parquet event time is µs). */
+  private def micros(ts: Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+
+  /** Timestamp from epoch µs, sub-ms preserved (the `new Timestamp(ms)`
+    * constructor cannot carry it; `setNanos` replaces the full sub-second
+    * field, so seed the constructor with whole seconds only). */
+  private def microsTs(us: Long): Timestamp = {
+    val t = new Timestamp((us / 1000000L) * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Gap-based sessionization with `flatMapGroupsWithState`: a session
     * closes when `gapMs` of event time passes with no event for that user —
     * either detected inline by the next event, or flushed by an event-time
     * timeout once the watermark passes session_end + gap. (Event-time, not
     * processing-time, timeouts: processing-time timeouts make the engine
     * schedule batches forever even with no data.) Emits a row per closed
-    * session. */
+    * session. State timestamps are epoch µs end to end — the session
+    * bounds must round-trip a µs-resolution source bit-exactly (pinned by
+    * the `stream_sessions_oracled` replay). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapUs = gapMs * 1000L
 
     events
       .withWatermark("ts", watermarkDelay)
@@ -66,20 +84,20 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator.single(Session(userId, microsTs(s.start),
+              microsTs(s.last), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => micros(e.ts))
             var closed = List.empty[Session]
             var cur = state.getOption
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = micros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
+                  closed ::= Session(userId, microsTs(s.start),
+                    microsTs(s.last), s.n, s.total)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -88,8 +106,10 @@ object EventStreams {
             cur.foreach { s =>
               state.update(s)
               // flush once event time moves gapMs past the last event; the
-              // timestamp must stay ahead of the current watermark
-              val target = s.last + gapMs
+              // timeout API is ms-granular, so round UP (truncating could
+              // fire a hair before last + gap) and stay ahead of the
+              // current watermark
+              val target = (s.last + gapUs + 999L) / 1000L
               val floor = state.getCurrentWatermarkMs() + 1
               state.setTimeoutTimestamp(math.max(target, floor))
             }

@@ -115,6 +115,70 @@ object Replay {
         col("event_type"), col("cnt"), col("sum_value"))
   }
 
+  /** Replay `events` through [[EventStreams.sessionize]] — the
+    * `flatMapGroupsWithState` custom-state path — in `nBatches` stop/start
+    * cycles. Time-ordered slices mean no row is late, so every closed
+    * session must equal the batch gap-sessionization of the whole input
+    * (the `event_sessions` recipe), which an external engine computes in
+    * closed form. What the equality pins beyond the windowed-agg replay:
+    * per-group state carried ACROSS restarts (a session straddling a slice
+    * boundary must keep accumulating after recovery), inline gap-close
+    * emission, and event-time TIMEOUT flushing — the two far-future
+    * sentinels advance the watermark past every real session's
+    * `last + gap`, so the tail sessions are emitted by `hasTimedOut`
+    * firing, not by a next event; the watermark's one-batch lag is why
+    * the second sentinel exists. Sentinel rows use `user_id = -1` and are
+    * filtered from the result (the first sentinel's own session is closed
+    * by the second's arrival; the second's never emits).
+    *
+    * `total_value` is deliberately NOT in the returned projection: the
+    * state accumulates it in per-batch event order, and a float sum is
+    * summation-order-dependent cross-engine. Session structure (bounds +
+    * count) is the oracled surface; the value sum stays spec-covered.
+    * Returns `(user_id, session_start_us, session_end_us, n_events)`;
+    * built once per `workDir`, completion-marker-gated. */
+  def sessionizeReplay(
+      spark: SparkSession,
+      events: DataFrame,
+      workDir: String,
+      nBatches: Int = 3,
+      gapMs: Long = 3600L * 1000L,
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val root = java.nio.file.Paths.get(workDir)
+    val done = root.resolve("_REPLAY_DONE")
+    val sink = root.resolve("sink").toString
+    if (!java.nio.file.Files.exists(done)) {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val ev = events.select(cols.map(col): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val sliced = ev.withColumn("__slice",
+        ntile(nBatches).over(w)).localCheckpoint(true)
+      def sentinel(days: Int): DataFrame =
+        ev.agg(max(col("ts")).as("m"))
+          .select(lit(-1L).as("event_id"),
+            (col("m") + expr(s"INTERVAL $days DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit("__sentinel").as("event_type"),
+            lit(0.0).as("value"))
+      val slices: Seq[DataFrame] =
+        (1 to nBatches).map(i =>
+          sliced.filter(col("__slice") === i).drop("__slice")) ++
+          Seq(sentinel(1), sentinel(2))
+      runReplay(spark, slices, ev.schema, root, df => {
+        import spark.implicits._
+        EventStreams.sessionize(df.as[EventStreams.Event], gapMs,
+          watermarkDelay).toDF()
+      })
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(sink)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        unix_micros(col("session_start")).as("session_start_us"),
+        unix_micros(col("session_end")).as("session_end_us"),
+        col("n_events"))
+  }
+
   /** Replay a document table with RE-SENT duplicates through
     * [[StreamingDedup.exact]] across stop/start cycles: slice 1..n carry
     * disjoint id ranges of the corpus, and every later slice RE-SENDS a
