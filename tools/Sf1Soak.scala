@@ -266,6 +266,21 @@ object Sf1Soak {
       fail(s"dense-cluster embedding dedup expanded $nEmb pairs — guard not engaged")
     println(f"[skew] dense-cluster embedding near-dup: $nEmb%d pairs in $tEmb%.2f s")
 
+    // 3b) semantic (centroid-blocked) dedup on the same cluster: all 20k
+    //     dense vectors assign to the SAME nearest centroid — a cell over
+    //     maxCell (10k) trips the hot-cell guard and is dropped (the
+    //     documented degenerate-bucket policy: exact/tiered dedup owns
+    //     byte-identical mobs), so survivors stay near 25k instead of the
+    //     ~5k an unguarded 2·10⁸-pair expansion would leave.
+    val (nSem, tSem) = timed {
+      graft.operators.Dedup.semantic(vecs,
+        graft.functions.VectorFunctions.portableCentroids(8, dim),
+        threshold = 0.95).count()
+    }
+    if (nSem < 20000)
+      fail(s"dense-cluster semantic dedup kept only $nSem — mega-cell guard not engaged")
+    println(f"[skew] dense-cluster semantic dedup: $nSem%d of 25000 kept in $tSem%.2f s")
+
     // 4) incremental dedup at volume: the corpus fingerprint set staged
     //    ONCE bucketed on fp, then a ~1k-doc increment (half re-sending
     //    already-seen texts, half genuinely new) dedups against it. The
@@ -308,6 +323,7 @@ object Sf1Soak {
     Seq("skew_hot_token_dedup" -> tHot,
       "skew_dense_knn_join" -> tKnn,
       "skew_dense_embed_dedup" -> tEmb,
+      "skew_dense_semantic_dedup" -> tSem,
       "incremental_dedup_batch" -> tIncr)
   }
 
