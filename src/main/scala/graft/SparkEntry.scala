@@ -398,6 +398,50 @@ object SparkEntry {
       withUrgent.unionByName(noOrders).orderBy("c_custkey", "status")
     }),
 
+    // GROUPING SETS data card: the corpus composition report (per
+    // source×lang, per source, per lang, grand total) in ONE pass — one
+    // expand + one partial-combined hash aggregate, vs four separate
+    // scans; grouping() indicators disambiguate the null rows
+    "corpus_datacard" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupingSets(
+          Seq(Seq(col("source"), col("lang")), Seq(col("source")),
+            Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          grouping(col("source")).cast("int").as("g_source"),
+          grouping(col("lang")).cast("int").as("g_lang"))
+        .orderBy(col("g_source"), col("g_lang"),
+          col("source").asc_nulls_first, col("lang").asc_nulls_first)
+    }),
+
+    // RANGE-frame window (trailing 1h by VALUE, not row count): peers
+    // share frames by ts, so the quantized integer sum is deterministic
+    // whatever the in-frame row order
+    "q21_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0)
+      events(s, dir)
+        .withColumn("qv", floor(col("value") * 1000).cast("long"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          sum(col("qv")).over(w).as("hour_sum_mils"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+
+    // UNPIVOT/melt — the inverse of q17_pivot: metric columns to rows,
+    // a narrow expand over the (tiny) aggregate output
+    "q22_unpivot" -> ((s, dir) => {
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("qty"),
+          count(lit(1)).as("cnt"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("cnt")), "metric", "val")
+        .orderBy("l_returnflag", "metric")
+    }),
+
     // INTERSECT / EXCEPT set semantics (distinct both sides) — the two
     // branches share one orders scan; Spark plans both as aggregated
     // joins, no sort
@@ -709,6 +753,14 @@ object SparkEntry {
       graft.operators.Keywords.tfidfTopTerms(
           s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy("doc_id", "rk")),
+
+    // unigram corpus-frequency scoring: the log-free LM-quality proxy
+    // (rare-token docs score low) — integer token counts end to end, one
+    // tokenize feeding both the vocabulary and the scoring join
+    "text_rarity" -> ((s, dir) =>
+      graft.operators.Keywords.corpusFrequencyScore(
+          s.read.parquet(s"$dir/documents.parquet"))
+        .orderBy("doc_id")),
 
     // BM25 retrieval: top-20 docs for a fixed 3-term query, scored with
     // the Lucene-style formula over exact integer tf/df/dl and a
@@ -1689,6 +1741,33 @@ object SparkEntry {
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
+    "corpus_datacard" ->
+      """SELECT source, lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(grouping(source) AS INTEGER) AS g_source,
+        |  CAST(grouping(lang) AS INTEGER) AS g_lang
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin,
+
+    "q21_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS hour_sum_mils
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
+
+    "q22_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+        |    count(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, val FROM agg
+        |UNPIVOT (val FOR metric IN (qty, cnt))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
     "q18_setops" ->
       """WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
         |u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
@@ -2093,6 +2172,21 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, rk FROM ranked
         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "text_rarity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tk AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        |vocab AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+        |scored AS (
+        |  SELECT tk.doc_id, count(*) AS n_toks,
+        |    CAST(sum(v.cnt) AS BIGINT) AS sum_freq
+        |  FROM tk JOIN vocab v USING (term) GROUP BY tk.doc_id)
+        |SELECT doc_id, n_toks, sum_freq,
+        |  CAST(floor(sum_freq * 1000.0 / n_toks) AS BIGINT) AS mean_freq_mils
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "text_bm25" ->
       """WITH tok AS (

@@ -92,6 +92,32 @@ object Keywords {
       .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** Unigram corpus-frequency document scoring — the log-free LM-quality
+    * proxy: per document, its token count, the sum of each token's
+    * corpus-wide occurrence count, and their ratio in mils. Documents of
+    * corpus-rare tokens score low, boilerplate built from corpus-hot
+    * tokens scores high — the unigram-likelihood signal quality-filter
+    * pipelines threshold on, kept integer-exact instead of log-space:
+    * libm `log` is not bit-identical across engines, while the count sum
+    * is a BIGINT and the single closing division+floor is two IEEE ops.
+    *
+    * Plan shape: ONE tokenize of the corpus (scope-cached slim
+    * `(doc, term)` rows) feeds both the vocabulary aggregate and the
+    * scoring join; the join key is the term, the vocabulary is
+    * corpus-vocab-sized (AQE broadcasts it until it outgrows the
+    * threshold, then it is a hash join on the term — the shuffle you
+    * want). No stage sees document text after the explode. */
+  def corpusFrequencyScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    Dedup.withProjectionCache(tokens(docs, idCol, textCol)) { toks =>
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      toks.join(vocab, "term")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_toks"), sum(col("cnt")).as("sum_freq"))
+        .withColumn("mean_freq_mils",
+          floor(col("sum_freq") * lit(1000.0) / col("n_toks")))
+    }
+
   /** Lucene-style BM25 document scoring for a fixed query-term set — the
     * retrieval primitive over the same token recipe:
     * `score(d) = Σ_t idf(t) · tf/(tf + k1·(1-b+b·dl/avgdl))` with
