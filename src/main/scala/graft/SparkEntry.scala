@@ -507,6 +507,24 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // Spark's NATIVE session_window aggregation in batch mode — the
+    // engine-level counterpart of the hand-rolled lag+cumsum recipe
+    // (event_sessions) and the flatMapGroupsWithState sessionizer
+    // (stream_sessions_oracled): one groupBy, merging handled by the
+    // session-window exec. Boundary semantic differs from the lag recipe:
+    // a window [ts, ts+gap) MERGES only an event strictly inside it, so
+    // the break condition is gap >= (not >) — the oracle mirrors that
+    "q23_session_window" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(col("user_id"), session_window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .orderBy("user_id", "session_start_us")),
+
     // interval×point range join WITHOUT an equi key (sessions × ALL
     // events): binned into an equi join on the bin id — the naive form is
     // a nested-loop cross product. Counts events from any user falling
@@ -998,6 +1016,28 @@ object SparkEntry {
       val seen = Dedup.exact(docs.filter(col("doc_id") < 250))
         .select(T.fingerprint(col("text")).as("fp"))
       Dedup.incrementalExact(batch, seen)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // the SAME increment through the bloom-pruned path: a distributed
+    // BloomFilterAggregate sketch of the store pre-filters the batch, the
+    // exact anti-join adjudicates only the might-contain slice — output
+    // bit-identical to dedup_incremental (the bloom only routes rows), so
+    // the identical oracle SQL hash-checks it
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id").as("src_id"),
+        col("text").as("src_text"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .join(base, col("doc_id") - 250 === col("src_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, col("src_text"))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      val seen = Dedup.exact(docs.filter(col("doc_id") < 250))
+        .select(T.fingerprint(col("text")).as("fp"))
+      Dedup.incrementalExactBloom(batch, seen)
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),
@@ -1822,6 +1862,24 @@ object SparkEntry {
         |  min(t) AS session_start_us, max(t) AS session_end_us
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // native session_window semantics: break at gap >= (a [ts, ts+gap)
+    // window merges only events strictly inside it)
+    "q23_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+        |marks AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |      OR t - lag(t) OVER w >= 3600000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        |sess AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM marks)
+        |SELECT user_id, min(t) AS session_start_us, max(t) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_us""".stripMargin,
+
     // batch equivalence for the streaming sessionizer: identical session
     // derivation to event_sessions, projected to the replay's surface
     "stream_sessions_oracled" ->
@@ -2538,6 +2596,27 @@ object SparkEntry {
         |FROM d ORDER BY vec_id""".stripMargin,
 
     "dedup_incremental" ->
+      """WITH batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 5 = 0 THEN b.text ELSE d.text END AS text,
+        |    d.source
+        |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 250
+        |  WHERE d.doc_id >= 250),
+        |seen AS (
+        |  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents WHERE doc_id < 250),
+        |fresh AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM batch GROUP BY 2)
+        |SELECT f.doc_id, b.source FROM fresh f
+        |JOIN batch b ON b.doc_id = f.doc_id
+        |WHERE f.fp NOT IN (SELECT fp FROM seen)
+        |ORDER BY f.doc_id""".stripMargin,
+
+    // identical answer to dedup_incremental by construction: the bloom
+    // sketch only decides which rows take the anti-join, never the result
+    "dedup_incremental_bloom" ->
       """WITH batch AS (
         |  SELECT d.doc_id,
         |    CASE WHEN d.doc_id % 5 = 0 THEN b.text ELSE d.text END AS text,

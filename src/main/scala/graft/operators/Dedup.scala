@@ -602,6 +602,45 @@ object Dedup {
     df.join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Bloom-pruned incremental exact dedup — the wide-batch shape of
+    * [[incrementalExact]]. A bloom sketch of the seen-fingerprint store is
+    * built DISTRIBUTED (`BloomFilterAggregate`, one partial-combined
+    * aggregate — the same machinery Spark's runtime join filters use);
+    * only the merged ~MB sketch reaches the driver, where it embeds as a
+    * codegen'd literal predicate (`BloomFilterMightContain`) on the batch.
+    * Rows the bloom rejects are DEFINITELY new (no false negatives) and
+    * skip the anti-join entirely; only the might-contain slice — true
+    * dups plus an `fpp` sliver of false positives — shuffles against the
+    * store. With a mostly-novel daily batch that cuts the join's probe
+    * side from |batch| to ~|dups|, while the OUTPUT stays bit-identical
+    * to [[incrementalExact]]: the bloom only routes rows, the exact
+    * anti-join still adjudicates every candidate (the oracle runs the
+    * same SQL for both paths). */
+  def incrementalExactBloom(batch: DataFrame, seenFps: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpCol: String = "fp", fpp: Double = 0.03): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val fresh = exact(batch, textCol, idCol)
+      .withColumn(fpCol, T.fingerprint(col(textCol)))
+    // sizing pass over the fingerprint-only store (metadata-cheap next to
+    // the batch scan); the sketch keys on xxhash64 of the fingerprint on
+    // BOTH the build and probe sides
+    val n = math.max(1L, seenFps.count())
+    val sketch = seenFps
+      .select(Bridge.column(new BloomFilterAggregate(
+          Bridge.expression(xxhash64(col(fpCol))), n)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val might = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(sketch)),
+      Bridge.expression(xxhash64(col(fpCol)))))
+    val candidates = fresh.filter(might)
+      .join(seenFps.select(col(fpCol)), Seq(fpCol), "left_anti")
+    fresh.filter(!might).unionByName(candidates).drop(fpCol)
+  }
+
   // ---- semantic (centroid-blocked) dedup -----------------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -47,6 +47,31 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     grown shouldBe small
   }
 
+  test("shard: complete positions per shard, append-stable assignment, salts draw new orders") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 800L).toDF("doc_id")
+    val sharded = Curation.shard(df, nShards = 4, idCol = "doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    sharded.length shouldBe 800
+    sharded.map(_._2).distinct.sorted shouldBe Array(0, 1, 2, 3)
+    // positions within each shard are exactly 1..n — a gap or dup would
+    // corrupt the training order
+    sharded.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe (1L to rows.length).toArray
+    }
+    // appending rows never moves an existing doc's shard (hash of id only)
+    val grownShard = Curation.shard((1L to 1600L).toDF("doc_id"), 4, "doc_id")
+      .filter(col("doc_id") <= 800)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sharded.foreach { case (id, sh, _) => grownShard(id) shouldBe sh }
+    // a different salt is a different epoch order
+    val other = Curation.shard(df, 4, "doc_id", salt = "epoch2")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val base = sharded.map(t => t._1 -> ((t._2, t._3))).toMap
+    base should not equal other
+  }
+
   test("samplePerGroup: exact n per group, deterministic, different salts differ") {
     val s = spark
     import s.implicits._

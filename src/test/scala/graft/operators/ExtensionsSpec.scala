@@ -171,6 +171,39 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept shouldBe Array(10L, 12L)
   }
 
+  test("bloom-pruned incremental dedup matches the exact path and prunes novel rows") {
+    val s = spark
+    import s.implicits._
+    // a store large enough that the sketch does real work
+    val seen = (0 until 2000).map(i => s"seen document number $i").toDF("text")
+      .select(graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val batch = ((0 until 200).map(i => (i.toLong, s"seen document number ${i * 10}")) ++
+      (0 until 300).map(i => (1000L + i, s"novel document $i"))).toDF("doc_id", "text")
+    val exact = Dedup.incrementalExact(batch, seen)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val bloom = Dedup.incrementalExactBloom(batch, seen)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    bloom shouldBe exact // routing only — never the answer
+    exact.length shouldBe 300
+    // the pruning claim: at fpp = 3%, the overwhelming majority of the 300
+    // novel rows never reach the anti-join (no false negatives by
+    // construction — every true dup IS in the might-contain slice)
+    val fresh = Dedup.exact(batch).withColumn("fp",
+      graft.functions.TextFunctions.fingerprint(col("text")))
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val sketch = seen.select(Bridge.column(new BloomFilterAggregate(
+        Bridge.expression(xxhash64(col("fp"))), 2000L)
+      .toAggregateExpression()).as("bf")).head().getAs[Array[Byte]]("bf")
+    val might = Bridge.column(BloomFilterMightContain(
+      Bridge.expression(lit(sketch)), Bridge.expression(xxhash64(col("fp")))))
+    val candidates = fresh.filter(might).count()
+    candidates should be >= 200L  // every true dup survives the sketch
+    candidates should be <= 250L  // ≲ fpp·novel false positives join
+  }
+
   test("dedupLines removes corpus-hot lines, keeps order, drops all-boilerplate docs") {
     val header = "copyright header"
     val d = docs(

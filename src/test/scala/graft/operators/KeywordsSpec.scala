@@ -53,6 +53,20 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     v.contains("green") shouldBe false // df=1 < threshold
   }
 
+  test("corpusFrequencyScore: hot-token boilerplate outscores rare-token docs; exact counts") {
+    val d = docs(
+      1L -> "common common common",          // corpus-hot tokens only
+      2L -> "common zxqv",                   // one hot + one rare
+      3L -> "common common zzyx qqwv pplm")  // mostly rare
+    val out = Keywords.corpusFrequencyScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // "common" appears 6 times corpus-wide; each rare token once
+    out(1L) shouldBe ((3L, 18L, 6000L))       // 3 tokens × freq 6 → mean 6.000
+    out(2L) shouldBe ((2L, 7L, 3500L))        // (6 + 1) / 2
+    out(3L) shouldBe ((5L, 15L, 3000L))       // (6·2 + 1·3) / 5
+    out(1L)._3 should be > out(3L)._3         // boilerplate > rare content
+  }
+
   test("bm25TopDocs: term-dense short docs outrank term-sparse long ones") {
     val d = docs(
       1L -> "spark join window spark",
