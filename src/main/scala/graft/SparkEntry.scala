@@ -525,6 +525,19 @@ object SparkEntry {
           col("session_end_us"), col("n_events"))
         .orderBy("user_id", "session_start_us")),
 
+    // sliding (overlapping) window aggregation in batch: every event
+    // lands in size/slide = 2 windows — the overlap expansion is an
+    // in-row generate, then one hash aggregate; quantized integer sums
+    "q24_sliding_window" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .groupBy(window(col("ts"), "2 minutes", "1 minute"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_mils"))
+        .select(unix_micros(col("window.start")).as("window_start_us"),
+          col("event_type"), col("cnt"), col("sum_mils"))
+        .orderBy("window_start_us", "event_type")),
+
     // interval×point range join WITHOUT an equi key (sessions × ALL
     // events): binned into an equi join on the bin id — the naive form is
     // a nested-loop cross product. Counts events from any user falling
@@ -1861,6 +1874,20 @@ object SparkEntry {
         |SELECT user_id, session_id, count(*) AS n_events,
         |  min(t) AS session_start_us, max(t) AS session_end_us
         |FROM sess GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each event replicated into its 2 covering 1-min-slide windows
+    "q24_sliding_window" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS qv
+        |  FROM events),
+        |w AS (
+        |  SELECT ((t // 60000000) - i) * 60000000 AS window_start_us,
+        |    event_type, qv
+        |  FROM e CROSS JOIN (SELECT unnest(range(2)) AS i) s)
+        |SELECT window_start_us, event_type, count(*) AS cnt,
+        |  CAST(sum(qv) AS BIGINT) AS sum_mils
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // native session_window semantics: break at gap >= (a [ts, ts+gap)
     // window merges only events strictly inside it)

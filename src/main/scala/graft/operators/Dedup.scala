@@ -622,8 +622,6 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.Bridge
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    val fresh = exact(batch, textCol, idCol)
-      .withColumn(fpCol, T.fingerprint(col(textCol)))
     // sizing pass over the fingerprint-only store (metadata-cheap next to
     // the batch scan); the sketch keys on xxhash64 of the fingerprint on
     // BOTH the build and probe sides
@@ -633,12 +631,17 @@ object Dedup {
           Bridge.expression(xxhash64(col(fpCol))), n)
         .toAggregateExpression()).as("bf"))
       .head().getAs[Array[Byte]]("bf")
-    val might = Bridge.column(BloomFilterMightContain(
-      Bridge.expression(lit(sketch)),
-      Bridge.expression(xxhash64(col(fpCol)))))
-    val candidates = fresh.filter(might)
-      .join(seenFps.select(col(fpCol)), Seq(fpCol), "left_anti")
-    fresh.filter(!might).unionByName(candidates).drop(fpCol)
+    // the in-batch dedup aggregate feeds BOTH bloom branches — scope-cache
+    // it so the batch is fingerprinted and deduped once, not per branch
+    withProjectionCache(exact(batch, textCol, idCol)
+        .withColumn(fpCol, T.fingerprint(col(textCol)))) { fresh =>
+      val might = Bridge.column(BloomFilterMightContain(
+        Bridge.expression(lit(sketch)),
+        Bridge.expression(xxhash64(col(fpCol)))))
+      val candidates = fresh.filter(might)
+        .join(seenFps.select(col(fpCol)), Seq(fpCol), "left_anti")
+      fresh.filter(!might).unionByName(candidates).drop(fpCol)
+    }
   }
 
   // ---- semantic (centroid-blocked) dedup -----------------------------------
