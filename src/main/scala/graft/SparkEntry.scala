@@ -793,6 +793,22 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
 
+    // conjunctive search against the STORED term-bucketed inverted index:
+    // build once per corpus (completion-marker-gated, like the stored ANN
+    // indexes), probe reads only the query terms' bucket directories
+    // (PartitionFilters — PlanSpec-pinned); a doc qualifies when it
+    // carries ALL query terms, ranked by summed tf with an id tiebreak
+    "search_indexed_oracled" -> ((s, dir) => {
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-invidx-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+        graft.operators.Keywords.writeInvertedIndex(
+          s.read.parquet(s"$dir/documents.parquet"), path.toString)
+      graft.operators.Keywords.searchInvertedIndex(
+        s, path.toString, Seq("spark", "join"), k = 20)
+    }),
+
     // BM25 retrieval: top-20 docs for a fixed 3-term query, scored with
     // the Lucene-style formula over exact integer tf/df/dl and a
     // fixed-order per-term sum (graft.operators.Keywords.bm25TopDocs)
@@ -2257,6 +2273,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score, rk FROM ranked
         |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    // same tokenize recipe; the stored layout only changes WHERE postings
+    // live, never which docs match
+    "search_indexed_oracled" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |t AS (SELECT doc_id, term FROM tk WHERE term <> ''),
+        |p AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM t
+        |  WHERE term IN ('spark', 'join') GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_terms,
+        |    CAST(sum(tf) AS BIGINT) AS tf_sum
+        |  FROM p GROUP BY 1)
+        |SELECT doc_id, tf_sum FROM d WHERE n_terms = 2
+        |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
     "text_rarity" ->
       """WITH toks AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -91,6 +91,61 @@ object Keywords {
       .groupBy("term")
       .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
       .filter(col("doc_freq") >= minDocFreq)
+
+  // ---- stored inverted index -----------------------------------------------
+
+  /** Executor-side md5 term bucket (32 md5 bits mod `nBuckets`) — must
+    * agree with the driver twin [[bucketOf]], which selects probe
+    * partitions without touching data. Engine-portable (the oracle
+    * recomputes it in SQL when needed). */
+  private def bucketCol(term: Column, nBuckets: Int): Column =
+    (conv(substring(md5(term), 1, 8), 16, 10).cast("long") % nBuckets)
+      .cast("int")
+
+  /** Driver twin of [[bucketCol]]. */
+  def bucketOf(term: String, nBuckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    (java.lang.Long.parseLong(hex.substring(0, 8), 16) % nBuckets).toInt
+  }
+
+  /** Write a term-bucketed inverted index: posting rows `(term, doc_id,
+    * tf)` laid out `partitionBy(bucket)` with one file per bucket (the
+    * repartition feeds the writer exactly the partition split it wants),
+    * so a query term's postings are ONE directory read and every other
+    * bucket is partition-pruned at probe time — the same stored-artifact
+    * amortization as the LSH/IVF indexes: build once, probe many. */
+  def writeInvertedIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    tokens(docs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Conjunctive (AND-of-terms) search against a stored inverted index:
+    * the driver twin maps query terms to their buckets, the scan reads
+    * ONLY those partition directories (`PartitionFilters` — pinned by
+    * PlanSpec), and a doc qualifies when it carries ALL the terms.
+    * Postings are distinct `(doc, term)` rows, so the per-doc row count
+    * IS the matched-term count. Ranked by summed tf, id tiebreak, so
+    * rank assignment is engine-independent. */
+  def searchInvertedIndex(spark: SparkSession, path: String,
+      terms: Seq[String], k: Int = 20, nBuckets: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    val qTerms = terms.distinct
+    val buckets = qTerms.map(bucketOf(_, nBuckets)).distinct
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms"), sum(col("tf")).as("tf_sum"))
+      .filter(col("n_terms") === qTerms.length)
+      .select(col(idCol), col("tf_sum"))
+      .orderBy(col("tf_sum").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Unigram corpus-frequency document scoring — the log-free LM-quality
     * proxy: per document, its token count, the sum of each token's

@@ -53,6 +53,37 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     v.contains("green") shouldBe false // df=1 < threshold
   }
 
+  test("inverted index: driver-twin buckets agree, probe prunes partitions, AND search exact") {
+    val d = docs(
+      1L -> "spark join window spark",
+      2L -> "spark only here",
+      3L -> "join and window",
+      4L -> "spark join",
+      5L -> "nothing relevant")
+    val dir = java.nio.file.Files.createTempDirectory("invidx").toString
+    Keywords.writeInvertedIndex(d, dir, nBuckets = 16)
+
+    // driver twin == executor column for every indexed term
+    val got = spark.read.parquet(dir)
+      .select("term", "bucket").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+    got should not be empty
+    got.foreach { case (t, b) => Keywords.bucketOf(t, 16) shouldBe b }
+
+    // AND semantics + tf ranking: doc 1 (tf 2+1) above doc 4 (1+1);
+    // docs 2/3/5 lack a term and never appear
+    val hits = Keywords.searchInvertedIndex(spark, dir,
+        Seq("spark", "join"), k = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    hits shouldBe Array((1L, 3L), (4L, 2L))
+
+    // the probe reads only the query terms' bucket directories
+    val plan = Keywords.searchInvertedIndex(spark, dir,
+        Seq("spark", "join"), k = 10, nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [bucket")
+  }
+
   test("corpusFrequencyScore: hot-token boilerplate outscores rare-token docs; exact counts") {
     val d = docs(
       1L -> "common common common",          // corpus-hot tokens only
