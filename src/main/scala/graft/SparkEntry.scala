@@ -1402,6 +1402,21 @@ object SparkEntry {
         .orderBy("user_id", "session_start_us")
     }),
 
+    // the stream-stream interval join replayed across restart cycles:
+    // click→purchase attribution pairs must equal the batch interval
+    // join — pinning cross-restart join buffers and interval-conditional
+    // state eviction cross-engine
+    "stream_join_oracled" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-joinreplay-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      val ev = events(s, dir).select(col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.Replay.intervalJoinReplay(s, ev, work.toString)
+        .orderBy("l_id", "r_id")
+    }),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -1922,6 +1937,16 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM sess GROUP BY user_id, session_id
         |ORDER BY user_id, session_start_us""".stripMargin,
+
+    // batch equivalence for the stream-stream interval join
+    "stream_join_oracled" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+        |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '1 hour'
+        |ORDER BY l_id, r_id""".stripMargin,
 
     // batch equivalence for the streaming sessionizer: identical session
     // derivation to event_sessions, projected to the replay's surface

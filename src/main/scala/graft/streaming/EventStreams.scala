@@ -45,6 +45,34 @@ object EventStreams {
         col("window.end").as("window_end"),
         col("event_type"), col("cnt"), col("sum_value"))
 
+  /** Stream-stream interval join (click→conversion attribution): inner
+    * join of two event-time streams on user with `r_ts` in
+    * `[l_ts, l_ts + joinWindow]`. Both sides carry watermarks, and Spark
+    * derives the state watermark from the interval condition, so each
+    * side's buffer evicts a row as soon as no future partner could match
+    * it — bounded state on unbounded streams. Inner-join emission is
+    * match-time (no timeout flushing involved), so the result set is
+    * complete regardless of watermark: eviction only ever drops rows
+    * whose match window has provably passed. */
+  def intervalJoin(events: DataFrame, leftType: String = "click",
+      rightType: String = "purchase", joinWindow: String = "1 hour",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val l = events.filter(col("event_type") === leftType)
+      .select(col("event_id").as("l_id"), col("user_id"),
+        col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermarkDelay)
+    val r = events.filter(col("event_type") === rightType)
+      .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
+        col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermarkDelay)
+    l.join(r, col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"))
+      .select(col("l_id"), col("r_id"), col("user_id"),
+        unix_micros(col("l_ts")).as("l_ts_us"),
+        unix_micros(col("r_ts")).as("r_ts_us"))
+  }
+
   /** Full-microsecond epoch value of a Timestamp: `getTime` alone
     * truncates to ms, silently shifting session bounds on µs-resolution
     * sources (parquet event time is µs). */

@@ -179,6 +179,42 @@ object Replay {
         col("n_events"))
   }
 
+  /** Replay `events` through [[EventStreams.intervalJoin]] — the
+    * stream-stream join path — in `nBatches` stop/start cycles. Inner
+    * interval joins emit at MATCH time and evict state only when a row's
+    * match window has provably passed, so with time-ordered slices (no
+    * late rows) the final sink must equal the batch interval join over
+    * the whole table — no sentinels needed. What the equality pins: the
+    * join buffers carried ACROSS restarts (a click in slice 1 must still
+    * match a purchase arriving two cycles later — rows a naive
+    * per-batch join would silently drop), interval-conditional state
+    * eviction never dropping a matchable row, and exactly-once source
+    * progress. Returns `(l_id, r_id, user_id, l_ts_us, r_ts_us)`; built
+    * once per `workDir`, completion-marker-gated. */
+  def intervalJoinReplay(
+      spark: SparkSession,
+      events: DataFrame,
+      workDir: String,
+      nBatches: Int = 3): DataFrame = {
+    val root = java.nio.file.Paths.get(workDir)
+    val done = root.resolve("_REPLAY_DONE")
+    val sink = root.resolve("sink").toString
+    if (!java.nio.file.Files.exists(done)) {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val ev = events.select(cols.map(col): _*)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))
+      val sliced = ev.withColumn("__slice",
+        ntile(nBatches).over(w)).localCheckpoint(true)
+      val slices: Seq[DataFrame] = (1 to nBatches).map(i =>
+        sliced.filter(col("__slice") === i).drop("__slice"))
+      runReplay(spark, slices, ev.schema, root, df =>
+        EventStreams.intervalJoin(df))
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(sink)
+  }
+
   /** Replay a document table with RE-SENT duplicates through
     * [[StreamingDedup.exact]] across stop/start cycles: slice 1..n carry
     * disjoint id ranges of the corpus, and every later slice RE-SENDS a

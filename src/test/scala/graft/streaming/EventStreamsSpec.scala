@@ -69,6 +69,30 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join matches across restart cycles — buffered state survives the checkpoint") {
+    val s = spark
+    import s.implicits._
+    // user 1: click in slice 1, purchase 30 min later in slice 2 — the
+    // cross-restart pair a naive per-batch join would drop; user 2: both
+    // in slice 1 (within-batch); user 3: purchase 2 h after the click,
+    // outside the 1 h window — must NOT match
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(10), 2L, "click", 1.0),
+      (3L, ts(20), 2L, "purchase", 1.0),
+      (4L, ts(30), 3L, "click", 1.0),
+      (5L, ts(40), 1L, "purchase", 1.0),
+      (6L, ts(50), 9L, "view", 1.0),
+      (7L, Timestamp.valueOf("2024-01-01 02:35:00"), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("ijoin").toString
+    val out = Replay.intervalJoinReplay(spark, ev, work, nBatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // ntile(2) over 7 time-ordered rows → slice 1 = events 1-4, slice 2 =
+    // events 5-7: the (1,5) match spans the restart boundary
+    out shouldBe Array((1L, 5L), (2L, 3L))
+  }
+
   test("streaming exact dedup drops in-watermark duplicates across batches") {
     val s = spark
     import s.implicits._
