@@ -1417,6 +1417,22 @@ object SparkEntry {
         .orderBy("l_id", "r_id")
     }),
 
+    // the LEFT OUTER stream-stream join: same pipeline, plus every
+    // unmatched click must surface exactly once with null purchase
+    // columns — emitted only after the watermark proved no partner can
+    // arrive (deferred-null semantic, sentinel-flushed at the tail)
+    "stream_join_outer_oracled" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-ojoinreplay-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      val ev = events(s, dir).select(col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.Replay.intervalJoinReplay(s, ev, work.toString,
+          joinType = "leftOuter")
+        .orderBy("l_id", "r_id")
+    }),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -1947,6 +1963,17 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '1 hour'
         |ORDER BY l_id, r_id""".stripMargin,
+
+    // batch LEFT JOIN equivalence; NULLS FIRST on r_id so the unmatched
+    // rows order identically in both engines
+    "stream_join_outer_oracled" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id, l.user_id,
+        |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '1 hour'
+        |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
 
     // batch equivalence for the streaming sessionizer: identical session
     // derivation to event_sessions, projected to the replay's surface

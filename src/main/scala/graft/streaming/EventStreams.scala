@@ -56,7 +56,8 @@ object EventStreams {
     * whose match window has provably passed. */
   def intervalJoin(events: DataFrame, leftType: String = "click",
       rightType: String = "purchase", joinWindow: String = "1 hour",
-      watermarkDelay: String = "10 minutes"): DataFrame = {
+      watermarkDelay: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = events.filter(col("event_type") === leftType)
       .select(col("event_id").as("l_id"), col("user_id"),
         col("ts").as("l_ts"))
@@ -65,9 +66,13 @@ object EventStreams {
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", watermarkDelay)
+    // leftOuter adds the deferred-null semantic: an unmatched left row
+    // emits (l, null) only once the watermark proves no partner can still
+    // arrive — the state-eviction moment doubles as the emission trigger
     l.join(r, col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"),
+      joinType)
       .select(col("l_id"), col("r_id"), col("user_id"),
         unix_micros(col("l_ts")).as("l_ts_us"),
         unix_micros(col("r_ts")).as("r_ts_us"))

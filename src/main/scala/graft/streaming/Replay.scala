@@ -189,13 +189,18 @@ object Replay {
     * match a purchase arriving two cycles later — rows a naive
     * per-batch join would silently drop), interval-conditional state
     * eviction never dropping a matchable row, and exactly-once source
-    * progress. Returns `(l_id, r_id, user_id, l_ts_us, r_ts_us)`; built
+    * progress. `joinType = "leftOuter"` additionally pins the
+    * DEFERRED-NULL semantic: unmatched left rows must appear exactly once
+    * with null right columns, emitted only after the watermark proved no
+    * partner can arrive (two both-sided sentinel slices force that for
+    * the tail). Returns `(l_id, r_id, user_id, l_ts_us, r_ts_us)`; built
     * once per `workDir`, completion-marker-gated. */
   def intervalJoinReplay(
       spark: SparkSession,
       events: DataFrame,
       workDir: String,
-      nBatches: Int = 3): DataFrame = {
+      nBatches: Int = 3,
+      joinType: String = "inner"): DataFrame = {
     val root = java.nio.file.Paths.get(workDir)
     val done = root.resolve("_REPLAY_DONE")
     val sink = root.resolve("sink").toString
@@ -206,13 +211,30 @@ object Replay {
         .orderBy(col("ts"), col("event_id"))
       val sliced = ev.withColumn("__slice",
         ntile(nBatches).over(w)).localCheckpoint(true)
-      val slices: Seq[DataFrame] = (1 to nBatches).map(i =>
+      // leftOuter needs the watermark sentinels: an unmatched left row
+      // emits its null only when the watermark passes l_ts + window, and
+      // the watermark's one-batch lag means TWO far-future rows (one per
+      // join side, so BOTH stream watermarks advance — the join watermark
+      // is their min). Inner joins emit at match time and need neither.
+      def sentinel(days: Int, typ: String, id: Long): DataFrame =
+        ev.agg(max(col("ts")).as("m"))
+          .select(lit(id).as("event_id"),
+            (col("m") + expr(s"INTERVAL $days DAYS")).as("ts"),
+            lit(-1L).as("user_id"), lit(typ).as("event_type"),
+            lit(0.0).as("value"))
+      val base = (1 to nBatches).map(i =>
         sliced.filter(col("__slice") === i).drop("__slice"))
+      val slices: Seq[DataFrame] =
+        if (joinType == "inner") base
+        else base ++ Seq(
+          sentinel(1, "click", -1L).unionByName(sentinel(1, "purchase", -2L)),
+          sentinel(2, "click", -3L).unionByName(sentinel(2, "purchase", -4L)))
       runReplay(spark, slices, ev.schema, root, df =>
-        EventStreams.intervalJoin(df))
+        EventStreams.intervalJoin(df, joinType = joinType))
       java.nio.file.Files.createFile(done)
     }
-    spark.read.parquet(sink)
+    // sentinel rows carry user_id = -1 and are filtered from the result
+    spark.read.parquet(sink).filter(col("user_id") >= 0)
   }
 
   /** Replay a document table with RE-SENT duplicates through

@@ -93,6 +93,30 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out shouldBe Array((1L, 5L), (2L, 3L))
   }
 
+  test("left-outer interval join defers nulls until the watermark proves no match") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(10), 2L, "click", 1.0),
+      (3L, ts(20), 2L, "purchase", 1.0),
+      (4L, ts(30), 3L, "click", 1.0),
+      (5L, ts(40), 1L, "purchase", 1.0),
+      (6L, ts(50), 9L, "view", 1.0),
+      (7L, Timestamp.valueOf("2024-01-01 02:35:00"), 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("ojoin").toString
+    val out = Replay.intervalJoinReplay(spark, ev, work, nBatches = 2,
+        joinType = "leftOuter")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted
+    // the matched pairs as in the inner case, PLUS user 3's click whose
+    // only purchase is outside the 1 h window: it must surface exactly
+    // once with a null right side, flushed by the sentinel watermark
+    out shouldBe Array((1L, 5L), (2L, 3L), (4L, -1L))
+  }
+
   test("streaming exact dedup drops in-watermark duplicates across batches") {
     val s = spark
     import s.implicits._
