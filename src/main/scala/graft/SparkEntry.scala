@@ -1071,6 +1071,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // incremental NEAR-dup admission control: the day's batch judged
+    // against the corpus's STORED band table — no corpus text touched.
+    // Every 5th batch doc is a doubled copy of a seen text (high-Jaccard
+    // near-dup that exact fingerprinting misses); band agreement >= 6 of
+    // 16 drops it. Batch bounded to ids 250-749 so the bench-scale corpus
+    // keeps the banding stage fixed-size
+    "dedup_incremental_minhash" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id").as("src_id"),
+        col("text").as("src_text"))
+      val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 750)
+        .join(base, col("doc_id") - 250 === col("src_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("src_text"), lit(" "), col("src_text")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      val store = Dedup.minhashBandTable(docs.filter(col("doc_id") < 250))
+      Dedup.incrementalMinhash(batch, store)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style boilerplate-line removal. The synthetic corpus has no
     // line structure, so the query builds it deterministically (8-token
     // lines) and injects a corpus-wide header plus an every-other-doc
@@ -2726,6 +2749,58 @@ object SparkEntry {
         |JOIN batch b ON b.doc_id = f.doc_id
         |WHERE f.fp NOT IN (SELECT fp FROM seen)
         |ORDER BY f.doc_id""".stripMargin,
+
+    // same shingle + band-key algebra as minhash_band_candidates, with
+    // 16 bands x 4 rows; agreement >= 6 bands accepts a stored near-dup
+    "dedup_incremental_minhash" ->
+      """WITH batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 5 = 0 THEN b.text || ' ' || b.text
+        |      ELSE d.text END AS text,
+        |    d.source
+        |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 250
+        |  WHERE d.doc_id >= 250 AND d.doc_id < 750),
+        |ssh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM documents WHERE doc_id < 250),
+        |sbk AS (
+        |  SELECT id, unnest(list_transform(range(16), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*4, b*4+4), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM ssh),
+        |ok AS (SELECT band FROM sbk GROUP BY band HAVING count(*) <= 10000),
+        |bsh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM batch),
+        |bbk AS (
+        |  SELECT id, unnest(list_transform(range(16), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*4, b*4+4), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM bsh),
+        |m AS (
+        |  SELECT bbk.id FROM bbk
+        |  JOIN (SELECT band, id AS sid FROM sbk
+        |        WHERE band IN (SELECT band FROM ok)) st USING (band)
+        |  GROUP BY bbk.id, st.sid HAVING count(*) >= 6)
+        |SELECT doc_id, source FROM batch
+        |WHERE doc_id NOT IN (SELECT DISTINCT id FROM m)
+        |ORDER BY doc_id""".stripMargin,
 
     // identical answer to dedup_incremental by construction: the bloom
     // sketch only decides which rows take the anti-join, never the result

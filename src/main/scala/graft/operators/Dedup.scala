@@ -644,6 +644,62 @@ object Dedup {
     }
   }
 
+  // ---- incremental near-dup (stored band table) ----------------------------
+
+  /** The storable corpus form for INCREMENTAL near-dup: one `(band, id)`
+    * row per document per band under portable md5 banding. Stage it
+    * bucketed on `band` once (`TableStore.stageBucketed`) and every
+    * future batch probes it without re-reading corpus text — near-dup
+    * admission control at O(increment), the banded counterpart of the
+    * exact fingerprint store [[incrementalExact]] joins against. */
+  def minhashBandTable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+        array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
+      .select(explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
+        col("id"))
+
+  /** Incremental MinHash near-dup: drop every batch document with a
+    * near-duplicate already in the corpus, judged ONLY from the stored
+    * band table — no corpus text, no corpus rescan. Batch docs are
+    * banded identically; a batch doc is a near-dup of a stored doc when
+    * at least `minBandMatches` of their band keys agree (a band agrees
+    * only when every row-minimum inside it matched, so the agreement
+    * count is a deterministic signature-based similarity estimate:
+    * P(band) = j^rows). Store bands with more than `maxBand` members are
+    * dropped before the join — the degenerate-key policy shared with
+    * [[candidatePairs]], bounding fan-out under boilerplate floods.
+    *
+    * Plan shape: the batch is shingled+banded in one narrow pass; the
+    * join carries slim `(band, id)` rows against the (bucketed) store;
+    * the per-(batch, store) agreement count is a partial-combined hash
+    * aggregate; the final anti-join is batch-sized. At 100 TB only the
+    * increment is ever scanned as text. */
+  def incrementalMinhash(batch: DataFrame, storeBands: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      minBandMatches: Int = 6, maxBand: Int = 10000): DataFrame = {
+    val probe = batch
+      .select(col(idCol).as("id"),
+        array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
+      .select(explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
+        col("id"))
+    val bandOk = storeBands.groupBy(col("band"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBand)
+      .select(col("band"))
+    val store = storeBands.select(col("band"), col("id").as("store_id"))
+      .join(bandOk, "band")
+    val dupIds = probe.join(store, "band")
+      .groupBy(col("id"), col("store_id"))
+      .agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= minBandMatches)
+      .select(col("id").as(idCol))
+      .distinct()
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ---- semantic (centroid-blocked) dedup -----------------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
