@@ -398,6 +398,42 @@ object SparkEntry {
       withUrgent.unionByName(noOrders).orderBy("c_custkey", "status")
     }),
 
+    // FULL OUTER join with genuinely unmatched rows on BOTH sides: rich
+    // customers vs high-value order tallies per nation key — null-padded
+    // rows surface in both directions
+    "q25_full_outer" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_acctbal") > 9800)
+        .groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_rich"))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .join(s.read.parquet(s"$dir/customer.parquet"),
+          col("o_custkey") === col("c_custkey"))
+        .filter(col("o_totalprice") > 495000)
+        .groupBy(col("c_nationkey").as("nk2"))
+        .agg(count(lit(1)).as("n_big_orders"))
+      c.join(o, col("nk") === col("nk2"), "full_outer")
+        .select(coalesce(col("nk"), col("nk2")).as("nationkey"),
+          col("n_rich"), col("n_big_orders"))
+        .orderBy("nationkey")
+    }),
+
+    // the SQL text surface end to end: temp views + a correlated EXISTS
+    // subquery through spark.sql — Catalyst plans it as the same left-semi
+    // join the DataFrame form produces
+    "q26_sql_exists" -> ((s, dir) => {
+      s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("c_v")
+      s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("o_v")
+      s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM c_v
+        WHERE c_acctbal > 9500
+          AND EXISTS (SELECT 1 FROM o_v
+                      WHERE o_custkey = c_custkey
+                        AND o_orderstatus = 'O')
+        ORDER BY c_custkey""")
+    }),
+
     // GROUPING SETS data card: the corpus composition report (per
     // source×lang, per source, per lang, grand total) in ONE pass — one
     // expand + one partial-combined hash aggregate, vs four separate
@@ -1863,6 +1899,25 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+    "q25_full_outer" ->
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, count(*) AS n_rich
+        |  FROM customer WHERE c_acctbal > 9800 GROUP BY 1),
+        |o AS (
+        |  SELECT c_nationkey AS nk2, count(*) AS n_big_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_totalprice > 495000 GROUP BY 1)
+        |SELECT coalesce(nk, nk2) AS nationkey, n_rich, n_big_orders
+        |FROM c FULL OUTER JOIN o ON nk = nk2
+        |ORDER BY nationkey""".stripMargin,
+
+    "q26_sql_exists" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > 9500
+        |  AND EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        |ORDER BY c_custkey""".stripMargin,
 
     "corpus_datacard" ->
       """SELECT source, lang, count(*) AS n_docs,
