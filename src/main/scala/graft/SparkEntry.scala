@@ -1124,8 +1124,9 @@ object SparkEntry {
             concat(col("src_text"), lit(" "), col("src_text")))
             .otherwise(col("text")).as("text"),
           col("source"))
-      val store = Dedup.minhashBandTable(docs.filter(col("doc_id") < 250))
-      Dedup.incrementalMinhash(batch, store)
+      val store = Dedup.minhashBandTable(docs.filter(col("doc_id") < 250),
+        portable = true)
+      Dedup.incrementalMinhash(batch, store, portable = true)
         .select("doc_id", "source")
         .orderBy("doc_id")
     }),

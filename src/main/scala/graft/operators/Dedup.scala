@@ -654,11 +654,23 @@ object Dedup {
     * exact fingerprint store [[incrementalExact]] joins against. */
   def minhashBandTable(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): DataFrame =
-    df.select(col(idCol).as("id"),
-        array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
-      .select(explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
-        col("id"))
+      bands: Int = 16, portable: Boolean = false): DataFrame =
+    if (portable)
+      // md5 banding — the cross-engine-checkable mode the oracle replays
+      df.select(col(idCol).as("id"),
+          array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
+        .select(explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
+          col("id"))
+    else
+      // production mode: codegen'd shingle-hash kernel + xxhash64 band
+      // keys — 8-byte bands instead of md5 strings, the 100 TB default
+      df.select(col(idCol).as("id"),
+          graft.functions.MinHash.shingleHashesSorted(
+            split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("sh"))
+        .select(explode(lshBandKeys(
+            graft.functions.MinHash.signatureFromHashes(col("sh"), numHashes),
+            bands, numHashes / bands)).as("band"),
+          col("id"))
 
   /** Incremental MinHash near-dup: drop every batch document with a
     * near-duplicate already in the corpus, judged ONLY from the stored
@@ -679,12 +691,11 @@ object Dedup {
   def incrementalMinhash(batch: DataFrame, storeBands: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       shingleSize: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      minBandMatches: Int = 6, maxBand: Int = 10000): DataFrame = {
-    val probe = batch
-      .select(col(idCol).as("id"),
-        array_distinct(portableShingleStrings(col(textCol), shingleSize)).as("shd"))
-      .select(explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
-        col("id"))
+      minBandMatches: Int = 6, maxBand: Int = 10000,
+      portable: Boolean = false): DataFrame = {
+    // the probe MUST band in the same mode the store was built with
+    val probe = minhashBandTable(batch, textCol, idCol, shingleSize,
+      numHashes, bands, portable)
     val bandOk = storeBands.groupBy(col("band"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") <= maxBand)

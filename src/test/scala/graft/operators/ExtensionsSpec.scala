@@ -176,16 +176,21 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     import s.implicits._
     val a = (1 to 40).map(i => s"alpha$i").mkString(" ")
     val b = (1 to 40).map(i => s"beta$i").mkString(" ")
-    val store = Dedup.minhashBandTable(docs((1L, a), (2L, b)))
+    val corpus = docs((1L, a), (2L, b))
     val batch = docs(
       (10L, s"$a $a"),                                   // doubled seen text: j≈0.95
       (11L, (1 to 40).map(i => s"gamma$i").mkString(" "))) // novel
-    val kept = Dedup.incrementalMinhash(batch, store)
-      .select("doc_id").collect().map(_.getLong(0)).sorted
-    kept shouldBe Array(11L)
-    // maxBand guard: with every store band declared hot, nothing can match
-    Dedup.incrementalMinhash(batch, store, maxBand = 0)
-      .count() shouldBe 2L
+    // BOTH banding modes agree: production xxhash64 kernel and the
+    // md5-portable mode the oracle replays make the same catch/keep call
+    for (portable <- Seq(false, true)) {
+      val store = Dedup.minhashBandTable(corpus, portable = portable)
+      val kept = Dedup.incrementalMinhash(batch, store, portable = portable)
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      withClue(s"portable=$portable: ") { kept shouldBe Array(11L) }
+      // maxBand guard: every store band declared hot -> nothing matches
+      Dedup.incrementalMinhash(batch, store, maxBand = 0, portable = portable)
+        .count() shouldBe 2L
+    }
   }
 
   test("bloom-pruned incremental dedup matches the exact path and prunes novel rows") {
