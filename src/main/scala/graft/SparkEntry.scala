@@ -1493,6 +1493,20 @@ object SparkEntry {
         .orderBy("l_id", "r_id")
     }),
 
+    // FULL OUTER completes the stream-stream join matrix: unmatched rows
+    // surface from BOTH sides once their watermark windows close
+    "stream_join_full_oracled" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-fjoinreplay-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      val ev = events(s, dir).select(col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      graft.streaming.Replay.intervalJoinReplay(s, ev, work.toString,
+          joinType = "fullOuter")
+        .orderBy(col("l_id").asc_nulls_first, col("r_id").asc_nulls_first)
+    }),
+
     // -- multimodal metadata (binary payload plumbing) --------------------
     "media_meta" -> ((s, dir) => {
       Media.synthesize(s.read.parquet(s"$dir/documents.parquet")).toDF()
@@ -2053,6 +2067,18 @@ object SparkEntry {
         |  ON l.user_id = r.user_id
         | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '1 hour'
         |ORDER BY l_id, r_id NULLS FIRST""".stripMargin,
+
+    // batch FULL OUTER equivalence; the user column coalesces across
+    // sides so right-only rows keep their user
+    "stream_join_full_oracled" ->
+      """SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |  coalesce(l.user_id, r.user_id) AS user_id,
+        |  epoch_us(l.ts) AS l_ts_us, epoch_us(r.ts) AS r_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |FULL OUTER JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id
+        | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL '1 hour'
+        |ORDER BY l_id NULLS FIRST, r_id NULLS FIRST""".stripMargin,
 
     // batch equivalence for the streaming sessionizer: identical session
     // derivation to event_sessions, projected to the replay's surface

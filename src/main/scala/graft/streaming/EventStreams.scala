@@ -66,14 +66,17 @@ object EventStreams {
       .select(col("event_id").as("r_id"), col("user_id").as("r_user"),
         col("ts").as("r_ts"))
       .withWatermark("r_ts", watermarkDelay)
-    // leftOuter adds the deferred-null semantic: an unmatched left row
-    // emits (l, null) only once the watermark proves no partner can still
-    // arrive — the state-eviction moment doubles as the emission trigger
+    // leftOuter/fullOuter add the deferred-null semantic: an unmatched
+    // row emits with a null partner only once the watermark proves no
+    // partner can still arrive — the state-eviction moment doubles as
+    // the emission trigger. The user column coalesces across sides so
+    // right-only rows (fullOuter) still carry their user.
     l.join(r, col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $joinWindow"),
       joinType)
-      .select(col("l_id"), col("r_id"), col("user_id"),
+      .select(col("l_id"), col("r_id"),
+        coalesce(col("user_id"), col("r_user")).as("user_id"),
         unix_micros(col("l_ts")).as("l_ts_us"),
         unix_micros(col("r_ts")).as("r_ts_us"))
   }
