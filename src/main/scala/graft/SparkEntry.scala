@@ -853,6 +853,23 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "join", "window"), k = 20)),
 
+    // hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
+    // embedding-ANN ranking — rank-only fusion needs no score
+    // calibration, and the fused score is a fixed-order sum of two
+    // per-row rationals. The oracle run fuses the two already-oracled
+    // exact producers (bm25TopDocs, bruteForceTopK); at scale the same
+    // fusion takes lshTopKIndexed + searchInvertedIndex candidates.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val bm = graft.operators.Keywords.bm25TopDocs(
+        s.read.parquet(s"$dir/documents.parquet"),
+        Seq("spark", "join", "window"), k = 50)
+      val ann = Similarity.bruteForceTopK(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir), k = 50)
+      graft.operators.Keywords.rrfFuse(
+          Seq((bm, "doc_id", "bm25"), (ann, "vec_id", "cos")), k = 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // exact corpus vocabulary (doc freq ≥ 3), top 100 by total count; the
     // sub-linear CMS path over the same token stream is pinned by
     // KeywordsSpec (sketches aren't SQL-expressible)
@@ -2489,6 +2506,53 @@ object SparkEntry {
         |      + coalesce(max(CASE WHEN term = 'join' THEN w END), 0.0)
         |      + coalesce(max(CASE WHEN term = 'window' THEN w END), 0.0), 4) AS bm25
         |FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // RRF hybrid fusion: the bm25 CTE chain is text_bm25 at k=50, the ann
+    // CTE is knn_brute at k=50; ranks are integers so the fused score is
+    // exact per-row math
+    "search_hybrid_rrf" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |stats AS (
+        |  SELECT count(*) AS tot, (SELECT count(*) FROM documents) AS n FROM tok2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok2
+        |  WHERE term IN ('spark', 'join', 'window') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((CAST(s.n AS DOUBLE) - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) *
+        |    (CAST(tf.tf AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(dl.dl AS DOUBLE) / (CAST(s.tot AS DOUBLE) / s.n))))) AS w
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(coalesce(max(CASE WHEN term = 'spark' THEN w END), 0.0)
+        |        + coalesce(max(CASE WHEN term = 'join' THEN w END), 0.0)
+        |        + coalesce(max(CASE WHEN term = 'window' THEN w END), 0.0), 4) AS bm25
+        |  FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 50),
+        |ann AS (
+        |  SELECT e.vec_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |            i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) /
+        |      (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |       sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS cos
+        |  FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |  ORDER BY cos DESC, vec_id LIMIT 50),
+        |bmr AS (SELECT doc_id AS id,
+        |  row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_bm25 FROM bm),
+        |annr AS (SELECT vec_id AS id,
+        |  row_number() OVER (ORDER BY cos DESC, vec_id) AS rank_cos FROM ann)
+        |SELECT coalesce(b.id, a.id) AS doc_id, b.rank_bm25, a.rank_cos,
+        |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + b.rank_bm25), 0.0)
+        |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + a.rank_cos), 0.0), 6) AS rrf
+        |FROM bmr b FULL OUTER JOIN annr a ON b.id = a.id
+        |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
 
     "vocab_top_terms" ->
       """WITH tok AS (

@@ -241,4 +241,49 @@ object Keywords {
       .select(count_min_sketch(col("term"), lit(eps), lit(confidence),
         lit(seed)).as("sk"))
       .head().getAs[Array[Byte]](0)
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of
+    * independently-ranked retrieval lists:
+    * `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))`, ranks 1-based within
+    * each list, docs absent from a list contribute 0 for it. Fusing a
+    * BM25 lexical ranking with an embedding-ANN ranking is the standard
+    * hybrid-search scorer in modern retrieval stacks — RRF needs no
+    * score calibration across lists because only ranks enter.
+    *
+    * Each input is `(df, idCol, scoreCol)`; `scoreCol` must already be
+    * rounded to its oracle precision (the producers here — [[bm25TopDocs]],
+    * `Similarity.bruteForceTopK`/`lshTopK` — all emit 4-dp scores), so
+    * `row_number` over `(score DESC, id)` assigns the same rank in any
+    * engine. The fused score is a fixed-order sum of ≤ `lists.size`
+    * per-row rational terms — never a data-dependent float reduction.
+    * Score column names must be distinct: the output carries one
+    * `rank_<scoreCol>` column per list (null where absent) plus `rrf`.
+    *
+    * '''100 TB shape.''' Fusion runs over CANDIDATE LISTS, not the
+    * corpus: each input is already a top-`kEach` result (BM25 from the
+    * stored inverted index, ANN from a stored LSH/IVF index), so every
+    * join and rank window here touches `O(Σ kEach)` rows regardless of
+    * corpus size — the single-partition windows are deliberate. */
+  def rrfFuse(lists: Seq[(DataFrame, String, String)], k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val scoreCols = lists.map(_._3)
+    require(scoreCols.distinct.size == scoreCols.size,
+      s"score column names must be distinct, got $scoreCols")
+    val ranked = lists.map { case (df, idC, scoreC) =>
+      val w = Window.orderBy(col(scoreC).desc, col(idC))
+      df.select(col(idC).cast("long").as("id"),
+        row_number().over(w).cast("long").as(s"rank_$scoreC"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = scoreCols
+      .map(c => coalesce(lit(1.0) / (lit(rrfK.toDouble) + col(s"rank_$c")),
+        lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .select(col("id") +: scoreCols.map(c => col(s"rank_$c")) :+
+        round(rrf, 6).as("rrf"): _*)
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
 }

@@ -132,6 +132,40 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion of two ranked lists, absent docs contribute 0") {
+    val s = spark
+    import s.implicits._
+    // list A ranks: 10→1, 20→2, 30→3; list B ranks: 20→1, 40→2
+    val a = Seq((10L, 0.9), (20L, 0.8), (30L, 0.7)).toDF("doc_id", "bm25")
+    val b = Seq((20L, 0.99), (40L, 0.5)).toDF("vec_id", "cos")
+    val out = Keywords.rrfFuse(
+      Seq((a, "doc_id", "bm25"), (b, "vec_id", "cos")), k = 10, rrfK = 60)
+    out.columns.toSeq shouldBe Seq("id", "rank_bm25", "rank_cos", "rrf")
+    val rows = out.collect().map(r =>
+      r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)), r.getDouble(3))).toMap
+    // doc 20 in both lists: 1/62 + 1/61
+    rows(20L) shouldBe ((Some(2L), Some(1L),
+      BigDecimal(1.0 / 62 + 1.0 / 61).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // single-list docs: one null rank, the other contributes alone
+    rows(10L) shouldBe ((Some(1L), None,
+      BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    rows(40L) shouldBe ((None, Some(2L),
+      BigDecimal(1.0 / 62).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    // both-list membership dominates any single-list rank
+    out.collect().head.getLong(0) shouldBe 20L
+  }
+
+  test("rrfFuse: fusing a list with itself preserves its order, top-k truncates") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7), (4L, 0.6)).toDF("id0", "s1")
+    val b = a.select(col("id0").as("id1"), col("s1").as("s2"))
+    val out = Keywords.rrfFuse(
+      Seq((a, "id0", "s1"), (b, "id1", "s2")), k = 3).collect()
+    out.map(_.getLong(0)).toSeq shouldBe Seq(1L, 2L, 3L)
+  }
+
   test("tokenSketch: sketches from disjoint halves merge to the full-corpus sketch") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def read(b: Array[Byte]) =
