@@ -853,6 +853,21 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet"),
         Seq("spark", "join", "window"), k = 20)),
 
+    // Morton/Z-order code over two clustering keys — the write-side
+    // kernel of multi-dimensional layout clustering (OPTIMIZE ZORDER).
+    // Pure bit arithmetic over longs, so the oracle replays it exactly;
+    // the skipping payoff (per-file min/max tight in BOTH dims) is
+    // pinned by LayoutSpec on real two-layout parquet writes
+    "layout_zorder" -> ((s, dir) => {
+      import graft.operators.Layout
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Layout.zValue(Seq(col("l_partkey").bitwiseAND(lit(2047L)),
+            col("l_suppkey").bitwiseAND(lit(2047L))), bits = 11).as("zval"))
+        .orderBy(col("zval").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+    }),
+
     // hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
     // embedding-ANN ranking — rank-only fusion needs no score
     // calibration, and the fused score is a fixed-order sum of two
@@ -2506,6 +2521,18 @@ object SparkEntry {
         |      + coalesce(max(CASE WHEN term = 'join' THEN w END), 0.0)
         |      + coalesce(max(CASE WHEN term = 'window' THEN w END), 0.0), 4) AS bm25
         |FROM w GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Morton interleave as closed-form bit arithmetic, generated for
+    // bits=11 × 2 dims: output bit (i*2+j) = bit i of dim j
+    "layout_zorder" -> {
+      val terms = (for { i <- 0 until 11; j <- 0 until 2 } yield {
+        val c = if (j == 0) "l_partkey" else "l_suppkey"
+        s"(((($c & 2047) >> $i) & 1) << ${i * 2 + j})"
+      }).mkString(" | ")
+      s"""SELECT l_orderkey, l_linenumber, ($terms) AS zval
+         |FROM lineitem
+         |ORDER BY zval DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    },
 
     // RRF hybrid fusion: the bm25 CTE chain is text_bm25 at k=50, the ann
     // CTE is knn_brute at k=50; ranks are integers so the fused score is
