@@ -814,6 +814,21 @@ object SparkEntry {
               lit("  \u0007nai\u0308ve\r\n"))).as("text"))
         .orderBy("doc_id")),
 
+    // fused HTML boilerplate stripping (one codegen'd scan vs the 7-pass
+    // regex chain): tags injected around the corpus text exercise tag
+    // spans, the 5 entities (&amp; decoded last), an unclosed '<', and
+    // decoded-char non-rescanning; the oracle replays the equivalent
+    // regexp_replace + replace chain
+    "text_strip_html" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          graft.functions.TextKernels.stripHtml(
+            concat(lit("<html>\t<body class=\"c\"><h1>T &amp; &quot;s&#39;</h1> <p>"),
+              col("text"),
+              lit("</p> <br/> &lt;b&gt;not-a-tag 5 &lt; 6 tail<unclosed")))
+            .as("text"))
+        .orderBy("doc_id")),
+
     // per-doc top-5 terms by smoothed tf-idf; rounded-score ranking keeps
     // the rank assignment engine-independent (graft.operators.Keywords)
     "text_tfidf" -> ((s, dir) =>
@@ -2439,6 +2454,22 @@ object SparkEntry {
         |    nfc_normalize('Cafe' || chr(769) || chr(9) || '  ' || text ||
         |      '  ' || chr(7) || 'nai' || chr(776) || 've' || chr(13) || chr(10)),
         |    '[\x00-\x1f\x7f]', ' ', 'g'), '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // tag-strip FIRST, then entities in fixed order with &amp; LAST, then
+    // whitespace collapse + trim — the chain the fused kernel equals
+    "text_strip_html" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        '<html>' || chr(9) || '<body class="c"><h1>T &amp; &quot;s&#39;</h1> <p>'
+        |          || text ||
+        |          '</p> <br/> &lt;b&gt;not-a-tag 5 &lt; 6 tail<unclosed',
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    '[ \t\n\x0b\x0c\r]+', ' ', 'g')) AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->

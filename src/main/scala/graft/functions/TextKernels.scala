@@ -99,6 +99,37 @@ case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass HTML boilerplate stripping — the first cleanup step on a
+  * crawled corpus (C4/CCNet-style): tag spans (`<` up to the first `>`;
+  * an unclosed `<` stays literal, exactly the `<[^>]*>` regex rule)
+  * become spaces, the five basic entities (`&lt; &gt; &quot; &#39;
+  * &amp;`) decode AFTER tag removal (so `&lt;b&gt;` never turns into a
+  * live tag, and decoded characters are never re-scanned), whitespace
+  * runs collapse to one space, ends trim. Engine-portable by
+  * construction: a tag-strip `regexp_replace` + the five `replace`s (in
+  * that order, `&amp;` last) + a collapse pass produce identical output
+  * in any SQL engine — the `text_strip_html` driver oracle pins it —
+  * but here it is one codegen'd scan, not seven string passes. */
+case class StripHtmlExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"strip_html requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_html"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelImpl.stripHtml(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelImpl.stripHtml($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): StripHtmlExpr =
+    copy(child = newChild)
+}
+
 object TextKernelImpl {
 
   val statsType: StructType = StructType(Seq(
@@ -226,6 +257,43 @@ object TextKernelImpl {
     * removal is a tokenizer decision, not canonicalization). Surrogate
     * pairs pass through untouched (all comparisons are against ASCII
     * ranges). */
+  /** One scan: tag spans to pending-space, entities decoded left-to-right
+    * (decoded chars emitted, never re-scanned — equivalent to the
+    * sequential replace chain with `&amp;` last, since no decode output
+    * re-enters a pattern), whitespace runs collapsed, ends trimmed. */
+  def stripHtml(input: UTF8String): UTF8String = {
+    val s = input.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    def emit(c: Char): Unit = {
+      if (pendingSpace) { sb.append(' '); pendingSpace = false }
+      sb.append(c)
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val close = s.indexOf('>', i)
+        if (close >= 0) { // tag span -> one space (collapsed, end-trimmed)
+          if (sb.length > 0) pendingSpace = true
+          i = close + 1
+        } else { emit('<'); i += 1 } // unclosed '<' stays literal
+      } else if (c == '&') {
+        if (s.startsWith("&lt;", i)) { emit('<'); i += 4 }
+        else if (s.startsWith("&gt;", i)) { emit('>'); i += 4 }
+        else if (s.startsWith("&quot;", i)) { emit('"'); i += 6 }
+        else if (s.startsWith("&#39;", i)) { emit('\''); i += 5 }
+        else if (s.startsWith("&amp;", i)) { emit('&'); i += 5 }
+        else { emit('&'); i += 1 }
+      } else if (isWs(c)) {
+        if (sb.length > 0) pendingSpace = true // leading ws never flushes
+        i += 1
+      } else { emit(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString) // trailing ws never flushed = trim
+  }
+
   def normalizeText(input: UTF8String): UTF8String = {
     val s = java.text.Normalizer.normalize(
       input.toString, java.text.Normalizer.Form.NFC)
@@ -259,4 +327,9 @@ object TextKernels {
     * ([[NormalizeTextExpr]]). */
   def normalizeText(text: Column): Column =
     Bridge.column(NormalizeTextExpr(Bridge.expression(text)))
+
+  /** Fused HTML tag-strip + entity decode + whitespace collapse
+    * ([[StripHtmlExpr]]). */
+  def stripHtml(text: Column): Column =
+    Bridge.column(StripHtmlExpr(Bridge.expression(text)))
 }

@@ -88,6 +88,48 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(3) shouldBe "plain"
   }
 
+  test("stripHtml: tags to spaces, entities decode, unclosed '<' literal, " +
+      "decoded chars never re-scanned") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      "<html> <body class=\"c\"><h1>A &amp; B</h1><p>hi</p></body>",
+      "x &lt;b&gt; y",          // decoded '<'/'>' must NOT become a tag
+      "&amp;lt; stays &lt;",    // &amp; decodes once, output not re-scanned
+      "a < b and c > d",        // '<' consumes up to the next '>'
+      "tail < unclosed",        // no '>' after -> literal
+      "<a title='x>y'>z",       // first '>' ends the tag (the regex rule)
+      "  <br/>   ws   <hr>  ").toDF("text")
+    val out = d.select(graft.functions.TextKernels.stripHtml(col("text")))
+      .collect().map(_.getString(0))
+    out(0) shouldBe "A & B hi"
+    out(1) shouldBe "x <b> y"
+    out(2) shouldBe "&lt; stays <"
+    out(3) shouldBe "a d" // "< b and c >" was one tag span
+    out(4) shouldBe "tail < unclosed"
+    out(5) shouldBe "y'>z" // tag ended at x>, remainder literal
+    out(6) shouldBe "ws"
+  }
+
+  test("stripHtml kernel equals the 7-pass compositional chain on the corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(concat(lit("<html>\t<body class=\"c\"><h1>T &amp; &quot;s&#39;</h1> <p>"),
+        col("text"),
+        lit("</p> <br/> &lt;b&gt;not-a-tag 5 &lt; 6 tail<unclosed")).as("text"))
+    val chain = trim(regexp_replace(
+      replace(replace(replace(replace(replace(
+        regexp_replace(col("text"), "<[^>]*>", " "),
+        lit("&lt;"), lit("<")), lit("&gt;"), lit(">")),
+        lit("&quot;"), lit("\"")), lit("&#39;"), lit("'")),
+        lit("&amp;"), lit("&")),
+      "[ \t\n\f\r]+", " "))
+    val diff = d.select(
+        graft.functions.TextKernels.stripHtml(col("text")).as("k"),
+        chain.as("c"))
+      .filter(col("k") =!= col("c")).count()
+    diff shouldBe 0L
+  }
+
   test("int8 quantization: domain bounded, quantized cosine tracks exact cosine") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.select(col("vec_id"), col("embedding"),
