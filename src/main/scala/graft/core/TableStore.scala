@@ -118,6 +118,45 @@ class TableStore(val root: String, spark: SparkSession) {
     commit(Map(table -> stage(table,
       readOrEmpty(table, schema).coalesce(numFiles), partitionBy)))
 
+  /** Data bytes of the current version (parquet files only — manifest
+    * debris, `_SUCCESS`, bucket specs excluded). 0 if never committed. */
+  def currentBytes(table: String): Long = manifest.get(table) match {
+    case None => 0L
+    case Some(v) =>
+      val files = Files.walk(versionDir(table, v))
+      try files.iterator().asScala
+        .filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      finally files.close()
+  }
+
+  /** [[compact]] sized from a target output-file size instead of a file
+    * count — the form an OPTIMIZE scheduler calls: a table that grew by
+    * small streaming commits is rewritten into `ceil(bytes/target)`
+    * files, so file count tracks data volume, not commit count. */
+  def compactToSize(table: String, schema: StructType,
+      targetBytes: Long = 128L << 20, partitionBy: Seq[String] = Nil): Unit = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val bytes = currentBytes(table)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes)
+    compact(table, schema, n.toInt, partitionBy)
+  }
+
+  /** OPTIMIZE-with-clustering: rewrite the current version
+    * range-partitioned and sorted on `clusterBy` — pass a plain column
+    * for single-key clustering or `Layout.zValue(...)` for a Morton
+    * multi-dimension layout — so every output file covers a tight
+    * `clusterBy` range and min/max stats pruning bites on subsequent
+    * scans. Like [[compact]], this is just another version + atomic
+    * commit: readers of the old layout are never disturbed. */
+  def compactClustered(table: String, schema: StructType,
+      clusterBy: org.apache.spark.sql.Column, numFiles: Int): Unit =
+    commit(Map(table -> stage(table,
+      readOrEmpty(table, schema)
+        .repartitionByRange(numFiles, clusterBy)
+        .sortWithinPartitions(clusterBy))))
+
   /** Materialize `df` as a new (uncommitted) version of `table`; returns the
     * version id to pass to [[commit]]. The write is the only Spark action —
     * the data lands on disk before any pointer moves. `partitionBy` lays the

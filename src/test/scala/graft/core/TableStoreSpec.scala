@@ -162,6 +162,59 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count(_.toString.endsWith(".parquet")) shouldBe 1
   }
 
+  test("compactToSize: file count tracks data volume, not commit count") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("cts"), spark)
+    // 64 tiny files, as if 64 small streaming commits accreted
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(64)
+    store.overwrite("t", df)
+    val bytes = store.currentBytes("t")
+    bytes should be > 0L
+
+    // target sized to yield ~4 output files for this version
+    val target = bytes / 4 + 1
+    store.compactToSize("t", df.schema, targetBytes = target)
+    val cur = java.nio.file.Paths.get(store.currentPath("t").get)
+    import scala.jdk.CollectionConverters._
+    val nFiles = java.nio.file.Files.list(cur).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    nFiles should be <= 4
+    // content unchanged
+    store.read("t").count() shouldBe 2000
+    store.read("t").agg(sum("id")).head().getLong(0) shouldBe
+      (1L to 2000L).sum
+  }
+
+  test("compactClustered: z-ordered rewrite tightens per-file min/max in both dims") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Layout
+    val store = new TableStore(tmpDir("ccl"), spark)
+    val df = (0 until 4096).map(i => (i.toLong, (i % 64).toLong,
+        ((i * 37) % 64).toLong)).toDF("id", "x", "y")
+      .repartition(16) // arbitrary initial layout
+    store.overwrite("t", df)
+
+    store.compactClustered("t", df.schema,
+      Layout.zValue(Seq(col("x"), col("y")), bits = 6), numFiles = 16)
+
+    val cur = store.currentPath("t").get
+    val stats = Layout.fileStats(spark, cur, Seq("x", "y"))
+    // a 16-file z-layout over a 64x64 grid: each file covers ~1/16 of the
+    // curve, so BOTH dims' per-file spans stay well under the full range
+    val spans = stats.select(
+        avg(col("x_max") - col("x_min")).as("sx"),
+        avg(col("y_max") - col("y_min")).as("sy"))
+      .head()
+    spans.getDouble(0) should be < 40.0
+    spans.getDouble(1) should be < 40.0
+    // rewrite preserved the rows
+    store.read("t").agg(sum("id")).head().getLong(0) shouldBe
+      (0L until 4096L).sum
+  }
+
   test("bucketed versions: partitioning-aware reads, plain-parquet fallback, vacuum drops catalog") {
     val s = spark
     import s.implicits._
