@@ -844,6 +844,16 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"))
         .orderBy("doc_id")),
 
+    // bigram-backoff surprisal (KenLM-shaped quality filter) — model
+    // counts from the even-id slice, every doc scored; integer-exact
+    // bit-length arithmetic end to end, so no portable twin is needed
+    "text_surprisal" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Keywords.surprisalScore(
+          score = d, model = d.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+
     // conjunctive search against the STORED term-bucketed inverted index:
     // build once per corpus (completion-marker-gated, like the stored ANN
     // indexes), probe reads only the query terms' bucket directories
@@ -980,6 +990,31 @@ object SparkEntry {
           train = d.filter(col("doc_id") % 2 === 0),
           test = d.filter(col("doc_id") % 2 =!= 0),
           hashShingles = true)
+        .orderBy("doc_id")
+    }),
+
+    // fuzzy decontamination, production form: near-duplicate train→test
+    // leakage via xxhash64 MinHash banding + exact Jaccard verify (exact
+    // n-gram overlap misses paraphrased/edited benchmark copies)
+    "curation_decontam_fuzzy" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.contaminationFuzzy(
+          train = d.filter(col("doc_id") % 2 === 0),
+          test = d.filter(col("doc_id") % 2 =!= 0),
+          numHashes = 64, bands = 32, threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
+    // engine-portable twin through the SAME function: md5 closed-form
+    // banding on a bounded slice, so DuckDB replays banding → candidates
+    // → Jaccard verify → best-match selection end to end
+    "curation_decontam_fuzzy_oracled" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.operators.Curation.contaminationFuzzy(
+          train = d.filter(col("doc_id") % 2 === 0),
+          test = d.filter(col("doc_id") % 2 =!= 0),
+          numHashes = 64, bands = 32, threshold = 0.5,
+          portable = true, maxId = 300L)
         .orderBy("doc_id")
     }),
 
@@ -1199,6 +1234,21 @@ object SparkEntry {
       Dedup.dedupLines(lined, minDocs = 5)
         .orderBy("doc_id")
     }),
+
+    // exact substring-span dedup (Lee et al. shape): every 8-token window
+    // occurring ≥2× corpus-wide, merged per doc into maximal spans.
+    // Production form — xxhash64 window keys, 8-byte shuffle rows.
+    "dedup_substrings" -> ((s, dir) =>
+      Dedup.duplicatedSpans(s.read.parquet(s"$dir/documents.parquet"), w = 8)
+        .orderBy("doc_id", "span_start")),
+
+    // engine-portable twin: md5 window keys through the SAME production
+    // function, so the DuckDB oracle pins the full pipeline (window
+    // generation → corpus count → join → gaps-and-islands merge)
+    "dedup_substrings_oracled" -> ((s, dir) =>
+      Dedup.duplicatedSpans(s.read.parquet(s"$dir/documents.parquet"), w = 8,
+          hashMode = "md5")
+        .orderBy("doc_id", "span_start")),
 
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
@@ -2512,6 +2562,47 @@ object SparkEntry {
         |SELECT doc_id, tf_sum FROM d WHERE n_terms = 2
         |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
 
+    // integer-exact surprisal: bigram/unigram counts from the even-id
+    // model slice, per-position bits = bit-length of an integer quotient
+    // (format('{:b}', x) mirrors Spark's bin()), stupid-backoff +4 bits,
+    // OOV +8 bits
+    "text_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS cur,
+        |    CASE WHEN i > 1 THEN t[i-1] END AS prev
+        |  FROM toks, unnest(range(1, len(t)+1)) AS u(i)),
+        |model AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+        |uni AS (
+        |  SELECT cur AS tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM model GROUP BY 1),
+        |bi AS (
+        |  SELECT prev, cur, CAST(count(*) AS BIGINT) AS c
+        |  FROM model WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM model),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE
+        |      WHEN b.c IS NOT NULL
+        |        THEN length(format('{:b}', up.c // b.c)) - 1
+        |      WHEN u.c IS NOT NULL AND p.pos > 1
+        |        THEN 4 + length(format('{:b}', t.n // u.c)) - 1
+        |      WHEN u.c IS NOT NULL
+        |        THEN length(format('{:b}', t.n // u.c)) - 1
+        |      ELSE 8 + length(format('{:b}', t.n)) - 1
+        |    END AS bits
+        |  FROM pos p
+        |  CROSS JOIN tot t
+        |  LEFT JOIN uni u ON u.tok = p.cur
+        |  LEFT JOIN uni up ON up.tok = p.prev
+        |  LEFT JOIN bi b ON b.prev = p.prev AND b.cur = p.cur)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(bits) AS BIGINT) AS total_bits,
+        |  round(sum(bits) * 1.0 / count(*), 4) AS bits_per_token
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "text_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2704,6 +2795,45 @@ object SparkEntry {
         |SELECT t.id AS doc_id, count(*) AS n_shared_shingles
         |FROM test t JOIN train tr ON t.s = tr.s
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fuzzy decontamination replayed in closed form: md5 MinHash banding
+    // across the train/test split, exact Jaccard verify at 0.5, best
+    // match by the same integer (rounded-j desc, test_id asc) order key
+    "curation_decontam_fuzzy_oracled" ->
+      """WITH sh AS (
+        |  SELECT doc_id AS id, doc_id % 2 = 0 AS is_train,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM documents WHERE doc_id <= 300),
+        |bk AS (
+        |  SELECT id, is_train, unnest(list_transform(range(32), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*2, b*2+2), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM sh),
+        |cand AS (
+        |  SELECT DISTINCT t.id AS train_id, e.id AS test_id
+        |  FROM bk t JOIN bk e ON t.band = e.band
+        |  WHERE t.is_train AND NOT e.is_train),
+        |ver AS (
+        |  SELECT c.train_id, c.test_id,
+        |    round(len(list_distinct(list_intersect(a.shd, b.shd))) * 1.0 /
+        |          len(list_distinct(a.shd || b.shd)), 4) AS j
+        |  FROM cand c JOIN sh a ON a.id = c.train_id
+        |              JOIN sh b ON b.id = c.test_id)
+        |SELECT train_id AS doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_test_matches,
+        |  min_by(test_id,
+        |    (10000 - CAST(round(j*10000) AS BIGINT)) * 10000000 + test_id)
+        |    AS best_test_id,
+        |  max(j) AS best_jaccard
+        |FROM ver WHERE j >= 0.5
+        |GROUP BY train_id ORDER BY doc_id""".stripMargin,
 
     // portable simhash recomputed in closed form: per-token md5 → per-bit
     // ±1 vote (bit b = bit (3-b%4) of hex nibble b/4, sign rule sum>0) →
@@ -3057,6 +3187,26 @@ object SparkEntry {
         |FROM lines
         |WHERE lower(trim(line)) NOT IN (SELECT k FROM hot)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_substrings_oracled" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+        |dup AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |hits AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        |  FROM wins JOIN dup USING (h))
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |  CAST(count(*) AS BIGINT) AS n_windows
+        |FROM hits GROUP BY doc_id, g
+        |ORDER BY doc_id, span_start""".stripMargin,
 
     "ngram_jaccard_pairs" ->
       """WITH sh AS (

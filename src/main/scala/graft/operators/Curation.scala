@@ -152,6 +152,102 @@ object Curation {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Fuzzy decontamination: flag TRAIN documents that are NEAR-duplicates
+    * of any TEST/benchmark document. Exact n-gram overlap
+    * ([[contamination]]) catches verbatim leakage but misses paraphrased,
+    * truncated, or lightly-edited copies — the common real-world shape
+    * once benchmark text has passed through scraping and cleaning. This
+    * form blocks train docs against test docs with banded MinHash LSH
+    * (the same signature machinery as [[Dedup.minhashDuplicatePairs]],
+    * pointed ACROSS two corpora instead of within one) and verifies each
+    * candidate with exact Jaccard over distinct shingle sets.
+    *
+    * Returns one row per contaminated train doc:
+    * `(idCol, n_test_matches, best_test_id, best_jaccard)` — the match
+    * count, and the best-matching test doc ranked by ROUNDED Jaccard
+    * (4 dp) with a test-id tiebreak so the ranking is engine-independent.
+    *
+    * `portable = true` swaps xxhash64 signatures for the md5-derived
+    * closed-form banding ([[Dedup.portableBandKeys]]) so an external SQL
+    * engine can replay the whole pipeline; bound it with `maxId` (the
+    * portable mode is the oracle/audit path, xxhash64 is the scale path).
+    *
+    * 100 TB shape: the test/benchmark side is tiny (thousands of docs) but
+    * this NEVER relies on that — both sides shuffle only `(band, id)`
+    * pairs, a hot-band guard drops degenerate boilerplate buckets
+    * (`maxBucket`, same policy as [[Dedup.candidatePairs]]), and shingle
+    * sets attach to the candidate pairs by id AFTER blocking, so the wide
+    * arrays never ride the band shuffle. */
+  def contaminationFuzzy(
+      train: DataFrame,
+      test: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      shingleSize: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.5,
+      maxBucket: Int = 10000,
+      portable: Boolean = false,
+      maxId: Long = Long.MaxValue): DataFrame = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    def side(df: DataFrame): DataFrame =
+      if (portable)
+        df.filter(col(idCol) <= maxId)
+          // the maxId slice usually collapses to one input split; spread
+          // the 64-pass md5 projection across cores (same note as
+          // Dedup.portableBase)
+          .repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+          .select(col(idCol).as("id"), array_distinct(
+            Dedup.portableShingleStrings(col(textCol), shingleSize)).as("shd"))
+      else
+        df.filter(col(idCol) <= maxId)
+          .select(col(idCol).as("id"),
+            graft.functions.MinHash.shingleHashesSorted(
+              split(lower(trim(col(textCol))), "\\s+"), shingleSize).as("shd"))
+    def bandKeys: Column =
+      if (portable) Dedup.portableBandKeys(col("shd"), numHashes, bands)
+      else Dedup.lshBandKeys(
+        graft.functions.MinHash.signatureFromHashes(col("shd"), numHashes),
+        bands, numHashes / bands)
+    // portable mode intersects shingle STRINGS (the closed form DuckDB
+    // replays); hashed mode runs the linear sorted-merge over hashed longs
+    def jaccard(a: Column, b: Column): Column =
+      if (portable)
+        size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+      else graft.functions.MinHash.jaccardSorted(a, b)
+    Dedup.withProjectionCache(side(train)) { tr =>
+      Dedup.withProjectionCache(side(test)) { te =>
+        val tb = tr.select(explode(bandKeys).as("band"), col("id").as("train_id"))
+        val eb = te.select(explode(bandKeys).as("band"), col("id").as("test_id"))
+        // hot-band guard over BOTH sides' membership: one boilerplate band
+        // key shared by m train and n test docs would emit m·n candidates
+        val ok = tb.select(col("band")).union(eb.select(col("band")))
+          .groupBy(col("band")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select(col("band"))
+        val cand = tb.join(ok, "band").join(eb, "band")
+          .select(col("train_id"), col("test_id")).distinct()
+        val verified = cand
+          .join(tr.select(col("id").as("train_id"), col("shd").as("shd_t")), "train_id")
+          .join(te.select(col("id").as("test_id"), col("shd").as("shd_e")), "test_id")
+          .withColumn("__j", round(jaccard(col("shd_t"), col("shd_e")), 4))
+          .filter(col("__j") >= threshold)
+        // single integer order key (rounded-Jaccard desc, test_id asc) so
+        // best-match selection is one min_by aggregate, deterministic in
+        // any engine: 4-dp Jaccard quantizes to ≤10000 and ids stay well
+        // under the 1e7 stride
+        val ordKey = (lit(10000L) - round(col("__j") * 10000).cast("long")) *
+          lit(10000000L) + col("test_id")
+        verified.groupBy(col("train_id").as(idCol))
+          .agg(
+            count(lit(1)).as("n_test_matches"),
+            min_by(col("test_id"), ordKey).as("best_test_id"),
+            max(col("__j")).as("best_jaccard"))
+      }
+    }
+  }
+
   /** Temperature-weighted mixture sampling: draw ~`targetRows` documents
     * with per-group rates proportional to `count^alpha` — the standard
     * multilingual/multi-source rebalancing step (alpha=1 keeps the corpus

@@ -112,6 +112,74 @@ object Dedup {
     }
   }
 
+  // ---- exact substring spans -----------------------------------------------
+
+  /** Exact substring-span dedup (the Lee et al. 2021 "deduplicating
+    * training data" shape, re-expressed relationally): find every
+    * `w`-token window whose exact text occurs at least twice ANYWHERE in
+    * the corpus, then merge each document's duplicated window starts into
+    * maximal spans with a gaps-and-islands window function. Returns
+    * `(idCol, span_start, span_end, n_windows)` — 1-based token
+    * positions, `span_end` inclusive — the byte-range shape a curation
+    * pass consumes to cut repeated boilerplate out of otherwise-unique
+    * documents (whole-doc dedup can't touch these).
+    *
+    * `hashMode`: `"xxhash64"` (default) hashes each window to 8 bytes so
+    * the corpus-wide count and join shuffle `(id, pos, key)` triples, not
+    * window text; `"md5"` is the engine-portable twin (identical hex in
+    * any engine — the DuckDB oracle runs this mode through this same
+    * function); `"none"` keeps raw window strings (witness/debug only —
+    * the shuffle carries full text).
+    *
+    * 100 TB shape: the exploded relation is ~one row per corpus token but
+    * each row is ~24 bytes; the duplicated-key set aggregates with
+    * map-side partials (a boilerplate window duplicated millions of times
+    * is still ONE group), and the span merge is a per-document window
+    * whose partition size is bounded by document length, never corpus
+    * size. The window projection is scope-cached so the corpus tokenizes
+    * once for both the count and the join. */
+  def duplicatedSpans(docs: DataFrame, w: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      hashMode: String = "xxhash64"): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens, got $w")
+    def keyOf(win: Column): Column = hashMode match {
+      case "xxhash64" => xxhash64(win)
+      case "md5"      => md5(win)
+      case "none"     => win
+      case other => throw new IllegalArgumentException(
+        s"hashMode must be xxhash64|md5|none, got $other")
+    }
+    val n = size(col("__t"))
+    // windows materialize as a per-row array of (pos, key) structs BEFORE
+    // the explode, so the wide token array never rides through the
+    // exploded relation; docs shorter than w yield null → explode drops
+    val wins = docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .select(col(idCol), explode(when(n >= w,
+        transform(sequence(lit(1), n - (w - 1)), i =>
+          struct(i.cast("long").as("pos"),
+            keyOf(concat_ws(" ", slice(col("__t"), i, lit(w)))).as("__k"))))
+      ).as("__w"))
+      .select(col(idCol), col("__w.pos").as("pos"), col("__w.__k").as("__k"))
+    withProjectionCache(wins) { ws =>
+      val dup = ws.groupBy(col("__k"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .select(col("__k"))
+      val ord = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol)).orderBy(col("pos"))
+      ws.join(dup, Seq("__k"))
+        .withColumn("__g", col("pos") - row_number().over(ord).cast("long"))
+        .groupBy(col(idCol), col("__g"))
+        .agg(
+          min(col("pos")).as("span_start"),
+          (max(col("pos")) + lit(w - 1).cast("long")).as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .select(col(idCol), col("span_start"), col("span_end"),
+          col("n_windows"))
+    }
+  }
+
   // ---- tiered (exact → near-dup) -------------------------------------------
 
   /** Tiered dedup — the production layering for duplicate-saturated
@@ -294,7 +362,7 @@ object Dedup {
   /** Shingle STRINGS (not hashed) with the same window semantics as the
     * hashed-kernel path: k-token windows over whitespace tokens, whole
     * text as the single shingle when shorter than k. */
-  private def portableShingleStrings(text: Column, k: Int): Column = {
+  private[operators] def portableShingleStrings(text: Column, k: Int): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     when(size(toks) < k, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(0), size(toks) - k),
@@ -312,7 +380,7 @@ object Dedup {
     * signature column is inlined into the band lambda. xxhash64 banding
     * ([[lshBandKeys]]) stays the performance default; this mode exists so
     * the full dedup pipeline can be oracle-verified end to end. */
-  private def portableBandKeys(shd: Column, numHashes: Int, bands: Int): Column = {
+  private[operators] def portableBandKeys(shd: Column, numHashes: Int, bands: Int): Column = {
     val rows = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)), b =>
       md5(concat(b.cast("string"), lit("|"),

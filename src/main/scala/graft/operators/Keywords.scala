@@ -173,6 +173,73 @@ object Keywords {
           floor(col("sum_freq") * lit(1000.0) / col("n_toks")))
     }
 
+  /** Bigram-backoff surprisal scoring — the KenLM-shaped quality filter
+    * (CCNet scores documents by LM perplexity and drops the tail)
+    * re-expressed in INTEGER-EXACT arithmetic so the score is
+    * reproducible bit-for-bit in any engine. A float log-prob sum is
+    * summation-order-dependent and engine-varying; instead each token
+    * position contributes `ilog2(a div b)` bits — integer division, then
+    * the bit-length of the quotient — which only touches exact integer
+    * counts:
+    *
+    *   - bigram seen in the model:  `ilog2(c(prev) div c(prev,cur))`
+    *     (≈ the conditional surprisal −log2 P(cur|prev))
+    *   - bigram unseen, unigram seen: `backoffBits + ilog2(N div c(cur))`
+    *     (stupid-backoff to the unigram with a fixed penalty)
+    *   - token unseen (OOV): `oovBits + ilog2(N)`
+    *   - position 1 has no context: unigram surprisal, no penalty
+    *
+    * `model` supplies the counts (a held-out or reference slice); `score`
+    * is the corpus being rated. Output per doc:
+    * `(idCol, n_tokens, total_bits, bits_per_token)` — low bits/token ≈
+    * predictable, in-distribution text; high ≈ rare/garbled.
+    *
+    * Plan shape at scale: the model side is scanned once (cached
+    * projection) into vocab-sized unigram/bigram count tables with
+    * map-side partial aggregation; the score side joins them on token
+    * keys — skewed by construction (stopwords), which is exactly the
+    * AQE-skew-join / broadcast-when-vocab-fits case, and the per-doc
+    * reduce is an integer hash-agg. No stage carries document text past
+    * the explode, and nothing in the pipeline is float until the final
+    * per-row `bits/tokens` division. */
+  def surprisalScore(score: DataFrame, model: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      backoffBits: Int = 4, oovBits: Int = 8): DataFrame = {
+    def positioned(docs: DataFrame): DataFrame =
+      docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__t"))
+        .select(col(idCol), explode(transform(sequence(lit(1), size(col("__t"))),
+          i => struct(i.cast("long").as("pos"),
+            element_at(col("__t"), i).as("cur"),
+            when(i > lit(1), element_at(col("__t"), i - 1)).as("prev")))).as("__p"))
+        .select(col(idCol), col("__p.pos").as("pos"),
+          col("__p.cur").as("cur"), col("__p.prev").as("prev"))
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    Dedup.withProjectionCache(positioned(model)) { mp =>
+      val uni = mp.groupBy(col("cur")).agg(count(lit(1)).as("c_uni"))
+      val bi = mp.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
+      val tot = mp.agg(count(lit(1)).as("n_total"))
+      val bits =
+        when(col("c_bi").isNotNull, ilog2(expr("c_prev div c_bi")))
+          .when(col("c_uni").isNotNull && col("pos") > 1,
+            lit(backoffBits.toLong) + ilog2(expr("n_total div c_uni")))
+          .when(col("c_uni").isNotNull, ilog2(expr("n_total div c_uni")))
+          .otherwise(lit(oovBits.toLong) + ilog2(col("n_total")))
+      positioned(score)
+        .crossJoin(broadcast(tot)) // one-row total, broadcast by design
+        .join(uni, Seq("cur"), "left")
+        .join(uni.select(col("cur").as("prev"), col("c_uni").as("c_prev")),
+          Seq("prev"), "left")
+        .join(bi, Seq("prev", "cur"), "left")
+        .withColumn("__bits", bits)
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("__bits")).as("total_bits"),
+          round(sum(col("__bits")) * lit(1.0) / count(lit(1)), 4)
+            .as("bits_per_token"))
+    }
+  }
+
   /** Lucene-style BM25 document scoring for a fixed query-term set — the
     * retrieval primitive over the same token recipe:
     * `score(d) = Σ_t idf(t) · tf/(tf + k1·(1-b+b·dl/avgdl))` with

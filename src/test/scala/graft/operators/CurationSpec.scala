@@ -103,6 +103,32 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.contains(12L) shouldBe false
   }
 
+  test("contaminationFuzzy flags the edited near-copy exact overlap would dilute; modes agree") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // last token edited: Jaccard vs base ≈ 36/41 distinct shingles ≈ 0.88
+    val edited = (1 to 40).map(i => if (i == 40) "changed" else s"tok$i").mkString(" ")
+    val train = docs(
+      (2L, edited),
+      (4L, "completely different training text goes right here"))
+    val test = docs(
+      (11L, base),
+      (13L, "nothing in common with anything at all zz yy"))
+    val out = Curation.contaminationFuzzy(train, test, threshold = 0.5,
+        numHashes = 64, bands = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.map(_._1).toSet shouldBe Set(2L)
+    val (_, nMatches, bestId, bestJ) = out.head
+    nMatches shouldBe 1L
+    bestId shouldBe 11L
+    bestJ should be > 0.8
+    bestJ should be < 1.0
+    // the portable md5 mode agrees through the same function
+    val p = Curation.contaminationFuzzy(train, test, threshold = 0.5,
+        numHashes = 64, bands = 32, portable = true, maxId = 300L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    p shouldBe out
+  }
+
   test("chunkDocuments: stride windows with overlap, short docs are one chunk") {
     val d = docs(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens

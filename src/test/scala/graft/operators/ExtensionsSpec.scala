@@ -287,6 +287,31 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     str shouldBe out
   }
 
+  test("duplicatedSpans: corpus-duplicated windows merge to maximal spans; modes agree") {
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ") // 10 tokens → 3 windows
+    val d = docs(
+      (1L, s"u1 u2 $phrase u3"),                      // span tokens 3..12
+      (2L, s"$phrase v1 v2 v3 v4"),                   // span tokens 1..10
+      (3L, (1 to 20).map(i => s"w$i").mkString(" ")), // unique → no spans
+      (4L, "tiny doc"),                               // < w tokens → no windows
+      (5L, "x1 x2 x3 x4 x5 x6 x7 x8 z x1 x2 x3 x4 x5 x6 x7 x8")) // self-repeat
+    val out = Dedup.duplicatedSpans(d, w = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    out should contain ((1L, 3L, 12L, 3L))
+    out should contain ((2L, 1L, 10L, 3L))
+    out.map(_._1) should not contain 3L
+    out.map(_._1) should not contain 4L
+    // doc 5 repeats its window WITHIN the doc: count>1 corpus-wide, two
+    // non-adjacent starts → two separate spans
+    out should contain ((5L, 1L, 8L, 1L))
+    out should contain ((5L, 10L, 17L, 1L))
+    out should have size 4
+    // the portable md5 twin runs the same function and agrees exactly
+    val md5Out = Dedup.duplicatedSpans(d, w = 8, hashMode = "md5").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    md5Out shouldBe out
+  }
+
   test("minhash LSH finds near-duplicate pairs and dedups them") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"token$i").mkString(" ")

@@ -16,6 +16,24 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("surprisalScore: exact bits for bigram hit, backoff, and OOV paths") {
+    // model "a b a b": N=4, c(a)=c(b)=2, c(a,b)=2, c(b,a)=1
+    val model = docs(0L -> "a b a b")
+    val score = docs(
+      1L -> "a b", // pos1 unigram ilog2(4/2)=1; pos2 bigram ilog2(2/2)=0
+      2L -> "b b", // pos1 =1; pos2 backoff 4+ilog2(4/2)=5
+      3L -> "z a") // pos1 OOV 8+ilog2(4)=10; pos2 backoff 4+1=5
+    val out = Keywords.surprisalScore(score, model).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    out(1L) shouldBe ((2L, 1L, 0.5))
+    out(2L) shouldBe ((2L, 6L, 3.0))
+    out(3L) shouldBe ((2L, 15L, 7.5))
+    // in-distribution text scores strictly below novel text
+    out(1L)._3 should be < out(2L)._3
+    out(2L)._3 should be < out(3L)._3
+  }
+
   test("tfidfTopTerms: rare terms outrank corpus-universal ones") {
     val d = docs(
       1L -> "the cat sat on the mat",
