@@ -1250,6 +1250,14 @@ object SparkEntry {
           hashMode = "md5")
         .orderBy("doc_id", "span_start")),
 
+    // apply the span decision: rewrite docs with every corpus-duplicated
+    // window removed (md5 keys so DuckDB replays the full cut; xxhash64
+    // stays the operator's scale default, pinned equal by the spec)
+    "dedup_substrings_cut" -> ((s, dir) =>
+      Dedup.cutDuplicatedSpans(s.read.parquet(s"$dir/documents.parquet"),
+          w = 8, hashMode = "md5")
+        .orderBy("doc_id")),
+
     "ngram_jaccard_pairs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(s.read.parquet(s"$dir/documents.parquet"),
           threshold = 0.1, maxId = 150L)
@@ -1366,6 +1374,28 @@ object SparkEntry {
         .filter(col("jaccard") >= 0.05)
         .select(col("id_a"), col("id_b"))
       Dedup.duplicateGroups(pairs).orderBy("id")
+    }),
+
+    // leakage-safe split: the dedup_groups clusters move as one unit
+    // through the deterministic splitter (split keyed by group
+    // representative), so near-dups never straddle train/val/test
+    "curation_split_grouped" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300)
+      val sh = d.select(col("doc_id").as("id"),
+        graft.functions.MinHash.shingleHashesSorted(
+          split(lower(trim(col("text"))), "\\s+"), 3).as("sh"))
+      val pairs = sh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+        .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")),
+          col("id_a") < col("id_b"))
+        .filter(graft.functions.MinHash.jaccardSorted(
+          col("sh_a"), col("sh_b")) >= 0.05)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Curation.groupedSplit(d,
+          Dedup.duplicateGroups(pairs), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
     }),
 
     // -- similarity search ------------------------------------------------
@@ -3208,6 +3238,32 @@ object SparkEntry {
         |FROM hits GROUP BY doc_id, g
         |ORDER BY doc_id, span_start""".stripMargin,
 
+    "dedup_substrings_cut" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |    md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS u(i)),
+        |dup AS (
+        |  SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+        |cov AS (
+        |  SELECT DISTINCT w.doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM wins w JOIN dup USING (h),
+        |       unnest(range(w.pos, w.pos + 8)) AS c(p)),
+        |tokpos AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS u(i))
+        |SELECT tp.doc_id,
+        |  string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text,
+        |  CAST(count(*) AS BIGINT) AS n_tokens_kept
+        |FROM tokpos tp
+        |LEFT JOIN cov c ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+        |WHERE c.pos IS NULL
+        |GROUP BY tp.doc_id ORDER BY tp.doc_id""".stripMargin,
+
     "ngram_jaccard_pairs" ->
       """WITH sh AS (
         |  SELECT doc_id AS id,
@@ -3397,6 +3453,49 @@ object SparkEntry {
         |  SELECT src AS id, dst AS lbl FROM reach
         |  UNION SELECT src, src FROM edges)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the dedup_groups recursive-CTE components, then the split fraction
+    // computed on the GROUP representative (coalesce to own id)
+    "curation_split_grouped" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END AS sh
+        |  FROM documents WHERE doc_id <= 300),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM sh a JOIN sh b ON a.id < b.id
+        |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+        |        len(list_distinct(a.sh || b.sh)) >= 0.05),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |grp AS (
+        |  SELECT id, min(lbl) AS group_id FROM (
+        |    SELECT src AS id, dst AS lbl FROM reach
+        |    UNION SELECT src, src FROM edges)
+        |  GROUP BY 1),
+        |f AS (
+        |  SELECT d.doc_id,
+        |    CAST(('0x' || substr(md5(CAST(coalesce(g.group_id, d.doc_id)
+        |        AS VARCHAR) || 'graft-split'), 1, 8))
+        |      AS UBIGINT) / 4294967296.0 AS frac
+        |  FROM documents d LEFT JOIN grp g ON g.id = d.doc_id
+        |  WHERE d.doc_id <= 300)
+        |SELECT doc_id,
+        |  CASE WHEN frac < 0.8 THEN 'train'
+        |       WHEN frac < (0.8 + 0.1) THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "embedding_dup_brute" ->
       """WITH e AS (

@@ -152,6 +152,29 @@ object Curation {
       .agg(count(lit(1)).as("n_shared_shingles"))
   }
 
+  /** Leakage-safe splitting: near-duplicate documents must never straddle
+    * train/val/test — a val doc with a train near-copy inflates eval.
+    * Joins duplicate-group labels ([[Dedup.duplicateGroups]] output
+    * `(id, group_id)`) and keys [[deterministicSplit]] by the GROUP
+    * representative — singletons fall back to their own id — so a whole
+    * cluster moves as one unit. Append-stability survives: a new member
+    * of an existing group lands wherever its group already lives, and a
+    * doc only moves if dedup later merges its group (the correct
+    * behavior: the merge *discovered* the leak).
+    *
+    * 100 TB shape: `groups` holds only docs that appear in a duplicate
+    * pair — a small fraction of the corpus — so AQE broadcasts the left
+    * join in practice; everything else is the same shuffle-free narrow
+    * map as [[deterministicSplit]]. */
+  def groupedSplit(df: DataFrame, groups: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = "graft-split"): DataFrame =
+    deterministicSplit(
+      df.join(groups.select(col("id").as(idCol), col("group_id")),
+          Seq(idCol), "left")
+        .withColumn("__rep", coalesce(col("group_id"), col(idCol))),
+      "__rep", splits, salt)
+      .drop("__rep", "group_id")
+
   /** Fuzzy decontamination: flag TRAIN documents that are NEAR-duplicates
     * of any TEST/benchmark document. Exact n-gram overlap
     * ([[contamination]]) catches verbatim leakage but misses paraphrased,

@@ -138,10 +138,12 @@ object Dedup {
     * whose partition size is bounded by document length, never corpus
     * size. The window projection is scope-cached so the corpus tokenizes
     * once for both the count and the join. */
-  def duplicatedSpans(docs: DataFrame, w: Int = 8,
-      textCol: String = "text", idCol: String = "doc_id",
-      hashMode: String = "xxhash64"): DataFrame = {
-    require(w >= 2, s"window must span at least 2 tokens, got $w")
+  /** The `(pos, __k)` window-struct array over a tokenized `__t` column:
+    * 1-based starts, `w`-token windows keyed per `hashMode`; docs shorter
+    * than `w` yield null so a downstream explode drops them. Materialized
+    * as a per-row array BEFORE any explode, so the wide token array never
+    * rides through the exploded relation. */
+  private def windowStructs(w: Int, hashMode: String): Column = {
     def keyOf(win: Column): Column = hashMode match {
       case "xxhash64" => xxhash64(win)
       case "md5"      => md5(win)
@@ -150,16 +152,19 @@ object Dedup {
         s"hashMode must be xxhash64|md5|none, got $other")
     }
     val n = size(col("__t"))
-    // windows materialize as a per-row array of (pos, key) structs BEFORE
-    // the explode, so the wide token array never rides through the
-    // exploded relation; docs shorter than w yield null → explode drops
+    when(n >= w,
+      transform(sequence(lit(1), n - (w - 1)), i =>
+        struct(i.cast("long").as("pos"),
+          keyOf(concat_ws(" ", slice(col("__t"), i, lit(w)))).as("__k"))))
+  }
+
+  def duplicatedSpans(docs: DataFrame, w: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      hashMode: String = "xxhash64"): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens, got $w")
     val wins = docs
       .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__t"))
-      .select(col(idCol), explode(when(n >= w,
-        transform(sequence(lit(1), n - (w - 1)), i =>
-          struct(i.cast("long").as("pos"),
-            keyOf(concat_ws(" ", slice(col("__t"), i, lit(w)))).as("__k"))))
-      ).as("__w"))
+      .select(col(idCol), explode(windowStructs(w, hashMode)).as("__w"))
       .select(col(idCol), col("__w.pos").as("pos"), col("__w.__k").as("__k"))
     withProjectionCache(wins) { ws =>
       val dup = ws.groupBy(col("__k"))
@@ -177,6 +182,53 @@ object Dedup {
           count(lit(1)).as("n_windows"))
         .select(col(idCol), col("span_start"), col("span_end"),
           col("n_windows"))
+    }
+  }
+
+  /** Apply the [[duplicatedSpans]] decision: rewrite each document with
+    * every token covered by a corpus-duplicated `w`-window REMOVED — the
+    * aggressive boilerplate cut (the window-granularity analogue of
+    * [[dedupLines]]; a repeated passage survives nowhere, so use this for
+    * templated boilerplate, and [[duplicatedSpans]] + a keep-one policy
+    * when any copy must survive). Documents whose every token is covered
+    * disappear. Returns `(idCol, textCol, n_tokens_kept)` with the
+    * survivors rejoined in token order, single-space separated (the
+    * rewrite is over the normalized token stream by construction).
+    *
+    * 100 TB shape: same narrow window relation as [[duplicatedSpans]];
+    * coverage expands each duplicated window to `w` slim `(id, pos)`
+    * rows — bounded by corpus token count — and the rebuild is one
+    * per-doc hash-aggregate over survivor tokens (sorted in-row, the
+    * [[dedupLines]] pattern, never a corpus-wide sort). The tokenized
+    * base is scope-cached: one corpus scan feeds windows and rebuild. */
+  def cutDuplicatedSpans(docs: DataFrame, w: Int = 8,
+      textCol: String = "text", idCol: String = "doc_id",
+      hashMode: String = "xxhash64"): DataFrame = {
+    require(w >= 2, s"window must span at least 2 tokens, got $w")
+    withProjectionCache(docs
+      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__t"))) { base =>
+      val wins = base
+        .select(col(idCol), explode(windowStructs(w, hashMode)).as("__w"))
+        .select(col(idCol), col("__w.pos").as("pos"), col("__w.__k").as("__k"))
+      val dup = wins.groupBy(col("__k"))
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1)
+        .select(col("__k"))
+      val covered = wins.join(dup, Seq("__k"))
+        .select(col(idCol),
+          explode(sequence(col("pos"), col("pos") + lit(w - 1).cast("long")))
+            .as("pos"))
+        .distinct()
+      base
+        .select(col(idCol), posexplode(col("__t")).as(Seq("__p0", "tok")))
+        .select(col(idCol), (col("__p0") + 1).cast("long").as("pos"), col("tok"))
+        .join(covered, Seq(idCol, "pos"), "left_anti")
+        .groupBy(col(idCol))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")), " ").as(textCol),
+          count(lit(1)).as("n_tokens_kept"))
     }
   }
 

@@ -103,6 +103,27 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.contains(12L) shouldBe false
   }
 
+  test("groupedSplit: duplicate clusters land whole in one split; singletons keep their solo fate") {
+    val s = spark
+    import s.implicits._
+    // ids 1..60 as singleton docs plus a 3-member duplicate cluster
+    val d = (1L to 60L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val groups = Seq((10L, 10L), (25L, 10L), (40L, 10L)).toDF("id", "group_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Curation.groupedSplit(d, groups, "doc_id", splits).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    out should have size 60
+    // the whole cluster shares member 10's fate
+    out(25L) shouldBe out(10L)
+    out(40L) shouldBe out(10L)
+    // ungrouped docs are split exactly as the plain splitter would
+    val solo = Curation.deterministicSplit(d, "doc_id", splits).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    (1L to 60L).filterNot(Set(25L, 40L)).foreach { i =>
+      out(i) shouldBe solo(i)
+    }
+  }
+
   test("contaminationFuzzy flags the edited near-copy exact overlap would dilute; modes agree") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     // last token edited: Jaccard vs base ≈ 36/41 distinct shingles ≈ 0.88

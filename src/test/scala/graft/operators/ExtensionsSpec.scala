@@ -312,6 +312,24 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     md5Out shouldBe out
   }
 
+  test("cutDuplicatedSpans removes covered tokens, keeps the rest in order; modes agree") {
+    val phrase = (1 to 10).map(i => s"p$i").mkString(" ")
+    val d = docs(
+      (1L, s"u1 u2 $phrase u3"),      // tokens 3..12 covered → u1 u2 u3 survive
+      (2L, s"$phrase v1 v2 v3 v4"),   // tokens 1..10 covered → v1..v4 survive
+      (3L, (1 to 20).map(i => s"w$i").mkString(" ")), // untouched
+      (4L, phrase))                   // fully covered → disappears
+    val out = Dedup.cutDuplicatedSpans(d, w = 8).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    out.keySet shouldBe Set(1L, 2L, 3L)
+    out(1L) shouldBe (("u1 u2 u3", 3L))
+    out(2L) shouldBe (("v1 v2 v3 v4", 4L))
+    out(3L)._2 shouldBe 20L
+    val md5Out = Dedup.cutDuplicatedSpans(d, w = 8, hashMode = "md5").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    md5Out shouldBe out
+  }
+
   test("minhash LSH finds near-duplicate pairs and dedups them") {
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 40) "changed" else s"token$i").mkString(" ")
