@@ -1529,6 +1529,15 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir),
         k = 20, nProbes = 3)),
 
+    // product-quantization ADC top-20 under fixed md5 codebooks: encode
+    // (8× NearestCenter over sliced subvectors) + query-side distance
+    // table + per-row table-lookup scoring, all replayed in closed form
+    // by DuckDB; ranking by rounded ADC with id tiebreak
+    "knn_pq_oracled" -> ((s, dir) =>
+      Similarity.pqPortable().topK(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir),
+        k = 20)),
+
     // the multi-table OR-amplified ANN scan under portable buckets: the
     // scan-side complement of knn_lsh_indexed_oracled — a row qualifies
     // when within Hamming-2 of the query in EITHER namespaced table, and
@@ -1691,6 +1700,14 @@ object SparkEntry {
       // half the k-means scan cost (at 100 TB the sample IS the only way)
       Similarity.ivfFit(e, numCells = 8, fitSampleFraction = 0.5)
         .topK(e, queryVec(s, dir), k = 20, nProbes = 3)
+    }),
+
+    // production PQ: per-subspace k-means codebooks on a half-sample,
+    // ADC shortlist from 8-byte codes, exact cosine re-rank of 100 rows
+    "knn_pq" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.pqFit(e, m = 8, ksub = 16, fitSampleFraction = 0.5)
+        .topKReranked(e, queryVec(s, dir), k = 20, rerankFactor = 5)
     }),
 
     "knn_join" -> ((s, dir) => {
@@ -1905,6 +1922,31 @@ object SparkEntry {
         |  FROM embeddings)
         |SELECT vec_id, CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
         |FROM d ORDER BY vec_id""".stripMargin,
+
+    // PQ: per-vector per-subspace distance lists to the 16 fixed
+    // centroids (md5 'pq:' namespace), codes = per-subspace argmin (ties
+    // → lowest j, the NearestCenter rule), ADC = the QUERY's distance
+    // table looked up at each vector's codes
+    "knn_pq_oracled" ->
+      """WITH enc AS (
+        |  SELECT vec_id, list_transform(range(8), s ->
+        |    list_transform(range(16), j ->
+        |      list_sum(list_transform(
+        |        list_transform(range(8), i ->
+        |          CAST(embedding[s*8 + i + 1] AS DOUBLE) -
+        |          (CAST(('0x' || substr(md5('pq:' || s::VARCHAR || ':' || j::VARCHAR || ':' || i::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
+        |        x -> x * x)))) AS dls
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+        |  FROM enc),
+        |qtab AS (SELECT dls FROM enc WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  round(list_sum(list_transform(range(8), s ->
+        |    q.dls[s+1][c.codes[s+1]+1])), 4) AS adc
+        |FROM codes c CROSS JOIN qtab q
+        |ORDER BY adc, vec_id LIMIT 20""".stripMargin,
 
     // full IVF query path: per-row distance list to the 8 fixed centroids
     // (same closed form as ivf_assign_oracled), assignment = argmin, the

@@ -277,4 +277,15 @@ object VectorFunctions {
   def portableCentroids(numCells: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numCells, dim)((j, i) =>
       (md5Int(s"ivf:$j:$i") % 2001 - 1000) / 1000.0)
+
+  /** md5-derived per-subspace PQ codebooks — the [[portableCentroids]]
+    * recipe under a subspace-scoped namespace: codebook entry `(s, j, i)`
+    * = `(md5int('pq:' s ':' j ':' i) mod 2001 - 1000) / 1000.0`. Fixed
+    * and engine-reproducible, so the PQ encode + ADC pipeline can be
+    * oracled end to end (the k-means-fitted codebooks stay the
+    * production path). */
+  def pqPortableCodebooks(m: Int, ksub: Int,
+      subDim: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m, ksub, subDim)((s, j, i) =>
+      (md5Int(s"pq:$s:$j:$i") % 2001 - 1000) / 1000.0)
 }

@@ -592,4 +592,118 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
   }
+
+  // ---- Product quantization (PQ) -------------------------------------------
+
+  /** Product-quantization index: `m` subspace codebooks of `ksub`
+    * centroids each. A `dim`-float vector compresses to `m` small codes
+    * (one byte each at `ksub ≤ 256`) — at 100 TB the difference between
+    * an ANN sweep reading 256 B/vector of floats and 8 B/vector of
+    * codes, which is what lets the scored set live in memory while the
+    * float vectors stay on disk for the final exact re-rank.
+    *
+    * Query-side scoring is asymmetric distance (ADC): the query computes
+    * one `m × ksub` table of exact subspace distances driver-side, and
+    * each encoded vector scores as `m` table lookups — no float math per
+    * row at all. Encode is the [[graft.functions.NearestCenter]] native
+    * kernel per subspace over `slice`d vectors (the same
+    * ascending-index, lowest-tie argmin the IVF oracle pinned), so the
+    * whole encode+score pipeline is engine-reproducible when the
+    * codebooks are ([[pqPortable]]). */
+  case class PqIndex(codebooks: Array[Array[Array[Double]]]) {
+    val m: Int = codebooks.length
+    val subDim: Int = codebooks.head.head.length
+
+    /** `(idCol, codes)` — the compressed corpus representation:
+      * `codes[s]` = nearest centroid of subspace `s` (0-based, ties to
+      * the lowest index). One narrow codegen'd map, no shuffle. */
+    def encode(df: DataFrame, vecCol: String = "embedding",
+        idCol: String = "vec_id"): DataFrame =
+      df.select(col(idCol), array((0 until m).map(s =>
+        V.nearestCenter(slice(col(vecCol), s * subDim + 1, subDim),
+          codebooks(s))): _*).as("codes"))
+
+    /** Exact squared-L2 table `table(s)(j)` between the query's subspace
+      * `s` and centroid `j` — ascending-index summation, the driver twin
+      * of the kernel arithmetic. */
+    private def adcTable(query: Seq[Float]): Array[Array[Double]] =
+      codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val t = query(s * subDim + i).toDouble - c(i)
+            d += t * t
+            i += 1
+          }
+          d
+        }
+      }
+
+    /** ADC top-k: smallest approximate distance first, id tiebreak on the
+      * ROUNDED (4 dp) score so ranking is engine-independent. The scored
+      * relation carries only `(id, codes)`; at scale, persist
+      * [[encode]]'s output and this never touches the float vectors. */
+    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
+        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+      val tab = typedlit(adcTable(query).map(_.toSeq).toSeq)
+      encode(df, vecCol, idCol)
+        .withColumn("adc", round(
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+            (acc, s) => acc + tab(s)(col("codes")(s))), 4))
+        .select(col(idCol), col("adc"))
+        .orderBy(col("adc"), col(idCol))
+        .limit(k)
+    }
+
+    /** The production PQ search: ADC shortlists `rerankFactor·k`
+      * candidates from codes alone, then ONLY those rows fetch their
+      * float vectors for an exact rounded-cosine re-rank. Codes are lossy
+      * — pure ADC ranking reshuffles near-ties — so the shortlist buys
+      * back exactness while the expensive per-float work stays bounded at
+      * `rerankFactor·k` rows regardless of corpus size. */
+    def topKReranked(df: DataFrame, query: Seq[Float], k: Int = 10,
+        rerankFactor: Int = 5, vecCol: String = "embedding",
+        idCol: String = "vec_id"): DataFrame =
+      topK(df, query, k * rerankFactor, vecCol, idCol)
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol),
+          round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+  }
+
+  /** Fit PQ codebooks: an independent k-means per subspace over the
+    * `slice`d sample (random init + bounded Lloyd iterations — the
+    * [[ivfFit]] rationale: code quality plateaus in a few passes and the
+    * fit runs on a sample; ENCODE is the pass that must see every row,
+    * and it stays the native kernel). */
+  def pqFit(df: DataFrame, vecCol: String = "embedding",
+      m: Int = 8, ksub: Int = 16, dim: Int = 64, seed: Long = 42L,
+      fitSampleFraction: Double = 1.0, maxIter: Int = 10): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val fitDf = (if (fitSampleFraction < 1.0)
+      df.sample(withReplacement = false, fitSampleFraction, seed) else df)
+      .select(col(vecCol)).persist()
+    try {
+      val books = Array.tabulate(m) { s =>
+        val featured = fitDf.withColumn("__features",
+          array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)))
+        new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
+          .setInitMode("random")
+          .setFeaturesCol("__features").fit(featured)
+          .clusterCenters.map(_.toArray)
+      }
+      PqIndex(books)
+    } finally fitDf.unpersist(false)
+  }
+
+  /** The fixed md5-codebook PQ index (see
+    * [[graft.functions.VectorFunctions.pqPortableCodebooks]]) — the
+    * oracle/audit path; [[pqFit]] is the production path. */
+  def pqPortable(m: Int = 8, ksub: Int = 16, subDim: Int = 8): PqIndex =
+    PqIndex(V.pqPortableCodebooks(m, ksub, subDim))
 }

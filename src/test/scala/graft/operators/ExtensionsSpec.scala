@@ -707,6 +707,33 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     (brute.intersect(ivf).size / 20.0) should be >= 0.6
   }
 
+  test("PQ: encode is deterministic small-code compression; fitted ADC top-k has recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+
+    // portable index: codes are m small ints; the self-query ranks first
+    val pq = Similarity.pqPortable()
+    val codes = pq.encode(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    codes.values.foreach { cs =>
+      cs should have size 8
+      all(cs) should (be >= 0 and be < 16)
+    }
+    val top = pq.topK(e, q, k = 20).collect().map(_.getLong(0))
+    top.head shouldBe 0L
+
+    // fitted codebooks + the production shortlist-and-rerank path: codes
+    // are lossy, so the floor is on ADC-shortlist → exact-cosine re-rank,
+    // not on raw ADC order
+    val brute = Similarity.bruteForceTopK(e, q, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    val fitted = Similarity.pqFit(e, m = 8, ksub = 16, fitSampleFraction = 0.5)
+    val adc = fitted.topKReranked(e, q, k = 20, rerankFactor = 5)
+      .collect().map(_.getLong(0)).toSet
+    (brute.intersect(adc).size / 20.0) should be >= 0.6
+  }
+
   test("knn_join mean recall vs per-row brute top-k") {
     val s = spark
     import s.implicits._
