@@ -43,28 +43,38 @@ case class CosineSimFloat(left: Expression, right: Expression)
 }
 
 /** Nearest-centroid assignment: index of the closest center (squared
-  * euclidean) for an `array<float>` vector — the IVF assignment pass as
-  * one native expression instead of MLlib's per-row UDF + Vector
-  * conversion. Ties resolve to the lowest index, like k-means
-  * `findClosest`. */
+  * euclidean) for an `array<float>` OR `array<double>` vector — the IVF
+  * assignment pass as one native expression instead of MLlib's per-row
+  * UDF + Vector conversion. The double variant exists for IVF-PQ
+  * residuals (`vec - coarse_centroid[cell]`, double arithmetic end to
+  * end so the oracle replays it exactly). Ties resolve to the lowest
+  * index, like k-means `findClosest`. */
 case class NearestCenter(child: Expression, centers: Array[Array[Double]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"nearest_center requires array<float>, got ${other.catalogString}")
+      s"nearest_center requires array<float> or array<double>, got ${other.catalogString}")
   }
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "nearest_center"
 
+  private lazy val isDouble: Boolean = child.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(input: Any): Any =
-    VectorKernelImpl.nearest(input.asInstanceOf[ArrayData], centers)
+    if (isDouble) VectorKernelImpl.nearestD(input.asInstanceOf[ArrayData], centers)
+    else VectorKernelImpl.nearest(input.asInstanceOf[ArrayData], centers)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("centers", centers, "double[][]")
+    val kernel = if (isDouble) "nearestD" else "nearest"
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.VectorKernelImpl.nearest($c, $ref);")
+      s"${ev.value} = graft.functions.VectorKernelImpl.$kernel($c, $ref);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCenter =
@@ -84,6 +94,28 @@ object VectorKernelImpl {
       var i = 0
       while (i < n) {
         val diff = v.getFloat(i).toDouble - ctr(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** [[nearest]] over `array<double>` input — identical loop and
+    * tie-break, double reads (IVF-PQ residual encoding). */
+  def nearestD(v: ArrayData, centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      val n = math.min(v.numElements(), ctr.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getDouble(i) - ctr(i)
         d += diff * diff
         i += 1
       }
@@ -271,21 +303,30 @@ object VectorFunctions {
     }.mkString
 
   /** md5-derived fixed centroids for the IVF assignment oracle: center
-    * (j, i) = `(md5int('ivf:' j ':' i) mod 2001 - 1000) / 1000.0` ∈
-    * [-1, 1]. The division by 1000.0 is a single IEEE operation, so both
-    * engines hold bit-identical doubles. */
-  def portableCentroids(numCells: Int, dim: Int): Array[Array[Double]] =
+    * (j, i) = `(md5int(ns ':' j ':' i) mod M - (M-1)/2) / 1000.0`, i.e.
+    * components uniform in ±(M-1)/2000 (default `ns = "ivf"`, M = 2001 →
+    * [-1, 1]). The division by 1000.0 is a single IEEE operation, so
+    * both engines hold bit-identical doubles. `mod` exists because
+    * centroid DISPERSION must roughly match the data's for argmin codes
+    * to discriminate (the IVF-PQ oracle uses a ±0.25 coarse namespace
+    * over the ±0.45 test embeddings — entries far outside the data range
+    * make one entry win every argmin and the oracle degenerate). */
+  def portableCentroids(numCells: Int, dim: Int, ns: String = "ivf",
+      mod: Int = 2001): Array[Array[Double]] =
     Array.tabulate(numCells, dim)((j, i) =>
-      (md5Int(s"ivf:$j:$i") % 2001 - 1000) / 1000.0)
+      (md5Int(s"$ns:$j:$i") % mod - (mod - 1) / 2) / 1000.0)
 
   /** md5-derived per-subspace PQ codebooks — the [[portableCentroids]]
     * recipe under a subspace-scoped namespace: codebook entry `(s, j, i)`
     * = `(md5int('pq:' s ':' j ':' i) mod 2001 - 1000) / 1000.0`. Fixed
     * and engine-reproducible, so the PQ encode + ADC pipeline can be
     * oracled end to end (the k-means-fitted codebooks stay the
-    * production path). */
-  def pqPortableCodebooks(m: Int, ksub: Int,
-      subDim: Int): Array[Array[Array[Double]]] =
+    * production path). `ns` scopes the hash namespace so independent
+    * codebook families (raw-vector PQ vs IVF-PQ residual PQ) never share
+    * entries; `mod` scales entry dispersion (see [[portableCentroids]] —
+    * the residual codebooks use ±0.125 to match residual spread). */
+  def pqPortableCodebooks(m: Int, ksub: Int, subDim: Int,
+      ns: String = "pq", mod: Int = 2001): Array[Array[Array[Double]]] =
     Array.tabulate(m, ksub, subDim)((s, j, i) =>
-      (md5Int(s"pq:$s:$j:$i") % 2001 - 1000) / 1000.0)
+      (md5Int(s"$ns:$s:$j:$i") % mod - (mod - 1) / 2) / 1000.0)
 }

@@ -640,14 +640,12 @@ object Similarity {
         }
       }
 
-    /** ADC top-k: smallest approximate distance first, id tiebreak on the
-      * ROUNDED (4 dp) score so ranking is engine-independent. The scored
-      * relation carries only `(id, codes)`; at scale, persist
-      * [[encode]]'s output and this never touches the float vectors. */
-    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
-        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    /** ADC scoring of an already-encoded `(id, codes)` relation — the
+      * shared body of the in-memory and stored-index probes. */
+    private def scoreCodes(codesDf: DataFrame, query: Seq[Float], k: Int,
+        idCol: String): DataFrame = {
       val tab = typedlit(adcTable(query).map(_.toSeq).toSeq)
-      encode(df, vecCol, idCol)
+      codesDf
         .withColumn("adc", round(
           aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
             (acc, s) => acc + tab(s)(col("codes")(s))), 4))
@@ -655,6 +653,15 @@ object Similarity {
         .orderBy(col("adc"), col(idCol))
         .limit(k)
     }
+
+    /** ADC top-k: smallest approximate distance first, id tiebreak on the
+      * ROUNDED (4 dp) score so ranking is engine-independent. The scored
+      * relation carries only `(id, codes)`; at scale, persist
+      * [[encode]]'s output ([[write]]) and this never touches the float
+      * vectors. */
+    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
+        vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame =
+      scoreCodes(encode(df, vecCol, idCol), query, k, idCol)
 
     /** The production PQ search: ADC shortlists `rerankFactor·k`
       * candidates from codes alone, then ONLY those rows fetch their
@@ -665,12 +672,67 @@ object Similarity {
     def topKReranked(df: DataFrame, query: Seq[Float], k: Int = 10,
         rerankFactor: Int = 5, vecCol: String = "embedding",
         idCol: String = "vec_id"): DataFrame =
-      topK(df, query, k * rerankFactor, vecCol, idCol)
-        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      rerank(topK(df, query, k * rerankFactor, vecCol, idCol),
+        df, query, k, vecCol, idCol)
+
+    /** Exact-cosine re-rank of an ADC shortlist: the tiny shortlist
+      * BROADCASTS against one corpus scan, so per-float work is bounded
+      * at the shortlist size regardless of corpus volume. */
+    private def rerank(shortlist: DataFrame, floats: DataFrame,
+        query: Seq[Float], k: Int, vecCol: String, idCol: String): DataFrame =
+      shortlist
+        .join(floats.select(col(idCol), col(vecCol)), Seq(idCol))
         .select(col(idCol),
           round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
         .orderBy(col("cos").desc, col(idCol))
         .limit(k)
+
+    /** Materialize the PQ index: the codebooks (tiny — `m·ksub` rows)
+      * plus the encoded corpus as a plain `(id, codes)` parquet. THE
+      * point of PQ at 100 TB: the stored artifact is ~`m` bytes/vector
+      * (vs `4·dim` of floats), so the whole ranking stage reads a table
+      * two orders of magnitude smaller than the corpus; the float
+      * vectors are touched only by the re-rank join's broadcast probe.
+      * Codebooks are written FIRST so a `_SUCCESS` in `codes/` implies a
+      * complete index. */
+    def write(df: DataFrame, path: String, vecCol: String = "embedding",
+        idCol: String = "vec_id"): Unit = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+      }.toSeq.toDF("s", "j", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      encode(df, vecCol, idCol)
+        .write.mode("overwrite").parquet(s"$path/codes")
+    }
+
+    /** ADC top-k against a [[write]]-materialized index: reads ONLY the
+      * slim codes table — no float vector is scanned anywhere. */
+    def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+        query: Seq[Float], k: Int = 10, idCol: String = "vec_id"): DataFrame =
+      scoreCodes(spark.read.parquet(s"$path/codes"), query, k, idCol)
+
+    /** [[topKReranked]] against a stored index: ADC shortlist from the
+      * codes table, exact-cosine re-rank against the float corpus. */
+    def topKIndexedReranked(spark: org.apache.spark.sql.SparkSession,
+        path: String, floats: DataFrame, query: Seq[Float], k: Int = 10,
+        rerankFactor: Int = 5, vecCol: String = "embedding",
+        idCol: String = "vec_id"): DataFrame =
+      rerank(topKIndexed(spark, path, query, k * rerankFactor, idCol),
+        floats, query, k, vecCol, idCol)
+  }
+
+  /** Rehydrate a [[PqIndex]] from a [[PqIndex.write]] directory (the
+    * codebooks parquet — tiny, collected driver-side). */
+  def pqLoad(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("s", "j", "center").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val ksub = rows.keys.map(_._2).max + 1
+    PqIndex(Array.tabulate(m, ksub)((s, j) => rows((s, j))))
   }
 
   /** Fit PQ codebooks: an independent k-means per subspace over the
@@ -706,4 +768,181 @@ object Similarity {
     * oracle/audit path; [[pqFit]] is the production path. */
   def pqPortable(m: Int = 8, ksub: Int = 16, subDim: Int = 8): PqIndex =
     PqIndex(V.pqPortableCodebooks(m, ksub, subDim))
+
+  // ---- IVF-PQ (coarse cells + residual product quantization) ---------------
+
+  /** The billion-scale composite layout (IVFADC, Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): a coarse
+    * quantizer routes each vector to a cell, and PQ encodes the RESIDUAL
+    * `vec − coarse[cell]` — residuals concentrate near zero, so the same
+    * codebook budget quantizes them far more finely than raw vectors.
+    * Stored partitioned by cell, a probe is a partition-pruned read of
+    * `nProbes` directories containing ~`m` bytes/vector of codes: the two
+    * reductions compound — read `nProbes/numCells` of the corpus, at
+    * 1/32nd the width — which is what makes ANN over 100 TB of vectors an
+    * interactive query instead of a scan.
+    *
+    * All arithmetic is double end to end (residuals via `zip_with`
+    * promote to double, encode via the [[graft.functions.NearestCenter]]
+    * double kernel, query tables driver-side in the same ascending
+    * order), so with fixed portable centroids+codebooks the ENTIRE
+    * route→residual→encode→probe→ADC pipeline is closed-form replayable
+    * by an external engine ([[ivfPqPortable]]). */
+  case class IvfPqIndex(coarse: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]) {
+    val numCells: Int = coarse.length
+    val m: Int = codebooks.length
+    val subDim: Int = codebooks.head.head.length
+
+    private def coarseLit: Column = typedlit(coarse.map(_.toSeq).toSeq)
+
+    /** `(id, cell, codes)` — route to the nearest coarse cell, PQ-encode
+      * the residual. One narrow map over the scan (two native-kernel
+      * passes + a `zip_with`), no shuffle. */
+    def encode(df: DataFrame, vecCol: String = "embedding",
+        idCol: String = "vec_id"): DataFrame =
+      df.withColumn("cell", V.nearestCenter(col(vecCol), coarse))
+        .withColumn("__res", zip_with(col(vecCol),
+          element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
+        .select(col(idCol), col("cell"), array((0 until m).map(s =>
+          V.nearestCenter(slice(col("__res"), s * subDim + 1, subDim),
+            codebooks(s))): _*).as("codes"))
+
+    /** The `nProbes` cells nearest the query — driver-side twin of the
+      * kernel's ascending-index distance loop, ties to the lowest cell. */
+    private def probeCells(query: Seq[Float], nProbes: Int): Seq[Int] = {
+      val qc = query.map(_.toDouble)
+      coarse.zipWithIndex.map { case (c, j) =>
+        val n = math.min(c.length, qc.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) { val t = qc(i) - c(i); d += t * t; i += 1 }
+        (j, d)
+      }.sortBy { case (j, d) => (d, j) }.take(nProbes).map(_._1).toSeq
+    }
+
+    /** Exact `m × ksub` subspace-distance table between the query's
+      * residual w.r.t. `cell` and that subspace's codebook. */
+    private def cellAdcTable(query: Seq[Float], cell: Int): Array[Array[Double]] = {
+      val ctr = coarse(cell)
+      codebooks.zipWithIndex.map { case (cb, s) =>
+        cb.map { c =>
+          var d = 0.0
+          var i = 0
+          while (i < subDim) {
+            val qr = query(s * subDim + i).toDouble - ctr(s * subDim + i)
+            val t = qr - c(i)
+            d += t * t
+            i += 1
+          }
+          d
+        }
+      }
+    }
+
+    /** ADC scoring of an encoded `(id, cell, codes)` relation restricted
+      * to the probed cells: each probed cell gets its own query table
+      * (residuals are cell-relative), selected per row by a `when` chain
+      * — still zero per-row float math, `m` lookups + `nProbes`
+      * comparisons. */
+    private def scoreCodes(codesDf: DataFrame, query: Seq[Float], k: Int,
+        nProbes: Int, idCol: String): DataFrame = {
+      val probed = probeCells(query, nProbes)
+      val perCell = probed.map { c =>
+        val t = typedlit(cellAdcTable(query, c).map(_.toSeq).toSeq)
+        c -> aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + t(s)(col("codes")(s)))
+      }
+      val adc = perCell.tail.foldLeft(
+        when(col("cell") === perCell.head._1, perCell.head._2)) {
+        case (acc, (c, e)) => acc.when(col("cell") === c, e)
+      }
+      codesDf
+        .filter(col("cell").isInCollection(probed))
+        .withColumn("adc", round(adc, 4))
+        .select(col(idCol), col("adc"))
+        .orderBy(col("adc"), col(idCol))
+        .limit(k)
+    }
+
+    /** ADC top-k over the `nProbes` nearest cells: smallest approximate
+      * distance first, id tiebreak on the rounded score. */
+    def topK(df: DataFrame, query: Seq[Float], k: Int = 10,
+        vecCol: String = "embedding", idCol: String = "vec_id",
+        nProbes: Int = 3): DataFrame =
+      scoreCodes(encode(df, vecCol, idCol), query, k, nProbes, idCol)
+
+    /** ADC shortlist → exact rounded-cosine re-rank (same bounded-float
+      * shape as [[PqIndex.topKReranked]]: the shortlist broadcasts). */
+    def topKReranked(df: DataFrame, query: Seq[Float], k: Int = 10,
+        rerankFactor: Int = 5, vecCol: String = "embedding",
+        idCol: String = "vec_id", nProbes: Int = 3): DataFrame =
+      topK(df, query, k * rerankFactor, vecCol, idCol, nProbes)
+        .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col(idCol),
+          round(V.cosineFused(col(vecCol), V.vectorLit(query)), 4).as("cos"))
+        .orderBy(col("cos").desc, col(idCol))
+        .limit(k)
+
+    /** Materialize: codes partitioned by cell (one file per cell dir),
+      * codebooks+coarse alongside. A stored probe reads `nProbes` of
+      * `numCells` partition directories of ~`m`-byte rows — partition
+      * pruning AND column-width reduction compound. */
+    def write(df: DataFrame, path: String, vecCol: String = "embedding",
+        idCol: String = "vec_id"): Unit = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, j) => (s, j, c.toSeq) }
+      }.toSeq.toDF("s", "j", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+      coarse.toSeq.zipWithIndex.map { case (c, j) => (j, c.toSeq) }
+        .toDF("j", "center")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+      encode(df, vecCol, idCol)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    }
+
+    /** Probe a [[write]]-materialized index: the `cell IN` predicate is
+      * on the partition column → pruned at planning time; only the probed
+      * cells' code files are read. */
+    def topKStored(spark: org.apache.spark.sql.SparkSession, path: String,
+        query: Seq[Float], k: Int = 10, idCol: String = "vec_id",
+        nProbes: Int = 3): DataFrame =
+      scoreCodes(spark.read.parquet(s"$path/codes"), query, k, nProbes, idCol)
+  }
+
+  /** Fit IVF-PQ: coarse k-means cells ([[ivfFit]] — sampled fit, bounded
+    * Lloyd), then per-subspace k-means over the RESIDUALS of the fit
+    * sample. Encode — the pass that must see every row — stays the
+    * native double kernel. */
+  def ivfPqFit(df: DataFrame, vecCol: String = "embedding",
+      numCells: Int = 8, m: Int = 8, ksub: Int = 16, dim: Int = 64,
+      seed: Long = 42L, fitSampleFraction: Double = 1.0,
+      maxIter: Int = 10): IvfPqIndex = {
+    val coarse = ivfFit(df, vecCol, numCells, seed, fitSampleFraction, maxIter)
+      .centers
+    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+    val residuals = df
+      .withColumn("cell", V.nearestCenter(col(vecCol), coarse))
+      .withColumn("__res", zip_with(col(vecCol),
+        element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
+    val pq = pqFit(residuals, "__res", m, ksub, dim, seed,
+      fitSampleFraction, maxIter)
+    IvfPqIndex(coarse, pq.codebooks)
+  }
+
+  /** The fixed md5 IVF-PQ index — the oracle/audit path; [[ivfPqFit]] is
+    * the production path. Namespaces are scaled to the test-embedding
+    * geometry (coarse `ivfq:` ±0.25, residual `pqr:` ±0.125): with the
+    * ±1 `ivf:` centroids the residual cloud sits far outside the
+    * codebook's dispersion and ONE entry wins every per-subspace argmin
+    * — constant codes, a vacuous oracle. At these scales every sf0.001
+    * row gets a distinct (cell, codes) combination, so the hash check
+    * genuinely exercises routing, residuals, and per-cell table lookup. */
+  def ivfPqPortable(numCells: Int = 8, m: Int = 8, ksub: Int = 16,
+      dim: Int = 64): IvfPqIndex =
+    IvfPqIndex(V.portableCentroids(numCells, dim, ns = "ivfq", mod = 501),
+      V.pqPortableCodebooks(m, ksub, dim / m, ns = "pqr", mod = 251))
 }

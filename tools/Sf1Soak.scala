@@ -130,7 +130,10 @@ object Sf1Soak {
     "session_concurrency", "dedup_exact", "dedup_minhash", "text_stats",
     "knn_join", "salted_join", "scd_upsert_large", "scd_cdc_large",
     "incremental_agg", "curation_chunks", "curation_packed",
-    "text_repetition")
+    "text_repetition",
+    // the ADC scans: single-pass narrow maps whose scaling should be
+    // exactly linear — encode+score carries codes, never float vectors
+    "knn_pq_oracled", "knn_ivfpq_oracled")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] =
     Headline.map { name =>
