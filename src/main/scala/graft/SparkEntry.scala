@@ -1263,6 +1263,50 @@ object SparkEntry {
           threshold = 0.1, maxId = 150L)
         .orderBy("id_a", "id_b")),
 
+    // fuzzy record linkage: SymSpell deletion-neighborhood blocking +
+    // levenshtein verify. The xxhash64 block key needs no portable twin:
+    // every true distance-1 pair shares a genuine deletion variant and
+    // false block-mates die at the verify, so the output is exactly the
+    // lev<=1 pair set — which DuckDB recomputes all-pairs at oracle scale
+    "linkage_fuzzy_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.fuzzyPairs(
+          s.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name")
+        .select(col("id_a"), col("id_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+
+    // two-table form: a 100-record probe set linked against the full
+    // customer table (self-matches at dist 0 included — left ⊂ right)
+    "linkage_fuzzy_join" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      graft.operators.Linkage.fuzzyJoin(
+          c.filter(col("c_custkey") < 100), "c_custkey", "c_name",
+          c, "c_custkey", "c_name")
+        .select(col("id_l"), col("id_r"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_l", "id_r")
+    }),
+
+    // ordered funnel over the event log: ONE shuffle — a per-user sorted
+    // fold fills each step's slot with the earliest qualifying event
+    // (strictly after the previous step, inside the 48 h conversion
+    // window). The oracle replays the same greedy min-cascade as a CTE
+    // chain, one `min(ts)` join per step — closed-form because the
+    // cascade is deterministic given the previous step's timestamp.
+    "funnel_steps" -> ((s, dir) =>
+      graft.operators.Funnel.funnel(
+          events(s, dir).withColumn("ts", timestamp_micros(col("ts_us"))),
+          Seq("signup", "view", "click", "purchase"),
+          withinSeconds = Some(48L * 3600))
+        .orderBy("step")),
+
+    // weekly cohort retention: users bucketed by first-event ISO week;
+    // cell (cohort, offset) counts users active `offset` weeks later
+    "cohort_retention" -> ((s, dir) =>
+      graft.operators.Funnel.weeklyRetention(
+          events(s, dir).withColumn("ts", timestamp_micros(col("ts_us"))))
+        .orderBy("cohort_week", "week_offset")),
+
     // the exact-verify stage of minhash dedup (Jaccard over the hashed
     // shingle sets from the ShingleHashes kernel), oracled against DuckDB
     // computing Jaccard over the shingle STRINGS — identical up to 64-bit
@@ -1538,6 +1582,34 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir),
         k = 20)),
 
+    // the STORED-codes PQ probe: codebooks + (id, codes) parquet written
+    // once (completion-marker-gated), probe rehydrates the codebooks and
+    // ADC-scores the slim codes table — no float vector scanned anywhere.
+    // Same oracle SQL as knn_pq_oracled: storage must be a pure round
+    // trip, so this row pins write → load → probe end to end
+    "knn_pq_indexed_oracled" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-pq-pindex-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+      if (!java.nio.file.Files.exists(path.resolve("codes/_SUCCESS")))
+        Similarity.pqPortable().write(e, path.toString)
+      Similarity.pqLoad(s, path.toString)
+        .topKIndexed(s, path.toString, queryVec(s, dir), k = 20)
+    }),
+
+    // IVF-PQ (IVFADC): coarse routing on fixed md5 centroids (the
+    // knn_ivf_oracled machinery under the data-scaled 'ivfq:' namespace)
+    // + PQ over the cell RESIDUAL on fixed 'pqr:' codebooks; the query
+    // probes its 3 nearest cells, each with its own residual distance
+    // table. Route, residual, encode, probe selection, and per-cell ADC
+    // are all closed-form in DuckDB — the full billion-scale composite
+    // pipeline hash-checked end to end
+    "knn_ivfpq_oracled" -> ((s, dir) =>
+      Similarity.ivfPqPortable().topK(
+        s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir),
+        k = 20, nProbes = 3)),
+
     // the multi-table OR-amplified ANN scan under portable buckets: the
     // scan-side complement of knn_lsh_indexed_oracled — a row qualifies
     // when within Hamming-2 of the query in EITHER namespaced table, and
@@ -1708,6 +1780,16 @@ object SparkEntry {
       val e = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.pqFit(e, m = 8, ksub = 16, fitSampleFraction = 0.5)
         .topKReranked(e, queryVec(s, dir), k = 20, rerankFactor = 5)
+    }),
+
+    // production IVF-PQ: fitted coarse cells + residual codebooks on a
+    // half-sample, 3-cell probe, ADC shortlist, exact cosine re-rank
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfPqFit(e, numCells = 8, m = 8, ksub = 16,
+          fitSampleFraction = 0.5)
+        .topKReranked(e, queryVec(s, dir), k = 20, rerankFactor = 5,
+          nProbes = 3)
     }),
 
     "knn_join" -> ((s, dir) => {
@@ -1946,6 +2028,94 @@ object SparkEntry {
         |  round(list_sum(list_transform(range(8), s ->
         |    q.dls[s+1][c.codes[s+1]+1])), 4) AS adc
         |FROM codes c CROSS JOIN qtab q
+        |ORDER BY adc, vec_id LIMIT 20""".stripMargin,
+
+    // the stored-codes probe must be a pure round trip of the in-memory
+    // encode+ADC pipeline, so its oracle is knn_pq_oracled's, verbatim
+    "knn_pq_indexed_oracled" ->
+      """WITH enc AS (
+        |  SELECT vec_id, list_transform(range(8), s ->
+        |    list_transform(range(16), j ->
+        |      list_sum(list_transform(
+        |        list_transform(range(8), i ->
+        |          CAST(embedding[s*8 + i + 1] AS DOUBLE) -
+        |          (CAST(('0x' || substr(md5('pq:' || s::VARCHAR || ':' || j::VARCHAR || ':' || i::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
+        |        x -> x * x)))) AS dls
+        |  FROM embeddings),
+        |codes AS (
+        |  SELECT vec_id,
+        |    list_transform(dls, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+        |  FROM enc),
+        |qtab AS (SELECT dls FROM enc WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  round(list_sum(list_transform(range(8), s ->
+        |    q.dls[s+1][c.codes[s+1]+1])), 4) AS adc
+        |FROM codes c CROSS JOIN qtab q
+        |ORDER BY adc, vec_id LIMIT 20""".stripMargin,
+
+    // IVF-PQ: coarse assignment (the knn_ivf_oracled closed form under
+    // the data-scaled 'ivfq:' namespace, +-0.25), residual = embedding -
+    // own-cell centroid, codes = per-subspace argmin over 'pqr:'
+    // (+-0.125) residual codebooks; the query's 3
+    // probe cells come from ITS coarse distance list, each probed cell
+    // gets its own query-residual distance table, and a row's ADC looks
+    // its codes up in ITS cell's table
+    "knn_ivfpq_oracled" ->
+      """WITH d AS (
+        |  SELECT vec_id, embedding, list_transform(range(8), j ->
+        |    list_sum(list_transform(
+        |      list_transform(range(1, len(embedding)+1), i ->
+        |        CAST(embedding[i] AS DOUBLE) -
+        |        (CAST(('0x' || substr(md5('ivfq:' || j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 501 - 250) / 1000.0),
+        |      x -> x * x))) AS dl
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+        |  FROM d),
+        |res AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(range(1, len(embedding)+1), i ->
+        |      CAST(embedding[i] AS DOUBLE) -
+        |      (CAST(('0x' || substr(md5('ivfq:' || cell::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 501 - 250) / 1000.0) AS r
+        |  FROM assigned),
+        |sub AS (
+        |  SELECT vec_id, cell, list_transform(range(8), s ->
+        |    list_transform(range(16), j ->
+        |      list_sum(list_transform(
+        |        list_transform(range(8), i ->
+        |          r[s*8 + i + 1] -
+        |          (CAST(('0x' || substr(md5('pqr:' || s::VARCHAR || ':' || j::VARCHAR || ':' || i::VARCHAR), 1, 8)) AS BIGINT) % 251 - 125) / 1000.0),
+        |        x -> x * x)))) AS dlss
+        |  FROM res),
+        |codes AS (
+        |  SELECT vec_id, cell,
+        |    list_transform(dlss, dl -> list_position(dl, list_min(dl)) - 1) AS codes
+        |  FROM sub),
+        |qd AS (SELECT dl FROM d WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cell FROM (
+        |    SELECT unnest(range(8)) AS cell, unnest(dl) AS dist FROM qd) t
+        |  ORDER BY dist, cell LIMIT 3),
+        |qres AS (
+        |  SELECT CAST(p.cell AS INTEGER) AS cell,
+        |    list_transform(range(1, len(e.embedding)+1), i ->
+        |      CAST(e.embedding[i] AS DOUBLE) -
+        |      (CAST(('0x' || substr(md5('ivfq:' || p.cell::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 501 - 250) / 1000.0) AS qr
+        |  FROM probe p, (SELECT embedding FROM embeddings WHERE vec_id = 0) e),
+        |qtab AS (
+        |  SELECT cell, list_transform(range(8), s ->
+        |    list_transform(range(16), j ->
+        |      list_sum(list_transform(
+        |        list_transform(range(8), i ->
+        |          qr[s*8 + i + 1] -
+        |          (CAST(('0x' || substr(md5('pqr:' || s::VARCHAR || ':' || j::VARCHAR || ':' || i::VARCHAR), 1, 8)) AS BIGINT) % 251 - 125) / 1000.0),
+        |        x -> x * x)))) AS tab
+        |  FROM qres)
+        |SELECT c.vec_id,
+        |  round(list_sum(list_transform(range(8), s ->
+        |    q.tab[s+1][c.codes[s+1]+1])), 4) AS adc
+        |FROM codes c JOIN qtab q ON c.cell = q.cell
         |ORDER BY adc, vec_id LIMIT 20""".stripMargin,
 
     // full IVF query path: per-row distance list to the 8 fixed centroids
@@ -3324,6 +3494,60 @@ object SparkEntry {
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(a.sh || b.sh)) >= 0.1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // blocking is an implementation detail (complete for lev<=1, false
+    // candidates verified away), so the oracle is the SEMANTIC definition:
+    // the all-pairs edit-distance filter, feasible at oracle scale
+    "linkage_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "linkage_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_l, b.c_custkey AS id_r,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_custkey < 100
+        |ORDER BY id_l, id_r""".stripMargin,
+
+    // greedy min-cascade funnel: step j's completion is the earliest
+    // step-j event strictly after step j-1's completion and within the
+    // 48 h window — each CTE is deterministic given the previous, so the
+    // chain replays the Spark fold exactly
+    "funnel_steps" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s0 AS (SELECT user_id, min(t) AS t FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+        |  JOIN s0 USING (user_id) WHERE e.event_type = 'view'
+        |  AND e.t > s0.t AND e.t <= s0.t + 172800000000 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+        |  JOIN s1 USING (user_id) WHERE e.event_type = 'click'
+        |  AND e.t > s1.t AND e.t <= s1.t + 172800000000 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.t) AS t FROM ev e
+        |  JOIN s2 USING (user_id) WHERE e.event_type = 'purchase'
+        |  AND e.t > s2.t AND e.t <= s2.t + 172800000000 GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step, 'signup' AS step_name,
+        |  CAST(count(*) AS BIGINT) AS n_users FROM s0
+        |UNION ALL SELECT 1, 'view', count(*) FROM s1
+        |UNION ALL SELECT 2, 'click', count(*) FROM s2
+        |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+        |ORDER BY step""".stripMargin,
+
+    "cohort_retention" ->
+      """WITH ev AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
+        |f AS (SELECT user_id, min(ts) AS first_ts FROM ev GROUP BY 1),
+        |cells AS (SELECT DISTINCT
+        |    strftime(date_trunc('week', f.first_ts), '%Y-%m-%d') AS cohort_week,
+        |    CAST(datediff('day', date_trunc('week', f.first_ts),
+        |      date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset,
+        |    e.user_id
+        |  FROM ev e JOIN f USING (user_id))
+        |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "minhash_verify_pairs" ->
       """WITH sh AS (

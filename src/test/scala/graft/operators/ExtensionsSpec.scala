@@ -734,6 +734,65 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     (brute.intersect(adc).size / 20.0) should be >= 0.6
   }
 
+  test("PQ stored index: write → load → probe is a pure round trip of the in-memory path") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val path = java.nio.file.Files.createTempDirectory("pq-idx").toString
+
+    val pq = Similarity.pqPortable()
+    pq.write(e, path)
+    // the stored-codes probe and the in-memory encode+score path must
+    // agree exactly (storage adds nothing but a parquet round trip), and
+    // the rehydrated codebooks must be bit-identical
+    val loaded = Similarity.pqLoad(spark, path)
+    loaded.codebooks.flatten.flatten.toSeq shouldBe pq.codebooks.flatten.flatten.toSeq
+    val mem = pq.topK(e, q, k = 20).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idx = loaded.topKIndexed(spark, path, q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    idx.toSeq shouldBe mem.toSeq
+    // stored shortlist + exact-cosine re-rank agrees with the in-memory
+    // reranked path too (the shortlists are identical, so re-ranks are)
+    val memR = pq.topKReranked(e, q, k = 10).collect().map(_.getLong(0))
+    val idxR = loaded.topKIndexedReranked(spark, path, e, q, k = 10)
+      .collect().map(_.getLong(0))
+    idxR.toSeq shouldBe memR.toSeq
+  }
+
+  test("IVF-PQ: residual codes discriminate; stored probe ≡ scan; fitted rerank has recall") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+
+    // portable: the scaled namespaces must give genuinely discriminating
+    // codes — every row a distinct (cell, codes) combo on this corpus
+    // (a scale-mismatched codebook collapses every argmin to one entry)
+    val ivfpq = Similarity.ivfPqPortable()
+    val enc = ivfpq.encode(e).collect()
+      .map(r => (r.getInt(1), r.getSeq[Int](2))).toSeq
+    enc.distinct.size shouldBe enc.size
+    val top = ivfpq.topK(e, q, k = 20, nProbes = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    top.head._1 shouldBe 0L
+
+    // stored: cell-partitioned codes probe returns exactly the scan path
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-idx").toString
+    ivfpq.write(e, path)
+    val stored = ivfpq.topKStored(spark, path, q, k = 20, nProbes = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    stored.toSeq shouldBe top.toSeq
+
+    // fitted production path: ADC shortlist from probed cells → exact
+    // cosine re-rank, recall floor vs brute force
+    val brute = Similarity.bruteForceTopK(e, q, k = 20).collect()
+      .map(_.getLong(0)).toSet
+    val fitted = Similarity.ivfPqFit(e, numCells = 8, m = 8, ksub = 16,
+      fitSampleFraction = 0.5)
+    val got = fitted.topKReranked(e, q, k = 20, rerankFactor = 5, nProbes = 3)
+      .collect().map(_.getLong(0)).toSet
+    (brute.intersect(got).size / 20.0) should be >= 0.6
+  }
+
   test("knn_join mean recall vs per-row brute top-k") {
     val s = spark
     import s.implicits._
@@ -1069,5 +1128,122 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val out = d.select(col("doc_id"), T.bpeTokenCount(col("text")).as("n"))
       .orderBy("doc_id").collect().map(_.getLong(1)).toSeq
     out shouldBe Seq(2L, 5L, 0L)
+  }
+
+  private def eventRows(rows: (Long, String, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "ts_s", "event_type")
+      .select(col("user_id"), to_timestamp(col("ts_s")).as("ts"),
+        col("event_type"))
+  }
+
+  test("funnel: greedy min-cascade, strict order, conversion window, zero rows") {
+    val e = eventRows(
+      // u1 converts a→b→c in order
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 11:00:00", "b"),
+      (1L, "2024-01-01 12:00:00", "c"),
+      // u2: b precedes a → b doesn't count; no b after a → stops at a.
+      // The later c is unreachable without b.
+      (2L, "2024-01-01 09:00:00", "b"),
+      (2L, "2024-01-01 10:00:00", "a"),
+      (2L, "2024-01-01 12:00:00", "c"),
+      // u3: b lands outside the 1h window of a → stops at a
+      (3L, "2024-01-01 10:00:00", "a"),
+      (3L, "2024-01-01 11:30:00", "b"),
+      // u4: never does step a at all
+      (4L, "2024-01-01 10:00:00", "c"))
+    val out = graft.operators.Funnel.funnel(e, Seq("a", "b", "c"),
+        withinSeconds = Some(3600L))
+      .orderBy("step").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    out shouldBe Seq((0L, "a", 3L), (1L, "b", 1L), (2L, "c", 1L))
+    // unwindowed: u3's late b now counts (greedy takes the earliest b > a)
+    val open = graft.operators.Funnel.funnel(e, Seq("a", "b", "c"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    open shouldBe Seq(3L, 2L, 1L)
+    // a step NOBODY reaches still emits its 0 row
+    val dead = graft.operators.Funnel.funnel(e, Seq("a", "z"))
+      .orderBy("step").collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    dead shouldBe Seq(("a", 3L), ("z", 0L))
+  }
+
+  test("funnel: one event cannot fill two slots (repeated step types)") {
+    // steps (a, a): the single 'a' event fills slot 0 only — slot 1 needs
+    // a LATER second 'a' (strictly greater ts)
+    val e = eventRows((1L, "2024-01-01 10:00:00", "a"))
+    val out = graft.operators.Funnel.funnel(e, Seq("a", "a"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    out shouldBe Seq(1L, 0L)
+    val e2 = eventRows(
+      (1L, "2024-01-01 10:00:00", "a"),
+      (1L, "2024-01-01 10:30:00", "a"))
+    val out2 = graft.operators.Funnel.funnel(e2, Seq("a", "a"))
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    out2 shouldBe Seq(1L, 1L) // the one user reaches both slots
+  }
+
+  test("weekly retention: cohort = first-event week, offsets count active weeks") {
+    val e = eventRows(
+      // u1: first event Mon 2024-01-01 week; active weeks 0 and 2
+      (1L, "2024-01-02 10:00:00", "x"),
+      (1L, "2024-01-03 10:00:00", "x"), // same week — distinct collapses
+      (1L, "2024-01-16 10:00:00", "x"),
+      // u2: first event the NEXT week (cohort 2024-01-08); active week 0 only
+      (2L, "2024-01-10 10:00:00", "x"))
+    val out = graft.operators.Funnel.weeklyRetention(e)
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    out shouldBe Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-08", 0L, 1L))
+  }
+
+  test("fuzzy linkage: deletion-neighborhood blocking finds exactly the lev<=1 pairs") {
+    val s = spark
+    import s.implicits._
+    val names = Seq(
+      (1L, "smith"), (2L, "smyth"),   // substitution → dist 1
+      (3L, "smiths"),                 // insertion vs 1 → dist 1
+      (4L, "mith"),                   // deletion vs 1 → dist 1
+      (5L, "jones"),                  // unrelated
+      (6L, "aa"), (7L, "aa"))         // identical (dist 0) + dup-variant guard
+      .toDF("id", "name")
+    val got = graft.operators.Linkage.fuzzyPairs(names, "id", "name")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // ground truth by brute force: all pairs with lev <= 1 (never a
+    // self-pair, even for "aa" whose deletion variants collide)
+    val brute = names.as[(Long, String)].collect()
+    val exp = (for {
+      (ia, na) <- brute; (ib, nb) <- brute if ia < ib
+      d = {
+        val m = Array.tabulate(na.length + 1, nb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to na.length; j <- 1 to nb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (na(i - 1) == nb(j - 1)) 0 else 1))
+        m(na.length)(nb.length)
+      } if d <= 1
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2)).toSeq
+    got shouldBe exp
+    exp.map(p => (p._1, p._2)) should contain allOf ((1L, 2L), (1L, 3L), (1L, 4L), (6L, 7L))
+  }
+
+  test("fuzzy join: probe set links against full table, maxBlock guards hot blocks") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, "abc"), (2L, "zzz")).toDF("lid", "lname")
+    val right = Seq((10L, "abc"), (11L, "abd"), (12L, "qqq")).toDF("rid", "rname")
+    val got = graft.operators.Linkage.fuzzyJoin(
+        left, "lid", "lname", right, "rid", "rname")
+      .orderBy("id_l", "id_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    got shouldBe Seq((1L, 10L, 0), (1L, 11L, 1))
+    // a maxBlock of 0 drops every block → empty result, not an error
+    graft.operators.Linkage.fuzzyJoin(
+      left, "lid", "lname", right, "rid", "rname", maxBlock = 0)
+      .count() shouldBe 0L
   }
 }
