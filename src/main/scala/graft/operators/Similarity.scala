@@ -325,35 +325,111 @@ object Similarity {
     * partition pruning does the work, same storage story as [[bucketize]]
     * but data-adaptive (tighter cells than random hyperplanes on clustered
     * corpora). */
+  /** Collect a bounded fit sample to the driver: `fraction` down-sample,
+    * hard-capped at `maxRows`. The cap is the 100 TB design point — a
+    * k-means fit set does not need to GROW with the corpus (a few hundred
+    * points per target center suffice), so the fit is a driver-side
+    * computation over a bounded array, like loading a codebook. Only the
+    * assignment/encode pass must see every row, and that stays the native
+    * codegen'd kernel. */
+  private def fitSample(df: DataFrame, vecCol: String,
+      fraction: Double, seed: Long, maxRows: Int): Array[Array[Double]] = {
+    val sampled = if (fraction < 1.0)
+      df.sample(withReplacement = false, fraction, seed) else df
+    sampled.select(col(vecCol)).limit(maxRows).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+  }
+
+  /** Plain seeded Lloyd over a driver-side point array: random init from
+    * distinct sample points, squared-euclidean assignment with
+    * lowest-index tie-break (the [[graft.functions.NearestCenter]]
+    * contract), an empty cluster re-seeds to the point farthest from its
+    * center. Replaces the MLlib fit: at ≤`maxRows` points × a few dozen
+    * centers the entire fit is milliseconds of driver arithmetic, vs one
+    * Spark job per Lloyd iteration per k-means (the old shape spent
+    * seconds of scheduler round-trips fitting 8 subspace codebooks). */
+  private def lloyd(points: Array[Array[Double]], k: Int, seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means fit needs a non-empty sample")
+    val dim = points.head.length
+    val rnd = new scala.util.Random(seed)
+    val init = rnd.shuffle(points.indices.toVector).distinct.take(k)
+    val centers = Array.tabulate(math.min(k, points.length))(i =>
+      points(init(i)).clone())
+    val assign = new Array[Int](points.length)
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      moved = false
+      var p = 0
+      while (p < points.length) {
+        val v = points(p)
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centers.length) {
+          var d = 0.0; var i = 0
+          val ctr = centers(c)
+          while (i < dim) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        if (assign(p) != best) { assign(p) = best; moved = true }
+        p += 1
+      }
+      val sums = Array.ofDim[Double](centers.length, dim)
+      val counts = new Array[Int](centers.length)
+      var p2 = 0
+      while (p2 < points.length) {
+        val v = points(p2); val c = assign(p2)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        p2 += 1
+      }
+      var c2 = 0
+      while (c2 < centers.length) {
+        if (counts(c2) > 0) {
+          var i = 0
+          while (i < dim) { centers(c2)(i) = sums(c2)(i) / counts(c2); i += 1 }
+        } else {
+          // empty cluster: re-seed to the sample point farthest from its
+          // current center (deterministic — no rand() mid-fit)
+          var worstP = 0; var worstD = -1.0
+          var p3 = 0
+          while (p3 < points.length) {
+            val v = points(p3); val ctr = centers(assign(p3))
+            var d = 0.0; var i = 0
+            while (i < dim) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+            if (d > worstD) { worstD = d; worstP = p3 }
+            p3 += 1
+          }
+          centers(c2) = points(worstP).clone()
+          moved = true
+        }
+        c2 += 1
+      }
+      iter += 1
+    }
+    centers
+  }
+
   def ivfFit(df: DataFrame, vecCol: String = "embedding",
       numCells: Int = 16, seed: Long = 42L,
       fitSampleFraction: Double = 1.0,
-      maxIter: Int = 10): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      maxIter: Int = 10, maxFitRows: Int = 100000): IvfIndex = {
     // k-means centroids converge on a sample: at 100 TB fitting on the full
     // corpus would iterate the whole dataset per k-means step, while a few
     // hundred points per target cell give statistically identical centers.
     // The assignment pass (the part that must see every row) stays full.
-    // maxIter bounds the fit (each iteration is a full pass over the fit
-    // set plus a scheduling round-trip); IVF cells only need to be
-    // approximately Voronoi — probe recall, not centroid convergence, is
-    // the quality metric, and it plateaus within a few iterations.
-    val fitDf = if (fitSampleFraction < 1.0)
-      df.sample(withReplacement = false, fitSampleFraction, seed) else df
-    val featured = fitDf.withColumn("__features", array_to_vector(col(vecCol)))
-    // random init instead of k-means|| — the parallel init alone costs
-    // several extra passes over the fit set, and with Lloyd iterations to
-    // follow, cell quality (probe recall) ends up the same
-    val model = new KMeans().setK(numCells).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("__features").fit(featured)
-    IvfIndex(model)
+    // IVF cells only need to be approximately Voronoi — probe recall, not
+    // centroid convergence, is the quality metric, and it plateaus within
+    // a few iterations.
+    IvfIndex(lloyd(
+      fitSample(df, vecCol, fitSampleFraction, seed, maxFitRows),
+      numCells, seed, maxIter))
   }
 
-  case class IvfIndex(model: org.apache.spark.ml.clustering.KMeansModel) {
-
-    def centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+  case class IvfIndex(centers: Array[Array[Double]]) {
 
     /** Assign each row to its cell (write `partitionBy("cell")` at scale).
       * Native nearest-centroid expression, NOT `model.transform`: the
@@ -742,26 +818,23 @@ object Similarity {
     * and it stays the native kernel). */
   def pqFit(df: DataFrame, vecCol: String = "embedding",
       m: Int = 8, ksub: Int = 16, dim: Int = 64, seed: Long = 42L,
-      fitSampleFraction: Double = 1.0, maxIter: Int = 10): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      fitSampleFraction: Double = 1.0, maxIter: Int = 10,
+      maxFitRows: Int = 100000): PqIndex = {
     require(dim % m == 0, s"m=$m must divide dim=$dim")
-    val subDim = dim / m
-    val fitDf = (if (fitSampleFraction < 1.0)
-      df.sample(withReplacement = false, fitSampleFraction, seed) else df)
-      .select(col(vecCol)).persist()
-    try {
-      val books = Array.tabulate(m) { s =>
-        val featured = fitDf.withColumn("__features",
-          array_to_vector(slice(col(vecCol), s * subDim + 1, subDim)))
-        new KMeans().setK(ksub).setSeed(seed + s).setMaxIter(maxIter)
-          .setInitMode("random")
-          .setFeaturesCol("__features").fit(featured)
-          .clusterCenters.map(_.toArray)
-      }
-      PqIndex(books)
-    } finally fitDf.unpersist(false)
+    val sample = fitSample(df, vecCol, fitSampleFraction, seed, maxFitRows)
+    PqIndex(pqFitSample(sample, m, ksub, dim / m, seed, maxIter))
   }
+
+  /** The m independent per-subspace Lloyd fits over an already-collected
+    * sample — ONE pass over the driver array per subspace slice, shared
+    * by [[pqFit]] (raw vectors) and [[ivfPqFit]] (residuals). */
+  private def pqFitSample(sample: Array[Array[Double]], m: Int, ksub: Int,
+      subDim: Int, seed: Long, maxIter: Int): Array[Array[Array[Double]]] =
+    Array.tabulate(m) { s =>
+      val slices = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      lloyd(slices, ksub, seed + s, maxIter)
+    }
 
   /** The fixed md5-codebook PQ index (see
     * [[graft.functions.VectorFunctions.pqPortableCodebooks]]) — the
@@ -920,17 +993,27 @@ object Similarity {
   def ivfPqFit(df: DataFrame, vecCol: String = "embedding",
       numCells: Int = 8, m: Int = 8, ksub: Int = 16, dim: Int = 64,
       seed: Long = 42L, fitSampleFraction: Double = 1.0,
-      maxIter: Int = 10): IvfPqIndex = {
-    val coarse = ivfFit(df, vecCol, numCells, seed, fitSampleFraction, maxIter)
-      .centers
-    val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
-    val residuals = df
-      .withColumn("cell", V.nearestCenter(col(vecCol), coarse))
-      .withColumn("__res", zip_with(col(vecCol),
-        element_at(coarseLit, col("cell") + 1), (a, b) => a - b))
-    val pq = pqFit(residuals, "__res", m, ksub, dim, seed,
-      fitSampleFraction, maxIter)
-    IvfPqIndex(coarse, pq.codebooks)
+      maxIter: Int = 10, maxFitRows: Int = 100000): IvfPqIndex = {
+    // ONE bounded sample collect feeds both fits: coarse Lloyd over the
+    // raw vectors, then the residual of each sample point against its
+    // nearest coarse center (driver arithmetic — the full-corpus residual
+    // pass happens only inside encode, as a narrow map), then the m
+    // per-subspace codebook fits over those residuals.
+    val sample = fitSample(df, vecCol, fitSampleFraction, seed, maxFitRows)
+    val coarse = lloyd(sample, numCells, seed, maxIter)
+    val residuals = sample.map { v =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < coarse.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - coarse(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val ctr = coarse(best)
+      Array.tabulate(v.length)(i => v(i) - ctr(i))
+    }
+    IvfPqIndex(coarse, pqFitSample(residuals, m, ksub, dim / m, seed, maxIter))
   }
 
   /** The fixed md5 IVF-PQ index — the oracle/audit path; [[ivfPqFit]] is
