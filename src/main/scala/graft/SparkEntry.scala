@@ -635,6 +635,26 @@ object SparkEntry {
           Seq("supplier_key", "supplier_code", "supplier_name", "supplier_state"))
         .orderBy("supplier_key")),
 
+    // SCD Type 3: one level of history as supplier_state_prev, same
+    // broadcast-delta zero-target-shuffle shape as the Type 1 upsert.
+    // batch2 over batch1: %3 keys move state0 → prev and take state1;
+    // %5-only keys overwrite the name Type-1 style (prev untouched)
+    "scd3_dim" -> ((s, dir) =>
+      graft.ops.Scd3.merge(
+          graft.ops.Scd3.init(b1(s, dir), Seq("supplier_state")),
+          b2(s, dir), Seq("supplier_code"), Seq("supplier_state"))
+        .orderBy("supplier_key")),
+
+    // SCD Type 6 overlay: the Type 2 staging table with each key's
+    // CURRENT tracked value on every historical row (1+2+3 hybrid);
+    // faithful-mode keys whose history has no open row carry null
+    "scd6_history" -> ((s, dir) =>
+      graft.ops.Scd3.scd6(scd2After2(s, dir),
+          Seq("supplier_code"), Seq("supplier_state"))
+        .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
+        .withColumn("end_date", col("end_date").cast("timestamp_ntz"))
+        .orderBy("supplier_key", "start_date", "supplier_state")),
+
     "scd2_corrected" -> ((s, dir) =>
       scd2CorrectedAfter3(s, dir)
         .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
@@ -2534,6 +2554,54 @@ object SparkEntry {
         |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
         |  state AS supplier_state
         |FROM cur ORDER BY supplier_key""".stripMargin),
+
+    "scd3_dim" -> (supCte +
+      """
+        |, dim AS (
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS name,
+        |    state1 AS state, state0 AS state_prev
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k, code, name || '_v2', state0, NULL
+        |  FROM sup WHERE k % 5 = 0 AND k % 3 <> 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, NULL
+        |  FROM sup WHERE k % 3 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0, NULL
+        |  FROM sup WHERE k % 4 = 0)
+        |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |  state AS supplier_state, state_prev AS supplier_state_prev
+        |FROM dim ORDER BY supplier_key""".stripMargin),
+
+    "scd6_history" -> (supCte +
+      """
+        |, hist AS (
+        |  SELECT k, code, name, state0 AS state,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS start_date,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS end_date, 'N' AS current_flag
+        |  FROM sup WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, TIMESTAMP '2024-01-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state1, TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0,
+        |    TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 4 = 0),
+        |cur AS (SELECT code, state AS state_current FROM hist
+        |  WHERE current_flag = 'Y')
+        |SELECT h.k AS supplier_key, h.code AS supplier_code,
+        |  h.name AS supplier_name, h.state AS supplier_state,
+        |  h.start_date, h.end_date, h.current_flag,
+        |  c.state_current AS supplier_state_current
+        |FROM hist h LEFT JOIN cur c ON h.code = c.code
+        |ORDER BY supplier_key, start_date, supplier_state""".stripMargin),
 
     "scd2_corrected" -> (supCte +
       """

@@ -282,4 +282,66 @@ class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
     agg.orderBy("grp").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe expected
   }
+
+  // ---- Scd3 (Type 3 previous-value columns, Type 6 overlay) ---------------
+
+  test("scd3: tracked change moves old value to prev, untracked overwrites, inserts null-prev") {
+    val t0 = Scd3.init(suppliers(
+      (1L, "A101", "Kohli", "Delhi"),
+      (2L, "A102", "Dhoni", "Ranchi"),
+      (3L, "A103", "Pujara", "Gujarat")), Seq("supplier_state"))
+    val delta = suppliers(
+      (1L, "A101", "Kohli", "Goa"),       // state change → prev = Delhi
+      (2L, "A102", "MSD", "Ranchi"),      // name-only change → prev stays null
+      (4L, "A104", "Gill", "Punjab"))     // insert → prev null
+    val out = Scd3.merge(t0, delta, Seq("supplier_code"), Seq("supplier_state"))
+      .orderBy("supplier_key").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3), r.getString(4)))
+    out shouldBe Array(
+      ("A101", "Kohli", "Goa", "Delhi"),
+      ("A102", "MSD", "Ranchi", null),
+      ("A103", "Pujara", "Gujarat", null),
+      ("A104", "Gill", "Punjab", null))
+    // a SECOND change overwrites prev with the last distinct value, and a
+    // no-op cycle leaves an earlier prev in place
+    val d2 = suppliers((1L, "A101", "Kohli", "Pune"), (2L, "A102", "MSD", "Ranchi"))
+    val out2 = Scd3.merge(
+        Scd3.merge(t0, delta, Seq("supplier_code"), Seq("supplier_state")),
+        d2, Seq("supplier_code"), Seq("supplier_state"))
+      .orderBy("supplier_key").collect()
+      .map(r => (r.getString(1), r.getString(3), r.getString(4)))
+    out2.take(2) shouldBe Array(("A101", "Pune", "Goa"), ("A102", "Ranchi", null))
+  }
+
+  test("scd3: null-propagating change detection leaves prev untouched on null source") {
+    val t0 = Scd3.init(suppliers((1L, "A101", "Kohli", "Delhi")), Seq("supplier_state"))
+    val s = spark
+    import s.implicits._
+    val delta = Seq((1L, "A101", "Kohli", null.asInstanceOf[String]))
+      .toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state")
+    // Snowflake != is UNKNOWN against NULL → no update in default mode
+    val out = Scd3.merge(t0, delta, Seq("supplier_code"), Seq("supplier_state"))
+      .collect().map(r => (r.getString(3), r.getString(4)))
+    out shouldBe Array(("Delhi", null))
+    // nullSafe mode treats NULL as a distinct value → prev = Delhi, cur = null
+    val outNs = Scd3.merge(t0, delta, Seq("supplier_code"), Seq("supplier_state"),
+        nullSafe = true)
+      .collect().map(r => (r.getString(3), r.getString(4)))
+    outNs shouldBe Array((null, "Delhi"))
+  }
+
+  test("scd6 overlay: every history row carries the key's current value; no open row → null") {
+    val s = spark
+    import s.implicits._
+    val staging = Seq(
+      ("A101", "Delhi", "N"), ("A101", "Goa", "Y"),
+      ("A102", "Ranchi", "N")) // faithful-mode close without reopen
+      .toDF("supplier_code", "supplier_state", "current_flag")
+    val out = Scd3.scd6(staging, Seq("supplier_code"), Seq("supplier_state"))
+      .orderBy("supplier_code", "supplier_state").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(3)))
+    out shouldBe Array(
+      ("A101", "Delhi", "Goa"), ("A101", "Goa", "Goa"),
+      ("A102", "Ranchi", null))
+  }
 }
