@@ -155,6 +155,32 @@ object SparkEntry {
     s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts_us", expr("ts div 1000"))
 
+  /** Documents with a deterministic synthetic URL (the corpus has none):
+    * scheme/subdomain/site/TLD/port/query all keyed off doc_id residues,
+    * covering multi-label registries (co.uk, ac.jp), subdomain chains,
+    * explicit ports and query strings. The DuckDB oracle constructs the
+    * identical strings, so the web_* hash checks verify URL-decomposition
+    * semantics cross-engine, not the data (the [[piiDocs]] pattern). */
+  private def webDocs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"),
+        concat(
+          when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")),
+          lit("://"),
+          when(col("doc_id") % 3 === 1, lit("www."))
+            .when(col("doc_id") % 3 === 2, lit("news.blog."))
+            .otherwise(lit("")),
+          lit("site"), (col("doc_id") % 7).cast("string"), lit("."),
+          when(col("doc_id") % 4 === 0, lit("com"))
+            .when(col("doc_id") % 4 === 1, lit("co.uk"))
+            .when(col("doc_id") % 4 === 2, lit("org"))
+            .otherwise(lit("ac.jp")),
+          when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+          lit("/p/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 6 === 0,
+            concat(lit("?q="), (col("doc_id") % 10).cast("string")))
+            .otherwise(lit(""))).as("url"))
+
   /** Documents with deterministic synthetic PII appended (the corpus has
     * none): email always, ipv4 on doc_id%2=0, phone on %3=0, ssn on %5=0.
     * The DuckDB oracle constructs the identical strings, so the pii_*
@@ -1327,6 +1353,29 @@ object SparkEntry {
           events(s, dir).withColumn("ts", timestamp_micros(col("ts_us"))))
         .orderBy("cohort_week", "week_offset")),
 
+    // URL decomposition over synthetic per-doc URLs (webDocs): pure
+    // regex/array built-ins, narrow map, '' on no-match in both engines
+    "web_url_parts" -> ((s, dir) =>
+      graft.operators.Web.parseUrls(webDocs(s, dir))
+        .select(col("doc_id"), col("host"), col("registered_domain"),
+          col("tld"), col("port"), col("path"),
+          col("query").as("query_string"))
+        .orderBy("doc_id")),
+
+    // per-registered-domain corpus rollup: one hash agg, integer-exact
+    "web_domain_stats" -> ((s, dir) =>
+      graft.operators.Web.domainStats(webDocs(s, dir))
+        .orderBy("registered_domain")),
+
+    // blocklist enforcement: the list broadcasts, the corpus anti-joins
+    "web_domain_filter" -> ((s, dir) => {
+      import s.implicits._
+      val block = Seq("site0.com", "site3.co.uk", "site5.org").toDF("domain")
+      graft.operators.Web.domainFilter(webDocs(s, dir), block)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // the exact-verify stage of minhash dedup (Jaccard over the hashed
     // shingle sets from the ShingleHashes kernel), oracled against DuckDB
     // computing Jaccard over the shingle STRINGS — identical up to 64-bit
@@ -1854,6 +1903,31 @@ object SparkEntry {
       |         'ST' || CAST(s_nationkey % 25 AS VARCHAR) AS state0,
       |         'ST' || CAST((s_nationkey + 7) % 25 AS VARCHAR) AS state1
       |  FROM supplier)""".stripMargin
+
+  /** Shared CTE: documents with the identical synthetic URL the
+    * Spark-side [[webDocs]] constructs (same residues, same strings). */
+  private val webDocsSql =
+    """WITH w AS (
+      |  SELECT doc_id, n_chars,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+      |          WHEN doc_id % 3 = 2 THEN 'news.blog.' ELSE '' END) ||
+      |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.' ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'co.uk'
+      |          WHEN doc_id % 4 = 2 THEN 'org' ELSE 'ac.jp' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '?q=' || CAST(doc_id % 10 AS VARCHAR)
+      |          ELSE '' END) AS url
+      |  FROM documents)""".stripMargin
+
+  /** DuckDB twin of [[graft.functions.UrlFunctions.registeredDomain]]
+    * over an already-extracted host column. */
+  private def regDomSql(hostCol: String): String =
+    s"CASE WHEN len(string_split($hostCol, '.')) >= 3 AND " +
+      s"string_split($hostCol, '.')[-2] IN ('co','ac','com','org','net','gov','edu') " +
+      s"THEN array_to_string(string_split($hostCol, '.')[-3:], '.') " +
+      s"ELSE array_to_string(string_split($hostCol, '.')[-2:], '.') END"
 
   /** Shared CTE body: documents with the identical synthetic PII the
     * Spark-side [[piiDocs]] injects (same strings, same doc_id gates). */
@@ -3616,6 +3690,37 @@ object SparkEntry {
         |  FROM ev e JOIN f USING (user_id))
         |SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
         |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "web_url_parts" -> (webDocsSql +
+      s"""
+        |, p AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host,
+        |    regexp_extract(url, '://[^/:?]+:([0-9]+)', 1) AS port,
+        |    regexp_extract(url, '^[a-z]+://[^/?]*(/[^?]*)', 1) AS path,
+        |    regexp_extract(url, '\\?(.*)$$', 1) AS query_string
+        |  FROM w)
+        |SELECT doc_id, host, ${regDomSql("host")} AS registered_domain,
+        |  string_split(host, '.')[-1] AS tld, port, path, query_string
+        |FROM p ORDER BY doc_id""".stripMargin),
+
+    "web_domain_stats" -> (webDocsSql +
+      s"""
+        |, h AS (SELECT doc_id, n_chars,
+        |    regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host FROM w)
+        |SELECT ${regDomSql("host")} AS registered_domain,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_size
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "web_domain_filter" -> (webDocsSql +
+      s"""
+        |, h AS (SELECT doc_id,
+        |    regexp_extract(url, '^[a-z]+://([^/:?]+)', 1) AS host FROM w)
+        |SELECT doc_id FROM h
+        |WHERE ${regDomSql("host")} NOT IN ('site0.com', 'site3.co.uk', 'site5.org')
+        |ORDER BY doc_id""".stripMargin),
 
     "minhash_verify_pairs" ->
       """WITH sh AS (

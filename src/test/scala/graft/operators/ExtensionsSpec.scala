@@ -1184,6 +1184,50 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out2 shouldBe Seq(1L, 1L) // the one user reaches both slots
   }
 
+  test("url decomposition: host/port/path/query/registered-domain/tld") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "https://news.blog.site3.co.uk:8080/p/42?q=2"),
+      (2L, "http://site1.com/p/7"),
+      (3L, "https://www.site2.ac.jp/p/9?q=1"),
+      (4L, "https://a.b.example.org"))
+      .toDF("id", "url")
+    val out = graft.operators.Web.parseUrls(urls)
+      .orderBy("id").collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4),
+        r.getString(5), r.getString(6), r.getString(7))).toSeq
+    out shouldBe Seq(
+      ("news.blog.site3.co.uk", "site3.co.uk", "uk", "8080", "/p/42", "q=2"),
+      ("site1.com", "site1.com", "com", "", "/p/7", ""),
+      ("www.site2.ac.jp", "site2.ac.jp", "jp", "", "/p/9", "q=1"),
+      // no path, no port, plain TLD → two-label registered domain
+      ("a.b.example.org", "example.org", "org", "", "", ""))
+  }
+
+  test("domain stats and blocklist filter; the list side broadcasts") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "https://www.site1.com/a", 10L),
+      (2L, "https://cdn.site1.com/b", 20L),
+      (3L, "http://site2.org/c", 5L))
+      .toDF("doc_id", "url", "n_chars")
+    val stats = graft.operators.Web.domainStats(docs)
+      .orderBy("registered_domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    stats shouldBe Seq(("site1.com", 2L, 2L, 30L), ("site2.org", 1L, 1L, 5L))
+
+    val block = Seq("site1.com").toDF("domain")
+    val kept = graft.operators.Web.domainFilter(docs, block)
+    kept.select("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(3L)
+    // the corpus must not shuffle for a thousand-row blocklist: the anti
+    // join HAS to be broadcast
+    val plan = kept.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+  }
+
   test("weekly retention: cohort = first-event week, offsets count active weeks") {
     val e = eventRows(
       // u1: first event Mon 2024-01-01 week; active weeks 0 and 2
