@@ -1367,6 +1367,14 @@ object SparkEntry {
       graft.operators.Web.domainStats(webDocs(s, dir))
         .orderBy("registered_domain")),
 
+    // BPE merge learning: one corpus pass to the (token, freq) vocab,
+    // then 4 driver-coordinated merge rounds over the cached vocab —
+    // the tokenizer-training step, replayed round-for-round in DuckDB
+    "vocab_bpe_merges" -> ((s, dir) =>
+      graft.operators.Vocab.bpeMerges(
+          s.read.parquet(s"$dir/documents.parquet"), nMerges = 4)
+        .orderBy("round")),
+
     // blocklist enforcement: the list broadcasts, the corpus anti-joins
     "web_domain_filter" -> ((s, dir) => {
       import s.implicits._
@@ -1920,6 +1928,45 @@ object SparkEntry {
       |    (CASE WHEN doc_id % 6 = 0 THEN '?q=' || CAST(doc_id % 10 AS VARCHAR)
       |          ELSE '' END) AS url
       |  FROM documents)""".stripMargin
+
+  /** One BPE merge round as DuckDB CTEs (the [[graft.operators.Vocab]]
+    * semantics): weighted adjacent-pair counts, argmax with
+    * count-desc/pair-asc tie-break, then the greedy left-to-right
+    * non-overlapping application — "within each run of consecutive
+    * matches, even offsets merge" — via gaps-and-islands windows over
+    * the exploded symbol lists. */
+  private def bpeRoundCte(i: Int): String =
+    s"""
+       |p$i AS (
+       |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(syms[1:len(syms)-1]) AS l,
+       |           unnest(syms[2:len(syms)]) AS r, freq FROM v$i)
+       |  GROUP BY 1, 2),
+       |m$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+       |e$i AS (
+       |  SELECT syms AS sid, freq, unnest(syms) AS sym,
+       |    generate_subscripts(syms, 1) AS ord FROM v$i),
+       |g$i AS (
+       |  SELECT *, COALESCE(sym = (SELECT l FROM m$i) AND
+       |    lead(sym) OVER (PARTITION BY sid ORDER BY ord) = (SELECT r FROM m$i),
+       |    FALSE) AS mt
+       |  FROM e$i),
+       |h$i AS (
+       |  SELECT *, ord - ROW_NUMBER() OVER (PARTITION BY sid, mt ORDER BY ord) AS run
+       |  FROM g$i),
+       |x$i AS (
+       |  SELECT *, mt AND
+       |    (ROW_NUMBER() OVER (PARTITION BY sid, mt, run ORDER BY ord) - 1) % 2 = 0 AS mrg
+       |  FROM h$i),
+       |y$i AS (
+       |  SELECT *, COALESCE(lag(mrg) OVER (PARTITION BY sid ORDER BY ord), FALSE) AS consumed,
+       |    lead(sym) OVER (PARTITION BY sid ORDER BY ord) AS nxt
+       |  FROM x$i),
+       |v${i + 1} AS (
+       |  SELECT list(CASE WHEN mrg THEN sym || nxt ELSE sym END ORDER BY ord)
+       |      FILTER (WHERE NOT consumed) AS syms,
+       |    any_value(freq) AS freq
+       |  FROM y$i GROUP BY sid)""".stripMargin
 
   /** DuckDB twin of [[graft.functions.UrlFunctions.registeredDomain]]
     * over an already-extracted host column. */
@@ -3713,6 +3760,21 @@ object SparkEntry {
         |  CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_size
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "vocab_bpe_merges" -> ("""WITH v0 AS (
+        |  SELECT list_transform(range(len(tok)), j -> tok[j+1:j+1]) AS syms,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),""".stripMargin +
+      (0 until 4).map(bpeRoundCte).mkString(",") + """
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS round, l AS left_sym, r AS right_sym,
+        |    cnt AS pair_count FROM m0
+        |  UNION ALL SELECT 1, l, r, cnt FROM m1
+        |  UNION ALL SELECT 2, l, r, cnt FROM m2
+        |  UNION ALL SELECT 3, l, r, cnt FROM m3)
+        |ORDER BY round""".stripMargin),
 
     "web_domain_filter" -> (webDocsSql +
       s"""

@@ -1184,6 +1184,25 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out2 shouldBe Seq(1L, 1L) // the one user reaches both slots
   }
 
+  test("bpe merge learning: frequency-greedy, tie-break, early exhaustion") {
+    // tokens: aa×2, ab×1 → round 0 merges (a,a) cnt 2; round 1 (a,b) cnt 1;
+    // then no pairs remain → trainer stops early with 2 of 4 requested rows
+    val d = docs((1L, "aa ab aa"))
+    val out = graft.operators.Vocab.bpeMerges(d, nMerges = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    out shouldBe Seq((0L, "a", "a", 2L), (1L, "a", "b", 1L))
+    // equal counts resolve to the lexicographically smallest pair
+    val t = docs((1L, "cd ab"))
+    graft.operators.Vocab.bpeMerges(t, nMerges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq shouldBe Seq(("a", "b"))
+    // merged symbols are multi-char in later rounds: "abab" learns (a,b)
+    // then (ab,ab)
+    val m = docs((1L, "abab abab"))
+    graft.operators.Vocab.bpeMerges(m, nMerges = 2)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq shouldBe
+      Seq(("a", "b"), ("ab", "ab"))
+  }
+
   test("url decomposition: host/port/path/query/registered-domain/tld") {
     val s = spark
     import s.implicits._
