@@ -916,6 +916,20 @@ object SparkEntry {
         s, path.toString, Seq("spark", "join"), k = 20)
     }),
 
+    // exact-phrase search against the STORED positional index: shifted
+    // position-list intersection per doc, partition-pruned term buckets,
+    // occurrence-count ranking with id tiebreak
+    "search_phrase_oracled" -> ((s, dir) => {
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-posidx-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+        graft.operators.Keywords.writePositionalIndex(
+          s.read.parquet(s"$dir/documents.parquet"), path.toString)
+      graft.operators.Keywords.phraseSearch(
+        s, path.toString, Seq("table", "scan"), k = 20)
+    }),
+
     // BM25 retrieval: top-20 docs for a fixed 3-term query, scored with
     // the Lucene-style formula over exact integer tf/df/dl and a
     // fixed-order per-term sum (graft.operators.Keywords.bm25TopDocs)
@@ -2992,6 +3006,27 @@ object SparkEntry {
         |  FROM p GROUP BY 1)
         |SELECT doc_id, tf_sum FROM d WHERE n_terms = 2
         |ORDER BY tf_sum DESC, doc_id LIMIT 20""".stripMargin,
+
+    // positional postings from the same tokenization; a doc matches the
+    // phrase where the shifted position lists intersect (1-based here,
+    // 0-based in Spark — the shift-invariant intersection cancels it)
+    "search_phrase_oracled" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |post AS (
+        |  SELECT doc_id, w AS term, list(p ORDER BY p) AS positions FROM (
+        |    SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS p
+        |    FROM t) x
+        |  WHERE w <> '' GROUP BY 1, 2),
+        |r0 AS (SELECT doc_id, positions AS p0 FROM post WHERE term = 'table'),
+        |r1 AS (SELECT doc_id, list_transform(positions, x -> x - 1) AS p1
+        |  FROM post WHERE term = 'scan')
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(p0, p1)) AS BIGINT) AS n_occurrences
+        |FROM r0 JOIN r1 USING (doc_id)
+        |WHERE len(list_intersect(p0, p1)) > 0
+        |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
 
     // integer-exact surprisal: bigram/unigram counts from the even-id
     // model slice, per-position bits = bit-length of an integer quotient

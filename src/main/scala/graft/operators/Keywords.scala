@@ -147,6 +147,55 @@ object Keywords {
       .limit(k)
   }
 
+  /** Write a POSITIONAL term-bucketed inverted index: posting rows
+    * `(term, doc_id, positions)` with the sorted 0-based token positions
+    * of each term occurrence — the layout phrase and proximity queries
+    * need. Same bucket partitioning and one-file-per-bucket write as
+    * [[writeInvertedIndex]]; postings are ~|occurrences| ints heavier
+    * than the tf rows, still payload-free. */
+  def writePositionalIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    docs.select(col(idCol),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "term")))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("bucket", bucketCol(col("term"), nBuckets))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Exact-phrase search against a [[writePositionalIndex]] index: the
+    * i-th phrase word's positions shift by −i, and a document matches
+    * where the shifted position lists intersect — `|∩ᵢ (posᵢ − i)|` is
+    * exactly the phrase occurrence count (overlapping occurrences
+    * included, standard positional-query semantics). The scan reads only
+    * the phrase terms' bucket directories (partition-pruned like the
+    * conjunctive probe); the n-way doc join carries slim
+    * `(doc, positions)` rows. Ranked by occurrence count, id tiebreak. */
+  def phraseSearch(spark: SparkSession, path: String, phrase: Seq[String],
+      k: Int = 20, nBuckets: Int = 64, idCol: String = "doc_id"): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val buckets = phrase.distinct.map(bucketOf(_, nBuckets)).distinct
+    val base = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(phrase.distinct: _*))
+    val rels = phrase.zipWithIndex.map { case (t, i) =>
+      base.filter(col("term") === t)
+        .select(col(idCol),
+          (if (i == 0) col("positions")
+           else transform(col("positions"), p => p - i)).as(s"__pos_$i"))
+    }
+    val joined = rels.reduce(_.join(_, idCol))
+    val inter = (0 until phrase.length)
+      .map(i => col(s"__pos_$i"))
+      .reduce((a, b) => array_intersect(a, b))
+    joined
+      .select(col(idCol), size(inter).cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Unigram corpus-frequency document scoring — the log-free LM-quality
     * proxy: per document, its token count, the sum of each token's
     * corpus-wide occurrence count, and their ratio in mils. Documents of

@@ -1184,6 +1184,28 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out2 shouldBe Seq(1L, 1L) // the one user reaches both slots
   }
 
+  test("phrase search: positional intersection, overlaps, order sensitivity, pruning") {
+    val d = docs(
+      (1L, "big table scan now"),        // 1 occurrence
+      (2L, "table scan table scan"),     // 2 occurrences
+      (3L, "scan table"),                // reversed — no match
+      (4L, "a a a"))                     // overlapping self-phrase
+    val path = java.nio.file.Files.createTempDirectory("posidx").toString
+    graft.operators.Keywords.writePositionalIndex(d, path)
+    val hits = graft.operators.Keywords.phraseSearch(
+        spark, path, Seq("table", "scan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    hits shouldBe Seq((2L, 2L), (1L, 1L))
+    // overlapping occurrences count (standard positional semantics)
+    graft.operators.Keywords.phraseSearch(spark, path, Seq("a", "a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((4L, 2L))
+    // the probe reads only the phrase terms' bucket directories
+    val plan = graft.operators.Keywords.phraseSearch(
+        spark, path, Seq("table", "scan"))
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+  }
+
   test("bpe merge learning: frequency-greedy, tie-break, early exhaustion") {
     // tokens: aa×2, ab×1 → round 0 merges (a,a) cnt 2; round 1 (a,b) cnt 1;
     // then no pairs remain → trainer stops early with 2 of 4 requested rows
