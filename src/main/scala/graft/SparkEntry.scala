@@ -146,14 +146,24 @@ object SparkEntry {
     (base, changed.unionByName(inserts))
   }
 
-  /** Requires `spark.sql.legacy.parquet.nanosAsLong=true` on the session
-    * (set in the Bench/Verify/test builders — events.parquet carries
-    * nanosecond timestamps). Deliberately NOT set here: a query builder
-    * mutating shared session config is a side effect library code must not
-    * have. */
-  private def events(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+  /** Events with a canonical epoch-microsecond `ts_us`, dispatched on the
+    * on-disk type of `ts`: parquet µs/ms timestamps arrive as
+    * TIMESTAMP/TIMESTAMP_NTZ (converted under the builders' pinned UTC
+    * session zone), while nanosecond files read as LongType nanos when
+    * `spark.sql.legacy.parquet.nanosAsLong=true` is set on the session
+    * (the Bench/Verify/test builders set it). The dispatch is on the
+    * schema, not session config — a query builder mutating shared session
+    * config is a side effect library code must not have. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/events.parquet")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    df.withColumn("ts_us", tsUs)
+  }
 
   /** Documents with a deterministic synthetic URL (the corpus has none):
     * scheme/subdomain/site/TLD/port/query all keyed off doc_id residues,
