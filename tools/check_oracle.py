@@ -5,8 +5,11 @@ con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-ok, bad = [], []
+ok, bad, skipped = [], [], 0
 for name, sql in sorted(oracle.items()):
+    if not glob.glob(f"{outdir}/{name}/*.parquet"):
+        skipped += 1  # filtered Verify run (3rd arg) — not a failure
+        continue
     try:
         exp = con.execute(sql).df()
         got = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
@@ -28,4 +31,5 @@ for name, sql in sorted(oracle.items()):
     except Exception as ex:
         bad.append((name, f"EXC {str(ex)[:200]}"))
 print(f"OK ({len(ok)}):", " ".join(ok))
+if skipped: print(f"SKIPPED (no dump — filtered run): {skipped}")
 for name, msg in bad: print(f"FAIL {name}: {msg}")
