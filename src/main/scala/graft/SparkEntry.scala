@@ -1399,6 +1399,82 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), nMerges = 4)
         .orderBy("round")),
 
+    // the tokenizer's INFERENCE half: learn 4 merges (bounded driver
+    // collect — the model), then encode the corpus into its BPE piece
+    // stream. Distinct tokens encode once (vocabulary-sized fold work);
+    // the corpus-sized token stream only joins tok→syms and explodes.
+    // DuckDB replays the learning rounds and applies the final vocab
+    // with ordered unnests — the full train→encode loop cross-engine.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.operators.Vocab.bpeMerges(docs, nMerges = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.operators.Vocab.bpeEncode(docs, merges)
+        .orderBy("doc_id", "pos")
+    }),
+
+    // canonical-URL normalization — the URL dedup key: the synthetic
+    // corpus URLs get deterministic crawl-noise decorations (default
+    // ports, an extra param, utm_ tracking, fragments, full-uppercase
+    // variants — doc_id-residue-keyed, replayed identically in DuckDB),
+    // then canonicalize: lowercased scheme/host, default ports stripped,
+    // fragment dropped, utm_* filtered, params sorted. Pure regex/array
+    // built-ins — the hash check pins every rule cross-engine.
+    "web_url_canonical" -> ((s, dir) => {
+      val d = col("doc_id")
+      val step1 = when(d % 10 === 6, regexp_replace(col("url"), "/p/", ":443/p/"))
+        .when(d % 10 === 3, regexp_replace(col("url"), "/p/", ":80/p/"))
+        .otherwise(col("url"))
+      val step2 = when(d % 6 === 0, concat(step1, lit("&a=1"))).otherwise(step1)
+      val step3 = when(d % 3 === 0, concat(step2,
+          when(d % 6 === 0, lit("&utm_source=feed"))
+            .otherwise(lit("?utm_source=feed"))))
+        .otherwise(step2)
+      val step4 = when(d % 4 === 2,
+          concat(step3, lit("#sec"), (d % 3).cast("string")))
+        .otherwise(step3)
+      val decorated = when(d % 11 === 0, upper(step4)).otherwise(step4)
+      webDocs(s, dir)
+        .select(d, decorated.as("url_raw"),
+          graft.functions.UrlFunctions.canonicalUrl(decorated).as("url_canonical"))
+        .orderBy("doc_id")
+    }),
+
+    // declarative data-quality audit (dbt-test style): all single-table
+    // rules fuse into ONE conditional-aggregate scan per table; RI rules
+    // are broadcast anti-join counts; uniqueness is a distinct count.
+    // Output is rules-sized. Ranges are deliberately tight so violation
+    // counts are non-zero and the hash check pins real arithmetic.
+    "quality_expectations" -> ((s, dir) => {
+      import graft.operators.Quality._
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ords = s.read.parquet(s"$dir/orders.parquet")
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+      val prt = s.read.parquet(s"$dir/part.parquet")
+      val nat = s.read.parquet(s"$dir/nation.parquet")
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      audit(li, "lineitem", Seq(
+          notNull("l_orderkey"), inRange("l_quantity", 1, 25),
+          nonNegative("l_extendedprice"), inRange("l_discount", 0, 0.05),
+          inSet("l_returnflag", Seq("A", "N", "R"))))
+        .unionByName(audit(ords, "orders", Seq(
+          notNull("o_custkey"), nonNegative("o_totalprice"),
+          inSet("o_orderstatus", Seq("F", "O")))))
+        .unionByName(audit(docs, "documents", Seq(
+          notNull("text"), inRange("n_chars", 1, 300))))
+        .unionByName(unique(ords, "orders", Seq("o_orderkey")))
+        .unionByName(unique(cust, "customer", Seq("c_custkey")))
+        .unionByName(unique(li, "lineitem", Seq("l_orderkey", "l_linenumber")))
+        .unionByName(refIntegrity(li, "lineitem", "l_orderkey", ords, "o_orderkey"))
+        .unionByName(refIntegrity(li, "lineitem", "l_partkey", prt, "p_partkey"))
+        .unionByName(refIntegrity(li, "lineitem", "l_suppkey", supp, "s_suppkey"))
+        .unionByName(refIntegrity(ords, "orders", "o_custkey", cust, "c_custkey"))
+        .unionByName(refIntegrity(cust, "customer", "c_nationkey", nat, "n_nationkey"))
+        .orderBy("tbl", "rule")
+    }),
+
     // blocklist enforcement: the list broadcasts, the corpus anti-joins
     "web_domain_filter" -> ((s, dir) => {
       import s.implicits._
@@ -3820,6 +3896,120 @@ object SparkEntry {
         |  UNION ALL SELECT 2, l, r, cnt FROM m2
         |  UNION ALL SELECT 3, l, r, cnt FROM m3)
         |ORDER BY round""".stripMargin),
+
+    // learning rounds verbatim from vocab_bpe_merges; the final vocab v4
+    // maps each token (the concatenation of its merged symbols — the
+    // invariant that recovers `tok` from `syms`) to its piece list, and
+    // the per-doc token stream joins + unnests with a global position
+    "text_bpe_encode" -> ("""WITH v0 AS (
+        |  SELECT list_transform(range(len(tok)), j -> tok[j+1:j+1]) AS syms,
+        |    CAST(count(*) AS BIGINT) AS freq
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1),""".stripMargin +
+      (0 until 4).map(bpeRoundCte).mkString(",") + """,
+        |vocabmap AS (SELECT array_to_string(syms, '') AS tok, syms FROM v4),
+        |stream AS (
+        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS tok_idx
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t <> '') AS toks
+        |    FROM documents)),
+        |pieces AS (
+        |  SELECT s.doc_id, s.tok_idx, unnest(v.syms) AS piece,
+        |    generate_subscripts(v.syms, 1) AS sym_idx
+        |  FROM stream s JOIN vocabmap v USING (tok))
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tok_idx, sym_idx) AS BIGINT) AS pos,
+        |  piece
+        |FROM pieces ORDER BY doc_id, pos""".stripMargin),
+
+    "web_url_canonical" -> (webDocsSql + """
+        |, dec AS (
+        |  SELECT doc_id, (CASE WHEN doc_id % 11 = 0 THEN upper(u4) ELSE u4 END) AS url_raw
+        |  FROM (
+        |    SELECT doc_id, u3 ||
+        |      (CASE WHEN doc_id % 4 = 2 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+        |            ELSE '' END) AS u4
+        |    FROM (
+        |      SELECT doc_id, u2 ||
+        |        (CASE WHEN doc_id % 3 = 0 THEN
+        |            (CASE WHEN doc_id % 6 = 0 THEN '&utm_source=feed'
+        |                  ELSE '?utm_source=feed' END) ELSE '' END) AS u3
+        |      FROM (
+        |        SELECT doc_id, u1 ||
+        |          (CASE WHEN doc_id % 6 = 0 THEN '&a=1' ELSE '' END) AS u2
+        |        FROM (
+        |          SELECT doc_id,
+        |            CASE WHEN doc_id % 10 = 6 THEN replace(url, '/p/', ':443/p/')
+        |                 WHEN doc_id % 10 = 3 THEN replace(url, '/p/', ':80/p/')
+        |                 ELSE url END AS u1
+        |          FROM w))))),
+        |c AS (
+        |  SELECT doc_id, url_raw,
+        |    lower(regexp_extract(u, '^([A-Za-z]+)://', 1)) AS scheme,
+        |    lower(regexp_extract(u, '^[A-Za-z]+://([^/:?]+)', 1)) AS hostl,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/:?]+:([0-9]+)', 1) AS prt,
+        |    regexp_extract(u, '^[A-Za-z]+://[^/?]*(/[^?]*)', 1) AS pth,
+        |    list_sort(list_filter(string_split(regexp_extract(u, '\?(.*)$', 1), '&'),
+        |      p -> p <> '' AND NOT starts_with(p, 'utm_'))) AS kept
+        |  FROM (SELECT doc_id, url_raw, regexp_replace(url_raw, '#.*$', '') AS u
+        |        FROM dec))
+        |SELECT doc_id, url_raw,
+        |  scheme || '://' || hostl ||
+        |  (CASE WHEN prt = '' OR (scheme = 'http' AND prt = '80')
+        |        OR (scheme = 'https' AND prt = '443')
+        |        THEN '' ELSE ':' || prt END) ||
+        |  (CASE WHEN pth = '' THEN '/' ELSE pth END) ||
+        |  (CASE WHEN len(kept) = 0 THEN ''
+        |        ELSE '?' || array_to_string(kept, '&') END) AS url_canonical
+        |FROM c ORDER BY doc_id""".stripMargin),
+
+    "quality_expectations" -> ("""SELECT * FROM (
+        |SELECT 'lineitem' AS tbl, 'not_null:l_orderkey' AS rule,
+        |  CAST(count(CASE WHEN l_orderkey IS NULL THEN 1 END) AS BIGINT) AS violations FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'range:l_quantity:[1.0,25.0]',
+        |  CAST(count(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0 OR l_quantity > 25.0 THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'non_negative:l_extendedprice',
+        |  CAST(count(CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0 THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'range:l_discount:[0.0,0.05]',
+        |  CAST(count(CASE WHEN l_discount IS NULL OR l_discount < 0.0 OR l_discount > 0.05 THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'lineitem', 'in_set:l_returnflag',
+        |  CAST(count(CASE WHEN l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R') THEN 1 END) AS BIGINT) FROM lineitem
+        |UNION ALL SELECT 'orders', 'not_null:o_custkey',
+        |  CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'non_negative:o_totalprice',
+        |  CAST(count(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0 THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'orders', 'in_set:o_orderstatus',
+        |  CAST(count(CASE WHEN o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O') THEN 1 END) AS BIGINT) FROM orders
+        |UNION ALL SELECT 'documents', 'not_null:text',
+        |  CAST(count(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'documents', 'range:n_chars:[1.0,300.0]',
+        |  CAST(count(CASE WHEN n_chars IS NULL OR n_chars < 1.0 OR n_chars > 300.0 THEN 1 END) AS BIGINT) FROM documents
+        |UNION ALL SELECT 'orders', 'unique:o_orderkey',
+        |  CAST((SELECT count(*) FROM orders) - (SELECT count(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+        |UNION ALL SELECT 'customer', 'unique:c_custkey',
+        |  CAST((SELECT count(*) FROM customer) - (SELECT count(DISTINCT c_custkey) FROM customer) AS BIGINT)
+        |UNION ALL SELECT 'lineitem', 'unique:l_orderkey,l_linenumber',
+        |  CAST((SELECT count(*) FROM lineitem) -
+        |       (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT)
+        |UNION ALL SELECT 'lineitem', 'ref:l_orderkey',
+        |  CAST(count(*) AS BIGINT) FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL SELECT 'lineitem', 'ref:l_partkey',
+        |  CAST(count(*) AS BIGINT) FROM lineitem l WHERE l_partkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL SELECT 'lineitem', 'ref:l_suppkey',
+        |  CAST(count(*) AS BIGINT) FROM lineitem l WHERE l_suppkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL SELECT 'orders', 'ref:o_custkey',
+        |  CAST(count(*) AS BIGINT) FROM orders o WHERE o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL SELECT 'customer', 'ref:c_nationkey',
+        |  CAST(count(*) AS BIGINT) FROM customer c WHERE c_nationkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |) ORDER BY tbl, rule""".stripMargin),
 
     "web_domain_filter" -> (webDocsSql +
       s"""

@@ -56,4 +56,42 @@ object UrlFunctions {
       array_join(slice(labels, -3, 3), "."))
       .otherwise(array_join(slice(labels, -2, 2), "."))
   }
+
+  /** Canonical URL — the dedup key for URL-keyed web curation (the same
+    * crawl page arrives as `HTTP://Site.com/p?b=2&a=1#frag`,
+    * `http://site.com:80/p?a=1&b=2&utm_source=feed`, …):
+    *
+    *   - fragment dropped (never sent to the server);
+    *   - scheme and host lowercased (case-insensitive per RFC 3986; path
+    *     and query stay case-sensitive and are preserved);
+    *   - default ports stripped (`:80` for http, `:443` for https);
+    *     explicit non-default ports kept;
+    *   - `utm_*` tracking parameters dropped, remaining `k=v` parameters
+    *     sorted bytewise (param order is almost never semantic; sorting
+    *     makes equal parameter SETS equal strings);
+    *   - empty path normalized to `/`.
+    *
+    * Pure regex/array built-ins end to end (codegen'd, each with a
+    * closed-form twin in any POSIX-regex engine). Deliberately NOT done:
+    * percent-encoding normalization and trailing-slash collapse — both
+    * change semantics on real servers more often than they unify
+    * duplicates. */
+  def canonicalUrl(url: Column): Column = {
+    val u = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val hostL = lower(regexp_extract(u, "^[A-Za-z]+://([^/:?]+)", 1))
+    val portD = regexp_extract(u, "^[A-Za-z]+://[^/:?]+:([0-9]+)", 1)
+    val path0 = regexp_extract(u, "^[A-Za-z]+://[^/?]*(/[^?]*)", 1)
+    val q = regexp_extract(u, "\\?(.*)$", 1)
+    val kept = array_sort(filter(split(q, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val portPart = when(portD === "" ||
+        (scheme === "http" && portD === "80") ||
+        (scheme === "https" && portD === "443"), lit(""))
+      .otherwise(concat(lit(":"), portD))
+    val pathPart = when(path0 === "", lit("/")).otherwise(path0)
+    val qPart = when(size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(kept, "&")))
+    concat(scheme, lit("://"), hostL, portPart, pathPart, qPart)
+  }
 }

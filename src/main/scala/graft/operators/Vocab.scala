@@ -72,6 +72,46 @@ object Vocab {
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
           .otherwise(concat(acc, array(x))))
 
+  /** ENCODE a corpus with an already-learned merge list — the inference
+    * half of the tokenizer ([[bpeMerges]] is the training half): each
+    * document becomes its ordered BPE piece stream
+    * `(idCol, pos, piece)`, `pos` 1-based over the whole document.
+    *
+    * The scalable shape mirrors training: merges are applied to the
+    * DISTINCT-token vocabulary (bounded by vocabulary size — each rule is
+    * one [[applyMerge]] fold, `nMerges` chained narrow maps), and the
+    * corpus-sized token stream then just hash-joins `tok → syms` and
+    * explodes. Encoding cost at 100 TB is one tokenize pass + one
+    * vocabulary join — the per-token merge loop never touches
+    * corpus-sized data. The per-document `row_number` runs over
+    * document-sized partitions (a document's own piece stream must be
+    * contiguous, so this is the natural partitioning, not a bottleneck).
+    *
+    * Merge rules apply in learned order, each with the same greedy
+    * left-to-right non-overlapping scan as training — so
+    * `bpeEncode(docs, rules-from-bpeMerges)` reproduces exactly the
+    * vocabulary state the trainer ended at. */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
+          t => t =!= "")).as(Seq("tok_idx", "tok")))
+    val encodedVocab = toks.select(col("tok")).distinct()
+      .withColumn("syms",
+        merges.foldLeft(
+          transform(sequence(lit(0), length(col("tok")) - 1),
+            i => col("tok").substr(i + 1, lit(1)))) {
+          case (syms, (l, r)) => applyMerge(syms, l, r)
+        })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tok_idx"), col("sym_idx"))
+    toks.join(encodedVocab, "tok")
+      .select(col(idCol), col("tok_idx"),
+        posexplode(col("syms")).as(Seq("sym_idx", "piece")))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(idCol), col("pos"), col("piece"))
+  }
+
   /** Learn the first `nMerges` BPE merge rules. Output: one row per
     * round — `(round, left_sym, right_sym, pair_count)` — the merge
     * table a tokenizer trainer persists. Stops early when no pair is

@@ -1225,6 +1225,100 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(("a", "b"), ("ab", "ab"))
   }
 
+  test("bpe encode: learned merges apply greedily, stream keeps doc order") {
+    // merges (a,b) then (ab,ab): "abab"→[abab]; "aa"→[a,a] (no (a,a)
+    // rule); "aaa" under (a,a) would be greedy left-to-right — checked
+    // separately below
+    val d = docs((1L, "abab  aa b"), (2L, "ab"))
+    val out = graft.operators.Vocab
+      .bpeEncode(d, Seq(("a", "b"), ("ab", "ab")))
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    out shouldBe Seq(
+      (1L, 1L, "abab"), (1L, 2L, "a"), (1L, 3L, "a"), (1L, 4L, "b"),
+      (2L, 1L, "ab"))
+    // greedy non-overlapping: "aaa" → [aa, a], not [a, aa]
+    graft.operators.Vocab.bpeEncode(docs((1L, "aaa")), Seq(("a", "a")))
+      .orderBy("pos").collect().map(_.getString(2)).toSeq shouldBe Seq("aa", "a")
+    // encode(corpus, bpeMerges(corpus)) reproduces the trainer's final
+    // vocabulary state: every piece is a learned symbol or a residual char
+    val corpus = docs((1L, "low lower lowest low low"))
+    val merges = graft.operators.Vocab.bpeMerges(corpus, nMerges = 3)
+      .orderBy("round").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val pieces = graft.operators.Vocab.bpeEncode(corpus, merges)
+      .select("piece").distinct().collect().map(_.getString(0)).toSet
+    val learned = merges.map { case (l, r) => l + r }.toSet
+    // "low" appears 4× so (l,o) then (lo,w) merge first: "low" encodes
+    // to the single learned piece
+    learned should contain("low")
+    pieces should contain("low")
+  }
+
+  test("quality audit: fused rule scan, uniqueness, referential integrity") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Quality._
+    val t = Seq(
+      (Some(1L), Some(5.0), "A"),
+      (Some(2L), Some(-1.0), "X"),   // range + in_set violations
+      (None, None, "N"),             // not_null + range(null) violations
+      (Some(2L), Some(50.0), "R"))   // dup key + range violation
+      .toDF("id", "qty", "flag")
+    val out = audit(t, "t", Seq(
+        notNull("id"), inRange("qty", 0, 10), inSet("flag", Seq("A", "N", "R"))))
+      .unionByName(unique(t, "t", Seq("id")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    out shouldBe Seq(
+      ("in_set:flag", 1L),
+      ("not_null:id", 1L),
+      ("range:qty:[0.0,10.0]", 3L),  // -1, null, 50
+      // count(*) − count(DISTINCT): the dup AND the null row count (both
+      // engines' DISTINCT ignores NULL) — declare not_null alongside
+      ("unique:id", 2L))
+    // RI: fact keys absent from the dim count; nulls don't
+    val fact = Seq(Some(1L), Some(9L), None, Some(9L)).toDF("fk")
+    val dim = Seq(1L, 2L).toDF("pk")
+    refIntegrity(fact, "f", "fk", dim, "pk")
+      .collect().head.getLong(2) shouldBe 2L
+    // empty table: zero violations, not null
+    audit(t.filter(lit(false)), "t", Seq(notNull("id")))
+      .collect().head.getLong(2) shouldBe 0L
+  }
+
+  test("url canonicalization: case, default ports, utm, sorting, fragment") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved, fragment dropped
+      (1L, "HTTP://Example.COM/Path/X#frag", "http://example.com/Path/X"),
+      // default ports stripped per scheme; non-default kept
+      (2L, "http://a.com:80/p", "http://a.com/p"),
+      (3L, "https://a.com:443/p", "https://a.com/p"),
+      (4L, "https://a.com:80/p", "https://a.com:80/p"),
+      (5L, "http://a.com:8080/p", "http://a.com:8080/p"),
+      // utm_* dropped, rest sorted; all-utm query vanishes entirely
+      (6L, "http://a.com/p?q=2&a=1&utm_source=x&utm_medium=y",
+        "http://a.com/p?a=1&q=2"),
+      (7L, "http://a.com/p?utm_source=x", "http://a.com/p"),
+      // empty path → '/'
+      (8L, "https://a.com", "https://a.com/"),
+      (9L, "https://a.com?b=2&a=1", "https://a.com/?a=1&b=2"))
+    val out = cases.map(c => (c._1, c._2)).toDF("id", "url")
+      .select(col("id"),
+        graft.functions.UrlFunctions.canonicalUrl(col("url")).as("c"))
+      .orderBy("id").collect().map(_.getString(1)).toSeq
+    out shouldBe cases.map(_._3)
+    // the point: crawl-noise variants of one page share a canonical key
+    val variants = Seq(
+      "HTTP://Site.com/p?b=2&a=1#frag",
+      "http://site.com:80/p?a=1&b=2&utm_source=feed",
+      "http://site.com/p?b=2&a=1&utm_medium=cpc#other")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    variants.select(graft.functions.UrlFunctions.canonicalUrl(col("url")))
+      .distinct().count() shouldBe 1L
+  }
+
   test("url decomposition: host/port/path/query/registered-domain/tld") {
     val s = spark
     import s.implicits._
