@@ -1190,6 +1190,39 @@ object SparkEntry {
     // int8 symmetric quantization of the embedding column: integer dot
     // products (exact, hash-checkable) + quantized vs exact cosine on
     // consecutive-id pairs. The 4×-smaller ANN-index scale path.
+    // random-projection dim reduction (JL), integer-exact: every output
+    // component is a closed-form integer dot both engines replay —
+    // pins the projection kernel; the Gaussian float path is
+    // embedding_project (spec-pinned top-k overlap vs full space)
+    "embedding_project_oracled" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"),
+          posexplode(V.projectInt(col("embedding"),
+            V.portablePlanes(8, 64, ns = "proj:"))).as(Seq("pos", "dot")))
+        .orderBy("vec_id", "pos")),
+
+    // production Gaussian projection 64→16 + projected-space exact top-k
+    // for the probe vector: the pre-ANN shrink step at work. Rows-only
+    // (Gaussian floats aren't closed-form in SQL); ExtensionsSpec pins
+    // top-20 overlap of projected-space vs full-space ranking
+    "embedding_project" -> ((s, dir) => {
+      val planes = V.randomPlanes(16, 64, seed = 7L)
+      val proj = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), V.project(col("embedding"), planes).as("p"))
+      val q = proj.filter(col("vec_id") === 0)
+        .select(col("p").as("q")).limit(1)
+      proj.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          round(
+            aggregate(zip_with(col("p"), col("q"), (a, b) => a * b),
+              lit(0.0), (acc, x) => acc + x) /
+            (sqrt(aggregate(col("p"), lit(0.0), (acc, x) => acc + x * x)) *
+             sqrt(aggregate(col("q"), lit(0.0), (acc, x) => acc + x * x))),
+            4).as("cos_p"))
+        .orderBy(col("cos_p").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     "embedding_quantized" -> ((s, dir) => {
       // per-vector integer norm computed ONCE alongside the quantized
       // vector (the stored-index layout: at scale candidate pairs >>
@@ -3584,6 +3617,17 @@ object SparkEntry {
         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
         |  FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    // integer projection: same md5 component algebra as the LSH bucket
+    // bits ('proj:' namespace), emitting the dot instead of its sign
+    "embedding_project_oracled" ->
+      """SELECT vec_id, CAST(p AS INTEGER) AS pos,
+        |  CAST(list_sum(list_transform(range(1, len(embedding)+1), i ->
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
+        |    (CAST(('0x' || substr(md5('proj:' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 9 - 4)
+        |  )) AS BIGINT) AS dot
+        |FROM embeddings, range(8) t(p)
+        |ORDER BY vec_id, pos""".stripMargin,
 
     "embedding_quantized" ->
       """WITH q AS (

@@ -316,6 +316,39 @@ object VectorFunctions {
     Array.tabulate(numCells, dim)((j, i) =>
       (md5Int(s"$ns:$j:$i") % mod - (mod - 1) / 2) / 1000.0)
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project onto `planes.size` directions — one `transform` over the
+    * plane index, each output component a fused dot (same narrow codegen'd
+    * map shape as [[portableBucketBits]], no shuffle). At 100 TB this is
+    * the pre-ANN shrink step: 64→16 dims cuts every downstream index,
+    * shuffle, and scoring pass 4× while JL keeps relative distances
+    * within (1±ε). No 1/√k scaling — downstream cosine is invariant to a
+    * uniform scale, so the raw dots keep the arithmetic simplest. */
+  def project(vec: Column, planes: Seq[Seq[Float]]): Column = {
+    val planesCol = array(planes.map(pl =>
+      array(pl.map(x => lit(x.toDouble)): _*)): _*)
+    transform(sequence(lit(0), lit(planes.size - 1)), p =>
+      aggregate(
+        zip_with(vec, element_at(planesCol, p + 1),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x))
+  }
+
+  /** Exact-INTEGER projection over [[portablePlanes]] components: the
+    * vector quantizes with floor(x·1000) and each output component is a
+    * pure integer dot — bit-exact across engines (the
+    * [[portableBucketBits]] algebra, emitting the dot instead of its
+    * sign), which makes the projection hash-checkable in closed-form SQL.
+    * The Gaussian [[project]] stays the production path. */
+  def projectInt(vec: Column, planes: Seq[Seq[Long]]): Column = {
+    val planesCol = array(planes.map(pl => array(pl.map(lit(_)): _*)): _*)
+    transform(sequence(lit(0), lit(planes.size - 1)), p =>
+      aggregate(
+        zip_with(vec, element_at(planesCol, p + 1),
+          (x, c) => floor(x.cast("double") * lit(1000.0)).cast("long") * c),
+        lit(0L), (acc, x) => acc + x))
+  }
+
   /** md5-derived per-subspace PQ codebooks — the [[portableCentroids]]
     * recipe under a subspace-scoped namespace: codebook entry `(s, j, i)`
     * = `(md5int('pq:' s ':' j ':' i) mod 2001 - 1000) / 1000.0`. Fixed

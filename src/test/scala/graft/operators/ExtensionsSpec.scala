@@ -1225,6 +1225,56 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(("a", "b"), ("ab", "ab"))
   }
 
+  test("random projection: integer kernel exact, clusters survive 64->16") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // portable integer kernel ≡ driver arithmetic on every vector
+    val planes = V.portablePlanes(8, 64, ns = "proj:")
+    val rows = e.select(col("vec_id"), col("embedding"),
+        V.projectInt(col("embedding"), planes).as("p"))
+      .collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](1)
+      val got = r.getSeq[Long](2)
+      val want = planes.map(pl =>
+        vec.zip(pl).map { case (x, c) =>
+          math.floor(x.toDouble * 1000.0).toLong * c
+        }.sum)
+      got shouldBe want
+    }
+    // The JL guarantee is about PRESERVED STRUCTURE, not noise ranking
+    // (on the near-uniform test corpus the exact top-20 is a tie region
+    // — measured overlap stays ~5/20 even at 48 of 64 dims, projected or
+    // not). So pin the property that matters for the pre-ANN shrink: on
+    // a CLUSTERED corpus (20 clusters × 10 members, cosine ~0.95 within,
+    // ~0 across), every probe's top-9 projected-space neighbors are its
+    // own cluster — 64→16 projection must not merge or scatter clusters.
+    val s2 = spark
+    import s2.implicits._
+    val rnd = new scala.util.Random(11L)
+    val bases = Array.fill(20)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows2 = for (c <- 0 until 20; m <- 0 until 10) yield {
+      val v = bases(c).map(x => x + 0.15f * rnd.nextGaussian().toFloat)
+      (c.toLong * 10 + m, c, v.toSeq)
+    }
+    val clustered = rows2.toDF("vec_id", "cluster", "embedding")
+    val gp = V.randomPlanes(16, 64, seed = 7L)
+    val proj = clustered.select(col("vec_id"), col("cluster"),
+      V.project(col("embedding"), gp).as("p"))
+    val all = proj.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    all.foreach { case (id, cl, v) =>
+      val top9 = all.filter(_._1 != id)
+        .sortBy { case (oid, _, ov) => (-cos(v, ov), oid) }.take(9)
+      withClue(s"probe $id: ") {
+        top9.count(_._2 == cl) shouldBe 9
+      }
+    }
+  }
+
   test("bpe encode: learned merges apply greedily, stream keeps doc order") {
     // merges (a,b) then (ab,ab): "abab"→[abab]; "aa"→[a,a] (no (a,a)
     // rule); "aaa" under (a,a) would be greedy left-to-right — checked
