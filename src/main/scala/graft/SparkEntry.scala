@@ -1190,6 +1190,27 @@ object SparkEntry {
     // int8 symmetric quantization of the embedding column: integer dot
     // products (exact, hash-checkable) + quantized vs exact cosine on
     // consecutive-id pairs. The 4×-smaller ANN-index scale path.
+    // MERGEABLE distinct-count sketches — the 100 TB pattern for "unique
+    // users per X over any date slice": per-(type, day) HLL sketches are
+    // built once (one pass over events), and any rollup is a union of
+    // sketch BINARIES — never a rescan of data. The output carries the
+    // direct whole-data estimate, the merged-from-parts estimate, and
+    // the exact count; rows-only (datasketches binaries have no DuckDB
+    // twin) — ExtensionsSpec pins merged ≡ direct and the error bound at
+    // 100k cardinality, plus the parquet round trip of the sketch table
+    "sketch_distinct_merged" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+      val direct = ev.groupBy("event_type")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+          count_distinct(col("user_id")).as("n_exact"))
+      direct.join(merged, "event_type").orderBy("event_type")
+    }),
+
     // random-projection dim reduction (JL), integer-exact: every output
     // component is a closed-form integer dot both engines replay —
     // pins the projection kernel; the Gaussian float path is

@@ -1275,6 +1275,30 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("hll sketch table: merge ≡ direct, parquet round trip, error bound") {
+    val s = spark
+    import s.implicits._
+    // 100k-cardinality keys split across 10 parts: enough to leave the
+    // sketch's exact regime so the error bound is a real assertion
+    val n = 100000
+    val d = (0 until n).map(i => (i.toLong * 7919 % 100003, i % 10))
+      .toDF("k", "part")
+    val parts = d.groupBy("part").agg(hll_sketch_agg(col("k")).as("sk"))
+    // sketch table survives a parquet round trip (the stored layout)
+    val path = java.nio.file.Files.createTempDirectory("hll").toString
+    parts.write.mode("overwrite").parquet(path)
+    val merged = spark.read.parquet(path)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect().head.getLong(0)
+    val direct = d.agg(hll_sketch_estimate(hll_sketch_agg(col("k"))))
+      .collect().head.getLong(0)
+    val exact = d.select(count_distinct(col("k"))).collect().head.getLong(0)
+    // union-of-parts and one-pass sketches see identical key sets → the
+    // deterministic datasketches estimate must agree
+    merged shouldBe direct
+    math.abs(merged - exact).toDouble / exact should be < 0.05
+  }
+
   test("bpe encode: learned merges apply greedily, stream keeps doc order") {
     // merges (a,b) then (ab,ab): "abab"→[abab]; "aa"→[a,a] (no (a,a)
     // rule); "aaa" under (a,a) would be greedy left-to-right — checked
