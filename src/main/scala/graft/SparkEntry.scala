@@ -691,6 +691,35 @@ object SparkEntry {
         .withColumn("end_date", col("end_date").cast("timestamp_ntz"))
         .orderBy("supplier_key", "start_date", "supplier_state")),
 
+    // SCD Type 4: Type-1 current + append-only history TABLE. Two cycles
+    // (b2@t2, b3@t3); the output is the history table — each row a prior
+    // version stamped with the cycle that superseded it (the current
+    // table is exactly scd_upsert_landing's artifact). History writes are
+    // delta-sized map-side appends: dimension inner-joins the broadcast
+    // delta, zero target shuffle
+    "scd4_history" -> ((s, dir) => {
+      val (c2, h2) = graft.ops.Scd4(cycleBarrier(b1(s, dir)), b2(s, dir),
+        Seq("supplier_code"), t2)
+      val (_, h3) = graft.ops.Scd4(cycleBarrier(c2), b3(s, dir),
+        Seq("supplier_code"), t3)
+      h2.unionByName(h3)
+        .withColumn("superseded_at", col("superseded_at").cast("timestamp_ntz"))
+        .orderBy("supplier_key", "superseded_at")
+    }),
+
+    // point-in-time reconstruction from the Type 4 pair: as-of mid-Feb
+    // (between the two cycles) must re-materialize EXACTLY the landing
+    // state after batch2 — the scd_upsert_landing oracle, verbatim
+    "scd4_asof" -> ((s, dir) => {
+      val (c2, h2) = graft.ops.Scd4(cycleBarrier(b1(s, dir)), b2(s, dir),
+        Seq("supplier_code"), t2)
+      val (c3, h3) = graft.ops.Scd4(cycleBarrier(c2), b3(s, dir),
+        Seq("supplier_code"), t3)
+      graft.ops.Scd4.asOf(c3, h2.unionByName(h3), Seq("supplier_code"),
+          Timestamp.valueOf("2024-02-15 00:00:00"))
+        .orderBy("supplier_key")
+    }),
+
     "scd2_corrected" -> ((s, dir) =>
       scd2CorrectedAfter3(s, dir)
         .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
@@ -2066,6 +2095,21 @@ object SparkEntry {
       |         'ST' || CAST((s_nationkey + 7) % 25 AS VARCHAR) AS state1
       |  FROM supplier)""".stripMargin
 
+  /** The landing table after batch2 — shared by `scd_upsert_landing` and
+    * the Type 4 mid-cycle reconstruction `scd4_asof` (which must equal it
+    * exactly). */
+  private val landingAfterB2Sql = supCte +
+    """
+      |SELECT k AS supplier_key, code AS supplier_code,
+      |  CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS supplier_name,
+      |  CASE WHEN k % 3 = 0 THEN state1 ELSE state0 END AS supplier_state
+      |FROM sup
+      |UNION ALL
+      |SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+      |  'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0
+      |FROM sup WHERE k % 4 = 0
+      |ORDER BY supplier_key""".stripMargin
+
   /** Shared CTE: documents with the identical synthetic URL the
     * Spark-side [[webDocs]] constructs (same residues, same strings). */
   private val webDocsSql =
@@ -2755,17 +2799,23 @@ object SparkEntry {
         |  min(value) AS min_value, max(value) AS max_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "scd_upsert_landing" -> (supCte +
+    "scd_upsert_landing" -> landingAfterB2Sql,
+
+    "scd4_history" -> (supCte +
       """
-        |SELECT k AS supplier_key, code AS supplier_code,
-        |  CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END AS supplier_name,
-        |  CASE WHEN k % 3 = 0 THEN state1 ELSE state0 END AS supplier_state
-        |FROM sup
-        |UNION ALL
-        |SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
-        |  'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0
-        |FROM sup WHERE k % 4 = 0
-        |ORDER BY supplier_key""".stripMargin),
+        |SELECT * FROM (
+        |  SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |    state0 AS supplier_state,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS superseded_at
+        |  FROM sup WHERE k % 3 = 0 OR k % 5 = 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state1, TIMESTAMP '2024-03-01 00:00:00'
+        |  FROM sup WHERE k % 3 = 0)
+        |ORDER BY supplier_key, superseded_at""".stripMargin),
+
+    // as-of between the cycles ≡ the landing table after batch2
+    "scd4_asof" -> landingAfterB2Sql,
 
     "scd_cdc_diff" -> (supCte +
       """

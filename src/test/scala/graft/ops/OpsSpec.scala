@@ -283,6 +283,44 @@ class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe expected
   }
 
+  // ---- Scd4 (Type 1 current + append-only history table) ------------------
+
+  test("scd4: changed rows append their prior version; inserts and no-ops don't") {
+    val ts2 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val ts3 = java.sql.Timestamp.valueOf("2024-03-01 00:00:00")
+    val cur0 = suppliers(
+      (1L, "A101", "Kohli", "Delhi"),
+      (2L, "A102", "Dhoni", "Ranchi"),
+      (3L, "A103", "Pujara", "Gujarat"))
+    val d1 = suppliers(
+      (1L, "A101", "Kohli", "Goa"),    // change → history gets Delhi version
+      (2L, "A102", "Dhoni", "Ranchi"), // no-op → nothing
+      (4L, "A104", "Gill", "Punjab"))  // insert → nothing (no prior)
+    val (c1, h1) = Scd4(cur0, d1, Seq("supplier_code"), ts2)
+    h1.collect().map(r => (r.getString(1), r.getString(3), r.getTimestamp(4))) shouldBe
+      Array(("A101", "Delhi", ts2))
+    c1.orderBy("supplier_key").collect().map(_.getString(3)) shouldBe
+      Array("Goa", "Ranchi", "Gujarat", "Punjab")
+    // second cycle: another change to the same key appends a second
+    // version; history is append-only and versions stay distinguishable
+    val d2 = suppliers((1L, "A101", "Kohli", "Pune"))
+    val (c2, h2) = Scd4(c1.localCheckpoint(true), d2, Seq("supplier_code"), ts3)
+    val hist = h1.unionByName(h2)
+    hist.orderBy("superseded_at").collect()
+      .map(r => (r.getString(3), r.getTimestamp(4))) shouldBe
+      Array(("Delhi", ts2), ("Goa", ts3))
+    // point-in-time: between the cycles key 1 was 'Goa'; asOf after all
+    // cycles is just the current table
+    val asOfMid = Scd4.asOf(c2, hist, Seq("supplier_code"),
+      java.sql.Timestamp.valueOf("2024-02-15 00:00:00"))
+    asOfMid.orderBy("supplier_key").collect().map(_.getString(3)) shouldBe
+      Array("Goa", "Ranchi", "Gujarat", "Punjab")
+    val asOfLate = Scd4.asOf(c2, hist, Seq("supplier_code"),
+      java.sql.Timestamp.valueOf("2024-04-01 00:00:00"))
+    asOfLate.orderBy("supplier_key").collect().map(_.getString(3)) shouldBe
+      Array("Pune", "Ranchi", "Gujarat", "Punjab")
+  }
+
   // ---- Scd3 (Type 3 previous-value columns, Type 6 overlay) ---------------
 
   test("scd3: tracked change moves old value to prev, untracked overwrites, inserts null-prev") {
