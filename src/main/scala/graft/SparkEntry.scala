@@ -720,6 +720,22 @@ object SparkEntry {
         .orderBy("supplier_key")
     }),
 
+    // late-arriving correction: the upstream re-sends January with a
+    // mid-month state fix AFTER batch2 already landed. Each late record
+    // splits its enclosing version at the effective timestamp — the
+    // operator the cycle merge can't express (batchTime is by definition
+    // ≥ every boundary). Late batch broadcasts; history never shuffles
+    "scd2_late_splice" -> ((s, dir) => {
+      val late = supplier(s, dir).filter(col("s_suppkey") % 7 === 0).select(
+        concat(lit("S"), col("s_suppkey").cast("string")).as("supplier_code"),
+        concat(lit("STL"), (col("s_suppkey") % 25).cast("string")).as("supplier_state"),
+        lit(Timestamp.valueOf("2024-01-15 00:00:00")).as("effective_ts"))
+      Scd2.spliceLate(scd2After2(s, dir), late, Seq("supplier_code"))
+        .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
+        .withColumn("end_date", col("end_date").cast("timestamp_ntz"))
+        .orderBy("supplier_key", "start_date", "supplier_state")
+    }),
+
     "scd2_corrected" -> ((s, dir) =>
       scd2CorrectedAfter3(s, dir)
         .withColumn("start_date", col("start_date").cast("timestamp_ntz"))
@@ -2816,6 +2832,41 @@ object SparkEntry {
 
     // as-of between the cycles ≡ the landing table after batch2
     "scd4_asof" -> landingAfterB2Sql,
+
+    "scd2_late_splice" -> (supCte +
+      """
+        |, hist AS (
+        |  SELECT k, code, name, state0 AS state,
+        |    TIMESTAMP '2024-01-01 00:00:00' AS start_date,
+        |    TIMESTAMP '2024-02-01 00:00:00' AS end_date, 'N' AS current_flag
+        |  FROM sup WHERE (k % 3 = 0 OR k % 5 = 0) AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-15 00:00:00', 'N'
+        |  FROM sup WHERE k % 7 = 0
+        |  UNION ALL
+        |  SELECT k, code, name, 'STL' || CAST(k % 25 AS VARCHAR),
+        |    TIMESTAMP '2024-01-15 00:00:00', TIMESTAMP '2024-02-01 00:00:00', 'N'
+        |  FROM sup WHERE k % 7 = 0 AND (k % 3 = 0 OR k % 5 = 0)
+        |  UNION ALL
+        |  SELECT k, code, name, 'STL' || CAST(k % 25 AS VARCHAR),
+        |    TIMESTAMP '2024-01-15 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 7 = 0 AND k % 3 <> 0 AND k % 5 <> 0
+        |  UNION ALL
+        |  SELECT k, code, name, state0, TIMESTAMP '2024-01-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 <> 0 AND k % 5 <> 0 AND k % 7 <> 0
+        |  UNION ALL
+        |  SELECT k, code, CASE WHEN k % 5 = 0 THEN name || '_v2' ELSE name END,
+        |    state1, TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 3 = 0
+        |  UNION ALL
+        |  SELECT k + 100000, 'S' || CAST(k + 100000 AS VARCHAR),
+        |    'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0,
+        |    TIMESTAMP '2024-02-01 00:00:00', NULL, 'Y'
+        |  FROM sup WHERE k % 4 = 0)
+        |SELECT k AS supplier_key, code AS supplier_code, name AS supplier_name,
+        |  state AS supplier_state, start_date, end_date, current_flag
+        |FROM hist ORDER BY supplier_key, start_date, supplier_state""".stripMargin),
 
     "scd_cdc_diff" -> (supCte +
       """

@@ -138,6 +138,67 @@ object Scd2 {
     * on exactly the large histories this engine targets; with no hint AQE
     * still picks a broadcast join whenever the history measures small at
     * runtime, so small-dimension callers lose nothing. */
+  /** Late-arriving correction splice — backfill a fact that arrives with
+    * an effective timestamp IN THE PAST: each late record
+    * `(keys…, corrected attrs…, tsCol)` finds its ENCLOSING version
+    * (`start_date <= ts < end_date`, open versions unbounded) and splits
+    * it at `ts`: `[start, ts)` keeps the old attributes and closes with
+    * flag 'N'; `[ts, old end)` carries the corrected attributes and
+    * inherits the enclosing row's end_date and flag (so splicing into the
+    * open version leaves exactly one open row). A late ts equal to the
+    * enclosing version's start replaces that version's attributes in
+    * place — no empty segment is emitted. Late columns beyond the keys
+    * and `tsCol` overwrite their staging columns; staging columns absent
+    * from the late batch pass through from the enclosing version.
+    *
+    * [[merge]] can't express this: the cycle merge stamps everything with
+    * `batchTime`, which is by definition ≥ every existing boundary. This
+    * is the operator behind "the upstream system re-sent January with
+    * corrections in March".
+    *
+    * At most ONE late record per key per call (callers loop batches —
+    * each splice re-establishes the disjoint-interval invariant the next
+    * batch relies on).
+    *
+    * Scale: the late batch broadcasts; the history streams map-side
+    * through one left join and three narrow projections — the 100 TB
+    * history is never shuffled, same shape as the cycle merge itself. */
+  def spliceLate(
+      staging: DataFrame,
+      late: DataFrame,
+      keys: Seq[String],
+      tsCol: String = "effective_ts"): DataFrame = {
+    val passCols = staging.columns.toSeq
+    val attrCols = late.columns.filterNot(c => keys.contains(c) || c == tsCol)
+    require(attrCols.forall(passCols.contains),
+      s"late columns ${attrCols.mkString(",")} must exist in staging")
+    val t = staging.alias("__t")
+    val l = broadcast(late).alias("__l")
+    val keyCond = keys.map(k => col(s"__t.$k") === col(s"__l.$k")).reduce(_ && _)
+    val enclosing = col(s"__t.start_date") <= col(s"__l.$tsCol") &&
+      (col(s"__t.end_date").isNull || col(s"__l.$tsCol") < col(s"__t.end_date"))
+    val joined = t.join(l, keyCond && enclosing, "left")
+    val matched = col(s"__l.$tsCol").isNotNull
+    val boundary = col(s"__l.$tsCol") === col(s"__t.start_date")
+    val untouched = joined.filter(!matched)
+      .select(passCols.map(c => col(s"__t.$c").as(c)): _*)
+    // [start, ts): old attributes, closed at the correction point
+    val before = joined.filter(matched && !boundary)
+      .select(passCols.map {
+        case c @ "end_date" => col(s"__l.$tsCol").as(c)
+        case c @ "current_flag" => lit("N").as(c)
+        case c => col(s"__t.$c").as(c)
+      }: _*)
+    // [ts, old end): corrected attributes, inheriting end_date + flag
+    val after = joined.filter(matched)
+      .select(passCols.map {
+        case c if attrCols.contains(c) => col(s"__l.$c").as(c)
+        case c @ "start_date" => col(s"__l.$tsCol").as(c)
+        case c => col(s"__t.$c").as(c)
+      }: _*)
+    untouched.unionByName(before).unionByName(after)
+  }
+
   def pointInTime(
       facts: DataFrame,
       history: DataFrame,

@@ -283,6 +283,48 @@ class OpsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq shouldBe expected
   }
 
+  // ---- Scd2.spliceLate (late-arriving corrections) ------------------------
+
+  test("scd2 late splice: closed/open versions split, boundary replaces, others pass") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    val staging = Seq(
+      // key A: closed Jan version + open Feb version
+      ("A", "x1", ts("2024-01-01"), Some(ts("2024-02-01")), "N"),
+      ("A", "x2", ts("2024-02-01"), None, "Y"),
+      // key B: one open version
+      ("B", "y1", ts("2024-01-01"), None, "Y"),
+      // key C: untouched bystander
+      ("C", "z1", ts("2024-01-01"), None, "Y"))
+      .map { case (k, v, sd, ed, f) => (k, v, sd, ed.orNull, f) }
+      .toDF("code", "v", "start_date", "end_date", "current_flag")
+    // late: A corrected mid-January (splits the CLOSED version),
+    //       B corrected exactly at its start (in-place replacement)
+    val late = Seq(
+      ("A", "x1L", ts("2024-01-15")),
+      ("B", "y1L", ts("2024-01-01")))
+      .toDF("code", "v", "effective_ts")
+    val out = Scd2.spliceLate(staging, late, Seq("code"))
+      .orderBy("code", "start_date").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getString(4)))
+    out shouldBe Array(
+      ("A", "x1", ts("2024-01-01"), ts("2024-01-15"), "N"),
+      ("A", "x1L", ts("2024-01-15"), ts("2024-02-01"), "N"),
+      ("A", "x2", ts("2024-02-01"), null, "Y"),
+      ("B", "y1L", ts("2024-01-01"), null, "Y"),
+      ("C", "z1", ts("2024-01-01"), null, "Y"))
+    // splicing into the OPEN version keeps exactly one open row per key
+    val late2 = Seq(("C", "z1L", ts("2024-03-01"))).toDF("code", "v", "effective_ts")
+    val outC = Scd2.spliceLate(staging, late2, Seq("code"))
+      .filter(col("code") === "C").orderBy("start_date").collect()
+      .map(r => (r.getString(1), r.getTimestamp(3), r.getString(4)))
+    outC shouldBe Array(
+      ("z1", ts("2024-03-01"), "N"),
+      ("z1L", null, "Y"))
+  }
+
   // ---- Scd4 (Type 1 current + append-only history table) ------------------
 
   test("scd4: changed rows append their prior version; inserts and no-ops don't") {
