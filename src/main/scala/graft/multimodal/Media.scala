@@ -121,16 +121,42 @@ object Media {
       finally if (iis != null) iis.close()
     }
 
-  /** REAL audio metadata via JDK `javax.sound.sampled` — no extra jars,
-    * same trick as [[imageDimensions]]. Dispatched on the RIFF/WAVE magic;
-    * `None` when the bytes are not a parseable WAV, in which case callers
-    * fall back to the deterministic stub. Header-only: `AudioSystem`
-    * parses the fmt/data chunks without decoding samples, so metadata
-    * extraction stays cheap for multi-MB payloads. Returns
-    * `(sampleRate, channels, frames)` — the audio analog of image
-    * `(width, height, n_frames)`. */
+  private def looksLikeFlac(p: Array[Byte]): Boolean =
+    p.length >= 42 &&
+      p(0) == 'f' && p(1) == 'L' && p(2) == 'a' && p(3) == 'C'
+
+  /** FLAC STREAMINFO parse — the mandatory first metadata block right
+    * after the `fLaC` magic: sample rate (20 bits), channels (3 bits),
+    * and total samples (36 bits) unpacked from the fixed 34-byte layout.
+    * Pure byte arithmetic, no decode — the same header-only discipline as
+    * the MP4/AVI walks. */
+  private def flacInfo(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    // metadata block header at 4: 1 byte (last-flag | type), u24 length;
+    // STREAMINFO is type 0 and always first per the spec
+    if ((p(4) & 0x7f) != 0) return None
+    val s = 8 // STREAMINFO payload start
+    def u(i: Int): Int = p(s + i) & 0xff
+    val rate = (u(10) << 12) | (u(11) << 4) | (u(12) >> 4)
+    val channels = ((u(12) >> 1) & 0x7) + 1
+    val totalSamples = ((u(13) & 0x0fL) << 32) | (u(14).toLong << 24) |
+      (u(15).toLong << 16) | (u(16).toLong << 8) | u(17).toLong
+    if (rate <= 0) None
+    else Some((rate, channels,
+      math.min(totalSamples, Int.MaxValue.toLong).toInt))
+  }
+
+  /** REAL audio metadata — WAV via JDK `javax.sound.sampled` (no extra
+    * jars, same trick as [[imageDimensions]]), FLAC via the pure-byte
+    * STREAMINFO parse ([[flacInfo]]) — dispatched on the RIFF/WAVE vs
+    * `fLaC` magic; `None` when the bytes are neither, in which case
+    * callers fall back to the deterministic stub. Header-only: the fmt/
+    * data chunks and STREAMINFO block are parsed without decoding
+    * samples, so metadata extraction stays cheap for multi-MB payloads.
+    * Returns `(sampleRate, channels, frames)` — the audio analog of
+    * image `(width, height, n_frames)`. */
   def audioMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
-    if (!looksLikeWav(payload)) None
+    if (looksLikeFlac(payload)) flacInfo(payload)
+    else if (!looksLikeWav(payload)) None
     else {
       var in: javax.sound.sampled.AudioInputStream = null
       try {

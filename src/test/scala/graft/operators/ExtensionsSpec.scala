@@ -969,6 +969,33 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     Media.audioMeta(wav(44100f, 2, 441)) shouldBe Some((44100, 2, 441))
     Media.audioMeta("not audio".getBytes("UTF-8")) shouldBe None
 
+    // FLAC: hand-packed STREAMINFO (the mandatory first block) with
+    // known rate/channels/total-samples in the exact 20/3/36-bit layout
+    def flac(rate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+      val b = new Array[Byte](4 + 4 + 34)
+      b(0) = 'f'; b(1) = 'L'; b(2) = 'a'; b(3) = 'C'
+      b(4) = 0x80.toByte // last-metadata-block flag, type 0 (STREAMINFO)
+      b(7) = 34 // u24 block length
+      val s = 8
+      b(s + 10) = ((rate >> 12) & 0xff).toByte
+      b(s + 11) = ((rate >> 4) & 0xff).toByte
+      val bps = 16
+      b(s + 12) = (((rate & 0xf) << 4) | ((channels - 1) << 1) |
+        ((bps - 1) >> 4)).toByte
+      b(s + 13) = ((((bps - 1) & 0xf) << 4) |
+        ((totalSamples >> 32) & 0xf).toInt).toByte
+      b(s + 14) = ((totalSamples >> 24) & 0xff).toByte
+      b(s + 15) = ((totalSamples >> 16) & 0xff).toByte
+      b(s + 16) = ((totalSamples >> 8) & 0xff).toByte
+      b(s + 17) = (totalSamples & 0xff).toByte
+      b
+    }
+    Media.audioMeta(flac(44100, 2, 88200L)) shouldBe Some((44100, 2, 88200))
+    Media.audioMeta(flac(96000, 8, 123456789L)) shouldBe Some((96000, 8, 123456789))
+    // a fLaC magic whose first block is NOT STREAMINFO → no parse
+    val bad = flac(44100, 2, 1L); bad(4) = 0x04 // type 4 (VORBIS_COMMENT)
+    Media.audioMeta(bad) shouldBe None
+
     // end-to-end through the partition-mapped extract: audio rows with
     // real WAV bytes report REAL (sample_rate, channels, frames); text
     // payloads keep the stub; video stays stubbed even with WAV bytes
