@@ -1256,6 +1256,14 @@ object SparkEntry {
       direct.join(merged, "event_type").orderBy("event_type")
     }),
 
+    // contrastive training triplets: anchor + best LSH-blocked positive
+    // + hash-successor negative, ids AND both rounded cosines oracled —
+    // the self-supervised batch builder over the embedding corpus
+    "contrastive_pairs" -> ((s, dir) =>
+      Similarity.contrastivePairs(
+          s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("anchor_id")),
+
     // random-projection dim reduction (JL), integer-exact: every output
     // component is a closed-form integer dot both engines replay —
     // pins the projection kernel; the Gaussian float path is
@@ -3739,6 +3747,42 @@ object SparkEntry {
         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
         |  FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "contrastive_pairs" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+        |ok AS (
+        |  SELECT bucket FROM bk GROUP BY bucket
+        |  HAVING count(*) > 1 AND count(*) <= 10000),
+        |cand AS (
+        |  SELECT a.id AS anchor_id, b.id AS cand_id,
+        |    a.embedding AS va, b.embedding AS vb
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id
+        |  WHERE a.bucket IN (SELECT bucket FROM ok)),
+        |pos AS (
+        |  SELECT anchor_id, cand_id AS pos_id, cos_pos FROM (
+        |    SELECT anchor_id, cand_id, round(${duckCos("va", "vb")}, 4) AS cos_pos,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY round(${duckCos("va", "vb")}, 4) DESC, cand_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |ordr AS (
+        |  SELECT id, md5('neg:' || CAST(id AS VARCHAR)) AS h,
+        |    CAST(('0x' || substr(md5('neg:' || CAST(id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS b
+        |  FROM bk),
+        |neg AS (
+        |  SELECT anchor_id, neg_id FROM (
+        |    SELECT id AS anchor_id,
+        |      COALESCE(lead(id) OVER (PARTITION BY b ORDER BY h, id),
+        |        first_value(id) OVER (PARTITION BY b ORDER BY h, id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) AS neg_id
+        |    FROM ordr)
+        |  WHERE neg_id <> anchor_id)
+        |SELECT p.anchor_id, p.pos_id, n.neg_id, p.cos_pos + 0.0 AS cos_pos,
+        |  round(${duckCos("x.embedding", "y.embedding")}, 4) + 0.0 AS cos_neg
+        |FROM pos p JOIN neg n USING (anchor_id)
+        |JOIN bk x ON x.id = p.anchor_id
+        |JOIN bk y ON y.id = n.neg_id
+        |ORDER BY anchor_id""".stripMargin,
 
     // integer projection: same md5 component algebra as the LSH bucket
     // bits ('proj:' namespace), emitting the dot instead of its sign

@@ -669,6 +669,70 @@ object Similarity {
       .select(col("id_l"), col("id_r"), col("cos"), col("rank"))
   }
 
+  /** Contrastive training-pair mining — the self-supervised batch
+    * builder: every vector becomes an anchor with a POSITIVE (its most
+    * similar LSH-blocked neighbor) and a NEGATIVE (a deterministic
+    * pseudo-random partner), the `(anchor, pos, neg)` triplets a
+    * contrastive or triplet-loss fine-tune consumes.
+    *
+    *   - Positives come from the portable hyperplane blocking
+    *     ([[graft.operators.Dedup.embeddingPortableCandidates]] — single
+    *     corpus scan, hot-bucket guarded, never all-pairs): per anchor,
+    *     the candidate with the highest ROUNDED cosine (4 dp; id
+    *     tie-break, so rank assignment is engine-independent). Anchors
+    *     whose bucket has no other member yield no triplet — by design:
+    *     a positive below LSH-collision similarity would be noise.
+    *   - Negatives pair each id with its cyclic successor in md5 hash
+    *     order WITHIN one of `negBuckets` hash buckets — deterministic,
+    *     reproducible, and fully parallel (each bucket windows
+    *     independently over slim (id, hash) rows; no global sort). Size
+    *     `negBuckets` so buckets hold ≫1 id — a singleton bucket would
+    *     pair an id with itself and is dropped. A negative is random BY
+    *     DESIGN (the standard in-batch-negative recipe); the rare
+    *     hash-neighbor that happens to be semantically close is the
+    *     usual false-negative noise contrastive training tolerates.
+    *
+    * Both sides are closed-form md5 arithmetic, so the full triplet
+    * relation (ids AND both rounded cosines) is hash-checkable
+    * cross-engine. */
+  def contrastivePairs(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64, numPlanes: Int = 8,
+      negBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = graft.operators.Dedup
+      .embeddingPortableCandidates(df, vecCol, idCol, dim, numPlanes)
+    val sym = cand.select(col("id_a").as("anchor_id"), col("id_b").as("cand_id"))
+      .unionByName(cand.select(col("id_b").as("anchor_id"), col("id_a").as("cand_id")))
+    val wPos = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_pos").desc, col("cand_id"))
+    val pos = sym
+      .join(ids.select(col("id").as("anchor_id"), col("vec").as("va")), "anchor_id")
+      .join(ids.select(col("id").as("cand_id"), col("vec").as("vb")), "cand_id")
+      .withColumn("cos_pos", round(V.cosineFused(col("va"), col("vb")), 4))
+      .withColumn("__r", row_number().over(wPos))
+      .filter(col("__r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"), col("cos_pos"))
+    // hex-prefix hash buckets: mod on the first 8 md5 hex chars keeps the
+    // bucket count free (16 would pin it to one hex digit)
+    val h = md5(concat(lit("neg:"), col("id").cast("string")))
+    val bkt = conv(substring(h, 1, 8), 16, 10).cast("long") % negBuckets
+    val wNeg = Window.partitionBy(col("__b")).orderBy(col("__h"), col("id"))
+    val wNegFull = wNeg.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val neg = ids.select(col("id"), h.as("__h"), bkt.as("__b"))
+      .withColumn("__next", lead(col("id"), 1).over(wNeg))
+      .withColumn("__first", first(col("id")).over(wNegFull))
+      .select(col("id").as("anchor_id"),
+        coalesce(col("__next"), col("__first")).as("neg_id"))
+      .filter(col("neg_id") =!= col("anchor_id")) // singleton bucket
+    pos.join(neg, "anchor_id")
+      .join(ids.select(col("id").as("anchor_id"), col("vec").as("va2")), "anchor_id")
+      .join(ids.select(col("id").as("neg_id"), col("vec").as("vn")), "neg_id")
+      .withColumn("cos_neg", round(V.cosineFused(col("va2"), col("vn")), 4))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("cos_pos"), col("cos_neg"))
+  }
+
   // ---- Product quantization (PQ) -------------------------------------------
 
   /** Product-quantization index: `m` subspace codebooks of `ksub`

@@ -93,9 +93,13 @@ object Vocab {
     * vocabulary state the trainer ended at. */
   def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // the exploded token stream feeds BOTH the distinct-token vocabulary
+    // and the final join; checkpoint it so the corpus tokenize runs once
+    // (same lineage-truncation pattern as bpeMerges' per-round vocab)
     val toks = docs.select(col(idCol),
         posexplode(filter(split(lower(trim(col(textCol))), "\\s+"),
           t => t =!= "")).as(Seq("tok_idx", "tok")))
+      .localCheckpoint(true)
     val encodedVocab = toks.select(col("tok")).distinct()
       .withColumn("syms",
         merges.foldLeft(

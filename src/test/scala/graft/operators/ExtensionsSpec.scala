@@ -1302,6 +1302,45 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("contrastive pairs: argmax positive, deterministic negative, no self-pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = graft.operators.Similarity.contrastivePairs(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    out.length should be > 0
+    // one triplet per anchor; never a self-positive or self-negative
+    out.map(_._1).distinct.length shouldBe out.length
+    out.foreach { case (a, p, n, _, _) =>
+      a should not be p
+      a should not be n
+    }
+    // the positive is the argmax in-bucket candidate: cos_pos must be ≥
+    // the anchor's cosine to ANY other blocked candidate (checked via
+    // the candidate relation itself)
+    val cand = graft.operators.Dedup.embeddingPortableCandidates(e)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candOf = (cand ++ cand.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      math.rint(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)) * 10000) / 10000
+    }
+    out.take(50).foreach { case (a, p, _, cp, _) =>
+      val best = candOf(a).map(c => cos(vecs(a), vecs(c))).max
+      cp shouldBe best
+      cos(vecs(a), vecs(p)) shouldBe cp
+    }
+    // anchors with no in-bucket candidate yield no triplet
+    out.map(_._1).toSet shouldBe candOf.keySet.intersect(out.map(_._1).toSet)
+    // deterministic: a re-run builds the identical triplet set
+    val again = graft.operators.Similarity.contrastivePairs(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    again shouldBe out.map(t => (t._1, t._2, t._3)).toSet
+  }
+
   test("hll sketch table: merge ≡ direct, parquet round trip, error bound") {
     val s = spark
     import s.implicits._
