@@ -1256,6 +1256,23 @@ object SparkEntry {
       direct.join(merged, "event_type").orderBy("event_type")
     }),
 
+    // the STORED tokenizer: merges learned once into a parquet artifact
+    // (train-once-encode-many, the ANN stored-index pattern), then the
+    // corpus encodes against the loaded model. Same oracle SQL as
+    // text_bpe_encode, verbatim — storage must be a pure round trip
+    "text_bpe_encode_stored" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-bpe-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+        graft.operators.Vocab.writeMerges(
+          graft.operators.Vocab.bpeMerges(docs, nMerges = 4), path.toString)
+      graft.operators.Vocab.bpeEncode(docs,
+          graft.operators.Vocab.loadMerges(s, path.toString))
+        .orderBy("doc_id", "pos")
+    }),
+
     // contrastive training triplets: anchor + best LSH-blocked positive
     // + hash-successor negative, ids AND both rounded cosines oracled —
     // the self-supervised batch builder over the embedding corpus
@@ -2118,6 +2135,35 @@ object SparkEntry {
       |         'ST' || CAST(s_nationkey % 25 AS VARCHAR) AS state0,
       |         'ST' || CAST((s_nationkey + 7) % 25 AS VARCHAR) AS state1
       |  FROM supplier)""".stripMargin
+
+  /** BPE train→encode in closed form — shared by `text_bpe_encode` and
+    * the stored-model round trip `text_bpe_encode_stored`: the learning
+    * rounds of `vocab_bpe_merges`, then the final vocab applied to the
+    * per-doc token stream with ordered unnests. */
+  private lazy val bpeEncodeSql: String =
+    """WITH v0 AS (
+      |  SELECT list_transform(range(len(tok)), j -> tok[j+1:j+1]) AS syms,
+      |    CAST(count(*) AS BIGINT) AS freq
+      |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      |        FROM documents)
+      |  WHERE tok <> '' GROUP BY 1),""".stripMargin +
+      (0 until 4).map(bpeRoundCte).mkString(",") + """,
+      |vocabmap AS (SELECT array_to_string(syms, '') AS tok, syms FROM v4),
+      |stream AS (
+      |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS tok_idx
+      |  FROM (SELECT doc_id,
+      |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
+      |        t -> t <> '') AS toks
+      |    FROM documents)),
+      |pieces AS (
+      |  SELECT s.doc_id, s.tok_idx, unnest(v.syms) AS piece,
+      |    generate_subscripts(v.syms, 1) AS sym_idx
+      |  FROM stream s JOIN vocabmap v USING (tok))
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tok_idx, sym_idx) AS BIGINT) AS pos,
+      |  piece
+      |FROM pieces ORDER BY doc_id, pos""".stripMargin
 
   /** The landing table after batch2 — shared by `scd_upsert_landing` and
     * the Type 4 mid-cycle reconstruction `scd4_asof` (which must equal it
@@ -4111,29 +4157,10 @@ object SparkEntry {
     // maps each token (the concatenation of its merged symbols — the
     // invariant that recovers `tok` from `syms`) to its piece list, and
     // the per-doc token stream joins + unnests with a global position
-    "text_bpe_encode" -> ("""WITH v0 AS (
-        |  SELECT list_transform(range(len(tok)), j -> tok[j+1:j+1]) AS syms,
-        |    CAST(count(*) AS BIGINT) AS freq
-        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        |        FROM documents)
-        |  WHERE tok <> '' GROUP BY 1),""".stripMargin +
-      (0 until 4).map(bpeRoundCte).mkString(",") + """,
-        |vocabmap AS (SELECT array_to_string(syms, '') AS tok, syms FROM v4),
-        |stream AS (
-        |  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS tok_idx
-        |  FROM (SELECT doc_id,
-        |      list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |        t -> t <> '') AS toks
-        |    FROM documents)),
-        |pieces AS (
-        |  SELECT s.doc_id, s.tok_idx, unnest(v.syms) AS piece,
-        |    generate_subscripts(v.syms, 1) AS sym_idx
-        |  FROM stream s JOIN vocabmap v USING (tok))
-        |SELECT doc_id,
-        |  CAST(row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY tok_idx, sym_idx) AS BIGINT) AS pos,
-        |  piece
-        |FROM pieces ORDER BY doc_id, pos""".stripMargin),
+    "text_bpe_encode" -> bpeEncodeSql,
+
+    // identical oracle: the stored-model path must be a pure round trip
+    "text_bpe_encode_stored" -> bpeEncodeSql,
 
     "web_url_canonical" -> (webDocsSql + """
         |, dec AS (

@@ -116,6 +116,21 @@ object Vocab {
       .select(col(idCol), col("pos"), col("piece"))
   }
 
+  /** Persist a learned merge table ([[bpeMerges]] output) as the stored
+    * tokenizer model — tiny (one row per merge), written as one file.
+    * The tokenizer analog of the stored ANN indexes: train once, encode
+    * many corpora against the artifact, never re-learn. */
+  def writeMerges(merges: DataFrame, path: String): Unit =
+    merges.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a [[writeMerges]] artifact back into the driver-side rule list
+    * [[bpeEncode]] consumes, in round order. */
+  def loadMerges(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy("round").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+
   /** Learn the first `nMerges` BPE merge rules. Output: one row per
     * round — `(round, left_sym, right_sym, pair_count)` — the merge
     * table a tokenizer trainer persists. Stops early when no pair is

@@ -1392,6 +1392,11 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // to the single learned piece
     learned should contain("low")
     pieces should contain("low")
+    // the stored tokenizer model round-trips: write merges, load, same rules
+    val path = java.nio.file.Files.createTempDirectory("merges").toString
+    graft.operators.Vocab.writeMerges(
+      graft.operators.Vocab.bpeMerges(corpus, nMerges = 3), path)
+    graft.operators.Vocab.loadMerges(spark, path) shouldBe merges
   }
 
   test("quality audit: fused rule scan, uniqueness, referential integrity") {
