@@ -7,6 +7,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit}
 import org.apache.spark.sql.types.StructType
 
 /** Versioned, parquet-backed multi-table store with atomic multi-table
@@ -273,6 +274,28 @@ class TableStore(val root: String, spark: SparkSession) {
   def truncate(table: String, schema: StructType): Unit =
     overwrite(table, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** Predicate DELETE — the right-to-be-forgotten sweep the reference has
+    * no counterpart for (its merges never delete, SURVEY §4b.5): commit a
+    * new version WITHOUT the matching rows and return how many were
+    * removed. Copy-on-write like every other DML here: the old version
+    * stays readable ([[readVersion]] time travel) until [[vacuum]], which
+    * is the call that actually makes the bytes disappear — a compliance
+    * purge is `deleteWhere` + `vacuum`, and callers owning the retention
+    * clock decide when the second step runs. The rewrite is one filtered
+    * scan; at 100 TB pair it with a partitioned layout so the scan prunes
+    * to the partitions that can match. */
+  def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
+    val cur = read(table)
+    val keep = cur.filter(!coalesce(predicate, lit(false)))
+    // count via the staged files, not a second source scan: stage() runs
+    // the filter once, and the delta is (old count - new count)
+    val before = cur.count()
+    val v = stage(table, keep)
+    val after = spark.read.parquet(versionDir(table, v).toString).count()
+    commit(Map(table -> v))
+    before - after
+  }
 
   /** List a directory through a function, always closing the stream (an
     * unclosed `Files.list` leaks a directory fd per call). */

@@ -446,6 +446,41 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("ExistingRDD")
   }
 
+  test("late splice and Type 4 never shuffle the dimension; audit fuses to one scan") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(s"$d 00:00:00")
+    // spliceLate: one BroadcastHashJoin LeftOuter of history × broadcast
+    // late batch — no SortMergeJoin, no exchange of the history side
+    val staging = (1 to 1000).map(i => (s"C$i", s"v$i", ts("2024-01-01"),
+        null.asInstanceOf[java.sql.Timestamp], "Y"))
+      .toDF("code", "v", "start_date", "end_date", "current_flag")
+    val late = Seq(("C1", "fix", ts("2024-01-15"))).toDF("code", "v", "effective_ts")
+    val splicePlan = executedPlan(
+      graft.ops.Scd2.spliceLate(staging, late, Seq("code")))
+    splicePlan should not include "SortMergeJoin"
+    splicePlan should include regex "BroadcastHashJoin .*LeftOuter"
+    // Scd4: the history append is a broadcast INNER join (delta-sized
+    // output), the current rewrite the pinned broadcast upsert — neither
+    // sort-merge-joins the dimension
+    val cur = (1 to 1000).map(i => (i.toLong, s"C$i", s"n$i", s"s$i"))
+      .toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state")
+    val delta = Seq((1L, "C1", "n1", "sX"))
+      .toDF("supplier_key", "supplier_code", "supplier_name", "supplier_state")
+    val (c1, h1) = graft.ops.Scd4(cur, delta, Seq("supplier_code"), ts("2024-02-01"))
+    executedPlan(h1) should not include "SortMergeJoin"
+    executedPlan(h1) should include regex "BroadcastHashJoin .*Inner"
+    executedPlan(c1) should not include "SortMergeJoin"
+    // quality audit: every fused-rule table scan feeds ONE aggregate
+    // pair (partial+final) with no join anywhere in the single-table path
+    val t = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val auditPlan = executedPlan(graft.operators.Quality.audit(
+      t, "t", Seq(graft.operators.Quality.notNull("id"),
+        graft.operators.Quality.inRange("x", 0, 10))))
+    auditPlan should not include "Join"
+    auditPlan.sliding("HashAggregate".length).count(_ == "HashAggregate") shouldBe 2
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -130,6 +130,31 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").collect().map(_.getInt(0)).toSeq shouldBe Seq(3)
   }
 
+  test("deleteWhere: copy-on-write purge, time travel until vacuum, null-safe predicate") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("del"), spark)
+    store.overwrite("docs",
+      Seq((1L, Some("keep")), (2L, Some("purge")), (3L, None), (4L, Some("purge")))
+        .map { case (id, v) => (id, v.orNull) }.toDF("id", "v"))
+    val v0 = store.manifest("docs")
+
+    val removed = store.deleteWhere("docs", col("v") === "purge")
+    removed shouldBe 2L
+    store.read("docs").orderBy("id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+    // NULL predicate rows are KEPT (a null match must not silently purge)
+    store.read("docs").filter(col("v").isNull).count() shouldBe 1L
+    // the purged version still exists for time travel…
+    val schema = store.read("docs").schema
+    store.readVersion("docs", v0, schema).count() shouldBe 4L
+    // …until vacuum, which is the actual byte-destruction step
+    store.vacuum()
+    store.versions("docs").size shouldBe 1
+    // deleting nothing still commits a clean no-op version
+    store.deleteWhere("docs", lit(false)) shouldBe 0L
+    store.read("docs").count() shouldBe 2L
+  }
+
   test("time travel: older versions stay readable until vacuum") {
     val s = spark
     import s.implicits._
