@@ -42,6 +42,49 @@ case class CosineSimFloat(left: Expression, right: Expression)
       newRight: Expression): CosineSimFloat = copy(left = newLeft, right = newRight)
 }
 
+/** Fused integer dot product over two integral arrays (`array<tinyint>`
+  * / `array<int>` / `array<long>`, sides may differ — the quantized
+  * index stores tinyint while a driver-quantized query literal arrives
+  * as int). One tight loop accumulating in long, no intermediate zipped
+  * array: quantized-cosine scoring is the inner loop of the int8 ANN
+  * path, where the compositional `zip_with`+`aggregate` form allocates
+  * per pair ([[CosineSimFloat]] rationale, integer edition). Exact
+  * integer math — bit-identical to the compositional form, so the
+  * DuckDB oracles still hash-match. */
+case class DotIntegral(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{ByteType, IntegerType, LongType}
+
+  private def elemWidth(t: DataType): Int = t match {
+    case ArrayType(ByteType, _) => 1
+    case ArrayType(IntegerType, _) => 4
+    case ArrayType(LongType, _) => 8
+    case _ => 0
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemWidth(left.dataType) > 0 && elemWidth(right.dataType) > 0)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_integral requires integral arrays, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "dot_integral"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernelImpl.dotIntegral(a.asInstanceOf[ArrayData],
+      elemWidth(left.dataType), b.asInstanceOf[ArrayData],
+      elemWidth(right.dataType))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernelImpl.dotIntegral($a, " +
+        s"${elemWidth(left.dataType)}, $b, ${elemWidth(right.dataType)})")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): DotIntegral = copy(left = newLeft, right = newRight)
+}
+
 /** Nearest-centroid assignment: index of the closest center (squared
   * euclidean) for an `array<float>` OR `array<double>` vector — the IVF
   * assignment pass as one native expression instead of MLlib's per-row
@@ -123,6 +166,30 @@ object VectorKernelImpl {
       c += 1
     }
     best
+  }
+
+  /** Kernel for [[DotIntegral]]: Σ aᵢ·bᵢ over the common prefix, reads
+    * dispatched on element width (1 = byte, 4 = int, 8 = long),
+    * accumulated in long. */
+  def dotIntegral(a: ArrayData, aw: Int, b: ArrayData, bw: Int): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = aw match {
+        case 1 => a.getByte(i).toLong
+        case 4 => a.getInt(i).toLong
+        case _ => a.getLong(i)
+      }
+      val y = bw match {
+        case 1 => b.getByte(i).toLong
+        case 4 => b.getInt(i).toLong
+        case _ => b.getLong(i)
+      }
+      s += x * y
+      i += 1
+    }
+    s
   }
 
   /** Cosine over float arrays; norms over each full array, dot over the
@@ -216,10 +283,12 @@ object VectorFunctions {
   def quantize(vec: Column, scale: Column): Column =
     transform(vec, x => round(x.cast("double") * scale).cast("int"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors — the fused
+    * native [[DotIntegral]] kernel (one tight long-accumulating loop, no
+    * zipped intermediate; bit-identical to the compositional
+    * `zip_with`+`aggregate` form it replaced). */
   def dotInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, x) => acc + x)
+    Bridge.column(DotIntegral(Bridge.expression(a), Bridge.expression(b)))
 
   /** Cosine over quantized vectors — integer dot/norms, one double
     * division at the end. Within ~1/127 of the exact cosine for unit-ish

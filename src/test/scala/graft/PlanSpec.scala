@@ -213,6 +213,16 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     vGen should include("WholeStageCodegen")
     vGen should include("graft.functions.VectorKernelImpl.cosineF")
     vGen should include("graft.functions.VectorKernelImpl.nearest")
+
+    // the fused integer dot (quantized-ANN inner loop) stays codegen'd
+    val qd = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(graft.functions.VectorFunctions.quantize(col("embedding"),
+        graft.functions.VectorFunctions.quantScale(col("embedding"))).as("q"))
+      .select(graft.functions.VectorFunctions.dotInt(col("q"), col("q")).as("nq"))
+    val qGen = qd.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    qGen should include("WholeStageCodegen")
+    qGen should include("graft.functions.VectorKernelImpl.dotIntegral")
   }
 
   test("bucketized ANN storage prunes partitions on probe") {
