@@ -1273,6 +1273,17 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // leakage-safe temporal split: train ≤ boundary, embargo band kept
+    // and LABELED (auditable exclusion), test strictly after the gap
+    "curation_split_temporal" -> ((s, dir) =>
+      graft.operators.Curation.temporalSplit(
+          events(s, dir).select(col("event_id"),
+            timestamp_micros(col("ts_us")).as("ts")),
+          "ts", Timestamp.valueOf("2024-01-15 00:00:00"),
+          java.time.Duration.ofDays(2))
+        .select(col("event_id"), col("split"))
+        .orderBy("event_id")),
+
     // contrastive training triplets: anchor + best LSH-blocked positive
     // + hash-successor negative, ids AND both rounded cosines oracled —
     // the self-supervised batch builder over the embedding corpus
@@ -3793,6 +3804,13 @@ object SparkEntry {
         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
         |  FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "curation_split_temporal" ->
+      """SELECT event_id,
+        |  CASE WHEN ts <= TIMESTAMP '2024-01-15 00:00:00' THEN 'train'
+        |       WHEN ts > TIMESTAMP '2024-01-17 00:00:00' THEN 'test'
+        |       ELSE 'embargo' END AS split
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "contrastive_pairs" ->
       s"""WITH bk AS (

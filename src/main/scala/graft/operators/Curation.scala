@@ -64,6 +64,31 @@ object Curation {
       .drop("__split_f")
   }
 
+  /** Temporal train/test split with an EMBARGO gap — the leakage-safe
+    * split when rows are time-ordered and the model must never train on
+    * anything adjacent to evaluation data (autocorrelation leaks across
+    * a naive boundary; the standard purged/embargoed split of financial
+    * and time-series ML): rows at or before `trainEnd` are `train`, rows
+    * strictly after `trainEnd + embargo` are `test`, and rows inside the
+    * embargo window are labeled `embargo` — callers keep the label so
+    * the dropped band is auditable (silently deleting it would read as
+    * "covered everything" when a whole band was excluded).
+    *
+    * A narrow map (one CASE over the timestamp) — no shuffle, stable
+    * under re-runs and appends like [[deterministicSplit]]. */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      trainEnd: java.sql.Timestamp,
+      embargo: java.time.Duration): DataFrame = {
+    val embargoEnd = java.sql.Timestamp.from(
+      trainEnd.toInstant.plus(embargo))
+    df.withColumn("split",
+      when(col(tsCol) <= lit(trainEnd), "train")
+        .when(col(tsCol) > lit(embargoEnd), "test")
+        .otherwise("embargo"))
+  }
+
   /** Deterministic training-shard assignment + in-shard order: shard =
     * first 32 md5 bits of (id, salt) mod `nShards`, position = rank within
     * the shard by (hash, id). Together they define a reproducible global

@@ -1341,6 +1341,23 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     again shouldBe out.map(t => (t._1, t._2, t._3)).toSet
   }
 
+  test("temporal split: boundary rows train, embargo band labeled, strict test start") {
+    val s = spark
+    import s.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d)
+    val rows = Seq(
+      (1L, ts("2024-01-14 23:59:59")), // clearly before → train
+      (2L, ts("2024-01-15 00:00:00")), // ON the boundary → train (inclusive)
+      (3L, ts("2024-01-16 12:00:00")), // inside the gap → embargo
+      (4L, ts("2024-01-17 00:00:00")), // gap end is NOT test (strictly after)
+      (5L, ts("2024-01-17 00:00:01"))) // first test row
+      .toDF("id", "t")
+    val out = graft.operators.Curation.temporalSplit(rows, "t",
+        ts("2024-01-15 00:00:00"), java.time.Duration.ofDays(2))
+      .orderBy("id").collect().map(_.getString(2))
+    out shouldBe Array("train", "train", "embargo", "embargo", "test")
+  }
+
   test("hll sketch table: merge ≡ direct, parquet round trip, error bound") {
     val s = spark
     import s.implicits._
