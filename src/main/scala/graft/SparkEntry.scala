@@ -1273,6 +1273,24 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // last-touch attribution: every purchase credits the same user's
+    // latest click strictly before it within 1 h — time-binned equi join
+    // (never a BNLJ), per-conversion argmax, unattributed purchases kept
+    "event_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val conv = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("conv_id"),
+          col("ts_us").as("conv_us"))
+      val touch = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("touch_id"),
+          col("ts_us").as("touch_us"))
+      graft.operators.RangeJoin.lastTouch(conv, touch, Seq("user_id"),
+          "conv_id", "conv_us", "touch_id", "touch_us",
+          windowUs = 3600000000L, binWidth = 3600000000L)
+        .select(col("conv_id"), col("user_id"), col("touch_id"), col("gap_us"))
+        .orderBy("conv_id")
+    }),
+
     // leakage-safe temporal split: train ≤ boundary, embargo band kept
     // and LABELED (auditable exclusion), test strictly after the gap
     "curation_split_temporal" -> ((s, dir) =>
@@ -3804,6 +3822,26 @@ object SparkEntry {
         |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
         |  FROM embeddings)
         |GROUP BY label, pos ORDER BY label, pos""".stripMargin,
+
+    "event_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, event_id AS touch_id, epoch_us(ts) AS touch_us
+        |  FROM events WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT c.conv_id, t.touch_id, t.touch_us, c.conv_us,
+        |    row_number() OVER (PARTITION BY c.conv_id
+        |      ORDER BY t.touch_us DESC, t.touch_id) AS rn
+        |  FROM conv c JOIN t ON c.user_id = t.user_id
+        |    AND t.touch_us >= c.conv_us - 3600000000
+        |    AND t.touch_us < c.conv_us)
+        |SELECT c.conv_id, c.user_id, a.touch_id,
+        |  a.conv_us - a.touch_us AS gap_us
+        |FROM conv c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) a
+        |  USING (conv_id)
+        |ORDER BY conv_id""".stripMargin,
 
     "curation_split_temporal" ->
       """SELECT event_id,

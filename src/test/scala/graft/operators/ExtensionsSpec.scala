@@ -1341,6 +1341,32 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     again shouldBe out.map(t => (t._1, t._2, t._3)).toSet
   }
 
+  test("last-touch attribution: latest strict-prior touch in window, nulls kept") {
+    val s = spark
+    import s.implicits._
+    val conv = Seq(
+      (1L, 10L, 10000L), // two prior touches → latest (t=9000) wins
+      (1L, 11L, 20000L), // touch exactly AT conv ts → excluded (strict)
+      (2L, 12L, 10000L), // other user's touches must not attribute
+      (1L, 13L, 100000L)) // outside the window → null
+      .toDF("user_id", "conv_id", "conv_us")
+    val touch = Seq(
+      (1L, 100L, 5000L), (1L, 101L, 9000L), (1L, 102L, 20000L),
+      (3L, 103L, 9999L))
+      .toDF("user_id", "touch_id", "touch_us")
+    val out = graft.operators.RangeJoin.lastTouch(conv, touch, Seq("user_id"),
+        "conv_id", "conv_us", "touch_id", "touch_us",
+        windowUs = 50000L, binWidth = 10000L)
+      .orderBy("conv_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    out shouldBe Array(
+      (10L, Some(101L), Some(1000L)),  // 10000-9000
+      (11L, Some(101L), Some(11000L)), // t=20000 excluded, 9000 wins
+      (12L, None, None),
+      (13L, None, None))
+  }
+
   test("temporal split: boundary rows train, embargo band labeled, strict test start") {
     val s = spark
     import s.implicits._
