@@ -110,18 +110,88 @@ object Keywords {
   }
 
   /** Write a term-bucketed inverted index: posting rows `(term, doc_id,
-    * tf)` laid out `partitionBy(bucket)` with one file per bucket (the
-    * repartition feeds the writer exactly the partition split it wants),
-    * so a query term's postings are ONE directory read and every other
-    * bucket is partition-pruned at probe time — the same stored-artifact
-    * amortization as the LSH/IVF indexes: build once, probe many. */
+    * tf, dl)` laid out `partitionBy(bucket)` with one file per bucket
+    * (the repartition feeds the writer exactly the partition split it
+    * wants), so a query term's postings are ONE directory read and every
+    * other bucket is partition-pruned at probe time — the same
+    * stored-artifact amortization as the LSH/IVF indexes: build once,
+    * probe many.
+    *
+    * Each posting carries its document's token length `dl` (denormalized
+    * at write time — a slim `(doc, dl)` join against the same cached tf
+    * aggregate), and a one-row `_stats` sidecar under the index root
+    * records the exact corpus totals `(n_docs, total_tokens)`. Together
+    * these make the index self-contained for BM25: [[bm25FromIndex]]
+    * scores from the pruned postings read alone — df per query term IS
+    * the posting count inside its bucket, dl rides on the posting row,
+    * and N/avgdl come from the sidecar — so query cost is independent of
+    * corpus size. (The `_stats` directory is invisible to
+    * `spark.read.parquet(path)`: underscore-prefixed paths are filtered
+    * by the file index, the `_SUCCESS`-marker convention.) */
   def writeInvertedIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    tokens(docs, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    val nDocs = docs.count() // parquet footer count
+    val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .withColumn("bucket", bucketCol(col("term"), nBuckets))
-      .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+      tf.join(dl, Seq(idCol))
+        .withColumn("bucket", bucketCol(col("term"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      val tot = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+      // written LAST: gate index reuse on _stats/_SUCCESS, which only
+      // exists once the whole artifact (postings + sidecar) is complete
+      spark.range(1)
+        .select(lit(nDocs).as("n_docs"), lit(tot).as("total_tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    } finally tf.unpersist(false)
+  }
+
+  /** BM25 top-`k` from a stored [[writeInvertedIndex]] index — the
+    * production retrieval path: identical scores to [[bm25TopDocs]]
+    * (same formula over the same exact integer tf/df/dl/N inputs), but
+    * the only data touched is the query terms' bucket directories
+    * (`PartitionFilters`, PlanSpec-pinned) plus the one-row `_stats`
+    * sidecar. No corpus scan, no per-query tokenize: df per term is a
+    * count over the pruned postings (postings are distinct `(doc,
+    * term)` rows), dl is on the posting row, and the final score is the
+    * same fixed-`queryTerms`-order sum of per-term weights, so the
+    * ranking is engine-reproducible and the [[bm25TopDocs]] oracle SQL
+    * verifies this path verbatim. */
+  def bm25FromIndex(spark: SparkSession, path: String,
+      queryTerms: Seq[String], k: Int = 20, k1: Double = 1.2,
+      b: Double = 0.75, nBuckets: Int = 64,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = spark.read.parquet(s"$path/_stats").head()
+    val n = st.getAs[Long]("n_docs")
+    val avgdl = st.getAs[Long]("total_tokens").toDouble / n
+    val qTerms = queryTerms.distinct
+    val buckets = qTerms.map(bucketOf(_, nBuckets)).distinct
+    val postings = spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+      .filter(col("term").isin(qTerms: _*))
+    val dfTab = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    val wExpr =
+      log((lit(n.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf").cast("double") /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) *
+            (col("dl").cast("double") / lit(avgdl)))))
+    val perTerm = postings.join(broadcast(dfTab), "term")
+      .withColumn("w", wExpr)
+    val score = queryTerms
+      .map(t => coalesce(max(when(col("term") === t, col("w"))), lit(0.0)))
+      .reduce(_ + _)
+    perTerm.groupBy(col(idCol))
+      .agg(round(score, 4).as("bm25"))
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+  }
 
   /** Conjunctive (AND-of-terms) search against a stored inverted index:
     * the driver twin maps query terms to their buckets, the scan reads

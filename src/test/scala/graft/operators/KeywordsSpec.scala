@@ -102,6 +102,36 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("PartitionFilters: [bucket")
   }
 
+  test("bm25FromIndex: identical rows to full-scan bm25TopDocs; probe is partition-pruned") {
+    val d = docs(
+      1L -> "spark join window spark",
+      2L -> ("spark " + Seq.fill(50)("filler").mkString(" ")),
+      3L -> "join window join",
+      4L -> "spark join",
+      5L -> "nothing relevant here")
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Keywords.writeInvertedIndex(d, dir, nBuckets = 16)
+
+    // _stats sidecar records exact corpus totals and stays invisible to
+    // the postings read
+    val st = spark.read.parquet(s"$dir/_stats").head()
+    st.getAs[Long]("n_docs") shouldBe 5L
+    st.getAs[Long]("total_tokens") shouldBe 63L // 4 + 51 + 3 + 2 + 3
+    spark.read.parquet(dir).columns should contain allOf ("doc_id", "term", "tf", "dl", "bucket")
+
+    val q = Seq("spark", "join", "window")
+    val idx = Keywords.bm25FromIndex(spark, dir, q, k = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val full = Keywords.bm25TopDocs(d, q, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    idx shouldBe full
+
+    // the probe reads only the query terms' bucket directories
+    val plan = Keywords.bm25FromIndex(spark, dir, q, k = 10, nBuckets = 16)
+      .queryExecution.executedPlan.toString
+    plan should include("PartitionFilters: [bucket")
+  }
+
   test("corpusFrequencyScore: hot-token boilerplate outscores rare-token docs; exact counts") {
     val d = docs(
       1L -> "common common common",          // corpus-hot tokens only
