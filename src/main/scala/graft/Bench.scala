@@ -27,8 +27,16 @@ object Bench {
     // through explode), so narrow-map queries would time only the parquet
     // scan. The noop sink fully evaluates every output row/column with no
     // driver collect and no filesystem write.
+    // dev knobs for regression adjudication (the driver sets neither):
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the query set,
+    // SPARK_GRAFT_BENCH_RUNS=7 raises the per-query run count (default 3)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet).getOrElse(Set.empty[String])
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val errors = scala.collection.mutable.Map[String, String]()
-    val runs = SparkEntry.queries.map { case (name, fn) =>
+    val runs = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       // a failure is recorded, never swallowed: a silently-failing query
       // would otherwise bench as a suspiciously-fast near-zero time
       def once(): (Double, Boolean) = {
@@ -44,7 +52,7 @@ object Bench {
           }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> Seq(once(), once(), once())
+      name -> Seq.fill(nRuns)(once())
     }
     def r(d: Double): Double = math.rint(d * 10000) / 10000
     // min over SUCCESSFUL runs only — a fast failure must not masquerade
