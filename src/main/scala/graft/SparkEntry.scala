@@ -1291,22 +1291,33 @@ object SparkEntry {
     // MERGEABLE distinct-count sketches — the 100 TB pattern for "unique
     // users per X over any date slice": per-(type, day) HLL sketches are
     // built once (one pass over events), and any rollup is a union of
-    // sketch BINARIES — never a rescan of data. The output carries the
-    // direct whole-data estimate, the merged-from-parts estimate, and
-    // the exact count; rows-only (datasketches binaries have no DuckDB
-    // twin) — ExtensionsSpec pins merged ≡ direct and the error bound at
-    // 100k cardinality, plus the parquet round trip of the sketch table
+    // sketch BINARIES — never a rescan of data. Sketch estimates are
+    // engine-specific (no two engines share HLL bits), so the row
+    // carries what IS cross-checkable: the exact distinct count, the
+    // daily-slice count the merge spanned, and the OUTCOMES of the two
+    // sketch contracts as booleans — merged-from-parts ≡ direct
+    // whole-data estimate (union losslessness) and ≤5% relative error vs
+    // exact. The oracle predicts TRUE for both, so rows+schema+hash
+    // verify the sketch contract itself, not just the exact column;
+    // ExtensionsSpec additionally pins the bound at 100k cardinality and
+    // the parquet round trip of the sketch table.
     "sketch_distinct_merged" -> ((s, dir) => {
       val ev = events(s, dir)
         .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
       val daily = ev.groupBy("event_type", "day")
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       val merged = daily.groupBy("event_type")
-        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
       val direct = ev.groupBy("event_type")
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
           count_distinct(col("user_id")).as("n_exact"))
-      direct.join(merged, "event_type").orderBy("event_type")
+      direct.join(merged, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          (col("est_merged") === col("est_direct")).as("merged_eq_direct"),
+          (abs(col("est_merged") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * lit(0.05)).as("within_5pct"))
+        .orderBy("event_type")
     }),
 
     // the STORED tokenizer: merges learned once into a parquet artifact
@@ -2752,6 +2763,17 @@ object SparkEntry {
         |  count(DISTINCT l_partkey) AS n_parts,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the exact columns are recomputed; the two sketch-contract booleans
+    // are PREDICTED TRUE — a sketch whose merged estimate diverges from
+    // the direct one, or misses the 5% bound, turns the hash red
+    "sketch_distinct_merged" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(DISTINCT user_id) AS n_exact,
+        |  TRUE AS merged_eq_direct,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q17_pivot" ->
       """SELECT o_orderpriority,
