@@ -1331,7 +1331,8 @@ object SparkEntry {
         "graft-bpe-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
       if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
         graft.operators.Vocab.writeMerges(
-          graft.operators.Vocab.bpeMerges(docs, nMerges = 4), path.toString)
+          graft.operators.Vocab.bpeMergesLocal(docs, nMerges = 4),
+          path.toString)
       graft.operators.Vocab.bpeEncode(docs,
           graft.operators.Vocab.loadMerges(s, path.toString))
         .orderBy("doc_id", "pos")
@@ -1609,10 +1610,12 @@ object SparkEntry {
         .orderBy("registered_domain")),
 
     // BPE merge learning: one corpus pass to the (token, freq) vocab,
-    // then 4 driver-coordinated merge rounds over the cached vocab —
-    // the tokenizer-training step, replayed round-for-round in DuckDB
+    // then merge rounds learned DRIVER-SIDE over the collected bounded
+    // vocabulary (Vocab.bpeMergesLocal — incremental pair stats, the
+    // production trainer; per-round-Spark-job bpeMerges is its
+    // spec-pinned distributed twin), replayed round-for-round in DuckDB
     "vocab_bpe_merges" -> ((s, dir) =>
-      graft.operators.Vocab.bpeMerges(
+      graft.operators.Vocab.bpeMergesLocal(
           s.read.parquet(s"$dir/documents.parquet"), nMerges = 4)
         .orderBy("round")),
 
@@ -1624,7 +1627,7 @@ object SparkEntry {
     // with ordered unnests — the full train→encode loop cross-engine.
     "text_bpe_encode" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
-      val merges = graft.operators.Vocab.bpeMerges(docs, nMerges = 4)
+      val merges = graft.operators.Vocab.bpeMergesLocal(docs, nMerges = 4)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       graft.operators.Vocab.bpeEncode(docs, merges)

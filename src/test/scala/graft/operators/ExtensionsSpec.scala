@@ -1252,6 +1252,34 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       Seq(("a", "b"), ("ab", "ab"))
   }
 
+  test("bpeMergesLocal: byte-identical to the distributed trainer; realistic merge counts") {
+    // same greedy fold, same tie-break, same early stop as bpeMerges
+    for (text <- Seq("aa ab aa", "cd ab", "abab abab", "aaa aaaa baa")) {
+      val d = docs((1L, text))
+      val dist = graft.operators.Vocab.bpeMerges(d, nMerges = 4).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      val loc = graft.operators.Vocab.bpeMergesLocal(d, nMerges = 4).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      loc shouldBe dist
+    }
+    // full-corpus agreement at the query's merge count
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dist4 = graft.operators.Vocab.bpeMerges(corpus, nMerges = 4)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    val loc4 = graft.operators.Vocab.bpeMergesLocal(corpus, nMerges = 4)
+      .orderBy("round").collect().map(_.toSeq).toSeq
+    loc4 shouldBe dist4
+    // realistic merge counts are driver-side arithmetic: ask for 500
+    // rounds in one call — the sf0.001 vocabulary exhausts at 89 (every
+    // pair merged away), exercising both deep learning and the early
+    // stop; a per-round-Spark-job trainer would have scheduled 89 jobs
+    val m500 = graft.operators.Vocab.bpeMergesLocal(corpus, nMerges = 500)
+      .orderBy("round").collect()
+    m500.length shouldBe 89
+    m500.map(_.getLong(0)).toSeq shouldBe (0L until 89L)
+    all(m500.map(_.getLong(3)).toSeq) should be >= 1L
+  }
+
   test("random projection: integer kernel exact, clusters survive 64->16") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     // portable integer kernel ≡ driver arithmetic on every vector
