@@ -2200,6 +2200,24 @@ object SparkEntry {
         .drop("features")
         .orderBy("media_id")),
 
+    // CONTENT-DERIVED image embeddings, hash-checked end to end: a
+    // deterministic solid-color BMP corpus (real pixels, lossless
+    // format) flows through the real decode → 64-dim block-mean+DCT
+    // descriptor (Media.imageEmbedding), and because a solid image's
+    // descriptor has a closed form (block means = channel/255, DC =
+    // Rec.601 luma, AC = 0), DuckDB predicts every component without
+    // decoding a pixel. The +0.0 normalizes the AC dims' -0.0 (their
+    // float residue is ~±1e-14 before rounding). Crop/near-dup behavior
+    // on non-uniform images is pinned by ExtensionsSpec.
+    "media_embedding" -> ((s, dir) =>
+      Media.extractFeatures(
+          Media.synthesizeImages(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "val")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          (round(col("val").cast("double"), 4) + lit(0.0)).as("val"))
+        .orderBy("media_id", "pos")),
+
     "media_frames" -> ((s, dir) =>
       Media.sampleFrames(
           Media.extractFeatures(
@@ -4695,6 +4713,33 @@ object SparkEntry {
         |  strlen(text) AS byte_len,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the solid-color corpus's closed-form descriptor: channel means are
+    // the doc_id-residue channels /255, the DC luma dim is Rec.601 over
+    // those channels, AC dims are exactly 0; the REAL cast mirrors the
+    // Spark side's Float feature storage before the 4-dp round
+    "media_embedding" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+        |    (doc_id * 13) % 256 AS b
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, r, g, b, CAST(p AS BIGINT) AS pos
+        |  FROM c, unnest(range(64)) AS t(p))
+        |SELECT doc_id AS media_id, pos,
+        |  CASE
+        |    WHEN pos < 48 AND pos % 3 = 0
+        |      THEN round(CAST(CAST(CAST(r AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
+        |    WHEN pos < 48 AND pos % 3 = 1
+        |      THEN round(CAST(CAST(CAST(g AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
+        |    WHEN pos < 48
+        |      THEN round(CAST(CAST(CAST(b AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
+        |    WHEN pos = 48
+        |      THEN round(CAST(CAST((299.0 * r + 587.0 * g + 114.0 * b) / 255000.0 AS REAL) AS DOUBLE), 4)
+        |    ELSE 0.0
+        |  END AS val
+        |FROM dims ORDER BY media_id, pos""".stripMargin,
 
     // the stub decode recomputed in closed form: byte i of the payload
     // sha256 is CAST('0x'||substr(hex, i*2+1, 2)), dims/frames/features

@@ -26,13 +26,16 @@ import org.apache.spark.sql.functions._
   * VIDEO container metadata is REAL for MP4 (ISO-BMFF box walk: tkhd
   * dims, stsz frame count, mvhd duration, trak count) and AVI (RIFF
   * hdrl/avih header) — pure-JDK byte parsing, no codec needed
-  * ([[Media.videoInfo]]). VIDEO frame-pixel decode (no JDK codec exists)
-  * and the feature embedding (needs a model) remain
-  * STUBBED behind [[Media.decodeStub]], a deterministic fake keyed on the
-  * payload bytes, so the Spark-side contract (schema, batching,
-  * partitioning, null handling) is real and tested while those codecs
-  * stay swappable.
-  */
+  * ([[Media.videoInfo]]). The IMAGE feature embedding is REAL and
+  * content-derived: a 64-dim block-mean-color + low-frequency-DCT
+  * descriptor from the decoded pixels ([[Media.imageEmbedding]] — the
+  * classical perceptual-hash family), feeding the existing ANN
+  * operators. VIDEO frame-pixel decode (no JDK codec exists) and the
+  * AUDIO/VIDEO embeddings (need a model) remain STUBBED behind
+  * [[Media.decodeStub]], a deterministic fake keyed on the payload
+  * bytes, so the Spark-side contract (schema, batching, partitioning,
+  * null handling) is real and tested while those codecs stay
+  * swappable. */
 object Media {
 
   /** A media row: opaque payload + typed metadata. */
@@ -66,6 +69,37 @@ object Media {
         encode(col("text"), "UTF-8").as("payload"),
         col("source").as("meta_source"))
       .as[MediaFile]
+  }
+
+  /** Deterministic REAL-pixel image corpus: one solid-color 24-bit BMP
+    * per document, color keyed on doc_id residues
+    * (`r = id%256, g = id·7%256, b = id·13%256`). BMP is lossless, so
+    * decode returns the exact channels — and a solid image's
+    * [[imageEmbedding]] has a CLOSED FORM (block means = channel/255,
+    * DC = Rec.601 luma, AC = 0), which is what lets the
+    * `media_embedding` query hash-check the full decode → descriptor
+    * path against an engine that never decodes a pixel. */
+  def synthesizeImages(docs: DataFrame, w: Int = 48, h: Int = 36): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) |
+            (id * 13 % 256)).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          MediaFile(id, "image", bos.toByteArray, src)
+        }
+      }
   }
 
   /** STUB decoder — deterministic pseudo-decode keyed on payload bytes.
@@ -378,6 +412,127 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** CONTENT-DERIVED 64-dim image descriptor from the real decoded
+    * pixels — the classical public-knowledge embedding (block-mean color
+    * + low-frequency DCT, the pHash family) feeding the existing ANN
+    * operators; `None` when the payload doesn't decode (caller falls
+    * back to the digest stub).
+    *
+    * Layout: dims 0–47 are the 4×4 grid's per-cell mean (R, G, B) in
+    * [0,1], cell-major (`(cellY·4+cellX)·3 + channel`); dims 48–63 are
+    * the orthonormal 2-D DCT-II of a 32×32 area-averaged luma plane,
+    * coefficients (u,v) ∈ [0,4)², `48 + u·4 + v`, each scaled by 1/32.
+    * Near-identical images (crops, small edits) land near in cosine;
+    * the DCT block is the classical perceptual-hash signal.
+    *
+    * Determinism contract (what makes a `media_embedding` oracle
+    * possible): every pixel statistic accumulates in EXACT integer
+    * arithmetic (Long sums of 8-bit channels / mil-scaled luma), each
+    * cell mean is ONE division of exact integers (correctly-rounded,
+    * engine-independent), and the DC coefficient is a pairwise tree sum
+    * of the 1024 identical-shaped bin means (exact when bins agree, no
+    * left-fold drift) — so on closed-form inputs (solid colors) every
+    * dimension is bit-reproducible in an external engine. AC
+    * coefficients use plain double cosine sums (their closed-form value
+    * on solid inputs is exactly 0; rounding absorbs the ~1e-14
+    * residue). */
+  def imageEmbedding(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Float](64)
+        // --- dims 0..47: 4x4 block-mean RGB, exact integer sums -------
+        val sr = new Array[Long](16); val sg = new Array[Long](16)
+        val sb = new Array[Long](16); val cn = new Array[Long](16)
+        var y = 0
+        while (y < h) {
+          val cy = y * 4 / h
+          var x = 0
+          while (x < w) {
+            val cell = cy * 4 + x * 4 / w
+            val rgb = img.getRGB(x, y)
+            sr(cell) += (rgb >> 16) & 0xff
+            sg(cell) += (rgb >> 8) & 0xff
+            sb(cell) += rgb & 0xff
+            cn(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        var c = 0
+        while (c < 16) {
+          // one division of exact integers per dim: correctly rounded
+          out(c * 3) = (sr(c).toDouble / (cn(c) * 255.0)).toFloat
+          out(c * 3 + 1) = (sg(c).toDouble / (cn(c) * 255.0)).toFloat
+          out(c * 3 + 2) = (sb(c).toDouble / (cn(c) * 255.0)).toFloat
+          c += 1
+        }
+        // --- dims 48..63: 32x32 area-averaged luma plane → DCT --------
+        // per-bin Rec.601 luma in integer mils (299r+587g+114b ∈
+        // [0, 255000]); bins sample [gx·w/32, max(+1, (gx+1)·w/32)) so
+        // every bin sees ≥1 pixel at any source size
+        val p = new Array[Double](1024)
+        var gy = 0
+        while (gy < 32) {
+          val y0 = gy * h / 32; val y1 = math.max(y0 + 1, (gy + 1) * h / 32)
+          var gx = 0
+          while (gx < 32) {
+            val x0 = gx * w / 32; val x1 = math.max(x0 + 1, (gx + 1) * w / 32)
+            var sl = 0L; var n = 0L
+            var yy = y0
+            while (yy < y1) {
+              var xx = x0
+              while (xx < x1) {
+                val rgb = img.getRGB(xx, yy)
+                sl += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)
+                n += 1
+                xx += 1
+              }
+              yy += 1
+            }
+            p(gy * 32 + gx) = sl.toDouble / (n * 255000.0)
+            gx += 1
+          }
+          gy += 1
+        }
+        // DC: pairwise tree sum (exact for identical bins) / 1024
+        def treeSum(a: Array[Double], lo: Int, hi: Int): Double =
+          if (hi - lo == 1) a(lo)
+          else { val mid = (lo + hi) >>> 1; treeSum(a, lo, mid) + treeSum(a, mid, hi) }
+        out(48) = (treeSum(p, 0, 1024) / 1024.0).toFloat
+        // AC (u,v) ≠ (0,0): direct orthonormal cosine sums, /32 scale
+        val cosT = Array.tabulate(4, 32)((u, i) =>
+          math.cos(math.Pi * u * (2 * i + 1) / 64.0))
+        def a(u: Int): Double =
+          if (u == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+        var u = 0
+        while (u < 4) {
+          var v = 0
+          while (v < 4) {
+            if (u != 0 || v != 0) {
+              var acc = 0.0
+              var yy = 0
+              while (yy < 32) {
+                var xx = 0
+                while (xx < 32) {
+                  acc += p(yy * 32 + xx) * cosT(u)(xx) * cosT(v)(yy)
+                  xx += 1
+                }
+                yy += 1
+              }
+              out(48 + u * 4 + v) = (a(u) * a(v) * acc / 32.0).toFloat
+            }
+            v += 1
+          }
+          u += 1
+        }
+        Some(out)
+      }
+    } catch { case _: Exception => None }
+
   /** The stub's body, keyed on an already-computed payload digest — lets
     * [[extractFeatures]] hash each payload exactly once for both the
     * pseudo-decode and the reported sha256. */
@@ -409,13 +564,15 @@ object Media {
         val h = sha.digest(f.payload) // digest() resets the instance
         val (w0, h0, nf, feat) = decodeFromDigest(f.kind, h)
         // image rows with a real decodable payload report REAL pixel
-        // dimensions (header-only javax.imageio read); audio rows with a
-        // real WAV payload report REAL (sample_rate, channels, frames)
-        // via javax.sound.sampled. Everything else — video, or payloads
-        // whose bytes aren't the claimed format — keeps the deterministic
-        // stub. The 8-dim feature vector stays digest-derived in all
-        // paths: a real embedding needs a model, which is exactly the
-        // swappable part of this contract.
+        // dimensions (header-only javax.imageio read) AND a REAL 64-dim
+        // content descriptor (block-mean color + low-frequency DCT,
+        // [[imageEmbedding]]); audio rows with a real WAV payload report
+        // REAL (sample_rate, channels, frames) via javax.sound.sampled.
+        // Everything else — video, audio feature vectors, or payloads
+        // whose bytes aren't the claimed format — keeps the
+        // deterministic digest stub (a learned audio/video embedding
+        // needs a model, which remains the swappable part of this
+        // contract).
         val (w, hgt, nfr) = f.kind match {
           case "image" =>
             // frame-count walk (getNumImages reads every frame header)
@@ -431,8 +588,12 @@ object Media {
             videoMeta(f.payload).getOrElse((w0, h0, nf))
           case _ => (w0, h0, nf)
         }
+        val feats =
+          if (f.kind == "image" && looksLikeImage(f.payload))
+            imageEmbedding(f.payload).getOrElse(feat)
+          else feat
         val digest = h.map("%02x".format(_)).mkString
-        MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nfr, feat)
+        MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nfr, feats)
       }
     }
   }

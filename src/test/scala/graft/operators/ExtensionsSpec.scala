@@ -951,6 +951,56 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.meta_source should include("resized=5x2")
   }
 
+  test("imageEmbedding: content-derived, deterministic, crop-tolerant") {
+    // a two-tone gradient-ish fixture: left half color A, right half B
+    def png(w: Int, h: Int, a: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) a else b)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def cos(u: Array[Float], v: Array[Float]): Double = {
+      val dot = u.zip(v).map { case (a, b) => a.toDouble * b }.sum
+      dot / (math.sqrt(u.map(x => x.toDouble * x).sum) *
+        math.sqrt(v.map(x => x.toDouble * x).sum))
+    }
+    val base = png(64, 48, 0xCC2211, 0x1122CC)
+    val e1 = graft.multimodal.Media.imageEmbedding(base).get
+    e1.length shouldBe 64
+    // identical bytes → identical vector (bit-for-bit)
+    graft.multimodal.Media.imageEmbedding(base).get.toSeq shouldBe e1.toSeq
+    // solid color → closed form: block means channel/255, DC = luma, AC = 0
+    val solid = graft.multimodal.Media.imageEmbedding(
+      png(48, 36, 0x804020, 0x804020)).get
+    solid(0) shouldBe (0x80 / 255.0).toFloat
+    solid(1) shouldBe (0x40 / 255.0).toFloat
+    solid(2) shouldBe (0x20 / 255.0).toFloat
+    solid(48) shouldBe ((299.0 * 0x80 + 587.0 * 0x40 + 114.0 * 0x20) / 255000.0).toFloat
+    (49 until 64).foreach(i => math.abs(solid(i)) should be < 1e-6f)
+    // near-crop (3% border off) stays near in cosine; a different
+    // two-tone image is measurably farther
+    val cropped = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val sub = img.getSubimage(2, 1, 60, 46)
+      val out = new java.awt.image.BufferedImage(60, 46,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      out.createGraphics().drawImage(sub, 0, 0, null)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+    val e2 = graft.multimodal.Media.imageEmbedding(cropped).get
+    val e3 = graft.multimodal.Media.imageEmbedding(
+      png(64, 48, 0x11CC22, 0xCC11CC)).get
+    cos(e1, e2) should be > 0.99
+    cos(e1, e3) should be < cos(e1, e2)
+    // non-decodable payloads report None (callers fall back to the stub)
+    graft.multimodal.Media.imageEmbedding("not an image".getBytes("UTF-8")) shouldBe None
+  }
+
   test("real WAV payloads decode to exact rate/channels/frames; fakes keep the stub") {
     // deterministic PCM WAV fixture via the same JDK API the decoder uses
     def wav(rate: Float, channels: Int, frames: Int): Array[Byte] = {
