@@ -286,10 +286,17 @@ class TableStore(val root: String, spark: SparkSession) {
     * scan; at 100 TB pair it with a partitioned layout so the scan prunes
     * to the partitions that can match. */
   def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
+    // read() resolves the manifest ONCE, so `cur` is pinned to one
+    // immutable version: the before-count scan and the staged rewrite
+    // read the SAME files even if another commit lands in between. Cost
+    // is two scans of that version (footer-only metadata count + the
+    // filtered rewrite) plus a footer count of the staged files. Like
+    // all DML here, concurrent writers to the SAME table are
+    // last-writer-wins at commit — the returned delta describes this
+    // snapshot, single-writer-per-table is the deployment assumption
+    // ([[commit]] docs).
     val cur = read(table)
     val keep = cur.filter(!coalesce(predicate, lit(false)))
-    // count via the staged files, not a second source scan: stage() runs
-    // the filter once, and the delta is (old count - new count)
     val before = cur.count()
     val v = stage(table, keep)
     val after = spark.read.parquet(versionDir(table, v).toString).count()

@@ -49,8 +49,14 @@ case class CosineSimFloat(left: Expression, right: Expression)
   * array: quantized-cosine scoring is the inner loop of the int8 ANN
   * path, where the compositional `zip_with`+`aggregate` form allocates
   * per pair ([[CosineSimFloat]] rationale, integer edition). Exact
-  * integer math — bit-identical to the compositional form, so the
-  * DuckDB oracles still hash-match. */
+  * integer math — bit-identical to the compositional
+  * `zip_with`+`aggregate` form ON ITS CONTRACT: null-free arrays of
+  * equal length (what every quantization producer here emits, so the
+  * DuckDB oracles still hash-match). Outside that contract the edge
+  * semantics differ by design of the tight loop: a null ELEMENT reads
+  * as 0 where the compositional form yields NULL, and unequal lengths
+  * dot the common prefix where `zip_with`'s null padding yields NULL —
+  * callers feeding hand-built arrays own that precondition. */
 case class DotIntegral(left: Expression, right: Expression)
     extends BinaryExpression {
   import org.apache.spark.sql.types.{ByteType, IntegerType, LongType}

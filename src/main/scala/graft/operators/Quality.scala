@@ -40,22 +40,38 @@ object Quality {
   def audit(df: DataFrame, tbl: String, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "audit needs at least one rule")
     // count(when(...)) not sum: count of an all-null column is 0, so an
-    // EMPTY table audits to zero violations instead of null
-    val aggs = rules.map(r => count(when(r.violation, lit(1))).as(r.name))
+    // EMPTY table audits to zero violations instead of null. Aggregates
+    // alias to positional names and rule labels enter as typed lit()s —
+    // nothing user-derived is ever parsed as SQL text, so a rule named
+    // after a column with quotes/backticks can't break or inject (the
+    // earlier stack(expr) unpivot interpolated names into a parsed
+    // string)
+    val aggs = rules.zipWithIndex.map { case (r, i) =>
+      count(when(r.violation, lit(1))).as(s"__v$i")
+    }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single aggregate row to (rule, violations) — stack is
+    // unpivot the single aggregate row via explode over typed structs —
     // one projection over the 1-row aggregate output
-    val pairs = rules.map(r => s"'${r.name}', `${r.name}`").mkString(", ")
-    one.select(expr(s"stack(${rules.size}, $pairs) as (rule, violations)"))
-      .select(lit(tbl).as("tbl"), col("rule"), col("violations"))
+    one.select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule"), col(s"__v$i").as("violations"))
+      }: _*)).as("kv"))
+      .select(lit(tbl).as("tbl"), col("kv.rule").as("rule"),
+        col("kv.violations").as("violations"))
   }
 
   /** Uniqueness over a key: violations = total rows − distinct keys
     * (0 when the key is unique). A distinct aggregation, kept separate
-    * from [[audit]]'s fused scan so the fused scan stays shuffle-free. */
+    * from [[audit]]'s fused scan so the fused scan stays shuffle-free.
+    * The key is wrapped in a struct before count_distinct: a bare
+    * multi-column count_distinct DROPS rows with any NULL key column
+    * (SQL aggregate semantics), while a struct is itself non-null, so
+    * NULL-containing keys count as distinct values — matching the
+    * `count(*) FROM (SELECT DISTINCT …)` oracle semantics and treating
+    * duplicate all-NULL keys as duplicates. Declare a separate
+    * [[notNull]] rule when NULL keys should themselves be violations. */
   def unique(df: DataFrame, tbl: String, keyCols: Seq[String]): DataFrame = {
-    val key = keyCols.map(col)
-    df.agg((count(lit(1)) - count_distinct(key.head, key.tail: _*))
+    val key = struct(keyCols.map(col): _*)
+    df.agg((count(lit(1)) - count_distinct(key))
         .as("violations"))
       .select(lit(tbl).as("tbl"),
         lit(s"unique:${keyCols.mkString(",")}").as("rule"),

@@ -78,8 +78,15 @@ object Scd4 {
   def asOf(current: DataFrame, history: DataFrame, keys: Seq[String],
       asOf: Timestamp): DataFrame = {
     val cols = current.columns.toSeq
+    // deterministic tie-break: two history rows for one key CAN share a
+    // superseded_at (two cycles run with the same timestamp), and
+    // row_number over a tied sort picks a winner per shuffle — order by
+    // the remaining columns after the timestamp so the reconstruction
+    // is stable across runs and engines
+    val tieBreak = cols.filterNot(keys.contains).map(col)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col("superseded_at"))
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("superseded_at") +: tieBreak: _*)
     val fromHistory = history
       .filter(col("superseded_at") > lit(asOf))
       .withColumn("__rn", row_number().over(w))

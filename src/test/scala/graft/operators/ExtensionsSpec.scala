@@ -1539,9 +1539,14 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       ("in_set:flag", 1L),
       ("not_null:id", 1L),
       ("range:qty:[0.0,10.0]", 3L),  // -1, null, 50
-      // count(*) − count(DISTINCT): the dup AND the null row count (both
-      // engines' DISTINCT ignores NULL) — declare not_null alongside
-      ("unique:id", 2L))
+      // null-safe struct distinct: the NULL key is a distinct VALUE
+      // (matching a multi-column DISTINCT subquery), so only the real
+      // dup counts — declare not_null alongside to flag NULL keys
+      ("unique:id", 1L))
+    // two all-NULL keys ARE duplicates of each other under the struct
+    val t2 = Seq(Option.empty[Long], Option.empty[Long], Some(7L)).toDF("id")
+    unique(t2.select(col("id"), col("id").as("id2")), "t2", Seq("id", "id2"))
+      .collect().head.getLong(2) shouldBe 1L
     // RI: fact keys absent from the dim count; nulls don't
     val fact = Seq(Some(1L), Some(9L), None, Some(9L)).toDF("fk")
     val dim = Seq(1L, 2L).toDF("pk")
