@@ -133,7 +133,16 @@ object Sf1Soak {
     "text_repetition",
     // the ADC scans: single-pass narrow maps whose scaling should be
     // exactly linear — encode+score carries codes, never float vectors
-    "knn_pq_oracled", "knn_ivfpq_oracled")
+    "knn_pq_oracled", "knn_ivfpq_oracled",
+    // round-7/8 operators, soaked here for the first time: the one-
+    // shuffle funnel/retention folds, last-touch attribution over the
+    // time-binned range join, deletion-neighborhood fuzzy linkage, the
+    // SCD4 history split + late-arriving splice, and the stored-index
+    // retrieval paths (BM25 + hybrid RRF — index built once per corpus,
+    // probes partition-pruned)
+    "funnel_steps", "cohort_retention", "event_attribution",
+    "linkage_fuzzy_pairs", "scd4_history", "scd2_late_splice",
+    "text_bm25_indexed", "search_hybrid_rrf")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] =
     Headline.map { name =>
