@@ -85,21 +85,41 @@ object Media {
     docs.select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, src) =>
-          val rgb = (((id % 256) << 16) | ((id * 7 % 256) << 8) |
-            (id * 13 % 256)).toInt
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) { img.setRGB(x, y, rgb); x += 1 }
-            y += 1
-          }
-          val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "bmp", bos)
-          MediaFile(id, "image", bos.toByteArray, src)
+          MediaFile(id, "image",
+            solidBmp(w, h, (id % 256).toInt, (id * 7 % 256).toInt,
+              (id * 13 % 256).toInt), src)
         }
       }
+  }
+
+  /** 24-bit uncompressed BMP of one solid color, built directly from the
+    * spec (14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up
+    * BGR rows padded to 4 bytes) — no AWT on the write side. Per-pixel
+    * `BufferedImage.setRGB` + an ImageIO writer per row cost ~10× more
+    * than the whole downstream decode at corpus scale; here one row
+    * template is built and repeated. `ImageIO.read` decodes this layout
+    * exactly (lossless), which is what the media_embedding oracle
+    * depends on. */
+  private def solidBmp(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowLen = (w * 3 + 3) / 4 * 4 // 4-byte-aligned BGR row
+    val size = 54 + rowLen * h
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+    buf.putInt(40).putInt(w).putInt(h) // header size, dims (bottom-up)
+      .putShort(1).putShort(24).putInt(0) // planes, bpp, no compression
+      .putInt(rowLen * h).putInt(2835).putInt(2835) // image size, 72 dpi
+      .putInt(0).putInt(0) // palette: none
+    val row = new Array[Byte](rowLen)
+    var x = 0
+    while (x < w) {
+      row(x * 3) = b.toByte; row(x * 3 + 1) = g.toByte; row(x * 3 + 2) = r.toByte
+      x += 1
+    }
+    var y = 0
+    while (y < h) { buf.put(row); y += 1 }
+    buf.array()
   }
 
   /** STUB decoder — deterministic pseudo-decode keyed on payload bytes.
