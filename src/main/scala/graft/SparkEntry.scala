@@ -2218,6 +2218,26 @@ object SparkEntry {
           (round(col("val").cast("double"), 4) + lit(0.0)).as("val"))
         .orderBy("media_id", "pos")),
 
+    // IMAGE NEAR-DUP over real decoded pixels — the composition the
+    // media family exists for: BMP corpus with deliberate duplicate
+    // colors (23-cycle) → real decode → content descriptor → the
+    // PRODUCTION portable-plane LSH dedup (block → cosine verify ≥
+    // 0.999 → drop larger ids). Every stage replays in closed form:
+    // solid-color descriptors are predictable arithmetic, the bucket
+    // bits are the md5-plane integer algebra, and the verify cosine is
+    // the same double algebra the brute-force oracle hash-matches — so
+    // DuckDB reproduces the exact survivor set without decoding a pixel
+    "media_neardup" -> ((s, dir) => {
+      val vecs = Media.extractFeatures(
+          Media.synthesizeImageGroups(
+            s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      graft.operators.Dedup.embeddingPortable(vecs, threshold = 0.999)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     "media_frames" -> ((s, dir) =>
       Media.sampleFrames(
           Media.extractFeatures(
@@ -4740,6 +4760,42 @@ object SparkEntry {
         |    ELSE 0.0
         |  END AS val
         |FROM dims ORDER BY media_id, pos""".stripMargin,
+
+    // the image-near-dup pipeline replayed without decoding a pixel:
+    // closed-form solid-color descriptors (the media_embedding algebra
+    // on the 23-cycle color table) → the portable-plane bucket bits →
+    // the dedup_embedding_oracled block/verify/anti-join recipe
+    "media_neardup" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, CAST(doc_id % 23 AS BIGINT) AS k FROM documents),
+        |col3 AS (
+        |  SELECT doc_id, 40 + k * 9 AS r, 255 - k * 10 AS g,
+        |    30 + (k * 37) % 200 AS b
+        |  FROM c),
+        |e AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(range(64), p -> CAST(
+        |      CASE
+        |        WHEN p < 48 AND p % 3 = 0 THEN CAST(r AS DOUBLE) / 255.0
+        |        WHEN p < 48 AND p % 3 = 1 THEN CAST(g AS DOUBLE) / 255.0
+        |        WHEN p < 48 THEN CAST(b AS DOUBLE) / 255.0
+        |        WHEN p = 48 THEN (299.0 * r + 587.0 * g + 114.0 * b) / 255000.0
+        |        ELSE 0.0
+        |      END AS REAL)) AS embedding
+        |  FROM col3),
+        |bk AS (SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM e),
+        |ok AS (
+        |  SELECT bucket FROM bk GROUP BY bucket
+        |  HAVING count(*) > 1 AND count(*) <= 10000),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE a.bucket IN (SELECT bucket FROM ok)),
+        |dup AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  WHERE ${duckCos("va", "vb")} >= 0.999)
+        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY vec_id""".stripMargin,
 
     // the stub decode recomputed in closed form: byte i of the payload
     // sha256 is CAST('0x'||substr(hex, i*2+1, 2)), dims/frames/features

@@ -92,6 +92,28 @@ object Media {
       }
   }
 
+  /** Like [[synthesizeImages]] but colors repeat on a `nColors`-cycle of
+    * doc_id — so the corpus contains deliberate exact-duplicate IMAGES
+    * under different ids (same decoded pixels ⇒ identical content
+    * descriptors), the fixture an image near-dup pipeline needs. The
+    * color table walks distinct RGB directions (`r` rising, `g`
+    * falling, `b` scrambled) so different color groups stay measurably
+    * apart in cosine — no two groups are scalar multiples. */
+  def synthesizeImageGroups(docs: DataFrame, nColors: Int = 23,
+      w: Int = 48, h: Int = 36): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val k = (id % nColors).toInt
+          MediaFile(id, "image",
+            solidBmp(w, h, 40 + k * 9, 255 - k * 10, 30 + (k * 37) % 200),
+            src)
+        }
+      }
+  }
+
   /** 24-bit uncompressed BMP of one solid color, built directly from the
     * spec (14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up
     * BGR rows padded to 4 bytes) — no AWT on the write side. Per-pixel
@@ -543,7 +565,16 @@ object Media {
                 }
                 yy += 1
               }
-              out(48 + u * 4 + v) = (a(u) * a(v) * acc / 32.0).toFloat
+              val coeff = a(u) * a(v) * acc / 32.0
+              // snap sub-noise residue to EXACT zero: a mathematically-
+              // zero AC coefficient (solid input) accumulates ~±1e-14 of
+              // cosine-table float error, and downstream integer
+              // quantization (floor(x·1000) in the LSH bucket algebra)
+              // would turn that sign noise into a bucket-bit flip vs the
+              // closed form; real image AC magnitudes sit orders above
+              // this threshold
+              out(48 + u * 4 + v) =
+                if (math.abs(coeff) < 1e-9) 0.0f else coeff.toFloat
             }
             v += 1
           }
