@@ -144,8 +144,19 @@ object Sf1Soak {
     "linkage_fuzzy_pairs", "scd4_history", "scd2_late_splice",
     "text_bm25_indexed", "search_hybrid_rrf")
 
-  private def bench(spark: SparkSession): Seq[(String, Double)] =
-    Headline.map { name =>
+  private def bench(spark: SparkSession): Seq[(String, Double)] = {
+    // the replicated corpus duplicates every customer name Copies×, so
+    // the all-pairs linkage OUTPUT grows quadratically in Copies
+    // (measured at sf1: 10× data → 102.6× pairs, 262.5k → 26.9M; see
+    // BENCH_sf1 notes). At 100 copies that is ~2.6G result rows —
+    // output volume, not a blocking failure — so the deep-replication
+    // soaks swap in the probe-bounded two-table form instead.
+    val qs =
+      if (Copies > 30)
+        Headline.map(q =>
+          if (q == "linkage_fuzzy_pairs") "linkage_fuzzy_join" else q)
+      else Headline
+    qs.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -156,6 +167,7 @@ object Sf1Soak {
       println(f"[$Label] $name%-28s $t%.2f s")
       name -> t
     }
+  }
 
   private def fail(msg: String): Unit = { System.err.println(s"[FAIL] $msg"); sys.exit(1) }
 
