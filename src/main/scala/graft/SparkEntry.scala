@@ -1320,6 +1320,49 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // mergeable QUANTILE sketch tables (KLL) — the percentile twin of
+    // sketch_distinct_merged: per-(type, day) sketches in ONE events
+    // pass, the per-type rollup a union of sketch BYTES (never a
+    // rescan; at 100 TB the daily sketch table answers "p99 for any
+    // date range" from kilobytes). KLL compaction is randomized, so the
+    // row exposes deterministic columns (n_days, sketch-carried exact n,
+    // exact p50) plus rank-error contracts the oracle predicts TRUE:
+    // each estimated quantile's EXACT rank (one conditional-agg pass
+    // over events with the three estimates broadcast back) must sit
+    // within 0.05 of its target — 3× the k=200 guarantee, so the
+    // booleans are stable at any practical confidence
+    "sketch_quantiles_merged" -> ((s, dir) => {
+      import graft.functions.QuantileSketch._
+      val ev = events(s, dir)
+        .filter(col("value").isNotNull)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val daily = ev.groupBy("event_type", "day")
+        .agg(kllAgg(col("value")).as("sk"))
+      val merged = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), kllUnionAgg(col("sk")).as("sk"))
+        .select(col("event_type"), col("n_days"), kllN(col("sk")).as("n_rows"),
+          kllQuantile(col("sk"), 0.25).as("e25"),
+          kllQuantile(col("sk"), 0.5).as("e50"),
+          kllQuantile(col("sk"), 0.75).as("e75"))
+      val ranks = ev.join(broadcast(merged), "event_type")
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5D)"), 4).as("exact_p50"),
+          (sum(when(col("value") <= col("e25"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r25"),
+          (sum(when(col("value") <= col("e50"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r50"),
+          (sum(when(col("value") <= col("e75"), 1L).otherwise(0L)) /
+            count(lit(1))).as("r75"))
+      merged.join(ranks, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_rows"),
+          col("exact_p50"),
+          (abs(col("r25") - 0.25) <= 0.05).as("ok_p25"),
+          (abs(col("r50") - 0.5) <= 0.05).as("ok_p50"),
+          (abs(col("r75") - 0.75) <= 0.05).as("ok_p75"))
+        .orderBy("event_type")
+    }),
+
     // the STORED tokenizer: merges learned once into a parquet artifact
     // (train-once-encode-many, the ANN stored-index pattern), then the
     // corpus encodes against the loaded model. Same oracle SQL as
@@ -2238,6 +2281,40 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // CONTENT-DERIVED audio embeddings, hash-checked end to end: a
+    // deterministic square-wave WAV corpus (real PCM16 samples, lossless
+    // format) flows through the real RIFF parse → 16-dim energy+ZCR
+    // descriptor (Media.audioEmbedding), and because a blockwise square
+    // wave's statistics have closed forms (block mean|x| = A(id,b)/32768,
+    // block ZCR = (256/H − 1)/255), DuckDB predicts every component
+    // without reading a sample — the audio twin of media_embedding.
+    "media_audio_embedding" -> ((s, dir) =>
+      Media.extractFeatures(
+          Media.synthesizeWavs(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "val")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          round(col("val").cast("double"), 4).as("val"))
+        .orderBy("media_id", "pos")),
+
+    // AUDIO NEAR-DUP over real decoded samples — WAV corpus with
+    // deliberate duplicate waves (23-cycle) → RIFF parse → content
+    // descriptor → the PRODUCTION portable-plane LSH dedup (block →
+    // cosine verify ≥ 0.999 → drop larger ids). Same replay story as
+    // media_neardup: descriptors, bucket bits, and verify cosines are
+    // all closed-form arithmetic, so DuckDB reproduces the exact
+    // survivor set without parsing a byte of RIFF
+    "media_audio_neardup" -> ((s, dir) => {
+      val vecs = Media.extractFeatures(
+          Media.synthesizeWavGroups(
+            s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+      graft.operators.Dedup.embeddingPortable(vecs, dim = 16, threshold = 0.999)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     "media_frames" -> ((s, dir) =>
       Media.sampleFrames(
           Media.extractFeatures(
@@ -2814,6 +2891,14 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS merged_eq_direct,
         |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_quantiles_merged" ->
+      """SELECT event_type,
+        |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
+        |  count(value) AS n_rows,
+        |  round(quantile_cont(value, 0.5), 4) AS exact_p50,
+        |  TRUE AS ok_p25, TRUE AS ok_p50, TRUE AS ok_p75
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q17_pivot" ->
@@ -4783,6 +4868,59 @@ object SparkEntry {
         |        ELSE 0.0
         |      END AS REAL)) AS embedding
         |  FROM col3),
+        |bk AS (SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM e),
+        |ok AS (
+        |  SELECT bucket FROM bk GROUP BY bucket
+        |  HAVING count(*) > 1 AND count(*) <= 10000),
+        |cand AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, a.embedding AS va, b.embedding AS vb
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+        |  WHERE a.bucket IN (SELECT bucket FROM ok)),
+        |dup AS (
+        |  SELECT DISTINCT id_b FROM cand
+        |  WHERE ${duckCos("va", "vb")} >= 0.999)
+        |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY vec_id""".stripMargin,
+
+    // the square-wave corpus's closed-form descriptor: block mean|x| is
+    // the amplitude scramble /32768, block ZCR is the interior-flip
+    // count /255 keyed on the half-period cycle; the REAL cast mirrors
+    // the Spark side's Float feature storage before the 4-dp round
+    "media_audio_embedding" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(p AS BIGINT) AS pos
+        |  FROM documents, unnest(range(16)) AS t(p))
+        |SELECT doc_id AS media_id, pos,
+        |  round(CAST(CASE WHEN pos < 8 THEN
+        |    CAST(CAST(500 + ((doc_id*37 + pos*29 + doc_id*pos*13) % 89) * 320
+        |      AS DOUBLE) / 32768.0 AS REAL)
+        |  ELSE
+        |    CAST((CASE CAST(doc_id % 4 AS INTEGER)
+        |      WHEN 0 THEN 127 WHEN 1 THEN 63 WHEN 2 THEN 31 ELSE 15 END)
+        |      / 255.0 AS REAL)
+        |  END AS DOUBLE), 4) AS val
+        |FROM dims ORDER BY media_id, pos""".stripMargin,
+
+    // the audio-near-dup pipeline replayed without parsing a byte of
+    // RIFF: closed-form square-wave descriptors (the media_audio_
+    // embedding algebra on the 23-cycle parameter table) → the
+    // portable-plane bucket bits → the dedup_embedding_oracled
+    // block/verify/anti-join recipe
+    "media_audio_neardup" ->
+      s"""WITH c AS (
+        |  SELECT doc_id, CAST(doc_id % 23 AS BIGINT) AS k FROM documents),
+        |e AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(range(16), p -> CAST(
+        |      CASE WHEN p < 8 THEN
+        |        CAST(500 + ((k*37 + p*29 + k*p*13) % 89) * 320 AS DOUBLE)
+        |          / 32768.0
+        |      ELSE
+        |        (CASE CAST(k % 4 AS INTEGER)
+        |          WHEN 0 THEN 127 WHEN 1 THEN 63 WHEN 2 THEN 31 ELSE 15 END)
+        |          / 255.0
+        |      END AS REAL)) AS embedding
+        |  FROM c),
         |bk AS (SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM e),
         |ok AS (
         |  SELECT bucket FROM bk GROUP BY bucket

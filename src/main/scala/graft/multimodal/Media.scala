@@ -114,6 +114,79 @@ object Media {
       }
   }
 
+  /** Deterministic REAL-sample audio corpus: one PCM16 mono WAV per
+    * document, a blockwise square wave whose per-block amplitude and
+    * global half-period are closed-form functions of `doc_id` — so the
+    * [[audioEmbedding]] descriptor of every payload is predictable
+    * arithmetic (block mean-|x| = `A(id,b)/32768`, block ZCR =
+    * `(256/H − 1)/255`), the audio analog of [[synthesizeImages]]'
+    * solid-color BMPs. WAV is lossless PCM, so the decode returns the
+    * exact samples the writer emitted. */
+  def synthesizeWavs(docs: DataFrame): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) => MediaFile(id, "audio", squareWav(id), src) }
+      }
+  }
+
+  /** Like [[synthesizeWavs]] but the wave parameters repeat on an
+    * `nGroups`-cycle of doc_id — deliberate exact-duplicate AUDIO under
+    * different ids (same samples ⇒ identical descriptors), the fixture an
+    * audio near-dup pipeline needs. The per-block amplitude table is a
+    * modular scramble of `(group, block)` (not a monotone ramp), so group
+    * descriptors point in genuinely different directions: max cross-group
+    * cosine ≈ 0.990, comfortably outside a 0.999 verify threshold. */
+  def synthesizeWavGroups(docs: DataFrame, nGroups: Int = 23): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          MediaFile(id, "audio", squareWav(id % nGroups), src)
+        }
+      }
+  }
+
+  /** Per-(key, block) square-wave amplitude: `500 + ((37k + 29b + 13kb)
+    * mod 89) · 320` ∈ [500, 28660] — closed-form integer arithmetic an
+    * external engine replays verbatim (the audio twin of the BMP color
+    * residues). */
+  private def wavAmp(k: Long, b: Int): Int =
+    (500 + (k * 37 + b * 29 + k * b * 13) % 89 * 320).toInt
+
+  /** Half-period in samples: `2^(1 + k mod 4)` ∈ {2,4,8,16} — each divides
+    * the 256-sample block, so every block sees exactly `256/H − 1`
+    * interior sign flips. */
+  private def wavHalfPeriod(k: Long): Int = 1 << (1 + (k % 4).toInt)
+
+  /** PCM16 mono WAV (8 kHz, 2048 samples) of the keyed square wave:
+    * sample n in block `b = n/256` is `±A(k,b)`, sign = parity of `n/H`.
+    * Canonical 44-byte RIFF header + little-endian samples, built
+    * directly from the spec — same no-framework discipline as
+    * [[solidBmp]]. */
+  private def squareWav(k: Long): Array[Byte] = {
+    val n = 2048; val rate = 8000
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("ISO-8859-1")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("ISO-8859-1"))
+    buf.put("fmt ".getBytes("ISO-8859-1")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    buf.put("data".getBytes("ISO-8859-1")).putInt(n * 2)
+    val h = wavHalfPeriod(k)
+    var i = 0
+    while (i < n) {
+      val a = wavAmp(k, i / 256)
+      buf.putShort((if ((i / h) % 2 == 0) a else -a).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** 24-bit uncompressed BMP of one solid color, built directly from the
     * spec (14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up
     * BGR rows padded to 4 bytes) — no AWT on the write side. Per-pixel
@@ -584,6 +657,76 @@ object Media {
       }
     } catch { case _: Exception => None }
 
+  /** CONTENT-DERIVED 16-dim audio descriptor from the real PCM samples —
+    * the classical signal-feature embedding (framed mean amplitude +
+    * zero-crossing rate, the public-knowledge front end of every speech/
+    * audio fingerprint since before learned models) feeding the existing
+    * ANN operators; `None` when the payload isn't PCM16 WAV (caller
+    * falls back to the digest stub).
+    *
+    * Layout: dims 0–7 are per-block mean |x|/32768 over 8 equal sample
+    * blocks (energy envelope); dims 8–15 are per-block zero-crossing
+    * rates (interior sign flips / (block − 1) pairs — ZCR tracks
+    * dominant frequency, the spectral proxy that needs no FFT).
+    *
+    * Determinism contract (what makes a `media_audio_embedding` oracle
+    * possible): both statistics accumulate in EXACT integer arithmetic
+    * (Long |sample| sums, flip counts) and each dimension is ONE
+    * division of exact integers — correctly rounded, engine-independent
+    * — so on closed-form inputs ([[synthesizeWavs]]' square waves) every
+    * dimension is bit-reproducible in an external engine. The RIFF walk
+    * is pure byte arithmetic (no javax.sound), same discipline as the
+    * FLAC/MP4/AVI parsers. */
+  def audioEmbedding(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      if (!looksLikeWav(payload)) None
+      else {
+        // chunk walk: [id(4) | size(4 LE) | bytes, even-padded] from 12
+        var fmtOk = false
+        var dataOff = -1; var dataLen = 0
+        var o = 12
+        while (o + 8 <= payload.length && (dataOff < 0 || !fmtOk)) {
+          val id = new String(payload, o, 4, "ISO-8859-1")
+          val sz = le32(payload, o + 4).toInt
+          if (id == "fmt " && sz >= 16) {
+            val tag = (payload(o + 8) & 0xff) | ((payload(o + 9) & 0xff) << 8)
+            val bits = (payload(o + 22) & 0xff) | ((payload(o + 23) & 0xff) << 8)
+            fmtOk = tag == 1 && bits == 16
+          } else if (id == "data") { dataOff = o + 8; dataLen = sz }
+          o += 8 + sz + (sz & 1)
+        }
+        val n = dataLen / 2
+        if (!fmtOk || dataOff < 0 || n < 16 ||
+            dataOff + dataLen > payload.length) None
+        else {
+          val sumAbs = new Array[Long](8); val cnt = new Array[Long](8)
+          val flips = new Array[Long](8)
+          var prev = 0; var prevBlock = -1
+          var i = 0
+          while (i < n) {
+            val s = ((payload(dataOff + i * 2) & 0xff) |
+              (payload(dataOff + i * 2 + 1) << 8)).toShort.toInt
+            val b = (i.toLong * 8 / n).toInt
+            sumAbs(b) += math.abs(s); cnt(b) += 1
+            if (b == prevBlock && (prev < 0) != (s < 0) && prev != 0 && s != 0)
+              flips(b) += 1
+            prev = s; prevBlock = b
+            i += 1
+          }
+          val out = new Array[Float](16)
+          var b = 0
+          while (b < 8) {
+            out(b) = (sumAbs(b).toDouble / (cnt(b) * 32768.0)).toFloat
+            out(8 + b) =
+              if (cnt(b) > 1) (flips(b).toDouble / (cnt(b) - 1.0)).toFloat
+              else 0.0f
+            b += 1
+          }
+          Some(out)
+        }
+      }
+    } catch { case _: Exception => None }
+
   /** The stub's body, keyed on an already-computed payload digest — lets
     * [[extractFeatures]] hash each payload exactly once for both the
     * pseudo-decode and the reported sha256. */
@@ -618,12 +761,13 @@ object Media {
         // dimensions (header-only javax.imageio read) AND a REAL 64-dim
         // content descriptor (block-mean color + low-frequency DCT,
         // [[imageEmbedding]]); audio rows with a real WAV payload report
-        // REAL (sample_rate, channels, frames) via javax.sound.sampled.
-        // Everything else — video, audio feature vectors, or payloads
-        // whose bytes aren't the claimed format — keeps the
-        // deterministic digest stub (a learned audio/video embedding
-        // needs a model, which remains the swappable part of this
-        // contract).
+        // REAL (sample_rate, channels, frames) via javax.sound.sampled
+        // AND — for PCM16 WAV — a REAL 16-dim content descriptor
+        // (energy envelope + ZCR, [[audioEmbedding]]). Everything else —
+        // video features, or payloads whose bytes aren't the claimed
+        // format — keeps the deterministic digest stub (a LEARNED
+        // audio/video embedding needs a model, which remains the
+        // swappable part of this contract).
         val (w, hgt, nfr) = f.kind match {
           case "image" =>
             // frame-count walk (getNumImages reads every frame header)
@@ -642,6 +786,10 @@ object Media {
         val feats =
           if (f.kind == "image" && looksLikeImage(f.payload))
             imageEmbedding(f.payload).getOrElse(feat)
+          else if (f.kind == "audio" && looksLikeWav(f.payload))
+            // real PCM16 WAV bytes → content descriptor (energy envelope
+            // + ZCR, [[audioEmbedding]]); non-PCM16 WAVs keep the stub
+            audioEmbedding(f.payload).getOrElse(feat)
           else feat
         val digest = h.map("%02x".format(_)).mkString
         MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nfr, feats)

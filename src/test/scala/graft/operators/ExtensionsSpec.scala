@@ -1062,6 +1062,48 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     rows(2).n_frames should be >= 1 // video: digest-derived stub
   }
 
+  test("audio content descriptor: closed-form square waves, dup groups, non-PCM16 → None") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((5L, "a"), (7L, "b"), (28L, "c")).toDF("doc_id", "source")
+    val feats = Media.extractFeatures(Media.synthesizeWavs(docs))
+      .collect().sortBy(_.media_id).map(f => f.media_id -> f.features).toMap
+    // closed form: block mean|x| = (500 + ((37k + 29b + 13kb) % 89)·320)
+    // / 32768, block ZCR = (256/2^(1+k%4) − 1)/255 — the exact algebra
+    // the media_audio_embedding oracle replays
+    for (k <- Seq(5L, 7L, 28L); b <- 0 until 8) {
+      val amp = 500 + (k * 37 + b * 29 + k * b * 13) % 89 * 320
+      feats(k)(b) shouldBe (amp / 32768.0).toFloat
+      val flips = 256 / (1 << (1 + (k % 4).toInt)) - 1
+      feats(k)(8 + b) shouldBe (flips / 255.0).toFloat
+    }
+    // the 23-cycle group corpus: same group ⇒ identical descriptors,
+    // different groups ⇒ cosine below the 0.999 verify threshold
+    val gdocs = Seq((1L, "x"), (24L, "x"), (2L, "x")).toDF("doc_id", "source")
+    val g = Media.extractFeatures(Media.synthesizeWavGroups(gdocs))
+      .collect().sortBy(_.media_id).map(_.features)
+    g(0).toSeq shouldBe g(2).toSeq // ids 1 and 24 share group 1
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    cos(g(0), g(1)) should be < 0.999
+    // non-WAV bytes and PCM-but-not-16-bit WAVs report None (callers
+    // fall back to the digest stub)
+    Media.audioEmbedding("not audio".getBytes("UTF-8")) shouldBe None
+    val wav8 = { // PCM8 WAV via the JDK writer: fmt parses, bits ≠ 16
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](64)), fmt, 64L)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    Media.audioEmbedding(wav8) shouldBe None
+  }
+
   test("real video container headers parse to exact dims/frames/duration; fakes keep the stub") {
     // hand-built minimal ISO-BMFF: ftyp + moov[mvhd + video trak[tkhd +
     // mdia/minf/stbl/stsz] + audio trak[tkhd 0×0]] — the exact box layout
@@ -1484,6 +1526,42 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     // deterministic datasketches estimate must agree
     merged shouldBe direct
     math.abs(merged - exact).toDouble / exact should be < 0.05
+  }
+
+  test("kll quantile sketch table: rank bound, union-of-parts bound, parquet round trip, exact n") {
+    import graft.functions.QuantileSketch._
+    val s = spark
+    import s.implicits._
+    // 100k scrambled values across 10 parts: well past the k=200 retained
+    // capacity, so compaction (and its error bound) is actually exercised
+    val n = 100000
+    val d = (0 until n).map(i => ((i.toLong * 7919 % 100003).toDouble, i % 10))
+      .toDF("v", "part")
+    val parts = d.groupBy("part").agg(kllAgg(col("v")).as("sk"))
+    // sketch table survives a parquet round trip (the stored layout)
+    val path = java.nio.file.Files.createTempDirectory("kll").toString
+    parts.write.mode("overwrite").parquet(path)
+    val merged = spark.read.parquet(path)
+      .agg(kllUnionAgg(col("sk")).as("sk"))
+      .select(kllN(col("sk")).as("n"),
+        kllQuantile(col("sk"), 0.25).as("e25"),
+        kllQuantile(col("sk"), 0.5).as("e50"),
+        kllQuantile(col("sk"), 0.75).as("e75"))
+      .collect().head
+    merged.getLong(0) shouldBe n.toLong // KLL carries n exactly through unions
+    // values are a permutation-ish residue set over [0, 100003): the true
+    // quantile of rank q is ≈ q·100003; k=200 guarantees ~1.65% rank
+    // error — assert 2% post-union (unions never widen the bound)
+    for ((q, idx) <- Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3)) {
+      val est = merged.getDouble(idx)
+      val rank = d.filter(col("v") <= est).count().toDouble / n
+      math.abs(rank - q) should be < 0.02
+    }
+    // the one-pass (no union) sketch holds the same bound
+    val direct = d.agg(kllAgg(col("v")).as("sk"))
+      .select(kllQuantile(col("sk"), 0.5)).collect().head.getDouble(0)
+    val dRank = d.filter(col("v") <= direct).count().toDouble / n
+    math.abs(dRank - 0.5) should be < 0.02
   }
 
   test("bpe encode: learned merges apply greedily, stream keeps doc order") {
