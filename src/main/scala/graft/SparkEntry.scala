@@ -1147,6 +1147,17 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("source", "doc_id")),
 
+    // stratified sample with an exact 100-row budget allocated across
+    // languages proportionally (largest-remainder method, exact integer
+    // quotas) — the eval-set builder: the sample mirrors the corpus's
+    // language mix and lands on the budget exactly, deterministically
+    "curation_sample_stratified" -> ((s, dir) =>
+      graft.operators.Curation.sampleStratified(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("lang"), total = 100L, idCol = "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("lang", "doc_id")),
+
     // train→test n-gram contamination — the PRODUCTION hashed-shingle
     // form (8-byte shuffle keys). Its (doc_id, count) output is identical
     // to the string form up to 64-bit collisions, so the string-shingle
@@ -1261,6 +1272,43 @@ object SparkEntry {
 
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+
+    // distribution-drift monitor — the pre-refresh check "does this
+    // week's data still look like last week's?": TVD over a fixed
+    // 10-bin histogram of value, split at the date-range midpoint.
+    // TVD instead of PSI on purpose: no ln(), so the whole metric is
+    // exact integer arithmetic + one closing division — hash-stable
+    // cross-engine. One scan, slim (type, bin) shuffle, 1-row
+    // broadcast boundary
+    "monitor_drift" -> ((s, dir) =>
+      graft.operators.Drift.tvdByGroup(
+          events(s, dir)
+            .withColumn("day", to_date(timestamp_micros(col("ts_us")))),
+          "event_type", "day", "value", binWidth = 50.0, nBins = 10)
+        .orderBy("event_type")),
+
+    // dedup with a SURVIVOR POLICY — keep the LONGEST raw form per
+    // normalized-fingerprint group (ties → smallest id), the policy a
+    // crawl pipeline wants (best capture survives, not first-crawled).
+    // The corpus is documents + deterministic crawl-noise variants that
+    // normalize to the same fingerprint: whitespace-padded clones
+    // (longer raw text — should WIN over their original) and uppercased
+    // clones (same length — should lose the tie-break). One hash
+    // aggregate, same 100 TB cost as min-id dedup
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text")
+      val padded = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit("  ")).as("text"))
+      val upper = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          org.apache.spark.sql.functions.upper(col("text")).as("text"))
+      Dedup.exactKeepBest(docs.unionByName(padded).unionByName(upper),
+          length(col("text")))
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
@@ -3824,6 +3872,31 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 3 ORDER BY source, doc_id""".stripMargin,
 
+    // the allocation replayed: integer floor quotas + largest-remainder
+    // top-up (ties on lang), then the same md5 rank within each stratum
+    "curation_sample_stratified" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |g AS (SELECT sum(n) AS tot FROM c),
+        |q AS (
+        |  SELECT lang, (100 * n) // tot AS fl, (100 * n) % tot AS rem
+        |  FROM c, g),
+        |q2 AS (
+        |  SELECT lang, fl, rem,
+        |    100 - sum(fl) OVER () AS leftover,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+        |  FROM q),
+        |quota AS (
+        |  SELECT lang,
+        |    fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota
+        |  FROM q2),
+        |r AS (
+        |  SELECT d.doc_id, d.lang, quota,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'graft-sample'), doc_id) AS rn
+        |  FROM documents d JOIN quota USING (lang))
+        |SELECT doc_id, lang FROM r WHERE rn <= quota
+        |ORDER BY lang, doc_id""".stripMargin,
+
     "curation_contamination" ->
       """WITH sh AS (
         |  SELECT doc_id AS id,
@@ -4066,6 +4139,55 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+
+    // the drift metric replayed: same binning, same midpoint split,
+    // same exact-integer TVD numerator (HUGEINT sums cast at the end)
+    "monitor_drift" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |w AS (
+        |  SELECT event_type, bin,
+        |    day <= mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER) AS base
+        |  FROM ev, b),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN base THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN base THEN 0 ELSE 1 END) AS cc
+        |  FROM w GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT *,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(max(nb) AS BIGINT) AS n_base,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
+        |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
+        |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the survivor policy replayed: same decorated corpus, row_number
+    // over (length DESC, doc_id ASC) within each normalized fingerprint
+    "dedup_keep_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, '  ' || text || '  '
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, upper(text)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |ranked AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |      ORDER BY length(text) DESC, doc_id) AS rn
+        |  FROM corpus)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "embedding_centroids" ->
       """SELECT label, pos,

@@ -139,6 +139,56 @@ object Curation {
       .drop("__rn")
   }
 
+  /** STRATIFIED sample with an exact total budget: allocate `total` rows
+    * across the strata PROPORTIONALLY to stratum size using the
+    * largest-remainder method (floor allocations, then the leftover
+    * seats go to the largest fractional remainders; ties break on the
+    * stratum key), and draw each stratum's quota by the same md5-hash
+    * order as [[samplePerGroup]]. The eval-set builder's shape: "give me
+    * exactly 10k docs that mirror the corpus's language mix".
+    *
+    * All allocation arithmetic is exact integers (`total·n_g div N`,
+    * remainders as `total·n_g mod N`) — no doubles, so the quota table
+    * is engine-reproducible, and the whole operator is hash-checkable.
+    * Plan shape: one count aggregate (stratum-sized result), windows
+    * only over that tiny quota table, then one slim per-stratum ranking
+    * window over (id, stratum, md5) rows — same scale posture as
+    * [[samplePerGroup]], with [[hashFraction]] pre-filtering available
+    * the same way when strata are huge. */
+  def sampleStratified(
+      df: DataFrame,
+      groupCols: Seq[String],
+      total: Long,
+      idCol: String,
+      salt: String = "graft-sample"): DataFrame = {
+    require(total >= 0, s"total must be non-negative: $total")
+    val counts = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    // floor quota + largest-remainder top-up, all integer arithmetic.
+    // The grand total and `leftover = total − Σ floor` come from GLOBAL
+    // windows over the quota table — one row per stratum, so the
+    // single-partition window is free and avoids a self-join of shared
+    // lineage (which Spark would flag as ambiguous)
+    val wAll = Window.partitionBy()
+    val wRem = Window.partitionBy()
+      .orderBy(col("__rem").desc +: groupCols.map(col): _*)
+    val quotas = counts
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__floor", expr(s"($total * __n) div __tot"))
+      .withColumn("__rem", expr(s"($total * __n) % __tot"))
+      .withColumn("__left", lit(total) - sum(col("__floor")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("__quota",
+        col("__floor") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+      .select(groupCols.map(col) :+ col("__quota"): _*)
+    val wPick = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.join(broadcast(quotas), groupCols)
+      .withColumn("__rn", row_number().over(wPick))
+      .filter(col("__rn") <= col("__quota"))
+      .drop("__rn", "__quota")
+  }
+
   /** Train→test contamination: for each test document, how many of its
     * distinct word shingles appear in ANY training document. A test doc
     * with high overlap was (near-)copied into the training set — the

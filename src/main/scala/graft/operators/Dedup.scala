@@ -45,6 +45,25 @@ object Dedup {
       .select(cols.map(c => col(s"__row.$c").as(c)): _*)
   }
 
+  /** Exact dedup with a SURVIVOR POLICY: within each normalized-text
+    * fingerprint group, keep the row maximizing `score` (ties → smallest
+    * id) instead of [[exact]]'s smallest-id row. This is the policy
+    * production dedup actually wants — among a page's crawl variants,
+    * keep the longest / highest-quality capture, not whichever was
+    * crawled first. Same single partial-combined hash aggregate as
+    * [[exact]] (`max_by` over a (score, −id) struct — lexicographic max
+    * = best score, then lowest id); no window, nothing sorts whole
+    * partitions, so the 100 TB cost is identical to min-id dedup. */
+  def exactKeepBest(df: DataFrame, score: Column,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val cols = df.columns.toSeq
+    df.withColumn("__fp", T.fingerprint(col(textCol)))
+      .groupBy(col("__fp"))
+      .agg(max_by(struct(cols.map(col): _*),
+        struct(score, col(idCol) * lit(-1L))).as("__row"))
+      .select(cols.map(c => col(s"__row.$c").as(c)): _*)
+  }
+
   /** Incremental exact dedup: deduplicate a new `batch` against a corpus
     * already reduced to its fingerprint set, WITHOUT rescanning the
     * corpus. Returns the batch rows that are new — internally deduped

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between time windows of a fact table —
+  * the check a training-data pipeline runs before every refresh: "does
+  * this week's data still look like the data the model saw?".
+  *
+  * The metric is total-variation distance (TVD = ½·Σ|p_b − q_b|) over a
+  * fixed histogram binning, chosen over the classical PSI deliberately:
+  * PSI's `ln(p/q)` drags in libm transcendentals whose last-ulp behavior
+  * differs across engines, while TVD on counts reduces to EXACT integer
+  * arithmetic — `Σ|c_base·n_cur − c_cur·n_base|` accumulates in Longs
+  * (associative, order-independent under Spark's partial aggregation)
+  * with ONE closing division — so the result is bit-reproducible and
+  * hash-checkable cross-engine, the same determinism discipline as the
+  * media descriptors. TVD is bounded in [0,1] with the same "bigger =
+  * more drift" reading as PSI.
+  *
+  * Plan shape (the 100 TB story): one scan → slim (group, window, bin)
+  * rows → two partial-combined hash aggregates; the split boundary is a
+  * 1-row broadcast (global min/max day), nothing else leaves the
+  * executors. No windows, no sort, no per-group subqueries. */
+object Drift {
+
+  /** TVD per `groupCol` between the first and second half of the date
+    * range (split at the midpoint day, inclusive left). `valueCol` is
+    * binned as `min(floor(value / binWidth), nBins−1)`; NULL values are
+    * excluded (SQL-aggregate semantics). Returns
+    * `(groupCol, n_base, n_cur, tvd)`. */
+  def tvdByGroup(df: DataFrame, groupCol: String, dayCol: String,
+      valueCol: String, binWidth: Double, nBins: Int): DataFrame = {
+    val ev = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(dayCol).as("__day"),
+        least(floor(col(valueCol) / lit(binWidth)).cast("long"),
+          lit(nBins - 1L)).as("__bin"))
+    val bounds = ev.agg(min(col("__day")).as("__mn"), max(col("__day")).as("__mx"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("__base",
+        col("__day") <= date_add(col("__mn"),
+          (datediff(col("__mx"), col("__mn")) / 2).cast("int")))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(
+        sum(when(col("__base"), 1L).otherwise(0L)).as("__cb"),
+        sum(when(!col("__base"), 1L).otherwise(0L)).as("__cc"))
+    // per-bin |c_base·n_cur − c_cur·n_base| in Longs: exact and
+    // order-independent; the single division happens once per group
+    counts
+      .withColumn("__nb", sum(col("__cb")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("__nc", sum(col("__cc")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("__nb")).as("n_base"),
+        first(col("__nc")).as("n_cur"),
+        sum(abs(col("__cb") * col("__nc") - col("__cc") * col("__nb")))
+          .as("__num"))
+      .select(col(groupCol), col("n_base"), col("n_cur"),
+        round(col("__num").cast("double") /
+          (col("n_base").cast("double") * col("n_cur") * 2.0), 4).as("tvd"))
+  }
+}

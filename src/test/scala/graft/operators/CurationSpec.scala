@@ -89,6 +89,33 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     ids1 should not be other
   }
 
+  test("sampleStratified: exact budget, proportional quotas, largest-remainder ties, determinism") {
+    val s = spark
+    import s.implicits._
+    // skewed strata: 600/250/100/50 of 1000 — a 97-row budget forces
+    // fractional quotas (58.2/24.25/9.7/4.85 → floors 58/24/9/4 = 95,
+    // two leftover seats go to the largest remainders .85 (g3) and .7 (g2))
+    val df = (1 to 1000).map { i =>
+      val g = if (i <= 600) "g0" else if (i <= 850) "g1"
+        else if (i <= 950) "g2" else "g3"
+      (i.toLong, g)
+    }.toDF("doc_id", "g")
+    val out = Curation.sampleStratified(df, Seq("g"), 97L, "doc_id")
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byG shouldBe Map("g0" -> 58L, "g1" -> 24L, "g2" -> 10L, "g3" -> 5L)
+    // exact budget, deterministic draw
+    out.count() shouldBe 97L
+    val ids1 = out.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    val ids2 = Curation.sampleStratified(df, Seq("g"), 97L, "doc_id")
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    ids1 shouldBe ids2
+    // a budget above the corpus returns everything (quotas cap at size)
+    Curation.sampleStratified(df, Seq("g"), 2000L, "doc_id")
+      .count() shouldBe 1000L
+  }
+
   test("contamination finds the planted copy and ignores disjoint docs") {
     val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
     val train = docs((1L, shared), (2L, "completely different training text here"))

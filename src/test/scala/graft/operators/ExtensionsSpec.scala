@@ -72,6 +72,19 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     kept shouldBe Array(2L, 9L)
   }
 
+  test("keep-best dedup: highest score survives, ties break to smallest id, singletons pass") {
+    import org.apache.spark.sql.functions.col
+    // fp group {5, 2, 8}: 8 has the longest raw form (padded) → wins;
+    // {3, 7} tie on length → smallest id 3 wins; 9 is a singleton
+    val d = docs((5L, "Hello  World"), (2L, "hello world"),
+      (8L, "  hello world  "), (3L, "same len"), (7L, "SAME LEN"),
+      (9L, "unique"))
+    val kept = Dedup.exactKeepBest(d,
+        org.apache.spark.sql.functions.length(col("text")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    kept shouldBe Array(3L, 8L, 9L)
+  }
+
   test("normalizeText: NFC composes, controls strip, whitespace collapses, ends trim") {
     val s = spark
     import s.implicits._
