@@ -2324,7 +2324,11 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet")))
         .toDF()
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
-      graft.operators.Dedup.embeddingPortable(vecs, threshold = 0.999)
+      // tiered: bit-identical descriptors (exact image dups) collapse
+      // to one representative BEFORE pairwise verify — same survivor
+      // set, and the deep duplicate pockets this fixture plants stop
+      // costing O(group²) cosines (9.8 s → decode-bound at sf0.1)
+      graft.operators.Dedup.embeddingPortableTiered(vecs, threshold = 0.999)
         .select("vec_id")
         .orderBy("vec_id")
     }),
@@ -2358,7 +2362,8 @@ object SparkEntry {
             s.read.parquet(s"$dir/documents.parquet")))
         .toDF()
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
-      graft.operators.Dedup.embeddingPortable(vecs, dim = 16, threshold = 0.999)
+      graft.operators.Dedup.embeddingPortableTiered(vecs, dim = 16,
+          threshold = 0.999)
         .select("vec_id")
         .orderBy("vec_id")
     }),

@@ -558,16 +558,23 @@ object Media {
       else {
         val w = img.getWidth; val h = img.getHeight
         val out = new Array[Float](64)
+        // ONE bulk getRGB per image: the per-pixel accessor routes every
+        // call through the ColorModel virtual dispatch — at corpus scale
+        // (10^8 pixels per 100k thumbnails) that was the whole decode
+        // budget; the bulk form fills an int[] in one pass with
+        // identical sRGB values
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         // --- dims 0..47: 4x4 block-mean RGB, exact integer sums -------
         val sr = new Array[Long](16); val sg = new Array[Long](16)
         val sb = new Array[Long](16); val cn = new Array[Long](16)
         var y = 0
         while (y < h) {
           val cy = y * 4 / h
+          val row = y * w
           var x = 0
           while (x < w) {
             val cell = cy * 4 + x * 4 / w
-            val rgb = img.getRGB(x, y)
+            val rgb = px(row + x)
             sr(cell) += (rgb >> 16) & 0xff
             sg(cell) += (rgb >> 8) & 0xff
             sb(cell) += rgb & 0xff
@@ -598,9 +605,10 @@ object Media {
             var sl = 0L; var n = 0L
             var yy = y0
             while (yy < y1) {
+              val row = yy * w
               var xx = x0
               while (xx < x1) {
-                val rgb = img.getRGB(xx, yy)
+                val rgb = px(row + xx)
                 sl += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
                   114L * (rgb & 0xff)
                 n += 1

@@ -741,6 +741,31 @@ object Dedup {
     df.join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
   }
 
+  /** [[embeddingPortable]] with an EXACT-DUPLICATE TIER first — the
+    * embedding twin of the text pipeline's tiered exact→minhash dedup.
+    * Bit-identical vectors collapse to their min-id representative in
+    * one hash aggregate, and only representatives enter the pairwise
+    * block/verify stage. Provably the same survivor set: a non-min
+    * member always has its representative as a smaller-id exact dup
+    * (cosine 1 ≥ any threshold) so it can never survive, and a
+    * representative is dropped by some group iff it is dropped by that
+    * group's min-id member (all members share one vector, hence one
+    * cosine). Cost collapses from O(Σ group²) pairwise verifies — a
+    * corpus with deep exact-duplicate pockets (the common crawl reality)
+    * spends its whole budget re-verifying identical pairs — to one
+    * LINEAR aggregate plus pairwise work over distinct vectors only. */
+  def embeddingPortableTiered(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64,
+      threshold: Double = 0.4, numPlanes: Int = 8): DataFrame = {
+    val reps = df.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col(vecCol))
+    val surviving = embeddingPortable(reps, vecCol, idCol, dim,
+        threshold, numPlanes)
+      .select(col(idCol))
+    df.join(surviving, Seq(idCol), "left_semi")
+  }
+
   /** Bloom-pruned incremental exact dedup — the wide-batch shape of
     * [[incrementalExact]]. A bloom sketch of the seen-fingerprint store is
     * built DISTRIBUTED (`BloomFilterAggregate`, one partial-combined
