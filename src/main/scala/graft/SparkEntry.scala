@@ -1725,6 +1725,27 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // tokenizer COVERAGE audit — the fertility check run before
+    // committing to a vocabulary: pieces-per-whitespace-token per doc
+    // (1.0 = every token in vocab; high = the tokenizer shreds this
+    // corpus slice). Pure composition of the trained encoder with the
+    // fused token counter; one aggregate over the encode stream
+    "text_bpe_coverage" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.operators.Vocab.bpeMergesLocal(docs, nMerges = 4)
+        .orderBy("round").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val pieces = graft.operators.Vocab.bpeEncode(docs, merges)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+      docs.select(col("doc_id"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .join(pieces, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
+          round(col("n_pieces").cast("double") / col("n_tokens"), 4)
+            .as("fertility"))
+        .orderBy("doc_id")
+    }),
+
     // canonical-URL normalization — the URL dedup key: the synthetic
     // corpus URLs get deterministic crawl-noise decorations (default
     // ports, an extra param, utm_ tracking, fragments, full-uppercase
@@ -2367,6 +2388,15 @@ object SparkEntry {
         .select("vec_id")
         .orderBy("vec_id")
     }),
+
+    // PDF metadata through the real byte parser: a minimal-but-valid
+    // synthetic PDF corpus (catalog → root /Pages /Count → leaf pages)
+    // whose version and page count are closed-form in doc_id — the
+    // document-modality twin of the image/audio/video header parsers
+    "media_pdf_meta" -> ((s, dir) =>
+      Media.pdfMetaTable(
+          Media.synthesizePdfs(s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")),
 
     "media_frames" -> ((s, dir) =>
       Media.sampleFrames(
@@ -4597,6 +4627,21 @@ object SparkEntry {
     // the per-doc token stream joins + unnests with a global position
     "text_bpe_encode" -> bpeEncodeSql,
 
+    // the encode stream aggregated per doc, joined with the whitespace
+    // token count — fertility = pieces / tokens
+    "text_bpe_coverage" ->
+      s"""SELECT doc_id, n_tokens, n_pieces,
+        |  round(CAST(n_pieces AS DOUBLE) / n_tokens, 4) AS fertility
+        |FROM (
+        |  SELECT doc_id, count(*) AS n_pieces
+        |  FROM ($bpeEncodeSql) GROUP BY doc_id) p
+        |JOIN (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+        |  FROM documents) t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     // identical oracle: the stored-model path must be a pure round trip
     "text_bpe_encode_stored" -> bpeEncodeSql,
 
@@ -5088,6 +5133,14 @@ object SparkEntry {
         |  list_sum(list_transform(range(8), i ->
         |    (CAST(('0x' || substr(h, i*4+1, 2)) AS INT) - 128) / 128.0)) AS feat_sum
         |FROM u ORDER BY media_id""".stripMargin,
+
+    // the synthetic PDF corpus's closed-form metadata: version and page
+    // count are doc_id residues by construction
+    "media_pdf_meta" ->
+      """SELECT doc_id AS media_id,
+        |  '1.' || CAST(4 + doc_id % 3 AS VARCHAR) AS pdf_version,
+        |  CAST(1 + doc_id % 7 AS BIGINT) AS n_pages
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "media_frames" ->
       """WITH m AS (

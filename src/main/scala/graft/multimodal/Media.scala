@@ -187,6 +187,51 @@ object Media {
     buf.array()
   }
 
+  /** Deterministic PDF corpus: one minimal single-tree PDF per document
+    * — catalog → root `/Pages` node carrying `/Count` → that many leaf
+    * `/Page` objects — with version `1.(4 + id mod 3)` and
+    * `1 + id mod 7` pages, so [[pdfInfo]]'s output is closed-form
+    * arithmetic on doc_id. Uncompressed, unencrypted, no xref games:
+    * the layout every PDF producer emits for trivial documents. */
+  def synthesizePdfs(docs: DataFrame): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val minor = 4 + (id % 3).toInt
+          val nPages = 1 + (id % 7).toInt
+          val kids = (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ")
+          val pages = (0 until nPages).map { i =>
+            s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+              "/MediaBox [0 0 612 792] >> endobj\n"
+          }.mkString
+          val body =
+            s"%PDF-1.$minor\n" +
+              "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+              s"2 0 obj << /Type /Pages /Kids [$kids] /Count $nPages >> endobj\n" +
+              pages +
+              "trailer << /Root 1 0 R >>\n%%EOF\n"
+          MediaFile(id, "document", body.getBytes("ISO-8859-1"), src)
+        }
+      }
+  }
+
+  /** Metadata table for a PDF corpus: `(media_id, pdf_version, n_pages)`
+    * via [[pdfInfo]]; rows whose payload doesn't parse are dropped
+    * (callers quarantine by anti-join if they need the failures). */
+  def pdfMetaTable(files: Dataset[MediaFile]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        pdfInfo(f.payload).map { case (maj, min, n) =>
+          (f.media_id, s"$maj.$min", n.toLong)
+        }
+      }
+    }.toDF("media_id", "pdf_version", "n_pages")
+  }
+
   /** 24-bit uncompressed BMP of one solid color, built directly from the
     * spec (14-byte file header + 40-byte BITMAPINFOHEADER + bottom-up
     * BGR rows padded to 4 bytes) — no AWT on the write side. Per-pixel
@@ -319,6 +364,67 @@ object Media {
       } catch { case _: Exception => None }
       finally if (in != null) in.close()
     }
+
+  private def looksLikePdf(p: Array[Byte]): Boolean =
+    p.length >= 8 && p(0) == '%' && p(1) == 'P' && p(2) == 'D' &&
+      p(3) == 'F' && p(4) == '-'
+
+  /** PDF header + page-tree metadata: `(major, minor, nPages)` — version
+    * digits straight from the `%PDF-x.y` magic, page count from the
+    * page TREE's `/Type /Pages … /Count N` nodes (the root node's Count
+    * is the document's total page count per the spec — counting leaf
+    * `/Page` objects instead would double-count under object streams
+    * and miss inherited kids). A linear byte scan, no object-graph
+    * walk: for unencrypted, non-objstm documents the root Pages node is
+    * the one with the LARGEST Count (intermediate nodes count subsets),
+    * so `max` over the scan is the total. Header-only discipline like
+    * the other parsers — no decompression, no xref resolution; `None`
+    * for encrypted/exotic layouts rather than a guess. */
+  def pdfInfo(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (!looksLikePdf(p)) return None
+    if (p(5) < '0' || p(5) > '9' || p(6) != '.' || p(7) < '0' || p(7) > '9')
+      return None
+    val major = p(5) - '0'; val minor = p(7) - '0'
+    // scan for "/Type /Pages" (any whitespace run between the tokens),
+    // then the nearest following "/Count" integer within the same dict
+    def isWs(b: Byte): Boolean =
+      b == ' ' || b == '\n' || b == '\r' || b == '\t'
+    def matchesAt(i: Int, s: String): Boolean =
+      i + s.length <= p.length &&
+        s.indices.forall(j => p(i + j) == s.charAt(j).toByte)
+    var best = -1
+    var i = 0
+    while (i < p.length - 6) {
+      if (matchesAt(i, "/Type")) {
+        var j = i + 5
+        while (j < p.length && isWs(p(j))) j += 1
+        // "/Pages" and not a longer name ("/PagesX" would be exotic)
+        if (matchesAt(j, "/Pages") &&
+            (j + 6 >= p.length || !java.lang.Character
+              .isLetterOrDigit(p(j + 6).toChar))) {
+          // find /Count before the dict closes
+          var k = j + 6
+          var count = -1
+          while (k < p.length - 2 && count < 0 &&
+              !(p(k) == '>' && p(k + 1) == '>')) {
+            if (matchesAt(k, "/Count")) {
+              var m = k + 6
+              while (m < p.length && isWs(p(m))) m += 1
+              var v = 0; var any = false
+              while (m < p.length && p(m) >= '0' && p(m) <= '9') {
+                v = v * 10 + (p(m) - '0'); any = true; m += 1
+              }
+              if (any) count = v
+            }
+            k += 1
+          }
+          if (count > best) best = count
+        }
+      }
+      i += 1
+    }
+    if (best < 0) None else Some((major, minor, best))
+  }
 
   /** Parsed video container header: pixel dims, frame count of the video
     * track, total track count, and duration in milliseconds. */

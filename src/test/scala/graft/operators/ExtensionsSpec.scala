@@ -1117,6 +1117,39 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     Media.audioEmbedding(wav8) shouldBe None
   }
 
+  test("pdf metadata: version digits, root page-tree count, multi-node trees, fakes → None") {
+    def pdf(minor: Int, body: String): Array[Byte] =
+      (s"%PDF-1.$minor\n" + body + "\ntrailer << /Root 1 0 R >>\n%%EOF\n")
+        .getBytes("ISO-8859-1")
+    // single-node tree
+    Media.pdfInfo(pdf(7,
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 5 >> endobj")) shouldBe
+      Some((1, 7, 5))
+    // multi-node tree: the ROOT node's Count (12) is the total — the
+    // intermediate node counting a subset (4) must not win
+    Media.pdfInfo(pdf(4,
+      "2 0 obj << /Type /Pages /Kids [4 0 R 5 0 R] /Count 12 >> endobj\n" +
+        "4 0 obj << /Type /Pages /Parent 2 0 R /Count 4 >> endobj")) shouldBe
+      Some((1, 4, 12))
+    // newline-separated tokens parse the same as space-separated
+    Media.pdfInfo(pdf(5,
+      "2 0 obj <<\n/Type\n/Pages\n/Count\n3\n>> endobj")) shouldBe
+      Some((1, 5, 3))
+    // /Count outside the Pages dict is ignored; a dict without Count → None
+    Media.pdfInfo(pdf(6,
+      "2 0 obj << /Type /Pages /Kids [] >> endobj /Count 9")) shouldBe None
+    // not a PDF at all, and a mangled version header
+    Media.pdfInfo("plain text".getBytes("UTF-8")) shouldBe None
+    Media.pdfInfo("%PDF-x.y rest".getBytes("UTF-8")) shouldBe None
+    // the synthetic corpus round-trips through the real parser
+    val s = spark
+    import s.implicits._
+    val d = Seq((3L, "a"), (10L, "b")).toDF("doc_id", "source")
+    Media.pdfMetaTable(Media.synthesizePdfs(d)).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq shouldBe Seq((3L, "1.4", 4L), (10L, "1.5", 4L))
+  }
+
   test("real video container headers parse to exact dims/frames/duration; fakes keep the stub") {
     // hand-built minimal ISO-BMFF: ftyp + moov[mvhd + video trak[tkhd +
     // mdia/minf/stbl/stsz] + audio trak[tkhd 0×0]] — the exact box layout
