@@ -1290,6 +1290,32 @@ object SparkEntry {
           "event_type", "day", "value", binWidth = 50.0, nBins = 10)
         .orderBy("event_type")),
 
+    // the STORED drift baseline — O(increment) monitoring: the first
+    // half's histogram persists as a (group, bin, cnt) table (kilobytes
+    // at any corpus size), and the drift check aggregates ONLY the
+    // current slice against the stored counts. Same output as
+    // monitor_drift verbatim (same oracle SQL) — the storage round trip
+    // must be pure, like the stored-tokenizer pattern
+    "monitor_drift_stored" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val bounds = ev.agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("__base", col("day") <= date_add(col("__mn"),
+          (datediff(col("__mx"), col("__mn")) / 2).cast("int")))
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-drift-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+        graft.operators.Drift.histogram(tagged.filter(col("__base")),
+            "event_type", "value", binWidth = 50.0, nBins = 10)
+          .coalesce(1).write.mode("overwrite").parquet(path.toString)
+      graft.operators.Drift.tvdAgainstBaseline(
+          tagged.filter(!col("__base")), s.read.parquet(path.toString),
+          "event_type", "value", binWidth = 50.0, nBins = 10)
+        .orderBy("event_type")
+    }),
+
     // dedup with a SURVIVOR POLICY — keep the LONGEST raw form per
     // normalized-fingerprint group (ties → smallest id), the policy a
     // crawl pipeline wants (best capture survives, not first-crawled).
@@ -2396,6 +2422,24 @@ object SparkEntry {
     "media_pdf_meta" -> ((s, dir) =>
       Media.pdfMetaTable(
           Media.synthesizePdfs(s.read.parquet(s"$dir/documents.parquet")))
+        .orderBy("media_id")),
+
+    // frame-sampling plan over REAL container metadata: a minimal-but-
+    // real MP4 corpus (the exact box skeleton the parser walks, stsz
+    // sample table included) flows through the real ISO-BMFF walk —
+    // dims from tkhd's 16.16 fixed-point, frame count from stsz — and
+    // the every-30th-frame sampling plan derives from the parsed count.
+    // All closed-form in doc_id, so the whole parse is hash-checked
+    "media_video_frames" -> ((s, dir) =>
+      Media.extractFeatures(
+          Media.synthesizeMp4s(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("n_frames").cast("long").as("n_frames"),
+          size(sequence(lit(0), col("n_frames") - 1, lit(30)))
+            .cast("long").as("n_sampled"))
         .orderBy("media_id")),
 
     "media_frames" -> ((s, dir) =>
@@ -4204,6 +4248,35 @@ object SparkEntry {
         |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
         |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // same oracle as monitor_drift verbatim: the stored-baseline path
+    // must be a pure round trip of the single-pass computation
+    "monitor_drift_stored" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |w AS (
+        |  SELECT event_type, bin,
+        |    day <= mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER) AS base
+        |  FROM ev, b),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN base THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN base THEN 0 ELSE 1 END) AS cc
+        |  FROM w GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT *,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(max(nb) AS BIGINT) AS n_base,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
+        |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
+        |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // the survivor policy replayed: same decorated corpus, row_number
     // over (length DESC, doc_id ASC) within each normalized fingerprint
     "dedup_keep_best" ->
@@ -5140,6 +5213,16 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  '1.' || CAST(4 + doc_id % 3 AS VARCHAR) AS pdf_version,
         |  CAST(1 + doc_id % 7 AS BIGINT) AS n_pages
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the MP4 corpus's closed-form metadata: dims and frame count are
+    // doc_id residues by construction; sampling = ceil(frames/30)
+    "media_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(160 + 16 * (doc_id % 8) AS BIGINT) AS width,
+        |  CAST(120 + 8 * (doc_id % 5) AS BIGINT) AS height,
+        |  CAST(1 + doc_id % 300 AS BIGINT) AS n_frames,
+        |  (1 + doc_id % 300 + 29) // 30 AS n_sampled
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "media_frames" ->

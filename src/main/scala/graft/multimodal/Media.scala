@@ -217,6 +217,55 @@ object Media {
       }
   }
 
+  /** Deterministic REAL-container video corpus: one minimal ISO-BMFF
+    * (MP4) file per document — `ftyp` + `moov[mvhd + trak[tkhd +
+    * mdia/minf/stbl/stsz]]`, the exact box skeleton [[mp4Info]] walks —
+    * with pixel dims, frame count, and duration all closed-form in
+    * doc_id (w = 160+16·(id%8), h = 120+8·(id%5), frames = 1+id%300 at
+    * 30 fps / timescale 600). The stsz carries a real zeroed size table
+    * so `sample_count` is read from where the spec puts it. */
+  def synthesizeMp4s(docs: DataFrame): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        def be32(v: Long): Array[Byte] = Array(
+          ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+          val body = payload.flatten.toArray
+          be32(body.length + 8L) ++ typ.getBytes("ISO-8859-1") ++ body
+        }
+        it.map { case (id, src) =>
+          val w = 160 + 16 * (id % 8).toInt
+          val h = 120 + 8 * (id % 5).toInt
+          val frames = 1 + (id % 300).toInt
+          val mvhd = { // v0: timescale@12, duration@16 (20 ticks/frame)
+            val b = new Array[Byte](100)
+            System.arraycopy(be32(600), 0, b, 12, 4)
+            System.arraycopy(be32(frames * 20L), 0, b, 16, 4)
+            b
+          }
+          val tkhd = { // v0: 16.16 fixed width/height at 76/80
+            val b = new Array[Byte](84)
+            System.arraycopy(be32(w.toLong << 16), 0, b, 76, 4)
+            System.arraycopy(be32(h.toLong << 16), 0, b, 80, 4)
+            b
+          }
+          val stsz = // version/flags, sample_size=0, count, zeroed table
+            new Array[Byte](4) ++ be32(0) ++ be32(frames.toLong) ++
+              new Array[Byte](4 * frames)
+          val mp4 = box("ftyp", "isomiso2".getBytes("ISO-8859-1")) ++
+            box("moov",
+              box("mvhd", mvhd),
+              box("trak",
+                box("tkhd", tkhd),
+                box("mdia", box("minf", box("stbl", box("stsz", stsz))))))
+          MediaFile(id, "video", mp4, src)
+        }
+      }
+  }
+
   /** Metadata table for a PDF corpus: `(media_id, pdf_version, n_pages)`
     * via [[pdfInfo]]; rows whose payload doesn't parse are dropped
     * (callers quarantine by anti-join if they need the failures). */

@@ -44,13 +44,52 @@ object Drift {
       .agg(
         sum(when(col("__base"), 1L).otherwise(0L)).as("__cb"),
         sum(when(!col("__base"), 1L).otherwise(0L)).as("__cc"))
-    // per-bin |c_base·n_cur − c_cur·n_base| in Longs: exact and
-    // order-independent; the single division happens once per group
+    tvdFromCounts(counts, groupCol)
+  }
+
+  /** Histogram of `valueCol` per (`groupCol`, bin) — the STORED form of
+    * the drift baseline: kilobytes per group, so tomorrow's drift check
+    * reads this table instead of rescanning yesterday's corpus. NULL
+    * values are excluded, matching [[tvdByGroup]]. */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Double, nBins: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        least(floor(col(valueCol) / lit(binWidth)).cast("long"),
+          lit(nBins - 1L)).as("bin"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** TVD of a current slice against a STORED baseline histogram — the
+    * O(increment) monitoring shape: the baseline never rescans (it is a
+    * (group, bin, cnt) table, kilobytes at any corpus size), only the
+    * increment aggregates, and the metric is the same exact integer
+    * arithmetic as [[tvdByGroup]] (a baseline written and read back
+    * yields bit-identical TVD — the storage round trip is pure). Groups
+    * present on only one side keep their rows (full outer, zero-fill),
+    * surfacing "new group appeared / group vanished" as TVD 0/undefined
+    * rather than silently dropping them. */
+  def tvdAgainstBaseline(cur: DataFrame, baseline: DataFrame,
+      groupCol: String, valueCol: String,
+      binWidth: Double, nBins: Int): DataFrame = {
+    val curHist = histogram(cur, groupCol, valueCol, binWidth, nBins)
+      .withColumnRenamed("cnt", "__cc")
+    val counts = baseline.withColumnRenamed("cnt", "__cb")
+      .join(curHist, Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin").as("__bin"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    tvdFromCounts(counts, groupCol)
+  }
+
+  /** Shared tail: per-bin `|c_base·n_cur − c_cur·n_base|` accumulated in
+    * Longs (exact, order-independent under partial aggregation); the
+    * single division happens once per group. */
+  private def tvdFromCounts(counts: DataFrame, groupCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
     counts
-      .withColumn("__nb", sum(col("__cb")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
-      .withColumn("__nc", sum(col("__cc")).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))))
+      .withColumn("__nb", sum(col("__cb")).over(w))
+      .withColumn("__nc", sum(col("__cc")).over(w))
       .groupBy(col(groupCol))
       .agg(
         first(col("__nb")).as("n_base"),
@@ -58,7 +97,11 @@ object Drift {
         sum(abs(col("__cb") * col("__nc") - col("__cc") * col("__nb")))
           .as("__num"))
       .select(col(groupCol), col("n_base"), col("n_cur"),
-        round(col("__num").cast("double") /
-          (col("n_base").cast("double") * col("n_cur") * 2.0), 4).as("tvd"))
+        // a group missing from one window has no defined drift — NULL,
+        // explicitly (ANSI mode would otherwise throw on the 0 divisor)
+        when(col("n_base") > 0 && col("n_cur") > 0,
+          round(col("__num").cast("double") /
+            (col("n_base").cast("double") * col("n_cur") * 2.0), 4))
+          .as("tvd"))
   }
 }

@@ -1574,6 +1574,47 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     math.abs(merged - exact).toDouble / exact should be < 0.05
   }
 
+  test("drift: stored-baseline path ≡ single-pass TVD, asymmetric groups survive, bounds sane") {
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    // 14 days, two groups; group "b" exists ONLY in the second half and
+    // group "a" shifts its distribution upward across the midpoint
+    val rows = (0 until 1400).map { i =>
+      val day = java.sql.Date.valueOf(f"2024-03-${1 + i % 14}%02d")
+      val g = if (i % 10 == 0 && i % 14 >= 7) "b" else "a"
+      val v = if (i % 14 >= 7) (i % 9) * 60.0 else (i % 5) * 60.0
+      (g, day, v)
+    }.toDF("g", "day", "v")
+    // tvd as Option: the one-sided group's drift is undefined → NULL
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    val onceDf = graft.operators.Drift.tvdByGroup(rows, "g", "day", "v", 50.0, 10)
+    val once = snap(onceDf)
+    // a genuinely drifted group reports positive bounded TVD
+    val aTvd = once.find(_._1 == "a").get._4.get
+    aTvd should be > 0.0
+    aTvd should be <= 1.0
+    // the stored-baseline path: histogram of the first half → parquet →
+    // TVD against the second half must reproduce the single-pass rows
+    // bit-for-bit (storage is a pure round trip)
+    val mid = java.sql.Date.valueOf("2024-03-07")
+    val path = java.nio.file.Files.createTempDirectory("drift").toString
+    graft.operators.Drift.histogram(
+        rows.filter(col("day") <= mid), "g", "v", 50.0, 10)
+      .write.mode("overwrite").parquet(path)
+    val stored = snap(graft.operators.Drift.tvdAgainstBaseline(
+      rows.filter(col("day") > mid), spark.read.parquet(path),
+      "g", "v", 50.0, 10))
+    stored shouldBe once
+    // the one-sided group is PRESENT (zero baseline, NULL tvd), not dropped
+    val bRow = once.find(_._1 == "b").get
+    bRow._2 shouldBe 0L
+    bRow._4 shouldBe None
+  }
+
   test("kll quantile sketch table: rank bound, union-of-parts bound, parquet round trip, exact n") {
     import graft.functions.QuantileSketch._
     val s = spark
