@@ -1290,6 +1290,15 @@ object SparkEntry {
           "event_type", "day", "value", binWidth = 50.0, nBins = 10)
         .orderBy("event_type")),
 
+    // hot-key diagnostic — the report run before deciding to salt a
+    // join: top-10 heaviest user_ids with corpus share. Distributed
+    // TakeOrdered over the count aggregate (never a global window over
+    // the key space), grand total on a 1-row broadcast
+    "monitor_skew" -> ((s, dir) =>
+      graft.operators.Salt.hotKeys(
+          events(s, dir).select(col("user_id")), "user_id", topN = 10)
+        .orderBy("rank")),
+
     // the STORED drift baseline — O(increment) monitoring: the first
     // half's histogram persists as a (group, bin, cnt) table (kilobytes
     // at any corpus size), and the drift check aggregates ONLY the
@@ -1313,6 +1322,39 @@ object SparkEntry {
       graft.operators.Drift.tvdAgainstBaseline(
           tagged.filter(!col("__base")), s.read.parquet(path.toString),
           "event_type", "value", binWidth = 50.0, nBins = 10)
+        .orderBy("event_type")
+    }),
+
+    // the drift monitor FED BY A STREAM: the current half streams
+    // through an exactly-once histogram accumulator (per-micro-batch
+    // counts land as overwrite-by-batchId directories — a restarted
+    // batch rewrites, never double-counts — across 3 stop/start
+    // cycles), and the TVD compare reads the stored baseline plus the
+    // stream-maintained counts. Output must equal the single-pass
+    // monitor_drift verbatim — the same oracle SQL hash-checks
+    // exactly-once accumulation across restarts
+    "stream_drift_oracled" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val bounds = ev.agg(min(col("day")).as("__mn"), max(col("day")).as("__mx"))
+      val tagged = ev.crossJoin(broadcast(bounds))
+        .withColumn("__base", col("day") <= date_add(col("__mn"),
+          (datediff(col("__mx"), col("__mn")) / 2).cast("int")))
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-sdrift-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      val basePath = work.resolve("baseline")
+      if (!java.nio.file.Files.exists(basePath.resolve("_SUCCESS")))
+        graft.operators.Drift.histogram(tagged.filter(col("__base")),
+            "event_type", "value", binWidth = 50.0, nBins = 10)
+          .coalesce(1).write.mode("overwrite").parquet(basePath.toString)
+      val streamed = graft.streaming.Replay.histogramReplay(s,
+        tagged.filter(!col("__base"))
+          .select(col("event_id").as("id"), col("event_type"),
+            graft.operators.Drift.binOf(col("value"), 50.0, 10).as("bin")),
+        "event_type", work.resolve("replay").toString)
+      graft.operators.Drift.tvdBetweenHistograms(
+          s.read.parquet(basePath.toString), streamed, "event_type")
         .orderBy("event_type")
     }),
 
@@ -4248,9 +4290,49 @@ object SparkEntry {
         |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
         |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "monitor_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT count(*) AS total FROM events),
+        |top AS (
+        |  SELECT user_id, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, user_id) AS rank
+        |  FROM c)
+        |SELECT rank, user_id, cnt,
+        |  round(CAST(cnt AS DOUBLE) / total, 4) AS share
+        |FROM top, t WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // same oracle as monitor_drift verbatim: the stored-baseline path
     // must be a pure round trip of the single-pass computation
     "monitor_drift_stored" ->
+      """WITH ev AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |w AS (
+        |  SELECT event_type, bin,
+        |    day <= mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER) AS base
+        |  FROM ev, b),
+        |c AS (
+        |  SELECT event_type, bin,
+        |    sum(CASE WHEN base THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN base THEN 0 ELSE 1 END) AS cc
+        |  FROM w GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT *,
+        |    sum(cb) OVER (PARTITION BY event_type) AS nb,
+        |    sum(cc) OVER (PARTITION BY event_type) AS nc
+        |  FROM c)
+        |SELECT event_type,
+        |  CAST(max(nb) AS BIGINT) AS n_base,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
+        |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
+        |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same oracle as monitor_drift verbatim — what the hash equality
+    // then verifies is the streaming path's exactly-once accumulation
+    "stream_drift_oracled" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,
         |    LEAST(CAST(floor(value / 50.0) AS BIGINT), 9) AS bin

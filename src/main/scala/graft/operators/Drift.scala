@@ -47,6 +47,12 @@ object Drift {
     tvdFromCounts(counts, groupCol)
   }
 
+  /** The shared binning expression: `min(floor(value / binWidth),
+    * nBins−1)` — one deterministic double division + floor, identical
+    * on any engine. */
+  def binOf(value: Column, binWidth: Double, nBins: Int): Column =
+    least(floor(value / lit(binWidth)).cast("long"), lit(nBins - 1L))
+
   /** Histogram of `valueCol` per (`groupCol`, bin) — the STORED form of
     * the drift baseline: kilobytes per group, so tomorrow's drift check
     * reads this table instead of rescanning yesterday's corpus. NULL
@@ -54,11 +60,24 @@ object Drift {
   def histogram(df: DataFrame, groupCol: String, valueCol: String,
       binWidth: Double, nBins: Int): DataFrame =
     df.filter(col(valueCol).isNotNull)
-      .select(col(groupCol),
-        least(floor(col(valueCol) / lit(binWidth)).cast("long"),
-          lit(nBins - 1L)).as("bin"))
+      .select(col(groupCol), binOf(col(valueCol), binWidth, nBins).as("bin"))
       .groupBy(col(groupCol), col("bin"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** TVD between two histograms in (`groupCol`, bin, cnt) form — the
+    * comparison both stored-baseline paths share (batch increment or
+    * stream-accumulated counts): full outer on (group, bin), zero-fill,
+    * then the exact-integer TVD tail. */
+  def tvdBetweenHistograms(baseHist: DataFrame, curHist: DataFrame,
+      groupCol: String): DataFrame = {
+    val counts = baseHist.withColumnRenamed("cnt", "__cb")
+      .join(curHist.withColumnRenamed("cnt", "__cc"),
+        Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin").as("__bin"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"),
+        coalesce(col("__cc"), lit(0L)).as("__cc"))
+    tvdFromCounts(counts, groupCol)
+  }
 
   /** TVD of a current slice against a STORED baseline histogram — the
     * O(increment) monitoring shape: the baseline never rescans (it is a
@@ -71,16 +90,9 @@ object Drift {
     * rather than silently dropping them. */
   def tvdAgainstBaseline(cur: DataFrame, baseline: DataFrame,
       groupCol: String, valueCol: String,
-      binWidth: Double, nBins: Int): DataFrame = {
-    val curHist = histogram(cur, groupCol, valueCol, binWidth, nBins)
-      .withColumnRenamed("cnt", "__cc")
-    val counts = baseline.withColumnRenamed("cnt", "__cb")
-      .join(curHist, Seq(groupCol, "bin"), "full_outer")
-      .select(col(groupCol), col("bin").as("__bin"),
-        coalesce(col("__cb"), lit(0L)).as("__cb"),
-        coalesce(col("__cc"), lit(0L)).as("__cc"))
-    tvdFromCounts(counts, groupCol)
-  }
+      binWidth: Double, nBins: Int): DataFrame =
+    tvdBetweenHistograms(baseline,
+      histogram(cur, groupCol, valueCol, binWidth, nBins), groupCol)
 
   /** Shared tail: per-bin `|c_base·n_cur − c_cur·n_base|` accumulated in
     * Longs (exact, order-independent under partial aggregation); the

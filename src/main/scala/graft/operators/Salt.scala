@@ -45,6 +45,33 @@ object Salt {
     * where a single reducer per key is the bottleneck AND the aggregate
     * decomposes (sum/count/min/max); Spark's map-side partial aggregation
     * already covers the common case. */
+  /** Hot-key diagnostic — the report run BEFORE deciding to salt: the
+    * `topN` heaviest keys with their absolute counts and corpus share.
+    * This is what tells you whether a join needs [[saltedJoin]] (one key
+    * holding >1% of a 100 TB table will dominate a shuffle partition)
+    * and what `saltFactor` to pick (≈ hot-key share ÷ even-partition
+    * share).
+    *
+    * Plan shape: one partial-combined count aggregate, then a
+    * distributed TakeOrdered for the top N — no global window, no
+    * single-partition sort of the key space (the key table of a 100 TB
+    * fact can itself be billions of rows); the grand total rides a
+    * 1-row broadcast. Ties break on the key so the report is
+    * deterministic. */
+  def hotKeys(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val total = df.select(count(lit(1)).as("__total"))
+    val top = counts
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(topN)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy()
+          .orderBy(col("cnt").desc, col(keyCol))))
+      .select(col("rank").cast("long").as("rank"), col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 4).as("share"))
+  }
+
   def saltedSumCount(
       df: DataFrame,
       keys: Seq[String],

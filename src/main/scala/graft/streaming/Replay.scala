@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -287,6 +287,62 @@ object Replay {
     }
     spark.read.parquet(sink)
       .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+  }
+
+  /** Stream `rows` (`id`, `groupCol`, `bin`) through an EXACTLY-ONCE
+    * histogram accumulator in `nBatches` stop/start cycles: each
+    * micro-batch's (group, bin) partial counts land as
+    * `hist/batch_<batchId>` with `overwrite` — a restart that re-runs a
+    * micro-batch rewrites the same directory instead of double-counting,
+    * which is the foreachBatch idempotence contract — and the
+    * accumulated histogram is the sum over batch directories. This is
+    * the streaming feed of the drift monitor: the baseline never
+    * rescans, the stream maintains the current histogram, and the TVD
+    * compare reads kilobytes. Returns `(groupCol, bin, cnt)`; built once
+    * per `workDir`, gated on a completion marker. */
+  def histogramReplay(
+      spark: SparkSession,
+      rows: DataFrame,
+      groupCol: String,
+      workDir: String,
+      nBatches: Int = 3): DataFrame = {
+    val root = java.nio.file.Paths.get(workDir)
+    val done = root.resolve("_REPLAY_DONE")
+    val hist = root.resolve("hist").toString
+    if (!java.nio.file.Files.exists(done)) {
+      deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val d = rows.select(col("id"), col(groupCol), col("bin"))
+        .localCheckpoint(true)
+      val ids = d.agg(min(col("id")), max(col("id"))).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val per = math.max(1L, (hi - lo + nBatches) / nBatches)
+      val src = root.resolve("src").toString
+      val ckpt = root.resolve("ckpt").toString
+      (0 until nBatches).foreach { i =>
+        d.filter(col("id") >= lo + i * per &&
+            col("id") < lo + (i + 1) * per +
+              (if (i == nBatches - 1) 1 else 0))
+          .coalesce(1).write.mode("append").parquet(src)
+        val q = spark.readStream.schema(d.schema).parquet(src)
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch.groupBy(col(groupCol), col("bin"))
+              .agg(count(lit(1)).as("cnt"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$hist/batch_$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(s"$hist/batch_*")
+      .groupBy(col(groupCol), col("bin"))
+      .agg(sum(col("cnt")).as("cnt"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -491,6 +491,50 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     auditPlan.sliding("HashAggregate".length).count(_ == "HashAggregate") shouldBe 2
   }
 
+  test("tiered embedding dedup aggregates before any join; drift and stratified sample never sort-merge") {
+    val s = spark
+    import s.implicits._
+    // tiered dedup: the exact-duplicate collapse must be an aggregate
+    // UPSTREAM of the pairwise machinery, and the final survivor attach
+    // a broadcast semi join — nothing sort-merges the corpus
+    // final (post-AQE) plans: the rep aggregate makes every join input
+    // tiny, so AQE must resolve them all to broadcasts — a surviving
+    // sort-merge join would mean the corpus itself is being sorted
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect() // materialize through the df's own QueryExecution —
+      // a sink write would execute a fresh copy and leave this one static
+      // AQE's toString prints the final plan then the pre-adaptive one;
+      // assert only on what actually ran
+      df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+    }
+    val vecs = (1 to 2000).map(i =>
+        (i.toLong, Array.tabulate(8)(j => ((i % 5) * 8 + j).toFloat / 40f)))
+      .toDF("vec_id", "embedding")
+    val tieredPlan = finalPlan(graft.operators.Dedup
+      .embeddingPortableTiered(vecs, dim = 8, threshold = 0.999))
+    tieredPlan should not include "SortMergeJoin"
+    tieredPlan should include regex "BroadcastHashJoin .*LeftSemi"
+    tieredPlan should include("HashAggregate")
+    // drift: the only join is the DELIBERATE 1-row bounds broadcast
+    // (a cross with a single-row side, not a data-sized nested loop)
+    val ev = (0 until 1000).map(i =>
+        (s"t${i % 3}", java.sql.Date.valueOf(f"2024-03-${1 + i % 9}%02d"),
+          (i % 7) * 10.0))
+      .toDF("g", "day", "v")
+    val driftPlan = finalPlan(
+      graft.operators.Drift.tvdByGroup(ev, "g", "day", "v", 10.0, 8))
+    driftPlan should not include "SortMergeJoin"
+    driftPlan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") shouldBe 1
+    // stratified sample: the quota table attaches by broadcast
+    val docs = (1 to 2000).map(i => (i.toLong, s"g${i % 4}")).toDF("doc_id", "g")
+    val stratPlan = finalPlan(
+      graft.operators.Curation.sampleStratified(docs, Seq("g"), 100L, "doc_id"))
+    stratPlan should not include "SortMergeJoin"
+    stratPlan should include("BroadcastHashJoin")
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }

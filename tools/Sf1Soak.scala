@@ -142,7 +142,15 @@ object Sf1Soak {
     // probes partition-pruned)
     "funnel_steps", "cohort_retention", "event_attribution",
     "linkage_fuzzy_pairs", "scd4_history", "scd2_late_splice",
-    "text_bm25_indexed", "search_hybrid_rrf")
+    "text_bm25_indexed", "search_hybrid_rrf",
+    // round-8 second wave: real-decode media descriptors + the tiered
+    // exact-first near-dup (deep duplicate pockets stay linear), the
+    // KLL quantile sketch table, exact-integer drift (single-pass and
+    // stored-baseline), hot-key report, survivor-policy dedup, and the
+    // exact-budget stratified sample
+    "media_embedding", "media_neardup", "media_audio_neardup",
+    "sketch_quantiles_merged", "monitor_drift", "monitor_skew",
+    "dedup_keep_best", "curation_sample_stratified")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
