@@ -1515,6 +1515,51 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // big-big point-in-time join: every purchase picks the same user's
+    // latest click at or before it (unbounded lookback) via the
+    // union-sort trick — the physical plan has NO join node and ONE key
+    // exchange shared by both sides, the shape that survives when
+    // neither side broadcasts. Equal-timestamp ties resolve to the max
+    // click id (deterministic; the oracle replays them as
+    // ORDER BY ts DESC, id DESC)
+    "asof_join_events" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_us"),
+          col("event_id").as("click_id"), col("value"))
+      graft.operators.AsofJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "ts_us", "click_us",
+          valueCols = Seq("click_id", "value"),
+          tieBreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("right_click_us").as("click_us"),
+          col("right_click_id").as("click_id"),
+          round(col("right_value"), 4).as("click_value"))
+        .orderBy("event_id")
+    }),
+
+    // tolerance form: matches staler than 24 h degrade to NULL instead
+    // of silently serving old state — the freshness contract a feature
+    // store's point-in-time join needs
+    "asof_join_tolerance" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("click_us"),
+          col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asofBackward(purchases, clicks,
+          Seq("user_id"), "ts_us", "click_us",
+          valueCols = Seq("click_id"),
+          tolerance = Some(24L * 3600 * 1000000),
+          tieBreak = Seq("click_id"))
+        .select(col("event_id"), col("user_id"),
+          col("right_click_id").as("click_id"))
+        .orderBy("event_id")
+    }),
+
     // leakage-safe temporal split: train ≤ boundary, embargo band kept
     // and LABELED (auditable exclusion), test strictly after the gap
     "curation_split_temporal" -> ((s, dir) =>
@@ -4409,6 +4454,46 @@ object SparkEntry {
         |FROM conv c LEFT JOIN (SELECT * FROM cand WHERE rn = 1) a
         |  USING (conv_id)
         |ORDER BY conv_id""".stripMargin,
+
+    // as-of = the rn=1 row of the per-purchase DESC ranking; the LEFT
+    // JOIN keeps purchases with no prior click as NULL rows (rn=1 on
+    // the single null-extended row)
+    "asof_join_events" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us,
+        |    event_id AS click_id, value
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts_us, c.click_us, c.click_id,
+        |    c.value,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.click_us <= p.ts_us)
+        |SELECT event_id, user_id, ts_us, click_us, click_id,
+        |  round(value, 4) AS click_value
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "asof_join_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, epoch_us(ts) AS click_us, event_id AS click_id
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, p.ts_us, c.click_us, c.click_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+        |  FROM p LEFT JOIN c
+        |    ON c.user_id = p.user_id AND c.click_us <= p.ts_us)
+        |SELECT event_id, user_id,
+        |  CASE WHEN ts_us - click_us > 86400000000 THEN NULL
+        |       ELSE click_id END AS click_id
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
     "curation_split_temporal" ->
       """SELECT event_id,

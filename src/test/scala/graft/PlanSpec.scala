@@ -535,6 +535,32 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     stratPlan should include("BroadcastHashJoin")
   }
 
+  test("as-of join plans as one key exchange and zero join operators") {
+    val s = spark
+    import s.implicits._
+    val left = (1 to 500).map(i => (i.toLong % 20, i.toLong * 10, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = (1 to 800).map(i => (i.toLong % 20, i.toLong * 7, i * 1.5))
+      .toDF("k", "rts", "v")
+    val joined = graft.operators.AsofJoin.asofBackward(
+      left, right, Seq("k"), "ts", "rts", Seq("v"), tieBreak = Seq("rts"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // the union-sort trick: NO join operator of any kind — the as-of
+    // semantics ride a single keyed running window over the union
+    plan should not include "Join"
+    plan should include("Window")
+    // exactly one hash exchange (on the key); no other data movement
+    plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning")) shouldBe 1
+    // semantics spot-check: latest right at-or-before, else null
+    val row = joined.filter($"lid" === 100).select($"right_v").head
+    // left ts=1000, k=0; right rows with k=0 are i%20==0 → rts=7i ≤ 1000
+    // latest is i=140 → rts=980, v=210.0
+    row.getDouble(0) shouldBe 210.0
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     SparkEntry.entry(spark).count() should be > 0L
   }

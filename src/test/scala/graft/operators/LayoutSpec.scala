@@ -70,9 +70,14 @@ class LayoutSpec extends AnyFunSuite with Matchers with SparkSpec {
     Layout.filesTouched(statsA, partBox) should be <= 6L
     Layout.filesTouched(statsA, suppBox) shouldBe nFiles.toLong
 
-    // z-order: meaningful pruning in EITHER dimension alone...
-    Layout.filesTouched(statsB, partBox) should be <= (nFiles / 2).toLong
-    Layout.filesTouched(statsB, suppBox) should be <= (nFiles / 2).toLong
+    // z-order: meaningful pruning in EITHER dimension alone. The bound
+    // has one file of slack over nFiles/2: repartitionByRange samples
+    // range boundaries with a seed derived from the RDD id, which
+    // depends on how many RDDs the shared session created before this
+    // test — boundaries (and thus file min/max boxes) can shift by one
+    // file between an isolated run and a full-suite run.
+    Layout.filesTouched(statsB, partBox) should be <= (nFiles / 2 + 1).toLong
+    Layout.filesTouched(statsB, suppBox) should be <= (nFiles / 2 + 1).toLong
     // ...and the conjunctive box prunes at least as hard as either dim
     val boxTouched = Layout.filesTouched(statsB, bothBox)
     boxTouched should be <= Layout.filesTouched(statsB, partBox)
