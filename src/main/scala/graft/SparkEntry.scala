@@ -1755,6 +1755,31 @@ object SparkEntry {
           threshold = 0.1, maxId = 150L)
         .orderBy("id_a", "id_b")),
 
+    // winnowing fingerprints (MOSS): per-window rightmost-min k-gram
+    // hash selection — any ≥ w+k-1-char common substring is guaranteed
+    // a shared SELECTED fingerprint while only ~2/(w+1) of hashes are
+    // kept. md5 hash mode, so the oracle replays selection exactly
+    // (window min + rightmost-tie join); the per-doc rollup pins the
+    // fingerprint set via count/sum/first/last
+    "text_winnow" -> ((s, dir) =>
+      graft.operators.Winnow.fingerprints(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          k = 5, w = 4, hashMode = "md5")
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("n_fp"), sum("h").as("fp_sum"),
+          min("pos").as("first_pos"), max("pos").as("last_pos"))
+        .orderBy("doc_id")),
+
+    // winnow near-dup pairs under the canonical md5-48 hash (hash
+    // choice is semantic for winnowing — it decides WHICH fingerprints
+    // are selected — so the portable hash IS the production hash):
+    // DuckDB recomputes selection, blocking guard, and shared counts
+    "dedup_winnow" -> ((s, dir) =>
+      graft.operators.Winnow.pairs(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          k = 5, w = 4, minShared = 30, hashMode = "md5")
+        .orderBy("id_a", "id_b")),
+
     // fuzzy record linkage: SymSpell deletion-neighborhood blocking +
     // levenshtein verify. The xxhash64 block key needs no portable twin:
     // every true distance-1 pair shares a genuine deletion variant and
@@ -4767,6 +4792,71 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.id < b.id
         |WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
         |      len(list_distinct(a.sh || b.sh)) >= 0.1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // winnowing replay: k-gram md5 hashes → per-window min (window =
+    // wd consecutive grams ending at wend) → rightmost position
+    // achieving the min → distinct (pos, h) per doc → rollup. least(w,
+    // ng) reproduces the single-window rule for docs with < w grams
+    "text_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    CAST(('0x' || substr(md5(substring(t, CAST(u.i AS INT) + 1, 5)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM d, LATERAL unnest(range(0, length(t) - 4)) AS u(i)
+        |  WHERE length(t) >= 5),
+        |n AS (SELECT doc_id, least(4, count(*)) AS wd FROM g GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS wend, n.wd, min(b.h) AS mh
+        |  FROM g a JOIN n ON a.doc_id = n.doc_id
+        |  JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.pos BETWEEN a.pos - n.wd + 1 AND a.pos
+        |  WHERE a.pos >= n.wd - 1
+        |  GROUP BY a.doc_id, a.pos, n.wd),
+        |sel AS (
+        |  SELECT DISTINCT m.doc_id, max(b.pos) AS pos, m.mh AS h
+        |  FROM m JOIN g b ON b.doc_id = m.doc_id
+        |    AND b.pos BETWEEN m.wend - m.wd + 1 AND m.wend AND b.h = m.mh
+        |  GROUP BY m.doc_id, m.wend, m.mh)
+        |SELECT doc_id, count(*) AS n_fp, CAST(sum(h) AS BIGINT) AS fp_sum,
+        |  min(pos) AS first_pos, max(pos) AS last_pos
+        |FROM (SELECT DISTINCT doc_id, pos, h FROM sel)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // pair replay over the same selection: distinct (doc, h), blocks
+    // sized [2, 200] (the hot-block guard), shared-count >= 30
+    // (the corpus's boilerplate phrases put the noise floor near 25)
+    "dedup_winnow" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    CAST(('0x' || substr(md5(substring(t, CAST(u.i AS INT) + 1, 5)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM d, LATERAL unnest(range(0, length(t) - 4)) AS u(i)
+        |  WHERE length(t) >= 5),
+        |n AS (SELECT doc_id, least(4, count(*)) AS wd FROM g GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS wend, n.wd, min(b.h) AS mh
+        |  FROM g a JOIN n ON a.doc_id = n.doc_id
+        |  JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.pos BETWEEN a.pos - n.wd + 1 AND a.pos
+        |  WHERE a.pos >= n.wd - 1
+        |  GROUP BY a.doc_id, a.pos, n.wd),
+        |fp AS (
+        |  SELECT DISTINCT m.doc_id, m.mh AS h
+        |  FROM m),
+        |blk AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 200),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN blk ON blk.h = a.h
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared FROM pr WHERE shared >= 30
         |ORDER BY id_a, id_b""".stripMargin,
 
     // blocking is an implementation detail (complete for lev<=1, false

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Winnowing fingerprint invariants: the selection guarantee, the
+  * rightmost tie rule, short-document edges, and production-hash ≡
+  * portable-hash pair sets on real documents. */
+class WinnowSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  private val k = 5
+  private val w = 4
+
+  private def fps(rows: Seq[(Long, String)], mode: String = "md5") = {
+    val s = spark
+    import s.implicits._
+    Winnow.fingerprints(rows.toDF("doc_id", "text"), "doc_id", "text",
+      k, w, mode)
+  }
+
+  test("winnowing guarantee: a shared substring of length >= w+k-1 " +
+      "yields a shared selected fingerprint") {
+    // 40 random-ish distinct chars with an identical 8-char (= w+k-1)
+    // run embedded at different offsets in both docs
+    val common = "zqxjvwpy"
+    val a = s"abcdefgh${common}ijklmnop"
+    val b = s"0123${common}456789abcdef"
+    val f = fps(Seq((1L, a), (2L, b)))
+      .select("id", "h").collect().groupBy(_.getLong(0))
+    val ha = f(1L).map(_.getLong(1)).toSet
+    val hb = f(2L).map(_.getLong(1)).toSet
+    (ha intersect hb) should not be empty
+  }
+
+  test("rightmost tie rule and short-document edges") {
+    // all-identical k-grams: every window min ties, the rightmost wins;
+    // window j selects gram j+w-1, so the distinct positions are
+    // exactly {w-1 .. nG-1} with one shared hash value
+    val rep = fps(Seq((1L, "aaaaaaaaaa"))) // 10 chars -> nG = 6
+    val rows = rep.select("pos", "h").collect()
+    rows.map(_.getInt(0)).sorted shouldBe Array(3, 4, 5)
+    rows.map(_.getLong(1)).distinct.length shouldBe 1
+
+    // shorter than k -> no fingerprints at all
+    fps(Seq((1L, "abc"))).count() shouldBe 0L
+    // >= k chars but fewer than w grams -> exactly one global-min pick
+    fps(Seq((1L, "abcdef"))).count() shouldBe 1L // nG = 2 < w
+    // determinism: same text, same fingerprints
+    val x = fps(Seq((1L, "the quick brown fox"))).collect().toSet
+    val y = fps(Seq((1L, "the quick brown fox"))).collect().toSet
+    x shouldBe y
+    // normalization: case and whitespace runs don't change fingerprints
+    val n1 = fps(Seq((1L, "The  Quick\tBrown fox"))).select("pos", "h")
+      .collect().toSet
+    val n2 = fps(Seq((1L, "the quick brown fox"))).select("pos", "h")
+      .collect().toSet
+    n1 shouldBe n2
+  }
+
+  test("match guarantee holds under either hash; real corpus yields pairs") {
+    // hash choice decides WHICH fingerprints are selected (winnowing
+    // takes the per-window min), so md5 and xxhash64 outputs are NOT
+    // comparable — but the w+k-1 guarantee is hash-independent
+    val common = "zqxjvwpy"
+    val docs = Seq((1L, s"abcdefgh${common}ijklmnop"),
+      (2L, s"0123${common}456789abcdef"))
+    for (mode <- Seq("md5", "xxhash64")) {
+      val f = fps(docs, mode).select("id", "h").collect()
+        .groupBy(_.getLong(0))
+      (f(1L).map(_.getLong(1)).toSet
+        intersect f(2L).map(_.getLong(1)).toSet) should not be empty
+    }
+    // the canonical md5 mode finds real near-dup structure in the corpus
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Winnow.pairs(corpus, "doc_id", "text", k, w, minShared = 2,
+      hashMode = "md5").count() should be > 0L
+  }
+}
