@@ -1579,6 +1579,17 @@ object SparkEntry {
           s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("anchor_id")),
 
+    // ANN-mined hard negatives: per anchor, the most similar blocked
+    // candidate BELOW the dup threshold — confusable but not a
+    // duplicate, the dense-retrieval curriculum random negatives lack.
+    // Same portable blocking + rounded-cosine argmaxes as
+    // contrastive_pairs, so ids and both cosines hash cross-engine
+    "contrastive_hard" -> ((s, dir) =>
+      Similarity.contrastiveHardTriplets(
+          s.read.parquet(s"$dir/embeddings.parquet"),
+          dupThreshold = 0.98)
+        .orderBy("anchor_id")),
+
     // random-projection dim reduction (JL), integer-exact: every output
     // component is a closed-form integer dot both engines replay —
     // pins the projection kernel; the Gaussian float path is
@@ -4561,6 +4572,37 @@ object SparkEntry {
         |FROM pos p JOIN neg n USING (anchor_id)
         |JOIN bk x ON x.id = p.anchor_id
         |JOIN bk y ON y.id = n.neg_id
+        |ORDER BY anchor_id""".stripMargin,
+
+    // hard triplets: the scored candidate relation is computed once and
+    // both picks (pos = rn=1 overall, hard = rn=1 below threshold) rank
+    // the same rounded cosines with id tie-breaks
+    "contrastive_hard" ->
+      s"""WITH bk AS (
+        |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+        |ok AS (
+        |  SELECT bucket FROM bk GROUP BY bucket
+        |  HAVING count(*) > 1 AND count(*) <= 10000),
+        |scored AS (
+        |  SELECT a.id AS anchor_id, b.id AS cand_id,
+        |    round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
+        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id
+        |  WHERE a.bucket IN (SELECT bucket FROM ok)),
+        |pos AS (
+        |  SELECT anchor_id, cand_id AS pos_id, cos AS cos_pos FROM (
+        |    SELECT anchor_id, cand_id, cos,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY cos DESC, cand_id) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |hard AS (
+        |  SELECT anchor_id, cand_id AS hard_neg_id, cos AS cos_neg FROM (
+        |    SELECT anchor_id, cand_id, cos,
+        |      row_number() OVER (PARTITION BY anchor_id
+        |        ORDER BY cos DESC, cand_id) AS rn
+        |    FROM scored WHERE cos < 0.98) WHERE rn = 1)
+        |SELECT p.anchor_id, p.pos_id, p.cos_pos + 0.0 AS cos_pos,
+        |  h.hard_neg_id, h.cos_neg + 0.0 AS cos_neg
+        |FROM pos p JOIN hard h USING (anchor_id)
         |ORDER BY anchor_id""".stripMargin,
 
     // integer projection: same md5 component algebra as the LSH bucket

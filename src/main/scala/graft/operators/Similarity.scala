@@ -733,6 +733,54 @@ object Similarity {
         col("cos_pos"), col("cos_neg"))
   }
 
+  /** Hard-negative triplet mining — the stronger curriculum the random
+    * negatives of [[contrastivePairs]] can't provide: per anchor, the
+    * POSITIVE is its most similar blocked candidate and the HARD
+    * NEGATIVE its most similar candidate BELOW `dupThreshold` — close
+    * enough to be confusable (it collided in an LSH bucket), yet
+    * dissimilar enough that it is not a duplicate of the anchor. This
+    * is the standard ANN-mined hard-negative recipe (dense-retrieval
+    * training): negatives from the model's own near-miss region, not
+    * uniform noise.
+    *
+    * Scale shape: candidates come from the same single-scan,
+    * hot-bucket-guarded hyperplane blocking as every embedding-dedup
+    * family — never all-pairs. Each candidate's cosine is scored ONCE
+    * into a checkpointed slim `(anchor, cand, cos)` relation that both
+    * window passes (positive pick, hard-negative pick) read; output is
+    * anchors that have BOTH a positive and a sub-threshold hard
+    * negative. Rounded cosines + id tie-breaks keep both argmaxes
+    * engine-independent, so the whole triplet relation is
+    * hash-checkable cross-engine. */
+  def contrastiveHardTriplets(df: DataFrame, vecCol: String = "embedding",
+      idCol: String = "vec_id", dim: Int = 64, numPlanes: Int = 8,
+      dupThreshold: Double = 0.98): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cand = graft.operators.Dedup
+      .embeddingPortableCandidates(df, vecCol, idCol, dim, numPlanes)
+    val sym = cand.select(col("id_a").as("anchor_id"), col("id_b").as("cand_id"))
+      .unionByName(cand.select(col("id_b").as("anchor_id"), col("id_a").as("cand_id")))
+    val scored = sym
+      .join(ids.select(col("id").as("anchor_id"), col("vec").as("va")), "anchor_id")
+      .join(ids.select(col("id").as("cand_id"), col("vec").as("vb")), "cand_id")
+      .withColumn("cos", round(V.cosineFused(col("va"), col("vb")), 4))
+      .select("anchor_id", "cand_id", "cos")
+      .localCheckpoint(true) // scored once; two window passes read it
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos").desc, col("cand_id"))
+    val pos = scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("pos_id"),
+        col("cos").as("cos_pos"))
+    val hard = scored.filter(col("cos") < dupThreshold)
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("anchor_id"), col("cand_id").as("hard_neg_id"),
+        col("cos").as("cos_neg"))
+    pos.join(hard, "anchor_id")
+  }
+
   // ---- Product quantization (PQ) -------------------------------------------
 
   /** Product-quantization index: `m` subspace codebooks of `ksub`
