@@ -2221,6 +2221,28 @@ object SparkEntry {
         s.read.parquet(s"$dir/embeddings.parquet"), queryVec(s, dir),
         k = 20, nProbes = 3)),
 
+    // incremental IVF maintenance: build the stored index on the first
+    // half of the corpus, APPEND the second half assigned with the
+    // FROZEN centers (O(batch), no rebuild), probe the result. The
+    // oracle is the plain full-corpus IVF probe — same SQL as
+    // knn_ivf_oracled — because a cell is a pure function of the frozen
+    // centers: append must be indistinguishable from a rebuild
+    "knn_ivf_append_oracled" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = Similarity.IvfIndex(V.portableCentroids(8, 64))
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-ivf-append-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+      val marker = path.resolve("_APPEND_DONE")
+      if (!java.nio.file.Files.exists(marker)) {
+        val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+        idx.write(e.filter(col("vec_id") <= mid), path.toString)
+        idx.append(e.filter(col("vec_id") > mid), path.toString)
+        java.nio.file.Files.createFile(marker)
+      }
+      idx.topKStored(s, path.toString, queryVec(s, dir), k = 20, nProbes = 3)
+    }),
+
     // product-quantization ADC top-20 under fixed md5 codebooks: encode
     // (8× NearestCenter over sliced subvectors) + query-side distance
     // table + per-row table-lookup scoring, all replayed in closed form
@@ -2765,6 +2787,32 @@ object SparkEntry {
        |    (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
        |     sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
 
+  /** Full-corpus portable IVF probe replay — shared by the plain
+    * oracled probe and the append-equals-rebuild check. */
+  private val knnIvfOracleSql: String =
+          s"""WITH d AS (
+        |  SELECT vec_id, embedding, list_transform(range(8), j ->
+        |    list_sum(list_transform(
+        |      list_transform(range(1, len(embedding)+1), i ->
+        |        CAST(embedding[i] AS DOUBLE) -
+        |        (CAST(('0x' || substr(md5('ivf:' || j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
+        |      x -> x * x))) AS dl
+        |  FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
+        |  FROM d),
+        |qd AS (SELECT dl, embedding FROM d WHERE vec_id = 0),
+        |probe AS (
+        |  SELECT cell FROM (
+        |    SELECT unnest(range(8)) AS cell, unnest(dl) AS dist FROM qd) t
+        |  ORDER BY dist, cell LIMIT 3)
+        |SELECT a.vec_id,
+        |  round(${duckCos("a.embedding", "q.embedding")}, 4) AS cos
+        |FROM assigned a, qd q
+        |WHERE a.cell IN (SELECT cell FROM probe)
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     // the ok CTE mirrors the Spark side's candidatePairs hot-bucket guard
@@ -3014,29 +3062,10 @@ object SparkEntry {
     // query's 3 probe cells = the 3 smallest entries of ITS distance list
     // (ties → lowest cell), then rounded-cosine top-20 over the probed
     // cells — the whole ANN pipeline in one closed-form statement
-    "knn_ivf_oracled" ->
-      s"""WITH d AS (
-        |  SELECT vec_id, embedding, list_transform(range(8), j ->
-        |    list_sum(list_transform(
-        |      list_transform(range(1, len(embedding)+1), i ->
-        |        CAST(embedding[i] AS DOUBLE) -
-        |        (CAST(('0x' || substr(md5('ivf:' || j::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0),
-        |      x -> x * x))) AS dl
-        |  FROM embeddings),
-        |assigned AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_position(dl, list_min(dl)) - 1 AS INTEGER) AS cell
-        |  FROM d),
-        |qd AS (SELECT dl, embedding FROM d WHERE vec_id = 0),
-        |probe AS (
-        |  SELECT cell FROM (
-        |    SELECT unnest(range(8)) AS cell, unnest(dl) AS dist FROM qd) t
-        |  ORDER BY dist, cell LIMIT 3)
-        |SELECT a.vec_id,
-        |  round(${duckCos("a.embedding", "q.embedding")}, 4) AS cos
-        |FROM assigned a, qd q
-        |WHERE a.cell IN (SELECT cell FROM probe)
-        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+    "knn_ivf_oracled" -> knnIvfOracleSql,
+
+    // append must equal a rebuild: same full-corpus probe replay
+    "knn_ivf_append_oracled" -> knnIvfOracleSql,
 
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

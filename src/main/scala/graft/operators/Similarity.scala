@@ -473,6 +473,23 @@ object Similarity {
         .repartition(col("cell")) // one file per cell dir, not tasks×cells
         .write.mode("overwrite").partitionBy("cell").parquet(path)
 
+    /** Incremental index maintenance: assign a NEW batch with the
+      * index's FROZEN centers and append its files into the same
+      * cell-partitioned layout — O(batch) work instead of an index
+      * rebuild, and the probe path is untouched (partition pruning
+      * sees more files in the same cell dirs). Probe equivalence to a
+      * full rebuild is EXACT, not approximate: a cell is a pure
+      * function of the frozen centers, so append commutes with
+      * assignment. What appends do NOT do is adapt the centers —
+      * as the corpus distribution drifts, cells imbalance and recall
+      * decays; pair with [[graft.operators.Drift]] monitoring on the
+      * cell histogram and refit when it alarms (the standard
+      * IVF-maintenance recipe). */
+    def append(df: DataFrame, path: String, vecCol: String = "embedding"): Unit =
+      assign(df, vecCol)
+        .repartition(col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(path)
+
     /** ANN top-k against a [[write]]-materialized index: the `cell IN`
       * predicate is on the partition column → pruned at planning time.
       * Identical results to [[topK]] over the same corpus. */

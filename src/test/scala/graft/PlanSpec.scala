@@ -349,6 +349,18 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     val inMem = idx.topK(e, q, k = 20, nProbes = 3)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     stored.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq shouldBe inMem
+
+    // incremental append with frozen centers ≡ a full rebuild: build on
+    // half the corpus, append the rest, probe — identical rows, and the
+    // probe is still partition-pruned over the appended layout
+    val dir2 = tmpDir("ivf-append")
+    val mid = e.agg(max("vec_id")).head().getLong(0) / 2
+    idx.write(e.filter(col("vec_id") <= mid), dir2)
+    idx.append(e.filter(col("vec_id") > mid), dir2)
+    val appended = idx.topKStored(spark, dir2, q, k = 20, nProbes = 3)
+    executedPlan(appended) should include("PartitionFilters: [cell")
+    appended.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .toSeq shouldBe inMem
   }
 
   test("bucketed snapshots make the CDC diff exchange-free") {
