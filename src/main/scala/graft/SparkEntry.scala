@@ -1436,6 +1436,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // count-distinct is NOT additive, so it sits outside applyCdc's
+    // signed maintenance — the scale answer is a sketch-backed MV:
+    // per-group HLL binaries initialized from the first half of the
+    // corpus, the second half UNIONED in as an insert-only batch
+    // (O(delta + groups), corpus never rescanned). The row carries the
+    // exact distinct count plus the contract boolean the oracle
+    // predicts TRUE: the MAINTAINED estimate stays within 5% of exact.
+    // (Estimate-EQUALITY with a one-shot sketch is deliberately not
+    // claimed: union and direct paths can cross the sparse→dense mode
+    // boundary differently and land on different registers — the error
+    // bound is the real contract, spec-pinned at 700 true distincts)
+    "incremental_agg_distinct" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+      val half1 = ev.filter(col("day") <= lit("2024-01-15"))
+      val half2 = ev.filter(col("day") > lit("2024-01-15"))
+      val mv = graft.ops.IncrementalAgg.applyInsertsDistinct(
+        graft.ops.IncrementalAgg.fullDistinctSketch(
+          half1, Seq("event_type"), "user_id"),
+        half2.select("event_type", "user_id"), Seq("event_type"), "user_id")
+      val inc = graft.ops.IncrementalAgg
+        .estimateDistinct(mv, Seq("event_type"))
+        .withColumnRenamed("approx_distinct", "est_inc")
+      val exact = ev.groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"))
+      exact.join(inc, "event_type")
+        .select(col("event_type"), col("n_exact"),
+          (abs(col("est_inc") - col("n_exact")).cast("double")
+            <= col("n_exact").cast("double") * lit(0.05)).as("within_5pct"))
+        .orderBy("event_type")
+    }),
+
     // mergeable QUANTILE sketch tables (KLL) — the percentile twin of
     // sketch_distinct_merged: per-(type, day) sketches in ONE events
     // pass, the per-type rollup a union of sketch BYTES (never a
@@ -3169,6 +3201,12 @@ object SparkEntry {
         |  count(DISTINCT CAST(ts AS DATE)) AS n_days,
         |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS merged_eq_direct,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "incremental_agg_distinct" ->
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

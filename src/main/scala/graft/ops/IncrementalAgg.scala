@@ -44,6 +44,44 @@ object IncrementalAgg {
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Initialize a sketch-backed DISTINCT-count aggregate: one HLL
+    * sketch per group over `distinctCol`. This is how count-distinct —
+    * NOT additive, so out of [[applyCdc]]'s reach — still maintains
+    * incrementally: HLL sketches are mergeable under union, so a
+    * delta's sketch unions into the stored one in O(delta + groups),
+    * and the corpus is never rescanned. The stored column is the
+    * sketch BINARY (parquet-safe), estimates are read out on demand. */
+  def fullDistinctSketch(df: DataFrame, keys: Seq[String],
+      distinctCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
+
+  /** Union an INSERT-ONLY batch into the stored sketch aggregate.
+    * Insert-only is a hard contract, enforced structurally: a union
+    * sketch cannot retract (removing a user from an HLL is
+    * information-theoretically impossible), so a batch still carrying
+    * the CDC `_action` column is REFUSED rather than silently
+    * over-counted — pass the INSERT images explicitly, and rebuild the
+    * sketch MV on the (rare) delete, the same honesty rule
+    * [[applyCdc]] applies to min/max. */
+  def applyInsertsDistinct(current: DataFrame, batch: DataFrame,
+      keys: Seq[String], distinctCol: String): DataFrame = {
+    require(!batch.columns.contains(Schemas.cdcActionCol),
+      s"sketch distinct MV is insert-only: batch still carries " +
+        s"'${Schemas.cdcActionCol}' — select the INSERT images " +
+        "explicitly (deletes require a rebuild)")
+    val delta = batch.groupBy(keys.map(col): _*)
+      .agg(hll_sketch_agg(col(distinctCol)).as("sk"))
+    current.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sk")).as("sk"))
+  }
+
+  /** Read estimates out of a sketch aggregate. */
+  def estimateDistinct(mv: DataFrame, keys: Seq[String]): DataFrame =
+    mv.select(keys.map(col) :+
+      hll_sketch_estimate(col("sk")).as("approx_distinct"): _*)
+
   /** Apply one CDC delta (rows with `_action` INSERT/DELETE) to the
     * stored aggregate. Plan shape: signed partial aggregation of the
     * delta (shuffles only delta-sized data on the group key), union with
