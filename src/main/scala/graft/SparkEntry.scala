@@ -1835,6 +1835,17 @@ object SparkEntry {
           col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),
 
+    // depth-2 neighborhood: complete for lev<=2 (FastSS), ~|s|^2/2
+    // variants per record — the practical ceiling, exercised on the
+    // same table so the oracle is the all-pairs lev<=2 recompute
+    "linkage_fuzzy2_pairs" -> ((s, dir) =>
+      graft.operators.Linkage.fuzzyPairs(
+          s.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name",
+          maxDist = 2)
+        .select(col("id_a"), col("id_b"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+
     // two-table form: a 100-record probe set linked against the full
     // customer table (self-matches at dist 0 included — left ⊂ right)
     "linkage_fuzzy_join" -> ((s, dir) => {
@@ -4976,6 +4987,13 @@ object SparkEntry {
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "linkage_fuzzy2_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "linkage_fuzzy_join" ->

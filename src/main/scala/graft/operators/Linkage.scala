@@ -41,6 +41,20 @@ object Linkage {
     expr(s"transform(sequence(0, length($c)), i -> " +
       s"concat(substring($c, 1, i), substring($c, i + 2, length($c))))")
 
+  /** All DISTINCT variants of `col` with up to `k` character deletions
+    * (the string itself included) — the depth-`k` FastSS neighborhood.
+    * Built by `k` rounds of the single-deletion expansion with a
+    * distinct between rounds; size grows as O(|s|^k / k!), which is why
+    * depth 2 is the practical ceiling (a 20-char key yields ~200
+    * variants at k=2 vs 21 at k=1 — the standard SymSpell trade). */
+  private def deletionNeighborhoodK(c: String, k: Int) = {
+    val expand = (inner: String) =>
+      s"array_distinct(flatten(transform($inner, v -> " +
+        "transform(sequence(0, length(v)), i -> " +
+        "concat(substring(v, 1, i), substring(v, i + 2, length(v)))))))"
+    expr(Iterator.iterate(s"array($c)")(expand).drop(k).next())
+  }
+
   /** Pairs of records in `df` whose `nameCol` values are within edit
     * distance `maxDist` (only 1 is supported: the single-deletion
     * neighborhood is complete exactly for distance ≤ 1). Output:
@@ -50,14 +64,22 @@ object Linkage {
     * `maxBlock` guards pathological blocks (e.g. thousands of records
     * collapsing onto one short variant): blocks larger than the cap are
     * dropped entirely — the adversarial-skew guard every blocking
-    * family here carries ([[Dedup.minhash]] precedent). */
+    * family here carries ([[Dedup.minhash]] precedent).
+    *
+    * `maxDist` may be 1 or 2: the depth-`k` deletion neighborhood is
+    * complete for edit distance ≤ k (FastSS/Bocek et al. 2007 — any
+    * edit script of length ≤ k maps to deletion sequences of ≤ k on
+    * each side that meet in a common variant), and the per-record
+    * variant count grows O(|s|^k/k!), so depth 2 is the practical
+    * ceiling. */
   def fuzzyPairs(
       df: DataFrame,
       idCol: String,
       nameCol: String,
       maxDist: Int = 1,
       maxBlock: Int = 1000): DataFrame = {
-    require(maxDist == 1, "deletion-neighborhood blocking is complete only for maxDist = 1")
+    require(maxDist == 1 || maxDist == 2,
+      "deletion-neighborhood blocking supports maxDist 1 or 2")
     // slim (block, id) relation; the name re-attaches only at verify
     // distinct: a string can produce the same deletion variant twice
     // ("aa" → "a" either way) — without it the duplicate (block, id)
@@ -65,7 +87,7 @@ object Linkage {
     val blocks = df
       .select(col(idCol).as("__id"), col(nameCol).as("__name"))
       .withColumn("__block",
-        explode(deletionNeighborhood("__name")))
+        explode(deletionNeighborhoodK("__name", maxDist)))
       .select(xxhash64(col("__block")).as("__block"), col("__id"))
       .distinct()
     val guarded = blocks
