@@ -1479,6 +1479,44 @@ object SparkEntry {
     // over events with the three estimates broadcast back) must sit
     // within 0.05 of its target — 3× the k=200 guarantee, so the
     // booleans are stable at any practical confidence
+    // mergeable HEAVY-HITTERS sketch tables (Misra–Gries family) — the
+    // top-k twin of the HLL/KLL sketch tables: per-source token
+    // sketches in one corpus pass, the corpus rollup a union of sketch
+    // BYTES. Two regimes, both union-rolled and both contract-checked
+    // with THEOREM-guaranteed booleans the oracle predicts TRUE:
+    //   big map (1024) — holds every distinct token, stays exact;
+    //   small map (8)  — capacity 6 < 31 distinct corpus tokens, so
+    //     real decrements and saturated-union behavior are exercised.
+    // no-false-negative is encoded as its actual theorem (retained OR
+    // count ≤ maxError) so the row is regime-independent; bracketing
+    // lb ≤ exact ≤ ub likewise holds in every regime
+    "sketch_topk_merged" -> ((s, dir) => {
+      import graft.functions.FrequencySketch._
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+        .filter(col("term") =!= "")
+      val perSource = toks.groupBy("source").agg(
+        freqAgg(col("term"), 1024).as("sk_big"),
+        freqAgg(col("term"), 8).as("sk_small"))
+      val merged = perSource.agg(
+        freqUnionAgg(col("sk_big"), 1024).as("sk_big"),
+        freqUnionAgg(col("sk_small"), 8).as("sk_small"))
+      val top = toks.groupBy("term").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(10)
+      def contracts(sk: String, suffix: String) = Seq(
+        (array_contains(freqRetained(col(sk)), col("term")) ||
+          col("exact_cnt") <= freqMaxError(col(sk)))
+          .as(s"nfn_$suffix"),
+        (freqLowerBound(col(sk), col("term")) <= col("exact_cnt") &&
+          col("exact_cnt") <= freqUpperBound(col(sk), col("term")))
+          .as(s"bracket_$suffix"))
+      top.crossJoin(broadcast(merged))
+        .select(col("term") +: col("exact_cnt") +:
+          (contracts("sk_big", "big") ++ contracts("sk_small", "small")): _*)
+        .orderBy(col("exact_cnt").desc, col("term"))
+    }),
+
     "sketch_quantiles_merged" -> ((s, dir) => {
       import graft.functions.QuantileSketch._
       val ev = events(s, dir)
@@ -3220,6 +3258,18 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "sketch_topk_merged" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT term, count(*) AS exact_cnt FROM tok
+        |  WHERE term <> '' GROUP BY term)
+        |SELECT term, exact_cnt,
+        |  TRUE AS nfn_big, TRUE AS bracket_big,
+        |  TRUE AS nfn_small, TRUE AS bracket_small
+        |FROM cnt ORDER BY exact_cnt DESC, term LIMIT 10""".stripMargin,
 
     "sketch_quantiles_merged" ->
       """SELECT event_type,

@@ -1651,6 +1651,39 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     math.abs(dRank - 0.5) should be < 0.02
   }
 
+  test("frequent-items sketch table: heavy hitter survives saturation, " +
+      "brackets hold, union round-trips parquet") {
+    import graft.functions.FrequencySketch._
+    val s = spark
+    import s.implicits._
+    // Zipf-ish stream over 200 distinct items across 10 parts: map of 32
+    // (capacity ~24) saturates, so decrements are real — the heavy
+    // hitter ("hot", 30% of the stream) must still be retained
+    val n = 30000
+    val d = (0 until n).map { i =>
+      val item = if (i % 10 < 3) "hot" else s"cold${i % 200}"
+      (item, i % 10)
+    }.toDF("item", "part")
+    val parts = d.groupBy("part").agg(freqAgg(col("item"), 32).as("sk"))
+    val path = java.nio.file.Files.createTempDirectory("freq").toString
+    parts.write.mode("overwrite").parquet(path)
+    val sk = spark.read.parquet(path)
+      .agg(freqUnionAgg(col("sk"), 32).as("sk"))
+    val row = sk.select(
+      freqMaxError(col("sk")).as("err"),
+      array_contains(freqRetained(col("sk")), "hot").as("hot_in"),
+      freqLowerBound(col("sk"), lit("hot")).as("lb"),
+      freqUpperBound(col("sk"), lit("hot")).as("ub"))
+      .collect().head
+    row.getLong(0) should be > 0L // genuinely saturated, not exact mode
+    row.getBoolean(1) shouldBe true // 9000 ≫ maxError → NO_FALSE_NEGATIVES
+    val hotExact = (n * 3 / 10).toLong
+    row.getLong(2) should be <= hotExact
+    row.getLong(3) should be >= hotExact
+    // bracket width bounded by the sketch's own error claim
+    (row.getLong(3) - row.getLong(2)) should be <= row.getLong(0)
+  }
+
   test("bpe encode: learned merges apply greedily, stream keeps doc order") {
     // merges (a,b) then (ab,ab): "abab"→[abab]; "aa"→[a,a] (no (a,a)
     // rule); "aaa" under (a,a) would be greedy left-to-right — checked
