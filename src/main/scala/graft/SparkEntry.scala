@@ -2582,6 +2582,20 @@ object SparkEntry {
           (round(col("val").cast("double"), 4) + lit(0.0)).as("val"))
         .orderBy("media_id", "pos")),
 
+    // the same solid colors through the PNG encoder → magic dispatch →
+    // ImageIO's PNG decoder → the SAME descriptor closed form: pins
+    // that the content embedding is format-independent (oracle SQL is
+    // media_embedding's verbatim — a different container may not move
+    // a single value)
+    "media_png_embedding" -> ((s, dir) =>
+      Media.extractFeatures(
+          Media.synthesizePngs(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "val")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          (round(col("val").cast("double"), 4) + lit(0.0)).as("val"))
+        .orderBy("media_id", "pos")),
+
     // IMAGE NEAR-DUP over real decoded pixels — the composition the
     // media family exists for: BMP corpus with deliberate duplicate
     // colors (23-cycle) → real decode → content descriptor → the
@@ -2893,6 +2907,31 @@ object SparkEntry {
         |FROM assigned a, qd q
         |WHERE a.cell IN (SELECT cell FROM probe)
         |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin
+
+  /** Solid-color descriptor closed form — shared by the BMP and PNG
+    * corpus queries (format independence is the claim). */
+  private val mediaSolidEmbeddingSql: String =
+          """WITH c AS (
+        |  SELECT doc_id,
+        |    doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
+        |    (doc_id * 13) % 256 AS b
+        |  FROM documents),
+        |dims AS (
+        |  SELECT doc_id, r, g, b, CAST(p AS BIGINT) AS pos
+        |  FROM c, unnest(range(64)) AS t(p))
+        |SELECT doc_id AS media_id, pos,
+        |  CASE
+        |    WHEN pos < 48 AND pos % 3 = 0
+        |      THEN round(CAST(CAST(CAST(r AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
+        |    WHEN pos < 48 AND pos % 3 = 1
+        |      THEN round(CAST(CAST(CAST(g AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
+        |    WHEN pos < 48
+        |      THEN round(CAST(CAST(CAST(b AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
+        |    WHEN pos = 48
+        |      THEN round(CAST(CAST((299.0 * r + 587.0 * g + 114.0 * b) / 255000.0 AS REAL) AS DOUBLE), 4)
+        |    ELSE 0.0
+        |  END AS val
+        |FROM dims ORDER BY media_id, pos""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -5502,28 +5541,11 @@ object SparkEntry {
     // the doc_id-residue channels /255, the DC luma dim is Rec.601 over
     // those channels, AC dims are exactly 0; the REAL cast mirrors the
     // Spark side's Float feature storage before the 4-dp round
-    "media_embedding" ->
-      """WITH c AS (
-        |  SELECT doc_id,
-        |    doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
-        |    (doc_id * 13) % 256 AS b
-        |  FROM documents),
-        |dims AS (
-        |  SELECT doc_id, r, g, b, CAST(p AS BIGINT) AS pos
-        |  FROM c, unnest(range(64)) AS t(p))
-        |SELECT doc_id AS media_id, pos,
-        |  CASE
-        |    WHEN pos < 48 AND pos % 3 = 0
-        |      THEN round(CAST(CAST(CAST(r AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
-        |    WHEN pos < 48 AND pos % 3 = 1
-        |      THEN round(CAST(CAST(CAST(g AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
-        |    WHEN pos < 48
-        |      THEN round(CAST(CAST(CAST(b AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4)
-        |    WHEN pos = 48
-        |      THEN round(CAST(CAST((299.0 * r + 587.0 * g + 114.0 * b) / 255000.0 AS REAL) AS DOUBLE), 4)
-        |    ELSE 0.0
-        |  END AS val
-        |FROM dims ORDER BY media_id, pos""".stripMargin,
+    "media_embedding" -> mediaSolidEmbeddingSql,
+
+    // format independence: the PNG route must reproduce the BMP
+    // route's descriptor value-for-value
+    "media_png_embedding" -> mediaSolidEmbeddingSql,
 
     // the image-near-dup pipeline replayed without decoding a pixel:
     // closed-form solid-color descriptors (the media_embedding algebra

@@ -92,6 +92,41 @@ object Media {
       }
   }
 
+  /** [[synthesizeImages]]' colors encoded through ImageIO's PNG writer
+    * instead of the raw BMP template. PNG is lossless, so decode
+    * returns the same exact channels and the solid-color descriptor
+    * closed form carries over UNCHANGED — which is what lets one query
+    * pin that the content descriptor is FORMAT-INDEPENDENT: the
+    * magic-dispatch, the PNG decoder, and the descriptor must agree
+    * with the BMP route value-for-value. (The PNG encoder costs ~10×
+    * the BMP template per image — fine for coverage at corpus-bench
+    * scale, and exactly why [[synthesizeImages]] keeps BMP as the
+    * volume fixture.) */
+  def synthesizePngs(docs: DataFrame, w: Int = 48, h: Int = 36): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          MediaFile(id, "image",
+            solidPng(w, h, (id % 256).toInt, (id * 7 % 256).toInt,
+              (id * 13 % 256).toInt), src)
+        }
+      }
+  }
+
+  private def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    val row = Array.fill(w)(rgb)
+    var y = 0
+    while (y < h) { img.setRGB(0, y, w, 1, row, 0, w); y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Like [[synthesizeImages]] but colors repeat on a `nColors`-cycle of
     * doc_id — so the corpus contains deliberate exact-duplicate IMAGES
     * under different ids (same decoded pixels ⇒ identical content
