@@ -1012,6 +1012,22 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     cos(e1, e3) should be < cos(e1, e2)
     // non-decodable payloads report None (callers fall back to the stub)
     graft.multimodal.Media.imageEmbedding("not an image".getBytes("UTF-8")) shouldBe None
+
+    // LOSSY container tolerance: the same two-tone content through the
+    // JPEG encoder decodes to slightly perturbed pixels, but the
+    // descriptor must stay essentially on top of the lossless one —
+    // the format-robustness a cross-container image near-dup needs
+    // (PNG/BMP equality is exact and oracle-pinned; JPEG is the ≈ case)
+    val jpegBytes = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    jpegBytes(0) shouldBe 0xFF.toByte // actually a JPEG, magic-dispatched
+    val eJpeg = graft.multimodal.Media.imageEmbedding(jpegBytes).get
+    cos(e1, eJpeg) should be > 0.999
+    cos(e1, eJpeg) should be > cos(e1, e3) // far above a different image
   }
 
   test("real WAV payloads decode to exact rate/channels/frames; fakes keep the stub") {
