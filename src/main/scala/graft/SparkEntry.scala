@@ -1358,6 +1358,38 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // heavy hitters from a LIVE STREAM with exactly-once accumulation:
+    // per-micro-batch sketches land overwrite-by-batchId across 3
+    // stop/start cycles, the final sketch is the byte-union. Three
+    // oracle-predicted-TRUE contracts: the theorem pair (no-false-
+    // negative, lb ≤ exact ≤ ub — lb > exact is precisely what a
+    // double-counted batch produces, so the bracket is the exactly-once
+    // detector for estimates) and n_exactly_once (the sketch's exact
+    // stream length ≡ the true row count — inflated by ANY re-count)
+    "stream_topk_oracled" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val items = ev.select(col("event_id").as("id"),
+        concat(lit("u"), col("user_id")).as("item"))
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-stopk-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      val sk = graft.streaming.Replay.topkSketchReplay(
+        s, items, work.toString)
+      import graft.functions.FrequencySketch._
+      val top = items.groupBy("item").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("item")).limit(10)
+      val total = items.groupBy().agg(count(lit(1)).as("__n"))
+      top.crossJoin(broadcast(sk)).crossJoin(broadcast(total))
+        .select(col("item"), col("exact_cnt"),
+          (array_contains(freqRetained(col("sk")), col("item")) ||
+            col("exact_cnt") <= freqMaxError(col("sk"))).as("nfn"),
+          (freqLowerBound(col("sk"), col("item")) <= col("exact_cnt") &&
+            col("exact_cnt") <= freqUpperBound(col("sk"), col("item")))
+            .as("bracket"),
+          (freqStreamLength(col("sk")) === col("__n")).as("n_exactly_once"))
+        .orderBy(col("exact_cnt").desc, col("item"))
+    }),
+
     // dedup with a SURVIVOR POLICY — keep the LONGEST raw form per
     // normalized-fingerprint group (ties → smallest id), the policy a
     // crawl pipeline wants (best capture survives, not first-crawled).
@@ -3297,6 +3329,15 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_topk_oracled" ->
+      """WITH it AS (
+        |  SELECT 'u' || CAST(user_id AS VARCHAR) AS item FROM events),
+        |cnt AS (
+        |  SELECT item, count(*) AS exact_cnt FROM it GROUP BY item)
+        |SELECT item, exact_cnt,
+        |  TRUE AS nfn, TRUE AS bracket, TRUE AS n_exactly_once
+        |FROM cnt ORDER BY exact_cnt DESC, item LIMIT 10""".stripMargin,
 
     "sketch_topk_merged" ->
       """WITH tok AS (

@@ -125,6 +125,15 @@ object FrequencySketch {
     * sketch is still exact — fewer distinct items than the map holds). */
   def freqMaxError(sketch: Column): Column = maxErrorUdf(sketch)
 
+  private val streamLengthUdf = udf((b: Array[Byte]) =>
+    if (b == null || b.isEmpty) 0L
+    else ItemsSketch.getInstance(Memory.wrap(b), serDe).getStreamLength)
+
+  /** EXACT total weight the sketch has absorbed (ItemsSketch carries n
+    * exactly, through unions) — the exactly-once witness for streamed
+    * accumulation: any re-counted batch inflates it. */
+  def freqStreamLength(sketch: Column): Column = streamLengthUdf(sketch)
+
   /** The NO_FALSE_NEGATIVES frequent set: contains EVERY item whose
     * true count exceeds [[freqMaxError]] (may contain lighter ones). */
   def freqRetained(sketch: Column): Column = retainedUdf(sketch)

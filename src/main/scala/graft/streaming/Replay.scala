@@ -345,6 +345,61 @@ object Replay {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Stream `rows` (`id`, `item`) through an EXACTLY-ONCE
+    * frequent-items sketch accumulator in `nBatches` stop/start cycles:
+    * each micro-batch reduces to ONE compact sketch row written
+    * `overwrite`-by-batchId (a restarted batch rewrites its directory
+    * instead of double-counting — the same idempotence contract as
+    * [[histogramReplay]]), and the accumulated sketch is the byte-union
+    * over batch directories — the mergeable-sketch-table discipline
+    * applied to a live stream. The sketch's EXACT stream length
+    * (ItemsSketch carries n precisely, through unions) is the
+    * exactly-once witness: any re-counted batch inflates it above the
+    * true row count. Returns the 1-row `(sk)` union; built once per
+    * `workDir`, gated on a completion marker. */
+  def topkSketchReplay(
+      spark: SparkSession,
+      rows: DataFrame,
+      workDir: String,
+      nBatches: Int = 3,
+      maxMapSize: Int = 1024): DataFrame = {
+    import graft.functions.FrequencySketch._
+    val root = java.nio.file.Paths.get(workDir)
+    val done = root.resolve("_REPLAY_DONE")
+    val skDir = root.resolve("sk").toString
+    if (!java.nio.file.Files.exists(done)) {
+      deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val d = rows.select(col("id"), col("item")).localCheckpoint(true)
+      val ids = d.agg(min(col("id")), max(col("id"))).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val per = math.max(1L, (hi - lo + nBatches) / nBatches)
+      val src = root.resolve("src").toString
+      val ckpt = root.resolve("ckpt").toString
+      (0 until nBatches).foreach { i =>
+        d.filter(col("id") >= lo + i * per &&
+            col("id") < lo + (i + 1) * per +
+              (if (i == nBatches - 1) 1 else 0))
+          .coalesce(1).write.mode("append").parquet(src)
+        val q = spark.readStream.schema(d.schema).parquet(src)
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch.agg(freqAgg(col("item"), maxMapSize).as("sk"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$skDir/batch_$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(s"$skDir/batch_*")
+      .agg(freqUnionAgg(col("sk"), maxMapSize).as("sk"))
+  }
+
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       val s = java.nio.file.Files.walk(p)

@@ -163,4 +163,34 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkSpec {
     spark.table("shdedup").select("doc_id")
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
+
+  test("streamed top-k sketch accumulates exactly-once; a re-counted batch is detected") {
+    import graft.functions.FrequencySketch._
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val n = 3000
+    val rows = (1 to n).map(i => (i.toLong, s"u${i % 50}")).toDF("id", "item")
+    val work = java.nio.file.Files.createTempDirectory("stopk").toString
+    val sk = graft.streaming.Replay.topkSketchReplay(s, rows, work,
+      nBatches = 3, maxMapSize = 64)
+    val row = sk.select(freqStreamLength(col("sk")).as("n"),
+        freqLowerBound(col("sk"), lit("u7")).as("lb"),
+        freqUpperBound(col("sk"), lit("u7")).as("ub"))
+      .collect().head
+    // exactly-once: the sketch absorbed each row once across 3 cycles
+    row.getLong(0) shouldBe n.toLong
+    val exact7 = (n / 50).toLong
+    row.getLong(1) should be <= exact7
+    row.getLong(2) should be >= exact7
+    // NEGATIVE CONTROL: replay one batch under a fresh batchId (what a
+    // non-idempotent sink would do on restart) — the stream-length
+    // witness must fire, proving the contract detects re-counting
+    val b0 = s.read.parquet(s"$work/sk/batch_0")
+    b0.write.mode("overwrite").parquet(s"$work/sk/batch_99")
+    val tampered = s.read.parquet(s"$work/sk/batch_*")
+      .agg(freqUnionAgg(col("sk"), 64).as("sk"))
+      .select(freqStreamLength(col("sk"))).collect().head.getLong(0)
+    tampered should be > n.toLong
+  }
 }
