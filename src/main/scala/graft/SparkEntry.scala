@@ -1883,6 +1883,22 @@ object SparkEntry {
           min("pos").as("first_pos"), max("pos").as("last_pos"))
         .orderBy("doc_id")),
 
+    // the incremental winnow judge: batch docs (< 100) against the
+    // STORED fingerprint relation of the seen corpus (>= 100) — corpus
+    // text never re-read, hot boilerplate fingerprints (> 200 holders)
+    // excluded from evidence on both sides, all md5-replayable
+    "dedup_winnow_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val seenFps = graft.operators.Winnow.fingerprints(
+          docs.filter(col("doc_id") >= 100), "doc_id", "text",
+          k = 5, w = 4, hashMode = "md5")
+        .select(col("id"), col("h")).distinct()
+      graft.operators.Winnow.incrementalPairs(
+          docs.filter(col("doc_id") < 100), "doc_id", "text", seenFps,
+          k = 5, w = 4, minShared = 30, hashMode = "md5")
+        .orderBy("doc_id", "seen_id")
+    }),
+
     // winnow near-dup pairs under the canonical md5-48 hash (hash
     // choice is semantic for winnowing — it decides WHICH fingerprints
     // are selected — so the portable hash IS the production hash):
@@ -5075,6 +5091,36 @@ object SparkEntry {
         |  min(pos) AS first_pos, max(pos) AS last_pos
         |FROM (SELECT DISTINCT doc_id, pos, h FROM sel)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // incremental replay: same selection CTEs, seen/batch split on
+    // doc_id 100, hot h (> 200 seen holders) excluded both sides
+    "dedup_winnow_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    CAST(('0x' || substr(md5(substring(t, CAST(u.i AS INT) + 1, 5)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM d, LATERAL unnest(range(0, length(t) - 4)) AS u(i)
+        |  WHERE length(t) >= 5),
+        |n AS (SELECT doc_id, least(4, count(*)) AS wd FROM g GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS wend, n.wd, min(b.h) AS mh
+        |  FROM g a JOIN n ON a.doc_id = n.doc_id
+        |  JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.pos BETWEEN a.pos - n.wd + 1 AND a.pos
+        |  WHERE a.pos >= n.wd - 1
+        |  GROUP BY a.doc_id, a.pos, n.wd),
+        |fp AS (SELECT DISTINCT m.doc_id, m.mh AS h FROM m),
+        |seen AS (SELECT * FROM fp WHERE doc_id >= 100),
+        |batch AS (SELECT * FROM fp WHERE doc_id < 100),
+        |hot AS (SELECT h FROM seen GROUP BY h HAVING count(*) > 200)
+        |SELECT b.doc_id AS doc_id, s.doc_id AS seen_id, count(*) AS shared
+        |FROM batch b JOIN seen s ON b.h = s.h
+        |WHERE b.h NOT IN (SELECT h FROM hot)
+        |GROUP BY 1, 2 HAVING count(*) >= 30
+        |ORDER BY 1, 2""".stripMargin,
 
     // pair replay over the same selection: distinct (doc, h), blocks
     // sized [2, 200] (the hot-block guard), shared-count >= 30

@@ -109,6 +109,33 @@ object Winnow {
         explode(selectionsFromHashes(col("__kh"), w)).as("fp"))
       .select(col("id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
 
+  /** Incremental near-dup judge — the daily-batch form: which batch
+    * documents share ≥ `minShared` selected fingerprints with ANY
+    * already-seen document. `seenFps` is the STORED `(id, h)`
+    * fingerprint relation (what [[fingerprints]] emits — persist it
+    * bucketed on `h` with `TableStore.stageBucketed` and the join
+    * needs no store-side exchange, the incremental-exact-dedup
+    * precedent); the corpus TEXT is never re-read. The hot-fingerprint
+    * guard excludes fingerprints held by more than `maxBlock` seen
+    * docs from evidence on BOTH sides (boilerplate fragments whose
+    * join fan-out is the skew risk — in production the hot list is
+    * computed once at index-build time and stored beside the index).
+    * Output: `(doc_id, seen_id, shared)`. */
+  def incrementalPairs(batch: DataFrame, idCol: String, textCol: String,
+      seenFps: DataFrame, k: Int = 5, w: Int = 4, minShared: Int = 2,
+      hashMode: String = "md5", maxBlock: Int = 200): DataFrame = {
+    val bfps = fingerprints(batch, idCol, textCol, k, w, hashMode)
+      .select(col("id").as("__bid"), col("h")).distinct()
+    val hot = seenFps.groupBy("h")
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > maxBlock)
+      .select("h")
+    bfps.join(broadcast(hot), Seq("h"), "left_anti")
+      .join(seenFps.join(broadcast(hot), Seq("h"), "left_anti"), "h")
+      .groupBy(col("__bid").as("doc_id"), col("id").as("seen_id"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Near-duplicate candidate pairs ranked by shared-fingerprint count:
     * `(id_a, id_b, shared)` with `id_a < id_b`, `shared >= minShared`.
     * Blocking groups by the fingerprint hash itself (a shared

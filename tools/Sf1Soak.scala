@@ -150,7 +150,14 @@ object Sf1Soak {
     // exact-budget stratified sample
     "media_embedding", "media_neardup", "media_audio_neardup",
     "sketch_quantiles_merged", "monitor_drift", "monitor_skew",
-    "dedup_keep_best", "curation_sample_stratified")
+    "dedup_keep_best", "curation_sample_stratified",
+    // round-8 third wave: the zero-join union-sort as-of (one key
+    // exchange regardless of side sizes), winnow fingerprint selection
+    // (narrow per-doc fold) + blocked pair generation, hard-negative
+    // mining over the guarded LSH blocking, the heavy-hitters sketch
+    // rollup, and the sketch-backed distinct MV refresh
+    "asof_join_events", "text_winnow", "dedup_winnow",
+    "contrastive_hard", "sketch_topk_merged", "incremental_agg_distinct")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
@@ -159,11 +166,16 @@ object Sf1Soak {
     // BENCH_sf1 notes). At 100 copies that is ~2.6G result rows —
     // output volume, not a blocking failure — so the deep-replication
     // soaks swap in the probe-bounded two-table form instead.
+    // dedup_winnow has the same quadratic-OUTPUT property on the
+    // replicated corpus (every doc is duplicated Copies×, so every
+    // fingerprint block pairs C(Copies, 2) exact-dup ids); at deep
+    // replication keep the per-doc selection half, whose cost is the
+    // scan, and drop the deliberately-degenerate pair explosion
     val qs =
-      if (Copies > 30)
+      (if (Copies > 30)
         Headline.map(q =>
           if (q == "linkage_fuzzy_pairs") "linkage_fuzzy_join" else q)
-      else Headline
+      else Headline).filterNot(q => Copies > 30 && q == "dedup_winnow")
     qs.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
