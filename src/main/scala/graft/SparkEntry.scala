@@ -1642,6 +1642,28 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // forward form — time-to-next-event: each click finds the same
+    // user's EARLIEST purchase at or after it, within a 48 h horizon
+    // (beyond → NULL). Same zero-join single-shuffle machinery,
+    // mirrored frame; earliest-tie wins by purchase id
+    "asof_join_forward" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("conv_us"),
+          col("event_id").as("conv_id"))
+      graft.operators.AsofJoin.asofForward(clicks, purchases,
+          Seq("user_id"), "ts_us", "conv_us",
+          valueCols = Seq("conv_id"),
+          tolerance = Some(48L * 3600 * 1000000),
+          tieBreak = Seq("conv_id"))
+        .select(col("event_id"), col("user_id"),
+          col("right_conv_id").as("conv_id"),
+          (col("right_conv_us") - col("ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    }),
+
     // tolerance form: matches staler than 24 h degrade to NULL instead
     // of silently serving old state — the freshness contract a feature
     // store's point-in-time join needs
@@ -1923,11 +1945,16 @@ object SparkEntry {
 
     // depth-2 neighborhood: complete for lev<=2 (FastSS), ~|s|^2/2
     // variants per record — the practical ceiling, exercised on the
-    // same table so the oracle is the all-pairs lev<=2 recompute
+    // same table so the oracle is the all-pairs lev<=2 recompute.
+    // Bounded slice (the ngram_jaccard_pairs precedent): sequential
+    // TPC-H names make the lev<=2 OUTPUT itself quadratic-ish (~135
+    // partners per name), so an unbounded bench row measures result
+    // materialization, not the blocking
     "linkage_fuzzy2_pairs" -> ((s, dir) =>
       graft.operators.Linkage.fuzzyPairs(
-          s.read.parquet(s"$dir/customer.parquet"), "c_custkey", "c_name",
-          maxDist = 2)
+          s.read.parquet(s"$dir/customer.parquet")
+            .filter(col("c_custkey") <= 2000),
+          "c_custkey", "c_name", maxDist = 2)
         .select(col("id_a"), col("id_b"),
           col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),
@@ -4737,6 +4764,26 @@ object SparkEntry {
         |  round(value, 4) AS click_value
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
 
+    "asof_join_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS conv_us, event_id AS conv_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT c.event_id, c.user_id, c.ts_us, p.conv_us, p.conv_id,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.conv_us ASC, p.conv_id ASC) AS rn
+        |  FROM c LEFT JOIN p
+        |    ON p.user_id = c.user_id AND p.conv_us >= c.ts_us)
+        |SELECT event_id, user_id,
+        |  CASE WHEN conv_us - ts_us > 172800000000 THEN NULL
+        |       ELSE conv_id END AS conv_id,
+        |  CASE WHEN conv_us - ts_us > 172800000000 THEN NULL
+        |       ELSE conv_us - ts_us END AS gap_us
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "asof_join_tolerance" ->
       """WITH p AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
@@ -5169,7 +5216,8 @@ object SparkEntry {
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |WHERE a.c_custkey <= 2000 AND b.c_custkey <= 2000
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
 
     "linkage_fuzzy_join" ->

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+
+/** Winnowing selection as a native Catalyst expression — the per-window
+  * rightmost-min fold of [[graft.operators.Winnow]] compiled down to a
+  * monotone-deque sliding minimum.
+  *
+  * Why native: the higher-order-function formulation
+  * (`transform(windows, j -> aggregate(sequence(j, j+w-1), …))`)
+  * evaluates interpreted and costs O(nG·w) lambda dispatches per
+  * document — measured at ~1.6 ms per 300-char document, which turns a
+  * 5k-doc bench table into an 8-second single query and would make a
+  * 100 TB corpus selection CPU-bound on expression interpretation
+  * rather than hashing. The deque kernel is O(nG) with no lambda
+  * dispatch at all, and the expression stays inside whole-stage codegen
+  * via a static-kernel call (the [[MinHashSignature]] precedent).
+  *
+  * Semantics are EXACTLY the HOF fold's (the DuckDB oracles pin them):
+  * windows of `min(w, nG)` consecutive hashes, each selecting its
+  * minimum with ties to the RIGHTMOST position; selections deduplicated
+  * and ordered by position. The monotone deque reproduces the rightmost
+  * tie rule by evicting back entries with value `>=` the incoming one.
+  */
+case class WinnowSelect(child: Expression, w: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_select requires array<bigint>, got ${other.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "winnow_select"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WinnowImpl.select(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowImpl.select($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowSelect =
+    copy(child = newChild)
+}
+
+object WinnowSelect {
+  /** Column API: `winnow_select(hashes, w)`. */
+  def select(hashes: Column, w: Int): Column =
+    Bridge.column(WinnowSelect(Bridge.expression(hashes), w))
+}
+
+object WinnowImpl {
+
+  /** O(n) sliding rightmost-min selection. Deque invariant: positions
+    * ascending, values STRICTLY ascending front→back (equal values are
+    * evicted by later positions — that is precisely the rightmost tie
+    * rule). The selected position is non-decreasing as windows advance,
+    * so emit-on-change produces the distinct selection set already
+    * ordered by position. */
+  def select(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val h = hashes.toLongArray()
+    val width = math.min(w, n)
+    val dqPos = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque slice [head, tail)
+    val out = new java.util.ArrayList[InternalRow](2 * n / (w + 1) + 2)
+    var lastSel = -1
+    var i = 0
+    while (i < n) {
+      while (tail > head && h(dqPos(tail - 1)) >= h(i)) tail -= 1
+      dqPos(tail) = i
+      tail += 1
+      if (i >= width - 1) { // window [i-width+1, i] is complete
+        while (dqPos(head) < i - width + 1) head += 1
+        val sel = dqPos(head)
+        if (sel != lastSel) {
+          out.add(new GenericInternalRow(
+            Array[Any](sel, h(sel))))
+          lastSel = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}

@@ -432,8 +432,53 @@ object Media {
     * samples, so metadata extraction stays cheap for multi-MB payloads.
     * Returns `(sampleRate, channels, frames)` — the audio analog of
     * image `(width, height, n_frames)`. */
+  private def looksLikeMp3(p: Array[Byte]): Boolean =
+    p.length >= 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0
+
+  /** MPEG-1 Layer III frame walk, pure byte arithmetic: each frame
+    * header carries its own bitrate/sample-rate indices, and the frame
+    * length follows from the public formula
+    * `144 · bitrate / sampleRate + padding` — so the walker hops
+    * header-to-header without decoding a sample, counting frames. One
+    * frame = 1152 samples per channel, so the returned third element
+    * is `frames · 1152` — the same per-channel sample-count contract
+    * as the WAV and FLAC branches. The walk stops at the first
+    * non-sync byte (trailing tags); returns
+    * `(sampleRate, channels, samples)`, or
+    * `None` when the leading sync is not a valid MPEG-1 Layer III
+    * header (free-format and reserved indices refuse rather than
+    * guess). Channel count is 1 for mono mode (0b11), else 2. */
+  private def mp3Info(p: Array[Byte]): Option[(Int, Int, Int)] = {
+    val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+      224, 256, 320, 0)
+    val rates = Array(44100, 48000, 32000, 0)
+    var i = 0
+    var frames = 0
+    var rate = 0
+    var ch = 0
+    while (i + 4 <= p.length && (p(i) & 0xff) == 0xff &&
+        (p(i + 1) & 0xe0) == 0xe0) {
+      val versionId = (p(i + 1) >> 3) & 3 // 3 = MPEG-1
+      val layer = (p(i + 1) >> 1) & 3 // 1 = Layer III
+      val br = (p(i + 2) >> 4) & 0xf
+      val sr = (p(i + 2) >> 2) & 3
+      val pad = (p(i + 2) >> 1) & 1
+      if (versionId != 3 || layer != 1 || kbps(br) == 0 || rates(sr) == 0)
+        return None
+      rate = rates(sr)
+      ch = if (((p(i + 3) >> 6) & 3) == 3) 1 else 2
+      frames += 1
+      i += 144 * kbps(br) * 1000 / rates(sr) + pad
+    }
+    if (frames > 0)
+      Some((rate, ch,
+        math.min(frames.toLong * 1152, Int.MaxValue.toLong).toInt))
+    else None
+  }
+
   def audioMeta(payload: Array[Byte]): Option[(Int, Int, Int)] =
     if (looksLikeFlac(payload)) flacInfo(payload)
+    else if (looksLikeMp3(payload)) mp3Info(payload)
     else if (!looksLikeWav(payload)) None
     else {
       var in: javax.sound.sampled.AudioInputStream = null

@@ -34,6 +34,12 @@ import org.apache.spark.sql.types.StructType
   * LAST in `tieBreak` order (pass e.g. the event id), so the carried
   * payload is reproducible cross-engine — the oracle replays it as
   * `row_number() OVER (ORDER BY ts DESC, tieBreak DESC) = 1`.
+  *
+  * NULL semantics follow the equivalent JOIN, not window grouping: a
+  * right row with a NULL key or NULL timestamp can never match (it is
+  * dropped from the union — left as window input it would collide
+  * with NULL-key left rows or sort ahead of every timestamp), and a
+  * left row with a NULL timestamp matches nothing (explicit guard).
   */
 object AsofJoin {
 
@@ -73,7 +79,10 @@ object AsofJoin {
     // legs at equal ts, so left-leg ordering among ties is irrelevant)
     val tieTypes = tieBreak.map(c => right.schema(c).dataType)
 
-    val rightLeg = right.select(
+    val rightLeg = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTs).isNotNull)
+      .select(
       keyCols.map(col) ++
         Seq(col(rightTs).cast(left.schema(leftTs).dataType).as("__ts"),
           lit(0).as("__side"),
@@ -96,11 +105,77 @@ object AsofJoin {
     val carried = last(col("__r"), ignoreNulls = true).over(w)
 
     val matched = rightLeg.unionByName(leftLeg)
-      .withColumn("__m", carried)
+      .withColumn("__m",
+        when(col("__ts").isNull, lit(null).cast(payloadType))
+          .otherwise(carried))
       .filter(col("__side") === 1)
     val bounded = tolerance match {
       case Some(tol) => matched.withColumn("__m",
         when(col("__ts").cast("long") - col("__m")(rightTs).cast("long")
+          > tol, lit(null).cast(payloadType)).otherwise(col("__m")))
+      case None => matched
+    }
+    bounded.select(
+      left.columns.map(c => col(s"__l.$c").as(c)) ++
+        payloadCols.map(c => col(s"__m.$c").as(s"right_$c")): _*)
+  }
+
+  /** As-of (forward, inclusive) join — for each left row, the EARLIEST
+    * right row at or after its timestamp (time-to-next-event,
+    * next-touch attribution). Same union-single-shuffle machinery as
+    * [[asofBackward]], mirrored: the left side sorts BEFORE the right
+    * at equal timestamps and the window carries the FIRST right payload
+    * over the `[currentRow, unboundedFollowing]` frame, so among
+    * equal-timestamp right rows the FIRST in `tieBreak` order wins
+    * (the oracle replays it as `ORDER BY ts ASC, tieBreak ASC`).
+    * `tolerance` bounds `rightTs - leftTs`. */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      tolerance: Option[Long] = None,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    val payloadCols = rightTs +: valueCols
+    val payloadType = StructType(
+      right.select(payloadCols.map(col): _*).schema.fields)
+    val tieTypes = tieBreak.map(c => right.schema(c).dataType)
+
+    val rightLeg = right
+      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
+        col(rightTs).isNotNull)
+      .select(
+      keyCols.map(col) ++
+        Seq(col(rightTs).cast(left.schema(leftTs).dataType).as("__ts"),
+          lit(1).as("__side"),
+          struct(payloadCols.map(col): _*).as("__r"),
+          lit(null).cast(StructType(left.schema.fields)).as("__l")) ++
+        tieBreak.zipWithIndex.map { case (c, i) => col(c).as(s"__tb$i") }: _*)
+    val leftLeg = left.select(
+      keyCols.map(col) ++
+        Seq(col(leftTs).as("__ts"),
+          lit(0).as("__side"),
+          lit(null).cast(payloadType).as("__r"),
+          struct(left.columns.map(col): _*).as("__l")) ++
+        tieTypes.zipWithIndex.map { case (t, i) =>
+          lit(null).cast(t).as(s"__tb$i") }: _*)
+
+    val ord: Seq[Column] =
+      col("__ts") +: col("__side") +: tieBreak.indices.map(i => col(s"__tb$i"))
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = first(col("__r"), ignoreNulls = true).over(w)
+
+    val matched = rightLeg.unionByName(leftLeg)
+      .withColumn("__m",
+        when(col("__ts").isNull, lit(null).cast(payloadType))
+          .otherwise(carried))
+      .filter(col("__side") === 0)
+    val bounded = tolerance match {
+      case Some(tol) => matched.withColumn("__m",
+        when(col("__m")(rightTs).cast("long") - col("__ts").cast("long")
           > tol, lit(null).cast(payloadType)).otherwise(col("__m")))
       case None => matched
     }

@@ -38,13 +38,13 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  private def normalize(text: Column): Column =
+  private[operators] def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
   /** `norm` must be a materialized attribute (see
     * [[selectionsFromHashes]]'s no-inline-expression rule — the gram
     * lambda references it once per k-gram). */
-  private def kgramHashes(norm: Column, k: Int, hashMode: String): Column = {
+  private[operators] def kgramHashes(norm: Column, k: Int, hashMode: String): Column = {
     val n = length(norm)
     val grams = transform(sequence(lit(0), n - k),
       i => norm.substr(i + 1, lit(k)))
@@ -64,12 +64,27 @@ object Winnow {
       .otherwise(array().cast("array<bigint>"))
   }
 
-  /** Winnowing selection over an ALREADY-MATERIALIZED k-gram hash
-    * array column: `array<struct<pos:int, h:long>>` of the distinct
-    * selected fingerprints, ordered by position (`pos` = 0-based
-    * k-gram index in the normalized text). Documents with fewer than
-    * `w` k-grams use one window spanning all of them (the global min);
-    * an empty hash array fingerprints to the empty array.
+  /** Winnowing selection over a k-gram hash array column:
+    * `array<struct<pos:int, h:long>>` of the distinct selected
+    * fingerprints, ordered by position (`pos` = 0-based k-gram index
+    * in the normalized text). Documents with fewer than `w` k-grams
+    * use one window spanning all of them (the global min); an empty
+    * hash array fingerprints to the empty array.
+    *
+    * Runs the native O(nG) monotone-deque kernel
+    * ([[graft.functions.WinnowSelect]]) inside whole-stage codegen —
+    * the HOF fold it replaced ([[selectionsFromHashesHof]], kept as
+    * the spec's reference implementation) costs O(nG·w) interpreted
+    * lambda dispatches per document, which measured ~20× slower at
+    * bench scale and would make corpus-scale selection CPU-bound on
+    * expression interpretation. */
+  def selectionsFromHashes(hashes: Column, w: Int = 4): Column =
+    graft.functions.WinnowSelect.select(hashes, w)
+
+  /** Reference HOF formulation of the selection — same semantics as
+    * the kernel (spec-pinned equal on real documents), kept because
+    * an independent executable statement of the algorithm is what
+    * makes the kernel auditable.
     *
     * `hashes` MUST be a plain column attribute, not an inline
     * expression: higher-order functions evaluate interpreted, with no
@@ -79,7 +94,7 @@ object Winnow {
     * O(nG²·w) md5 work per document ([[fingerprints]] stages the
     * projections in the right shape; CollapseProject keeps the
     * many-times-referenced expensive producer un-inlined). */
-  def selectionsFromHashes(hashes: Column, w: Int = 4): Column = {
+  private[operators] def selectionsFromHashesHof(hashes: Column, w: Int = 4): Column = {
     val nG = size(hashes)
     val width = least(lit(w), nG)
     val nWindows = greatest(nG - w + 1, lit(1))

@@ -1075,6 +1075,36 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val bad = flac(44100, 2, 1L); bad(4) = 0x04 // type 4 (VORBIS_COMMENT)
     Media.audioMeta(bad) shouldBe None
 
+    // MP3: hand-packed MPEG-1 Layer III frames — the walker must hop
+    // header-to-header by the public length formula
+    // (144·bitrate/rate + padding) and report frames·1152 samples
+    def mp3(nFrames: Int, brIdx: Int, srIdx: Int, mono: Boolean,
+        pad: Int = 0): Array[Byte] = {
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+        192, 224, 256, 320, 0)
+      val rates = Array(44100, 48000, 32000, 0)
+      val frameLen = 144 * kbps(brIdx) * 1000 / rates(srIdx) + pad
+      val out = new Array[Byte](frameLen * nFrames)
+      for (f <- 0 until nFrames) {
+        val o = f * frameLen
+        out(o) = 0xff.toByte
+        out(o + 1) = 0xfb.toByte // MPEG-1 (11), Layer III (01), no CRC
+        out(o + 2) = ((brIdx << 4) | (srIdx << 2) | (pad << 1)).toByte
+        out(o + 3) = (if (mono) 0xc0 else 0x00).toByte
+      }
+      out
+    }
+    // 128 kbps / 44.1 kHz stereo, 3 frames → 3·1152 samples
+    Media.audioMeta(mp3(3, 9, 0, mono = false)) shouldBe
+      Some((44100, 2, 3 * 1152))
+    // 320 kbps / 32 kHz mono with padding bit set, 2 frames
+    Media.audioMeta(mp3(2, 14, 2, mono = true, pad = 1)) shouldBe
+      Some((32000, 1, 2 * 1152))
+    // a sync whose bitrate index is free-format (0) → refuse, not guess
+    val freeform = mp3(1, 9, 0, mono = false)
+    freeform(2) = 0x00.toByte
+    Media.audioMeta(freeform) shouldBe None
+
     // end-to-end through the partition-mapped extract: audio rows with
     // real WAV bytes report REAL (sample_rate, channels, frames); text
     // payloads keep the stub; video stays stubbed even with WAV bytes

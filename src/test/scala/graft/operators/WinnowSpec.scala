@@ -61,6 +61,33 @@ class WinnowSpec extends AnyFunSuite with Matchers with SparkSpec {
     n1 shouldBe n2
   }
 
+  test("native deque kernel ≡ reference HOF fold on real documents and edges") {
+    val s = spark
+    import s.implicits._
+    // real corpus: every document's selection set must agree exactly
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .unionByName(Seq( // plus hand-picked edges
+        (100001L, "aaaaaaaaaa"), // all-tie windows (rightmost rule)
+        (100002L, "abcdef"), // fewer grams than w (single window)
+        (100003L, "abcd"), // shorter than k → empty
+        (100004L, "zzzzabababzzzz") // periodic interior ties
+      ).toDF("doc_id", "text"))
+    val hashed = docs
+      .select(col("doc_id"), Winnow.normalize(col("text")).as("__t"))
+      .select(col("doc_id"),
+        Winnow.kgramHashes(col("__t"), k, "md5").as("__kh"))
+      .localCheckpoint(true)
+    val kernel = hashed.select(col("doc_id"),
+        Winnow.selectionsFromHashes(col("__kh"), w).as("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toList).toMap
+    val hof = hashed.select(col("doc_id"),
+        Winnow.selectionsFromHashesHof(col("__kh"), w).as("sel"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Any](1).toList).toMap
+    kernel.keySet shouldBe hof.keySet
+    kernel.foreach { case (id, sel) => sel shouldBe hof(id) }
+  }
+
   test("match guarantee holds under either hash; real corpus yields pairs") {
     // hash choice decides WHICH fingerprints are selected (winnowing
     // takes the per-window min), so md5 and xxhash64 outputs are NOT
