@@ -189,6 +189,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // and the generated code calls the static kernels (no interpreted path)
     formatted should include("graft.functions.SimHashImpl.compute")
     formatted should include("graft.functions.MinHashImpl.computeFromTokens")
+
+    // the winnow deque kernel too (round 8): selection stays in WSCG
+    val win = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(graft.functions.WinnowSelect.select(
+        MinHash.shingleHashes(split(col("text"), " ")), 4).as("sel"))
+    val wGen = win.queryExecution.explainString(
+      org.apache.spark.sql.execution.CodegenMode)
+    wGen should include("WholeStageCodegen")
+    wGen should include("graft.functions.WinnowImpl.select")
   }
 
   test("round-2 kernels (text stats, lang id, cosine, nearest-center) stay codegen'd") {
