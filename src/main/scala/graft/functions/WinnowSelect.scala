@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing selection as a native Catalyst expression — the per-window
   * rightmost-min fold of [[graft.operators.Winnow]] compiled down to a
@@ -61,6 +62,28 @@ object WinnowSelect {
 }
 
 object WinnowImpl {
+
+  /** Kernel for [[KgramHashes]]: code-point start offsets over the
+    * UTF-8 bytes (Spark `substring` character semantics), then each
+    * k-gram byte window hashed in place. */
+  def kgramHashes(s: UTF8String, k: Int, md5Mode: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // code-point starts: every byte that is not a UTF-8 continuation
+    val starts = new Array[Int](n + 1)
+    var nChars = 0
+    var i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(nChars) = i; nChars += 1 }
+      i += 1
+    }
+    starts(nChars) = n // sentinel: end offset of the final character
+    if (nChars < k) return new GenericArrayData(Array.empty[Long])
+    val digest =
+      if (md5Mode) java.security.MessageDigest.getInstance("MD5") else null
+    new GenericArrayData(
+      KgramHashes.hash(bytes, starts, nChars, k, md5Mode, digest))
+  }
 
   /** O(n) sliding rightmost-min selection. Deque invariant: positions
     * ascending, values STRICTLY ascending front→back (equal values are

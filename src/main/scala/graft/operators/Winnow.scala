@@ -41,10 +41,20 @@ object Winnow {
   private[operators] def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** `norm` must be a materialized attribute (see
-    * [[selectionsFromHashes]]'s no-inline-expression rule — the gram
+  /** Character k-gram hashes of the normalized text — the native
+    * one-pass kernel ([[graft.functions.KgramHashes]]: code-point
+    * offsets over the UTF-8 bytes, each window hashed in place),
+    * bit-identical to the compositional HOF form kept below as the
+    * spec's reference. */
+  private[operators] def kgramHashes(norm: Column, k: Int,
+      hashMode: String): Column =
+    graft.functions.KgramHashes(norm, k, hashMode)
+
+  /** Reference HOF formulation of [[kgramHashes]] (spec-pinned equal).
+    * `norm` must be a materialized attribute (see
+    * [[selectionsFromHashesHof]]'s no-inline-expression rule — the gram
     * lambda references it once per k-gram). */
-  private[operators] def kgramHashes(norm: Column, k: Int, hashMode: String): Column = {
+  private[operators] def kgramHashesHof(norm: Column, k: Int, hashMode: String): Column = {
     val n = length(norm)
     val grams = transform(sequence(lit(0), n - k),
       i => norm.substr(i + 1, lit(k)))
