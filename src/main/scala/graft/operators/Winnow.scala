@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * the signature size but loses locality; winnowing keeps positions,
   * so matches can be located, not just detected).
   *
-  * Scale shape: selection is a narrow per-document map — three HOF
-  * passes (k-gram hash, per-window rightmost-min fold, distinct) inside
-  * one projection, no shuffle, no UDF. Pair generation reuses the
-  * standard blocking shape: explode `(h, id)`, group by the 8-byte
+  * Scale shape: selection is a narrow per-document map with NO shuffle
+  * and no UDF — two native kernels inside whole-stage codegen
+  * ([[graft.functions.KgramHashes]]: one UTF-8 walk hashing each gram
+  * window in place; [[graft.functions.WinnowSelect]]: O(nG)
+  * monotone-deque sliding min), with the compositional HOF forms kept
+  * as spec-pinned reference implementations. Pair generation reuses
+  * the standard blocking shape: explode `(h, id)`, group by the 8-byte
   * hash, in-block pairs under a hot-block guard, then count shared
   * fingerprints per pair — shuffles carry 16-byte rows only.
   *
