@@ -1921,6 +1921,18 @@ object SparkEntry {
         .orderBy("doc_id", "seen_id")
     }),
 
+    // winnow evidence composed with the iterative min-label CC: docs
+    // chained by >= 30 shared fingerprints collapse to one group id —
+    // the unit the leakage-safe splitter moves atomically. Oracle =
+    // the winnow-pair replay feeding the recursive-CTE reachability
+    "dedup_winnow_groups" -> ((s, dir) =>
+      Dedup.duplicateGroups(
+          graft.operators.Winnow.pairs(
+            s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+            k = 5, w = 4, minShared = 30, hashMode = "md5")
+            .select("id_a", "id_b"))
+        .orderBy("id")),
+
     // winnow near-dup pairs under the canonical md5-48 hash (hash
     // choice is semantic for winnowing — it decides WHICH fingerprints
     // are selected — so the portable hash IS the production hash):
@@ -5168,6 +5180,45 @@ object SparkEntry {
         |WHERE b.h NOT IN (SELECT h FROM hot)
         |GROUP BY 1, 2 HAVING count(*) >= 30
         |ORDER BY 1, 2""".stripMargin,
+
+    // winnow pairs -> undirected reachability -> min-reachable label,
+    // the recursive-CTE twin of the iterative min-label propagation
+    "dedup_winnow_groups" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    CAST(('0x' || substr(md5(substring(t, CAST(u.i AS INT) + 1, 5)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM d, LATERAL unnest(range(0, length(t) - 4)) AS u(i)
+        |  WHERE length(t) >= 5),
+        |n AS (SELECT doc_id, least(4, count(*)) AS wd FROM g GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS wend, n.wd, min(b.h) AS mh
+        |  FROM g a JOIN n ON a.doc_id = n.doc_id
+        |  JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.pos BETWEEN a.pos - n.wd + 1 AND a.pos
+        |  WHERE a.pos >= n.wd - 1
+        |  GROUP BY a.doc_id, a.pos, n.wd),
+        |fp AS (SELECT DISTINCT m.doc_id, m.mh AS h FROM m),
+        |blk AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 200),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN blk ON blk.h = a.h
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT id, min(lbl) AS group_id FROM (
+        |  SELECT src AS id, dst AS lbl FROM reach
+        |  UNION SELECT src, src FROM edges)
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     // pair replay over the same selection: distinct (doc, h), blocks
     // sized [2, 200] (the hot-block guard), shared-count >= 30

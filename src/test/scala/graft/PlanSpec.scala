@@ -438,6 +438,57 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("incremental winnow judge against a bucketed fingerprint store " +
+      "shuffles only the batch side of the evidence join") {
+    // same O(increment) story as incremental exact dedup: the seen
+    // corpus's (id, h) fingerprint relation is stored bucketed on h, so
+    // the shared-fingerprint evidence join reads it partition-aware —
+    // one fewer hash exchange than the plain-parquet layout, identical
+    // pairs either way
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.TableStore(tmpDir("winfps-store"), spark)
+    val seenDocs = (100L to 200L)
+      .map(i => (i, s"seen document body number $i with shared prose"))
+      .toDF("doc_id", "text")
+    val seenFps = graft.operators.Winnow
+      .fingerprints(seenDocs, "doc_id", "text")
+      .select(col("id"), col("h")).distinct()
+    val vB = store.stageBucketed("win_fps", seenFps, Seq("h"), 8)
+    val vP = store.stage("win_plain", seenFps)
+    val batch = Seq((1L, "seen document body number 150 with shared prose"),
+      (2L, "completely unrelated fresh text"))
+      .toDF("doc_id", "text")
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange hashpartitioning".r.findAllIn(executedPlan(df)).size
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val schema = seenFps.schema
+      val bucketed = graft.operators.Winnow.incrementalPairs(
+        batch, "doc_id", "text", store.readVersion("win_fps", vB, schema),
+        minShared = 5)
+      val plain = graft.operators.Winnow.incrementalPairs(
+        batch, "doc_id", "text", store.readVersion("win_plain", vP, schema),
+        minShared = 5)
+      executedPlan(bucketed) should include("SelectedBucketsCount")
+      // the store has TWO consumers — the hot-fingerprint aggregate
+      // (groupBy h) and the evidence join — and the bucketed layout
+      // satisfies both distributions, so every store-side exchange
+      // disappears (observed 3 vs 6 total: AQE additionally reuses the
+      // co-partitioned side downstream, so the saving is at LEAST the
+      // two store consumers; the count is asserted directionally
+      // because the reuse depends on AQE's runtime choices)
+      nExchanges(bucketed) should be <= (nExchanges(plain) - 2)
+      val rows = bucketed.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      rows shouldBe plain.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      rows.map(_._1) should contain(1L) // the replayed doc is caught
+      rows.map(_._1) should not contain 2L // fresh text is not
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("MV refresh plan reads the delta and the stored MV — never the landing table") {
     val store = new graft.core.TableStore(tmpDir("mvplan-store"), spark)
     val stage = new graft.sources.Stage(tmpDir("mvplan-stage"))
