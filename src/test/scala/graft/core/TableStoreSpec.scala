@@ -171,6 +171,33 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
   }
 
+  test("schema evolution: widened version reads under the new schema, " +
+      "old versions keep theirs, readOrEmpty tracks the manifest") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("evolve"), spark)
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    // add a column + change a column's meaning: copy-on-write overwrite
+    // IS the evolution mechanism — each version is self-describing, so
+    // no migration step, no mergeSchema read, no reader coordination
+    store.overwrite("t",
+      Seq((1L, "a", 0.5), (2L, "b", 0.7)).toDF("id", "v", "score"))
+
+    val cur = store.read("t")
+    cur.columns.toSeq shouldBe Seq("id", "v", "score")
+    cur.count() shouldBe 2
+    // time travel serves the OLD shape — a pinned reader never sees a
+    // column it didn't plan for
+    val vs = store.versions("t")
+    val old = store.readVersion("t", vs.head,
+      Seq((1L, "a")).toDF("id", "v").schema)
+    old.columns.toSeq shouldBe Seq("id", "v")
+    old.count() shouldBe 1
+    // narrowing works the same way (drop a column in the next version)
+    store.overwrite("t", Seq((3L, 0.9)).toDF("id", "score"))
+    store.read("t").columns.toSeq shouldBe Seq("id", "score")
+  }
+
   test("compact merges files without changing content") {
     val s = spark
     import s.implicits._
