@@ -1511,6 +1511,15 @@ object SparkEntry {
     // over events with the three estimates broadcast back) must sit
     // within 0.05 of its target — 3× the k=200 guarantee, so the
     // booleans are stable at any practical confidence
+    // Tukey-fence outlier profile per event type: exact Q1/Q3, fences
+    // at 1.5·IQR, outside-count — the distributional audit the static
+    // range rules can't express; fences rounded BEFORE judging so the
+    // predicate replays cross-engine
+    "quality_outliers" -> ((s, dir) =>
+      graft.operators.Quality.iqrOutliers(
+          events(s, dir), "event_type", "value")
+        .orderBy("event_type")),
+
     // mergeable HEAVY-HITTERS sketch tables (Misra–Gries family) — the
     // top-k twin of the HLL/KLL sketch tables: per-source token
     // sketches in one corpus pass, the corpus rollup a union of sketch
@@ -3384,6 +3393,31 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "quality_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |f AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(value, 0.25), 4) AS q1,
+        |    round(quantile_cont(value, 0.75), 4) AS q3
+        |  FROM v GROUP BY event_type),
+        |f2 AS (
+        |  SELECT event_type,
+        |    CAST(CAST(q1 AS DECIMAL(22,4)) AS DOUBLE) AS q1,
+        |    CAST(CAST(q3 AS DECIMAL(22,4)) AS DOUBLE) AS q3,
+        |    CAST(CAST(q1 AS DECIMAL(22,4)) * 2.5
+        |       - CAST(q3 AS DECIMAL(22,4)) * 1.5 AS DOUBLE) AS lo,
+        |    CAST(CAST(q3 AS DECIMAL(22,4)) * 2.5
+        |       - CAST(q1 AS DECIMAL(22,4)) * 1.5 AS DOUBLE) AS hi
+        |  FROM f)
+        |SELECT v.event_type, f2.q1, f2.q3, f2.lo, f2.hi,
+        |  count(*) AS n,
+        |  CAST(sum(CASE WHEN v.value < f2.lo OR v.value > f2.hi
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS outliers
+        |FROM v JOIN f2 USING (event_type)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY event_type""".stripMargin,
 
     "stream_topk_oracled" ->
       """WITH it AS (

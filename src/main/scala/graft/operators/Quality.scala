@@ -78,6 +78,52 @@ object Quality {
         col("violations"))
   }
 
+  /** Tukey-fence outlier profile per group: exact Q1/Q3 over
+    * `valueCol`, fences at `q1 − k·IQR / q3 + k·IQR` (k = 1.5, the
+    * classic boxplot rule), and the count of rows outside them — the
+    * distributional audit that catches unit regressions (ms→s),
+    * sentinel values, and broken upstream filters that the declarative
+    * range rules can't know bounds for in advance.
+    *
+    * Two scans by necessity (the fences must exist before rows can be
+    * judged against them): one percentile aggregate (group-domain-sized
+    * output, broadcast back) and one conditional-count pass. NULL
+    * values are ignored on both passes — declare [[notNull]] when they
+    * should violate.
+    *
+    * Determinism: the quartiles are rounded to 4 dp, then the fences
+    * are derived in exact DECIMAL arithmetic (2.5·q1 − 1.5·q3 and its
+    * mirror) — deriving them in doubles and re-rounding puts a second
+    * rounding step on a .xxxx5 tie, where Spark's BigDecimal HALF_UP
+    * and an engine rounding the binary double disagree by one ulp
+    * (observed: −66.6013 vs −66.6012), flipping the judged predicate. */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 1.5): DataFrame = {
+    require(k == 1.5, "fences are derived in exact decimal for k = 1.5")
+    val vals = df.filter(col(valueCol).isNotNull)
+    val half = lit(new java.math.BigDecimal("2.5"))
+    val sesq = lit(new java.math.BigDecimal("1.5"))
+    val fences = vals.groupBy(col(groupCol))
+      .agg(
+        round(expr(s"percentile($valueCol, 0.25D)"), 4)
+          .cast("decimal(22,4)").as("__q1"),
+        round(expr(s"percentile($valueCol, 0.75D)"), 4)
+          .cast("decimal(22,4)").as("__q3"))
+      .select(col(groupCol),
+        col("__q1").cast("double").as("q1"),
+        col("__q3").cast("double").as("q3"),
+        (col("__q1") * half - col("__q3") * sesq).cast("double").as("lo"),
+        (col("__q3") * half - col("__q1") * sesq).cast("double").as("hi"))
+    vals.join(broadcast(fences), groupCol)
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("q1")).as("q1"), first(col("q3")).as("q3"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        count(lit(1)).as("n"),
+        sum(when(col(valueCol) < col("lo") || col(valueCol) > col("hi"),
+          1L).otherwise(0L)).as("outliers"))
+  }
+
   /** Referential integrity `fact.fkCol ⊆ dim.pkCol`: violations = fact
     * rows with a non-null key absent from the dimension (an anti-join
     * count; Spark broadcasts the dim side when it is small — the normal
