@@ -1511,6 +1511,20 @@ object SparkEntry {
     // over events with the three estimates broadcast back) must sit
     // within 0.05 of its target — 3× the k=200 guarantee, so the
     // booleans are stable at any practical confidence
+    // categorical drift: did the EVENT-TYPE MIX move between the two
+    // halves of the window — the string-column half of the drift
+    // family (language mix, source mix at corpus scale); same exact
+    // integer TVD, the category is the bin. Users are segmented by id
+    // residue so the query exercises real per-group domains
+    "monitor_drift_categorical" -> ((s, dir) =>
+      graft.operators.Drift.tvdCategoricalByGroup(
+          events(s, dir)
+            .withColumn("day", to_date(timestamp_micros(col("ts_us"))))
+            .withColumn("segment",
+              concat(lit("seg"), (col("user_id") % 4).cast("string"))),
+          "segment", "day", "event_type")
+        .orderBy("segment")),
+
     // Tukey-fence outlier profile per event type: exact Q1/Q3, fences
     // at 1.5·IQR, outside-count — the distributional audit the static
     // range rules can't express; fences rounded BEFORE judging so the
@@ -3393,6 +3407,33 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_exact,
         |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "monitor_drift_categorical" ->
+      """WITH ev AS (
+        |  SELECT 'seg' || CAST(user_id % 4 AS VARCHAR) AS segment,
+        |    CAST(ts AS DATE) AS day, event_type AS bin
+        |  FROM events WHERE event_type IS NOT NULL),
+        |b AS (SELECT min(day) AS mn, max(day) AS mx FROM ev),
+        |w AS (
+        |  SELECT segment, bin,
+        |    day <= mn + CAST(date_diff('day', mn, mx) // 2 AS INTEGER) AS base
+        |  FROM ev, b),
+        |c AS (
+        |  SELECT segment, bin,
+        |    sum(CASE WHEN base THEN 1 ELSE 0 END) AS cb,
+        |    sum(CASE WHEN base THEN 0 ELSE 1 END) AS cc
+        |  FROM w GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT *,
+        |    sum(cb) OVER (PARTITION BY segment) AS nb,
+        |    sum(cc) OVER (PARTITION BY segment) AS nc
+        |  FROM c)
+        |SELECT segment,
+        |  CAST(max(nb) AS BIGINT) AS n_base,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
+        |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
+        |FROM c2 GROUP BY segment ORDER BY segment""".stripMargin,
 
     "quality_outliers" ->
       """WITH v AS (

@@ -47,6 +47,31 @@ object Drift {
     tvdFromCounts(counts, groupCol)
   }
 
+  /** TVD over a CATEGORICAL column between the two halves of the date
+    * range — the string-column half of drift monitoring (language mix,
+    * source mix, event mix). Identical exact-integer machinery to
+    * [[tvdByGroup]], but the category IS the bin: no binWidth to tune,
+    * state bounded by the (group, category) domain. Categories present
+    * in only one half zero-fill naturally (they are rows of the same
+    * count aggregate). Returns `(groupCol, n_base, n_cur, tvd)`. */
+  def tvdCategoricalByGroup(df: DataFrame, groupCol: String,
+      dayCol: String, catCol: String): DataFrame = {
+    val ev = df.filter(col(catCol).isNotNull)
+      .select(col(groupCol), col(dayCol).as("__day"),
+        col(catCol).as("__bin"))
+    val bounds = ev.agg(min(col("__day")).as("__mn"),
+      max(col("__day")).as("__mx"))
+    val counts = ev.crossJoin(broadcast(bounds))
+      .withColumn("__base",
+        col("__day") <= date_add(col("__mn"),
+          (datediff(col("__mx"), col("__mn")) / 2).cast("int")))
+      .groupBy(col(groupCol), col("__bin"))
+      .agg(
+        sum(when(col("__base"), 1L).otherwise(0L)).as("__cb"),
+        sum(when(!col("__base"), 1L).otherwise(0L)).as("__cc"))
+    tvdFromCounts(counts, groupCol)
+  }
+
   /** The shared binning expression: `min(floor(value / binWidth),
     * nBins−1)` — one deterministic double division + floor, identical
     * on any engine. */
