@@ -157,7 +157,10 @@ object Sf1Soak {
     // mining over the guarded LSH blocking, the heavy-hitters sketch
     // rollup, and the sketch-backed distinct MV refresh
     "asof_join_events", "text_winnow", "dedup_winnow",
-    "contrastive_hard", "sketch_topk_merged", "incremental_agg_distinct")
+    "contrastive_hard", "sketch_topk_merged", "incremental_agg_distinct",
+    // final wave: winnow CC groups, the Tukey-fence profile, and the
+    // categorical drift mix
+    "dedup_winnow_groups", "quality_outliers", "monitor_drift_categorical")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
@@ -175,7 +178,8 @@ object Sf1Soak {
       (if (Copies > 30)
         Headline.map(q =>
           if (q == "linkage_fuzzy_pairs") "linkage_fuzzy_join" else q)
-      else Headline).filterNot(q => Copies > 30 && q == "dedup_winnow")
+      else Headline).filterNot(q => Copies > 30 &&
+        Set("dedup_winnow", "dedup_winnow_groups")(q))
     qs.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
