@@ -2075,14 +2075,12 @@ object SparkEntry {
       val merges = graft.operators.Vocab.bpeMergesLocal(docs, nMerges = 4)
         .orderBy("round").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      val pieces = graft.operators.Vocab.bpeEncode(docs, merges)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
-      docs.select(col("doc_id"),
-          T.tokenCount(col("text")).cast("long").as("n_tokens"))
-        .join(pieces, "doc_id")
+      // count-without-encode: fertility needs only per-doc counts, so
+      // the piece stream is never materialized (the oracle replays the
+      // full encode-then-count and must agree)
+      graft.operators.Vocab.bpeCoverage(docs, merges)
         .select(col("doc_id"), col("n_tokens"), col("n_pieces"),
-          round(col("n_pieces").cast("double") / col("n_tokens"), 4)
-            .as("fertility"))
+          col("fertility"))
         .orderBy("doc_id")
     }),
 
