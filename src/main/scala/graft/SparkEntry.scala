@@ -2692,12 +2692,14 @@ object SparkEntry {
 
     // the same solid colors through the PNG encoder → magic dispatch →
     // ImageIO's PNG decoder → the SAME descriptor closed form: pins
-    // that the content embedding is format-independent (oracle SQL is
-    // media_embedding's verbatim — a different container may not move
-    // a single value)
+    // that the content embedding is format-independent. Bounded to the
+    // 256-color cycle (doc_id < 256 covers every distinct color): the
+    // claim is decode-path parity, and an unbounded row would mostly
+    // time the PNG ENCODER synthesizing the fixture
     "media_png_embedding" -> ((s, dir) =>
       Media.extractFeatures(
-          Media.synthesizePngs(s.read.parquet(s"$dir/documents.parquet")))
+          Media.synthesizePngs(s.read.parquet(s"$dir/documents.parquet")
+            .filter(col("doc_id") < 256)))
         .toDF()
         .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "val")))
         .select(col("media_id"), col("pos").cast("long").as("pos"),
@@ -3018,12 +3020,12 @@ object SparkEntry {
 
   /** Solid-color descriptor closed form — shared by the BMP and PNG
     * corpus queries (format independence is the claim). */
-  private val mediaSolidEmbeddingSql: String =
-          """WITH c AS (
+  private def mediaSolidEmbeddingSql(where: String = ""): String =
+    s"""WITH c AS (
         |  SELECT doc_id,
         |    doc_id % 256 AS r, (doc_id * 7) % 256 AS g,
         |    (doc_id * 13) % 256 AS b
-        |  FROM documents),
+        |  FROM documents $where),
         |dims AS (
         |  SELECT doc_id, r, g, b, CAST(p AS BIGINT) AS pos
         |  FROM c, unnest(range(64)) AS t(p))
@@ -5800,11 +5802,11 @@ object SparkEntry {
     // the doc_id-residue channels /255, the DC luma dim is Rec.601 over
     // those channels, AC dims are exactly 0; the REAL cast mirrors the
     // Spark side's Float feature storage before the 4-dp round
-    "media_embedding" -> mediaSolidEmbeddingSql,
+    "media_embedding" -> mediaSolidEmbeddingSql(),
 
     // format independence: the PNG route must reproduce the BMP
     // route's descriptor value-for-value
-    "media_png_embedding" -> mediaSolidEmbeddingSql,
+    "media_png_embedding" -> mediaSolidEmbeddingSql("WHERE doc_id < 256"),
 
     // the image-near-dup pipeline replayed without decoding a pixel:
     // closed-form solid-color descriptors (the media_embedding algebra
