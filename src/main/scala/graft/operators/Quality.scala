@@ -99,10 +99,13 @@ object Quality {
     * (observed: −66.6013 vs −66.6012), flipping the judged predicate. */
   def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String,
       k: Double = 1.5): DataFrame = {
-    require(k == 1.5, "fences are derived in exact decimal for k = 1.5")
+    // lo = q1 − k·IQR = (1+k)·q1 − k·q3 (and the mirror): the fences
+    // are a decimal-linear combination, so any k with a short decimal
+    // form stays exact (BigDecimal.valueOf uses the double's shortest
+    // decimal representation)
     val vals = df.filter(col(valueCol).isNotNull)
-    val half = lit(new java.math.BigDecimal("2.5"))
-    val sesq = lit(new java.math.BigDecimal("1.5"))
+    val half = lit(java.math.BigDecimal.valueOf(1.0 + k))
+    val sesq = lit(java.math.BigDecimal.valueOf(k))
     val fences = vals.groupBy(col(groupCol))
       .agg(
         round(expr(s"percentile($valueCol, 0.25D)"), 4)
