@@ -54,10 +54,12 @@ object AsofJoin {
     *                  as `right_<name>` (plus `right_<rightTs>`, the
     *                  matched timestamp), NULL when no right row at or
     *                  before the left timestamp exists
-    * @param tolerance maximum allowed `leftTs - rightTs` staleness (in
-    *                  the timestamp column's own units); older matches
-    *                  degrade to NULL rather than silently serving
-    *                  stale state
+    * @param tolerance maximum allowed `leftTs - rightTs` staleness,
+    *                  measured on `cast(ts as long)` — the column's own
+    *                  units for numeric timestamps, whole SECONDS for
+    *                  TIMESTAMP columns (Spark's timestamp→long cast);
+    *                  older matches degrade to NULL rather than
+    *                  silently serving stale state
     * @param tieBreak  right-side columns ordering rows that share
     *                  `(key, ts)` — the LAST in this order wins; pass a
     *                  unique id for a deterministic result
