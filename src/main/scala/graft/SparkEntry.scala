@@ -1147,6 +1147,18 @@ object SparkEntry {
         .select(col("doc_id"), col("source"))
         .orderBy("source", "doc_id")),
 
+    // token-budget subsample: uniform keep-rate budget/Σw so every
+    // TOKEN is equally likely to survive (a row budget would
+    // over-represent short docs per token); md5 draw, so the oracle
+    // replays the rate arithmetic and the kept set exactly
+    "curation_sample_weighted" -> ((s, dir) =>
+      graft.operators.Curation.sampleWeighted(
+          s.read.parquet(s"$dir/documents.parquet")
+            .select(col("doc_id"), col("source"), col("n_chars")),
+          "doc_id", "n_chars", budgetWeight = 30000L)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")),
+
     // stratified sample with an exact 100-row budget allocated across
     // languages proportionally (largest-remainder method, exact integer
     // quotas) — the eval-set builder: the sample mirrors the corpus's
@@ -4392,6 +4404,15 @@ object SparkEntry {
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "curation_sample_weighted" ->
+      """WITH t AS (
+        |  SELECT sum(CAST(n_chars AS DOUBLE)) AS tw FROM documents)
+        |SELECT doc_id, source, n_chars
+        |FROM documents, t
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'graft-wsample'), 1, 8))
+        |    AS UBIGINT) / 4294967296.0 < least(1.0, 30000.0 / tw)
+        |ORDER BY doc_id""".stripMargin,
 
     "curation_shard" ->
       """WITH h AS (

@@ -155,6 +155,30 @@ object Curation {
     * window over (id, stratum, md5) rows — same scale posture as
     * [[samplePerGroup]], with [[hashFraction]] pre-filtering available
     * the same way when strata are huge. */
+  /** Deterministic sampling on a WEIGHT budget (tokens, bytes): every
+    * row is kept at the uniform rate `min(1, budget / Σw)`, so the
+    * EXPECTED sampled weight hits the budget and every unit of weight
+    * — every token — is equally likely to survive, which is the
+    * correct draw for a token-budgeted pretraining subsample (a
+    * row-count budget would over-represent short documents per token).
+    * The draw is the same md5 [[hashFraction]] as every splitter here:
+    * stable under re-runs and appends, engine-replayable, never
+    * `rand()`. One aggregate for the corpus weight (1-row broadcast) +
+    * one narrow filter — no shuffle of the corpus. */
+  def sampleWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      budgetWeight: Long,
+      salt: String = "graft-wsample"): DataFrame = {
+    require(budgetWeight > 0, "budgetWeight must be positive")
+    val tot = df.agg(sum(col(weightCol).cast("double")).as("__tw"))
+    df.crossJoin(broadcast(tot))
+      .filter(hashFraction(col(idCol), salt) <
+        least(lit(1.0), lit(budgetWeight.toDouble) / col("__tw")))
+      .drop("__tw")
+  }
+
   def sampleStratified(
       df: DataFrame,
       groupCols: Seq[String],
