@@ -33,10 +33,18 @@ import org.apache.spark.unsafe.types.UTF8String
 case class WinnowSelect(child: Expression, w: Int)
     extends UnaryExpression {
 
+  // w=0 or negative would make the deque kernel read uninitialized
+  // slots; fail at construction with a clear message instead
+  require(w >= 1, s"winnow_select window w must be >= 1, got $w")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: the kernel's toLongArray() has no
+    // null-element semantics (the producer, KgramHashes, emits
+    // containsNull=false)
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"winnow_select requires array<bigint>, got ${other.catalogString}")
+      s"winnow_select requires array<bigint> with non-null elements, " +
+        s"got ${other.catalogString}")
   }
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("pos", IntegerType, nullable = false),

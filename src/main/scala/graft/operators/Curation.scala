@@ -139,22 +139,6 @@ object Curation {
       .drop("__rn")
   }
 
-  /** STRATIFIED sample with an exact total budget: allocate `total` rows
-    * across the strata PROPORTIONALLY to stratum size using the
-    * largest-remainder method (floor allocations, then the leftover
-    * seats go to the largest fractional remainders; ties break on the
-    * stratum key), and draw each stratum's quota by the same md5-hash
-    * order as [[samplePerGroup]]. The eval-set builder's shape: "give me
-    * exactly 10k docs that mirror the corpus's language mix".
-    *
-    * All allocation arithmetic is exact integers (`total·n_g div N`,
-    * remainders as `total·n_g mod N`) — no doubles, so the quota table
-    * is engine-reproducible, and the whole operator is hash-checkable.
-    * Plan shape: one count aggregate (stratum-sized result), windows
-    * only over that tiny quota table, then one slim per-stratum ranking
-    * window over (id, stratum, md5) rows — same scale posture as
-    * [[samplePerGroup]], with [[hashFraction]] pre-filtering available
-    * the same way when strata are huge. */
   /** Deterministic sampling on a WEIGHT budget (tokens, bytes): every
     * row is kept at the uniform rate `min(1, budget / Σw)`, so the
     * EXPECTED sampled weight hits the budget and every unit of weight
@@ -179,6 +163,22 @@ object Curation {
       .drop("__tw")
   }
 
+  /** STRATIFIED sample with an exact total budget: allocate `total` rows
+    * across the strata PROPORTIONALLY to stratum size using the
+    * largest-remainder method (floor allocations, then the leftover
+    * seats go to the largest fractional remainders; ties break on the
+    * stratum key), and draw each stratum's quota by the same md5-hash
+    * order as [[samplePerGroup]]. The eval-set builder's shape: "give me
+    * exactly 10k docs that mirror the corpus's language mix".
+    *
+    * All allocation arithmetic is exact integers (`total·n_g div N`,
+    * remainders as `total·n_g mod N`) — no doubles, so the quota table
+    * is engine-reproducible, and the whole operator is hash-checkable.
+    * Plan shape: one count aggregate (stratum-sized result), windows
+    * only over that tiny quota table, then one slim per-stratum ranking
+    * window over (id, stratum, md5) rows — same scale posture as
+    * [[samplePerGroup]], with [[hashFraction]] pre-filtering available
+    * the same way when strata are huge. */
   def sampleStratified(
       df: DataFrame,
       groupCols: Seq[String],

@@ -56,8 +56,7 @@ object Linkage {
   }
 
   /** Pairs of records in `df` whose `nameCol` values are within edit
-    * distance `maxDist` (only 1 is supported: the single-deletion
-    * neighborhood is complete exactly for distance ≤ 1). Output:
+    * distance `maxDist` (1 or 2 — see below). Output:
     * `(id_a, id_b, dist)` with `id_a < id_b`, one row per pair even
     * when the pair shares several blocks.
     *

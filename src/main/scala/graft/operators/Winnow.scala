@@ -140,10 +140,14 @@ object Winnow {
   /** Incremental near-dup judge — the daily-batch form: which batch
     * documents share ≥ `minShared` selected fingerprints with ANY
     * already-seen document. `seenFps` is the STORED `(id, h)`
-    * fingerprint relation (what [[fingerprints]] emits — persist it
+    * fingerprint relation — the DISTINCT `(id, h)` projection of what
+    * [[fingerprints]] emits (fingerprints carries `pos` too, and one
+    * hash can be selected at several positions; the caller must
+    * project `.select("id", "h").distinct()` before persisting, or
+    * repeated `(id, h)` rows inflate shared counts). Persist it
     * bucketed on `h` with `TableStore.stageBucketed` and the join
     * needs no store-side exchange, the incremental-exact-dedup
-    * precedent); the corpus TEXT is never re-read. The hot-fingerprint
+    * precedent; the corpus TEXT is never re-read. The hot-fingerprint
     * guard excludes fingerprints held by more than `maxBlock` seen
     * docs from evidence on BOTH sides (boilerplate fragments whose
     * join fan-out is the skew risk — in production the hot list is
