@@ -1940,6 +1940,19 @@ object SparkEntry {
           min("pos").as("first_pos"), max("pos").as("last_pos"))
         .orderBy("doc_id")),
 
+    // WHERE the near-dup pairs match — winnowing's MOSS capability
+    // (MinHash detects overlap, winnowing locates it): per qualified
+    // pair (>= 30 shared fingerprints), every matched fingerprint with
+    // its selected character position in BOTH documents. Positions are
+    // deterministic under the md5-48 hash, so the full evidence
+    // relation (ids, hash, both positions, shared count) hash-checks
+    // cross-engine
+    "text_winnow_spans" -> ((s, dir) =>
+      graft.operators.Winnow.matchSpans(
+          s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+          k = 5, w = 4, minShared = 30, hashMode = "md5")
+        .orderBy("id_a", "id_b", "h", "pos_a", "pos_b")),
+
     // the incremental winnow judge: batch docs (< 100) against the
     // STORED fingerprint relation of the seen corpus (>= 100) — corpus
     // text never re-read, hot boilerplate fingerprints (> 200 holders)
@@ -2786,6 +2799,27 @@ object SparkEntry {
           Media.synthesizePdfs(s.read.parquet(s"$dir/documents.parquet")))
         .orderBy("media_id")),
 
+    // CONTENT-DERIVED video embeddings, hash-checked end to end — the
+    // last modality graduating from the stub: a Motion-PNG AVI corpus
+    // (real RIFF container, real PNG frames with closed-form solid
+    // colors per (doc_id, frame)) flows through the real movi chunk
+    // walk (Media.extractAviFrames) → per-sampled-frame ImageIO decode
+    // → the SAME 64-dim block-mean+DCT image descriptor → left-to-right
+    // per-dim frame average (Media.videoEmbedding, stride 2). Every
+    // stage is exact arithmetic on lossless frames, so DuckDB predicts
+    // all 64 dims of every video without parsing a byte of RIFF.
+    // MJPEG rides the identical extraction path (spec-pinned against
+    // MPNG within JPEG tolerance); only codec-compressed video stays
+    // on the stub
+    "media_video_embedding" -> ((s, dir) =>
+      Media.extractFeatures(
+          Media.synthesizeMpngAvis(s.read.parquet(s"$dir/documents.parquet")))
+        .toDF()
+        .select(col("media_id"), posexplode(col("features")).as(Seq("pos", "val")))
+        .select(col("media_id"), col("pos").cast("long").as("pos"),
+          (round(col("val").cast("double"), 4) + lit(0.0)).as("val"))
+        .orderBy("media_id", "pos")),
+
     // frame-sampling plan over REAL container metadata: a minimal-but-
     // real MP4 corpus (the exact box skeleton the parser walks, stsz
     // sample table included) flows through the real ISO-BMFF walk —
@@ -2988,14 +3022,38 @@ object SparkEntry {
     * floor(x·1000), integer dot against md5-derived components in [-4,4],
     * bit = sign. Exact integer arithmetic on both engines. `ns` selects an
     * independent plane table (matches `portablePlanes(…, ns)`). */
-  private def duckBucketBitsNs(ns: String): String =
-    s"""array_to_string(list_transform(range(8), p ->
+  private def duckBucketBitsNsRange(ns: String, rangeExpr: String): String =
+    s"""array_to_string(list_transform(range($rangeExpr), p ->
       |    CASE WHEN list_sum(list_transform(range(1, len(embedding)+1), i ->
       |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) *
       |      (CAST(('0x' || substr(md5('$ns' || p::VARCHAR || ':' || (i-1)::VARCHAR), 1, 8)) AS BIGINT) % 9 - 4)
       |    )) > 0 THEN '1' ELSE '0' END), '')""".stripMargin
 
+  private def duckBucketBitsNs(ns: String): String =
+    duckBucketBitsNsRange(ns, "8")
+
+  /** Fixed 8-plane bucket bits: the stored-index paths (the index is
+    * built with a declared plane count) and the media near-dups (the
+    * tiered collapse bounds representatives far below the 16384-row
+    * adaptive floor, so the production adaptive sizing provably resolves
+    * to 8 planes on those fixtures at every scale factor). */
   private val duckBucketBits: String = duckBucketBitsNs("")
+
+  /** CTE prelude deriving the occupancy-adaptive plane count from
+    * count(*) over `table` — the identical integer arithmetic as
+    * [[graft.operators.Dedup.adaptiveNumPlanes]] (target occupancy 64,
+    * planes in [8, 24]; smallest p with n ≤ 64·2^p): the plane count is
+    * a pure function of the corpus count, so both engines derive the
+    * same value independently. Pair with [[duckBucketBitsAdaptive]]. */
+  private def duckNpCte(table: String): String =
+    s"""__cnt AS (SELECT count(*) AS c FROM $table),
+       |__np AS (SELECT 8 + len(list_filter(range(9, 25),
+       |    p -> c > 64 * (1::BIGINT << (p - 1)))) AS n FROM __cnt)""".stripMargin
+
+  /** Occupancy-adaptive bucket bits — requires [[duckNpCte]] in the
+    * query's WITH list. */
+  private val duckBucketBitsAdaptive: String =
+    duckBucketBitsNsRange("", "(SELECT n FROM __np)")
 
   /** Closed-form cosine between two embedding list columns (DuckDB). */
   private def duckCos(a: String, b: String): String =
@@ -3061,8 +3119,9 @@ object SparkEntry {
     // (drop buckets with 1 or >10000 members) so the two engines compute
     // the same pair set even on a corpus with a degenerate mega bucket
     "lsh_bucket_candidates" ->
-      s"""WITH bk AS (
-        |  SELECT vec_id AS id, $duckBucketBits AS bucket FROM embeddings),
+      s"""WITH ${duckNpCte("embeddings")},
+        |bk AS (
+        |  SELECT vec_id AS id, $duckBucketBitsAdaptive AS bucket FROM embeddings),
         |ok AS (
         |  SELECT bucket FROM bk GROUP BY bucket
         |  HAVING count(*) > 1 AND count(*) <= 10000)
@@ -3072,8 +3131,9 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding_oracled" ->
-      s"""WITH bk AS (
-        |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+      s"""WITH ${duckNpCte("embeddings")},
+        |bk AS (
+        |  SELECT vec_id AS id, embedding, $duckBucketBitsAdaptive AS bucket FROM embeddings),
         |ok AS (
         |  SELECT bucket FROM bk GROUP BY bucket
         |  HAVING count(*) > 1 AND count(*) <= 10000),
@@ -4918,8 +4978,9 @@ object SparkEntry {
         |FROM events ORDER BY event_id""".stripMargin,
 
     "contrastive_pairs" ->
-      s"""WITH bk AS (
-        |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+      s"""WITH ${duckNpCte("embeddings")},
+        |bk AS (
+        |  SELECT vec_id AS id, embedding, $duckBucketBitsAdaptive AS bucket FROM embeddings),
         |ok AS (
         |  SELECT bucket FROM bk GROUP BY bucket
         |  HAVING count(*) > 1 AND count(*) <= 10000),
@@ -4953,20 +5014,32 @@ object SparkEntry {
         |JOIN bk y ON y.id = n.neg_id
         |ORDER BY anchor_id""".stripMargin,
 
-    // hard triplets: the scored candidate relation is computed once and
-    // both picks (pos = rn=1 overall, hard = rn=1 below threshold) rank
-    // the same rounded cosines with id tie-breaks
+    // hard triplets: per-anchor candidates capped at 64 by md5 order
+    // (the Spark side's maxCandidatesPerAnchor — deterministic,
+    // similarity-unbiased), then the scored relation is computed once
+    // and both picks (pos = rn=1 overall, hard = rn=1 below threshold)
+    // rank the same rounded cosines with id tie-breaks
     "contrastive_hard" ->
-      s"""WITH bk AS (
-        |  SELECT vec_id AS id, embedding, $duckBucketBits AS bucket FROM embeddings),
+      s"""WITH ${duckNpCte("embeddings")},
+        |bk AS (
+        |  SELECT vec_id AS id, embedding, $duckBucketBitsAdaptive AS bucket FROM embeddings),
         |ok AS (
         |  SELECT bucket FROM bk GROUP BY bucket
         |  HAVING count(*) > 1 AND count(*) <= 10000),
+        |capped AS (
+        |  SELECT anchor_id, cand_id, va, vb FROM (
+        |    SELECT a.id AS anchor_id, b.id AS cand_id,
+        |      a.embedding AS va, b.embedding AS vb,
+        |      row_number() OVER (PARTITION BY a.id
+        |        ORDER BY md5('hn:' || a.id::VARCHAR || ':' || b.id::VARCHAR),
+        |          b.id) AS crn
+        |    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id
+        |    WHERE a.bucket IN (SELECT bucket FROM ok))
+        |  WHERE crn <= 64),
         |scored AS (
-        |  SELECT a.id AS anchor_id, b.id AS cand_id,
-        |    round(${duckCos("a.embedding", "b.embedding")}, 4) AS cos
-        |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id <> b.id
-        |  WHERE a.bucket IN (SELECT bucket FROM ok)),
+        |  SELECT anchor_id, cand_id,
+        |    round(${duckCos("va", "vb")}, 4) AS cos
+        |  FROM capped),
         |pos AS (
         |  SELECT anchor_id, cand_id AS pos_id, cos AS cos_pos FROM (
         |    SELECT anchor_id, cand_id, cos,
@@ -5246,6 +5319,50 @@ object SparkEntry {
         |  min(pos) AS first_pos, max(pos) AS last_pos
         |FROM (SELECT DISTINCT doc_id, pos, h FROM sel)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // span replay: the same winnow-selection CTEs keeping positions;
+    // evidence = per-hash position cross-product within each qualified
+    // pair, shared = DISTINCT hash count (>= 30), blocks sized by
+    // DISTINCT holder docs in [2, 200]
+    "text_winnow_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(u.i AS INT) AS pos,
+        |    CAST(('0x' || substr(md5(substring(t, CAST(u.i AS INT) + 1, 5)), 1, 12))
+        |      AS BIGINT) AS h
+        |  FROM d, LATERAL unnest(range(0, length(t) - 4)) AS u(i)
+        |  WHERE length(t) >= 5),
+        |n AS (SELECT doc_id, least(4, count(*)) AS wd FROM g GROUP BY doc_id),
+        |m AS (
+        |  SELECT a.doc_id, a.pos AS wend, n.wd, min(b.h) AS mh
+        |  FROM g a JOIN n ON a.doc_id = n.doc_id
+        |  JOIN g b ON b.doc_id = a.doc_id
+        |    AND b.pos BETWEEN a.pos - n.wd + 1 AND a.pos
+        |  WHERE a.pos >= n.wd - 1
+        |  GROUP BY a.doc_id, a.pos, n.wd),
+        |sel AS (
+        |  SELECT DISTINCT m.doc_id, max(b.pos) AS pos, m.mh AS h
+        |  FROM m JOIN g b ON b.doc_id = m.doc_id
+        |    AND b.pos BETWEEN m.wend - m.wd + 1 AND m.wend AND b.h = m.mh
+        |  GROUP BY m.doc_id, m.wend, m.mh),
+        |sel2 AS (SELECT DISTINCT doc_id, CAST(pos AS INT) AS pos, h FROM sel),
+        |fp AS (SELECT DISTINCT doc_id, h FROM sel2),
+        |blk AS (SELECT h FROM fp GROUP BY h HAVING count(*) BETWEEN 2 AND 200),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN blk ON blk.h = a.h
+        |  GROUP BY 1, 2 HAVING count(*) >= 30),
+        |ev AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.h,
+        |    a.pos AS pos_a, b.pos AS pos_b
+        |  FROM sel2 a JOIN sel2 b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  JOIN blk ON blk.h = a.h)
+        |SELECT ev.id_a, ev.id_b, ev.h, ev.pos_a, ev.pos_b, pr.shared
+        |FROM ev JOIN pr ON pr.id_a = ev.id_a AND pr.id_b = ev.id_b
+        |ORDER BY 1, 2, 3, 4, 5""".stripMargin,
 
     // incremental replay: same selection CTEs, seen/batch split on
     // doc_id 100, hot h (> 200 seen holders) excluded both sides
@@ -5952,6 +6069,34 @@ object SparkEntry {
         |  '1.' || CAST(4 + doc_id % 3 AS VARCHAR) AS pdf_version,
         |  CAST(1 + doc_id % 7 AS BIGINT) AS n_pages
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // MPNG-AVI replay without touching a byte of RIFF: sampled frames
+    // (stride 2 over 1 + doc_id % 4) and their solid colors are
+    // closed-form in (doc_id, f); per-frame dims follow the
+    // media_embedding solid-image algebra (means = channel/255, DC =
+    // Rec.601 luma, AC = 0, each through REAL precision); the video
+    // dim = REAL(sum/count) over <= 2 sampled frames — two-term double
+    // sums are order-free, so the average is bit-identical cross-engine
+    "media_video_embedding" ->
+      """WITH c AS (SELECT doc_id, 1 + doc_id % 4 AS nf FROM documents),
+        |fr AS (
+        |  SELECT doc_id, CAST(t.f AS BIGINT) AS f,
+        |    (doc_id + 17 * t.f) % 256 AS r,
+        |    (doc_id * 7 + 29 * t.f) % 256 AS g,
+        |    (doc_id * 13 + 41 * t.f) % 256 AS b
+        |  FROM c, LATERAL unnest(range(0, nf, 2)) AS t(f)),
+        |pf AS (
+        |  SELECT doc_id, f, CAST(t.p AS BIGINT) AS pos,
+        |    CAST(CAST(CASE
+        |      WHEN t.p < 48 AND t.p % 3 = 0 THEN CAST(r AS DOUBLE) / 255.0
+        |      WHEN t.p < 48 AND t.p % 3 = 1 THEN CAST(g AS DOUBLE) / 255.0
+        |      WHEN t.p < 48 THEN CAST(b AS DOUBLE) / 255.0
+        |      WHEN t.p = 48 THEN (299.0 * r + 587.0 * g + 114.0 * b) / 255000.0
+        |      ELSE 0.0 END AS REAL) AS DOUBLE) AS v
+        |  FROM fr, unnest(range(64)) AS t(p))
+        |SELECT doc_id AS media_id, pos,
+        |  round(CAST(CAST(sum(v) / count(*) AS REAL) AS DOUBLE), 4) + 0.0 AS val
+        |FROM pf GROUP BY 1, 2 ORDER BY media_id, pos""".stripMargin,
 
     // the MP4 corpus's closed-form metadata: dims and frame count are
     // doc_id residues by construction; sampling = ceil(frames/30)

@@ -30,8 +30,13 @@ import org.apache.spark.sql.functions._
   * content-derived: a 64-dim block-mean-color + low-frequency-DCT
   * descriptor from the decoded pixels ([[Media.imageEmbedding]] — the
   * classical perceptual-hash family), feeding the existing ANN
-  * operators. VIDEO frame-pixel decode (no JDK codec exists) and the
-  * AUDIO/VIDEO embeddings (need a model) remain STUBBED behind
+  * operators. VIDEO frame decode is REAL for intra-coded AVI (MPNG /
+  * MJPEG: each `00dc` chunk is a complete PNG/JPEG bytestream
+  * `javax.imageio` decodes — [[Media.extractAviFrames]]), and the
+  * VIDEO embedding is the frame-sampled average of the image
+  * descriptor ([[Media.videoEmbedding]] — classical keyframe
+  * pooling). Only CODEC-COMPRESSED video (H.264 etc. — no JDK
+  * decoder) and model-based learned embeddings remain STUBBED behind
   * [[Media.decodeStub]], a deterministic fake keyed on the payload
   * bytes, so the Spark-side contract (schema, batching, partitioning,
   * null handling) is real and tested while those codecs stay
@@ -299,6 +304,161 @@ object Media {
           MediaFile(id, "video", mp4, src)
         }
       }
+  }
+
+  // ---- AVI with intra-coded frames (MPNG / MJPEG) --------------------------
+
+  private def le32b(v: Long): Array[Byte] = Array(
+    (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+    ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  /** RIFF chunk: fourcc + LE size + data, padded to even length. */
+  private def riffChunk(id: String, data: Array[Byte]): Array[Byte] = {
+    val pad = if ((data.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+    id.getBytes("ISO-8859-1") ++ le32b(data.length.toLong) ++ data ++ pad
+  }
+
+  private def riffList(listType: String, children: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("ISO-8859-1") ++ children.flatten)
+
+  /** One AVI container holding `frames` intra-coded video frames (each
+    * element a complete still-image bytestream — PNG for the MPNG
+    * codec, JPEG for MJPEG; both decode per-frame with `javax.imageio`,
+    * no inter-frame codec state). Emits the standard RIFF layout the
+    * [[aviInfo]] parser and any mainstream demuxer read: LIST hdrl
+    * (avih main header + LIST strl with a 'vids' strh and a
+    * BITMAPINFOHEADER strf) followed by LIST movi with one `00dc`
+    * chunk per frame. */
+  private[graft] def buildAvi(w: Int, h: Int, handler: String,
+      frames: Seq[Array[Byte]]): Array[Byte] = {
+    val usPerFrame = 33333L // ~30 fps
+    val avih = le32b(usPerFrame) ++ le32b(0) ++ le32b(0) ++ le32b(0) ++
+      le32b(frames.length.toLong) ++ le32b(0) ++ le32b(1) ++ le32b(0) ++
+      le32b(w.toLong) ++ le32b(h.toLong) ++ new Array[Byte](16)
+    val strh = "vids".getBytes("ISO-8859-1") ++
+      handler.getBytes("ISO-8859-1") ++ // fccHandler: "MPNG" | "MJPG"
+      le32b(0) ++ le32b(0) ++ // flags, priority+language
+      le32b(0) ++ le32b(usPerFrame) ++ le32b(1000000L) ++ // init, scale, rate
+      le32b(0) ++ le32b(frames.length.toLong) ++ // start, length
+      le32b(0) ++ le32b(0) ++ le32b(0) ++ // suggBuf, quality, sampleSize
+      new Array[Byte](8) // rcFrame
+    val strf = le32b(40) ++ le32b(w.toLong) ++ le32b(h.toLong) ++
+      Array(1.toByte, 0.toByte, 24.toByte, 0.toByte) ++ // planes, bitcount
+      handler.getBytes("ISO-8859-1") ++ // biCompression
+      new Array[Byte](20)
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      frames.map(fb => riffChunk("00dc", fb)): _*)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32b(body.length.toLong) ++ body
+  }
+
+  /** Deterministic REAL-frame video corpus: one Motion-PNG AVI per
+    * document — `1 + doc_id % 4` solid-color PNG frames whose channels
+    * are closed-form functions of `(doc_id, frame)`, inside a real RIFF
+    * AVI container ([[buildAvi]]). PNG frames are lossless, so the
+    * per-frame decode returns the exact synthesized channels and the
+    * [[videoEmbedding]] descriptor of every payload is predictable
+    * arithmetic — the video analog of [[synthesizeImages]]' solid BMPs
+    * (MJPEG's lossy frames can't make that cross-engine promise; specs
+    * pin that path against the MPNG descriptor instead). */
+  def synthesizeMpngAvis(docs: DataFrame, w: Int = 48, h: Int = 36): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, src) =>
+          val nf = 1 + (id % 4).toInt
+          val frames = (0 until nf).map { f =>
+            solidPng(w, h, ((id + 17 * f) % 256).toInt,
+              ((id * 7 + 29 * f) % 256).toInt,
+              ((id * 13 + 41 * f) % 256).toInt)
+          }
+          MediaFile(id, "video", buildAvi(w, h, "MPNG", frames), src)
+        }
+      }
+  }
+
+  /** REAL frame extraction for intra-coded AVI (MPNG / MJPEG): RIFF
+    * walk to LIST movi, one element per `..dc`/`..db` video chunk in
+    * stream order (recursing into `rec ` groups). Pure byte arithmetic
+    * like the metadata parsers — each returned element is a complete
+    * still-image bytestream for [[imageEmbedding]] / `javax.imageio`.
+    * `None` when the payload isn't an AVI or has no movi list. */
+  def extractAviFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] =
+    try {
+      if (!looksLikeAvi(payload)) None
+      else {
+        val out = Vector.newBuilder[Array[Byte]]
+        var found = false
+        def walk(start: Int, end: Int, inMovi: Boolean): Unit = {
+          var o = start
+          while (o + 8 <= end) {
+            val id = new String(payload, o, 4, "ISO-8859-1")
+            val sz = le32(payload, o + 4)
+            if (sz < 0 || sz > end - o - 8) return // malformed → stop
+            if (id == "LIST" && sz >= 4) {
+              val lt = new String(payload, o + 8, 4, "ISO-8859-1")
+              if (lt == "movi") { found = true; walk(o + 12, o + 8 + sz.toInt, true) }
+              else if (inMovi && lt == "rec ") walk(o + 12, o + 8 + sz.toInt, true)
+            } else if (inMovi && id.length == 4 &&
+                Character.isDigit(id.charAt(0)) && Character.isDigit(id.charAt(1)) &&
+                (id.endsWith("dc") || id.endsWith("db"))) {
+              out += java.util.Arrays.copyOfRange(payload, o + 8, o + 8 + sz.toInt)
+            }
+            o += 8 + sz.toInt + (sz.toInt & 1)
+          }
+        }
+        walk(12, payload.length, false)
+        if (found) Some(out.result()) else None
+      }
+    } catch { case _: Exception => None }
+
+  /** CONTENT-DERIVED 64-dim video descriptor from the real decoded
+    * frame pixels: sample every `frameStride`-th frame of an
+    * intra-coded AVI ([[extractAviFrames]]; MPNG or MJPEG — any frame
+    * format `javax.imageio` decodes), push each sampled frame through
+    * the SAME [[imageEmbedding]] block-mean+DCT descriptor, and average
+    * per dimension — the classical keyframe-pooling video signature,
+    * reusing the image descriptor's determinism contract wholesale.
+    * `None` when the container has no frames or any sampled frame
+    * fails to decode (a partially-decodable video is quarantine
+    * material, not a silently-averaged-over-fewer-frames row).
+    *
+    * Determinism: per-dimension accumulation is an explicit
+    * left-to-right double sum in frame order and ONE division by the
+    * sampled-frame count — on lossless (MPNG) frames every output is
+    * bit-reproducible in an external engine from the frame closed
+    * forms, which is what lets `media_video_embedding` hash-check a
+    * genuinely parsed-and-decoded video pipeline. Codec-compressed
+    * payloads (H.264 etc.) have no JDK decoder and stay on the digest
+    * stub. */
+  def videoEmbedding(payload: Array[Byte],
+      frameStride: Int = 2): Option[Array[Float]] = {
+    require(frameStride >= 1, s"frameStride must be >= 1, got $frameStride")
+    extractAviFrames(payload).flatMap { frames =>
+      if (frames.isEmpty) None
+      else {
+        val sampled = frames.indices.by(frameStride).map(frames)
+        val embs = sampled.map(imageEmbedding)
+        if (embs.exists(_.isEmpty)) None
+        else {
+          val mats = embs.map(_.get)
+          val n = mats.length
+          val out = new Array[Float](64)
+          var d = 0
+          while (d < 64) {
+            var acc = 0.0
+            var i = 0
+            while (i < n) { acc += mats(i)(d).toDouble; i += 1 }
+            out(d) = (acc / n).toFloat
+            d += 1
+          }
+          Some(out)
+        }
+      }
+    }
   }
 
   /** Metadata table for a PDF corpus: `(media_id, pdf_version, n_pages)`
@@ -1006,11 +1166,13 @@ object Media {
         // [[imageEmbedding]]); audio rows with a real WAV payload report
         // REAL (sample_rate, channels, frames) via javax.sound.sampled
         // AND — for PCM16 WAV — a REAL 16-dim content descriptor
-        // (energy envelope + ZCR, [[audioEmbedding]]). Everything else —
-        // video features, or payloads whose bytes aren't the claimed
-        // format — keeps the deterministic digest stub (a LEARNED
-        // audio/video embedding needs a model, which remains the
-        // swappable part of this contract).
+        // (energy envelope + ZCR, [[audioEmbedding]]); video rows with
+        // an intra-coded AVI payload (MPNG/MJPEG) get a REAL 64-dim
+        // frame-sampled content descriptor ([[videoEmbedding]]).
+        // Everything else — codec-compressed video, or payloads whose
+        // bytes aren't the claimed format — keeps the deterministic
+        // digest stub (a LEARNED embedding needs a model, which remains
+        // the swappable part of this contract).
         val (w, hgt, nfr) = f.kind match {
           case "image" =>
             // frame-count walk (getNumImages reads every frame header)
@@ -1033,6 +1195,11 @@ object Media {
             // real PCM16 WAV bytes → content descriptor (energy envelope
             // + ZCR, [[audioEmbedding]]); non-PCM16 WAVs keep the stub
             audioEmbedding(f.payload).getOrElse(feat)
+          else if (f.kind == "video" && looksLikeAvi(f.payload))
+            // intra-coded AVI (MPNG/MJPEG) → real frame extraction +
+            // frame-sampled image descriptor average ([[videoEmbedding]]);
+            // codec-compressed video (no JDK decoder) keeps the stub
+            videoEmbedding(f.payload).getOrElse(feat)
           else feat
         val digest = h.map("%02x".format(_)).mkString
         MediaFeatures(f.media_id, f.kind, f.payload.length, digest, w, hgt, nfr, feats)

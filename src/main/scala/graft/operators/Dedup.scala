@@ -655,23 +655,69 @@ object Dedup {
 
   // ---- embedding cosine near-dup -------------------------------------------
 
+  /** Occupancy-adaptive hyperplane count: the smallest `p ≥ minPlanes`
+    * with `n ≤ targetOccupancy · 2^p`, capped at `maxPlanes` — i.e. the
+    * plane count that keeps EXPECTED bucket occupancy at or below
+    * `targetOccupancy` as the corpus grows, so candidate-pair volume
+    * stays ~`n · targetOccupancy / 2` (linear) instead of `n² / 2^p`
+    * (quadratic at any FIXED `p`). A fixed default (the pre-round-9
+    * behavior) has a hidden cliff: per-bucket occupancy grows linearly
+    * with the corpus until the [[candidatePairs]] `maxBucket` guard
+    * starts silently dropping every bucket — at 100 TB a fixed 256-bucket
+    * space would block nothing and then drop everything.
+    *
+    * All-integer arithmetic (`n > target · 2^(p-1)` comparisons, no
+    * log/ceil floats whose last-ulp could disagree across engines), so an
+    * external SQL engine derives the identical count from the same `n` —
+    * the plane count is part of the portable seed, not a tuning knob.
+    * `minPlanes = 8` keeps every corpus up to `64·2^8 = 16384` rows on
+    * exactly the historical 8-plane bucketing (existing oracles and
+    * small-corpus outputs are unchanged); `maxPlanes = 24` bounds the
+    * bucket-key space at 16M (occupancy starts growing again past ~1G
+    * rows — raise it for corpora beyond that). `n` only steers bucket
+    * GRANULARITY, so an approximate corpus count (a stored row count, a
+    * sketch) is fine wherever exact replay is not required. */
+  def adaptiveNumPlanes(n: Long, targetOccupancy: Int = 64,
+      minPlanes: Int = 8, maxPlanes: Int = 24): Int = {
+    require(targetOccupancy >= 1 && minPlanes >= 1 && maxPlanes >= minPlanes,
+      s"bad adaptiveNumPlanes args: target=$targetOccupancy planes=[$minPlanes,$maxPlanes]")
+    minPlanes +
+      ((minPlanes + 1) to maxPlanes).count(p => n > (targetOccupancy.toLong << (p - 1)))
+  }
+
+  /** Resolve a `numPlanes` argument: positive = explicit (the caller owns
+    * recall/occupancy), 0 = occupancy-adaptive from one `count()` of the
+    * input. Callers pass the ALREADY-PERSISTED projection from
+    * [[withProjectionCache]], so the count materializes the same cache
+    * the blocking scan reads — the corpus is still scanned exactly once.
+    * (Counting the raw source DataFrame here would also trip a Spark
+    * 4.1.2 cache-substitution bug: an action on the un-projected plan
+    * followed by persisting a projection of it makes the later
+    * InMemoryRelation self-join mis-bind the bucket expression —
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Counting the projection itself
+    * is both the efficient and the safe order.) */
+  private[graft] def resolveNumPlanes(df: DataFrame, numPlanes: Int): Int =
+    if (numPlanes > 0) numPlanes else adaptiveNumPlanes(df.count())
+
   /** Embedding near-dup pairs: hyperplane-LSH blocking + exact cosine ≥
     * `threshold` within buckets. `numPlanes` trades recall for bucket
-    * size (more planes → smaller buckets → faster, lower recall). */
+    * size (more planes → smaller buckets → faster, lower recall);
+    * 0 (the default) sizes it for constant expected occupancy via
+    * [[adaptiveNumPlanes]]. */
   def embeddingDuplicatePairs(
       df: DataFrame,
       vecCol: String = "embedding",
       idCol: String = "vec_id",
       dim: Int = 64,
       threshold: Double = 0.95,
-      numPlanes: Int = 8,
+      numPlanes: Int = 0,
       seed: Long = 42L): DataFrame = {
-    val planes = V.randomPlanes(numPlanes, dim, seed)
-    // single corpus scan: (id, vec) cached for this call; bucket keys and
-    // both verify sides derive from the cache instead of 4 more parquet
-    // scans
+    // single corpus scan: (id, vec) cached for this call; the adaptive
+    // plane-count count, bucket keys and both verify sides all derive
+    // from the cache instead of 5 more parquet scans
     withProjectionCache(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val planes = V.randomPlanes(resolveNumPlanes(vecs, numPlanes), dim, seed)
       val blocked = vecs
         .withColumn("bucket", V.hyperplaneBucket(col("vec"), planes))
         .select(col("bucket"), col("id"))
@@ -686,8 +732,9 @@ object Dedup {
 
   def embedding(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64,
-      threshold: Double = 0.95): DataFrame = {
-    val dupIds = embeddingDuplicatePairs(df, vecCol, idCol, dim, threshold)
+      threshold: Double = 0.95, numPlanes: Int = 0): DataFrame = {
+    val dupIds = embeddingDuplicatePairs(df, vecCol, idCol, dim, threshold,
+        numPlanes)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -701,13 +748,18 @@ object Dedup {
     * [[graft.functions.VectorFunctions.portablePlanes]]); an external
     * engine recomputing the same closed form must produce the identical
     * pair set. Runs through the production [[candidatePairs]] machinery
-    * (hot-bucket guard, streamed in-bucket expansion). */
+    * (hot-bucket guard, streamed in-bucket expansion). `numPlanes = 0`
+    * (default) derives the plane count from the corpus count via
+    * [[adaptiveNumPlanes]] — still fully portable: the count is a
+    * property of the data, so the external engine derives the identical
+    * plane count from its own `count(*)` with the same integer
+    * arithmetic. */
   def embeddingPortableCandidates(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64,
-      numPlanes: Int = 8): DataFrame = {
-    val planes = V.portablePlanes(numPlanes, dim)
+      numPlanes: Int = 0): DataFrame = {
     withProjectionCache(
       df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val planes = V.portablePlanes(resolveNumPlanes(vecs, numPlanes), dim)
       val blocked = vecs
         .withColumn("bucket", V.portableBucketBits(col("vec"), planes))
         .select(col("bucket"), col("id"))
@@ -724,10 +776,10 @@ object Dedup {
     * Gaussian-plane [[embedding]] stays the performance default. */
   def embeddingPortable(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64,
-      threshold: Double = 0.4, numPlanes: Int = 8): DataFrame = {
-    val planes = V.portablePlanes(numPlanes, dim)
+      threshold: Double = 0.4, numPlanes: Int = 0): DataFrame = {
     val dupIds = withProjectionCache(
         df.select(col(idCol).as("id"), col(vecCol).as("vec"))) { vecs =>
+      val planes = V.portablePlanes(resolveNumPlanes(vecs, numPlanes), dim)
       val blocked = vecs
         .withColumn("bucket", V.portableBucketBits(col("vec"), planes))
         .select(col("bucket"), col("id"))
@@ -756,7 +808,11 @@ object Dedup {
     * LINEAR aggregate plus pairwise work over distinct vectors only. */
   def embeddingPortableTiered(df: DataFrame, vecCol: String = "embedding",
       idCol: String = "vec_id", dim: Int = 64,
-      threshold: Double = 0.4, numPlanes: Int = 8): DataFrame = {
+      threshold: Double = 0.4, numPlanes: Int = 0): DataFrame = {
+    // numPlanes = 0 adapts to the REPRESENTATIVE count (inside
+    // embeddingPortable): deep exact-duplicate pockets don't inflate the
+    // bucket-space sizing — a 100×-replicated corpus blocks at the
+    // granularity of its distinct vectors
     val reps = df.groupBy(col(vecCol))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col(vecCol))

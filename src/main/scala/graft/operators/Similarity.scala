@@ -711,9 +711,13 @@ object Similarity {
     *
     * Both sides are closed-form md5 arithmetic, so the full triplet
     * relation (ids AND both rounded cosines) is hash-checkable
-    * cross-engine. */
+    * cross-engine. `numPlanes = 0` (default) sizes the blocking for
+    * constant expected occupancy
+    * ([[graft.operators.Dedup.adaptiveNumPlanes]]) — candidate volume,
+    * and with it scoring work, stays linear in the corpus instead of
+    * quadratic at a fixed bucket count. */
   def contrastivePairs(df: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", dim: Int = 64, numPlanes: Int = 8,
+      idCol: String = "vec_id", dim: Int = 64, numPlanes: Int = 0,
       negBuckets: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
@@ -760,25 +764,58 @@ object Similarity {
     * training): negatives from the model's own near-miss region, not
     * uniform noise.
     *
-    * Scale shape: candidates come from the same single-scan,
-    * hot-bucket-guarded hyperplane blocking as every embedding-dedup
-    * family — never all-pairs. Each candidate's cosine is scored ONCE
-    * into a checkpointed slim `(anchor, cand, cos)` relation that both
-    * window passes (positive pick, hard-negative pick) read; output is
-    * anchors that have BOTH a positive and a sub-threshold hard
-    * negative. Rounded cosines + id tie-breaks keep both argmaxes
+    * Scale shape — work is bounded PER ANCHOR, twice over:
+    *
+    *   1. Candidates come from the same single-scan, hot-bucket-guarded
+    *      hyperplane blocking as every embedding-dedup family — never
+    *      all-pairs — and `numPlanes = 0` (default) sizes the bucket
+    *      space for constant expected occupancy
+    *      ([[graft.operators.Dedup.adaptiveNumPlanes]]): candidate
+    *      volume grows ~linearly with the corpus instead of
+    *      quadratically at a fixed bucket count (the pre-round-9 shape
+    *      measured 118.9× cost for 10× data in the sf10 soak).
+    *   2. `maxCandidatesPerAnchor` (default 64) caps each anchor's
+    *      scored candidates on the SLIM `(anchor, cand)` relation,
+    *      before any vector is attached — a dense clique (one mega
+    *      bucket of near-identical vectors) costs each of its anchors
+    *      64 cosines, not |clique|. The kept subset is chosen by
+    *      md5(anchor:cand) order: deterministic, engine-replayable, and
+    *      unbiased w.r.t. similarity (a similarity-biased cap would
+    *      skew the hard-negative curriculum toward whatever the
+    *      blocking already over-samples). ≤ 0 disables the cap. The
+    *      positive/hard-negative argmaxes then read "best among the
+    *      capped candidates" — at sane occupancy (adaptive planes) the
+    *      cap only engages inside dense cliques, where near-ties make
+    *      any 64-subset's argmax an equally good curriculum pick.
+    *
+    * Each surviving candidate's cosine is scored ONCE into a
+    * checkpointed slim `(anchor, cand, cos)` relation that both window
+    * passes (positive pick, hard-negative pick) read; output is anchors
+    * that have BOTH a positive and a sub-threshold hard negative.
+    * Rounded cosines + id tie-breaks keep both argmaxes
     * engine-independent, so the whole triplet relation is
     * hash-checkable cross-engine. */
   def contrastiveHardTriplets(df: DataFrame, vecCol: String = "embedding",
-      idCol: String = "vec_id", dim: Int = 64, numPlanes: Int = 8,
-      dupThreshold: Double = 0.98): DataFrame = {
+      idCol: String = "vec_id", dim: Int = 64, numPlanes: Int = 0,
+      dupThreshold: Double = 0.98,
+      maxCandidatesPerAnchor: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ids = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
     val cand = graft.operators.Dedup
       .embeddingPortableCandidates(df, vecCol, idCol, dim, numPlanes)
     val sym = cand.select(col("id_a").as("anchor_id"), col("id_b").as("cand_id"))
       .unionByName(cand.select(col("id_b").as("anchor_id"), col("id_a").as("cand_id")))
-    val scored = sym
+    val capped =
+      if (maxCandidatesPerAnchor <= 0) sym
+      else {
+        val wCap = Window.partitionBy(col("anchor_id"))
+          .orderBy(md5(concat(lit("hn:"), col("anchor_id").cast("string"),
+            lit(":"), col("cand_id").cast("string"))), col("cand_id"))
+        sym.withColumn("__c", row_number().over(wCap))
+          .filter(col("__c") <= maxCandidatesPerAnchor)
+          .drop("__c")
+      }
+    val scored = capped
       .join(ids.select(col("id").as("anchor_id"), col("vec").as("va")), "anchor_id")
       .join(ids.select(col("id").as("cand_id"), col("vec").as("vb")), "cand_id")
       .withColumn("cos", round(V.cosineFused(col("va"), col("vb")), 4))

@@ -168,6 +168,52 @@ object Winnow {
       .filter(col("shared") >= minShared)
   }
 
+  /** Matched-fingerprint EVIDENCE with locations — the capability that
+    * distinguishes winnowing from the MinHash family (which detects
+    * overlap but cannot say where): for every near-dup pair (≥
+    * `minShared` shared selected fingerprints, same threshold semantics
+    * as [[pairs]]), one row per matched fingerprint occurrence
+    * `(id_a, id_b, h, pos_a, pos_b, shared)` — `pos_a`/`pos_b` are the
+    * 0-based character positions (in the normalized text) where the
+    * shared k-gram was SELECTED in each document. By the winnowing
+    * guarantee every common substring of length ≥ `w + k - 1` chars
+    * contributes at least one such row, so the evidence rows locate the
+    * actual matched regions (MOSS's highlighted spans are exactly this
+    * relation, post-processed into intervals).
+    *
+    * One hash can be selected at several positions in a document
+    * (robust winnowing re-selects minima across adjacent windows), so a
+    * shared `h` emits the position cross-product within that pair —
+    * bounded by per-document selection density (~2/(w+1) of grams),
+    * and `shared` still counts DISTINCT hashes, consistent with
+    * [[pairs]]. Blocking and the hot-fingerprint guard (`maxBlock`
+    * DISTINCT holder documents per hash) are shared with [[pairs]];
+    * the fingerprint relation is computed once and cached for the
+    * block-sizing, evidence, and pair-qualification passes. */
+  def matchSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, w: Int = 4, minShared: Int = 2,
+      hashMode: String = "md5", maxBlock: Int = 200): DataFrame = {
+    Dedup.withProjectionCache(
+        fingerprints(df, idCol, textCol, k, w, hashMode)) { fps =>
+      val blk = fps.select("h", "id").distinct()
+        .groupBy("h").agg(count(lit(1)).as("__n"))
+        .filter(col("__n").between(2, maxBlock))
+        .select("h")
+      val ev = fps.join(blk, "h")
+      val evPairs = ev
+        .select(col("h"), col("id").as("id_a"), col("pos").as("pos_a"))
+        .join(ev.select(col("h"), col("id").as("id_b"),
+          col("pos").as("pos_b")), "h")
+        .filter(col("id_a") < col("id_b"))
+      val qualified = evPairs.select("id_a", "id_b", "h").distinct()
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= minShared)
+      evPairs.join(qualified, Seq("id_a", "id_b"))
+        .select("id_a", "id_b", "h", "pos_a", "pos_b", "shared")
+    }
+  }
+
   /** Near-duplicate candidate pairs ranked by shared-fingerprint count:
     * `(id_a, id_b, shared)` with `id_a < id_b`, `shared >= minShared`.
     * Blocking groups by the fingerprint hash itself (a shared

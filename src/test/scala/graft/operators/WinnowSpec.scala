@@ -119,4 +119,38 @@ class WinnowSpec extends AnyFunSuite with Matchers with SparkSpec {
     Winnow.pairs(corpus, "doc_id", "text", k, w, minShared = 2,
       hashMode = "md5").count() should be > 0L
   }
+
+  test("matchSpans locates shared substrings; consistent with pairs; guard applies") {
+    val s = spark
+    import s.implicits._
+    val common = "the quick brown fox jumps over it"
+    val docs = Seq(
+      (1L, s"AAAA bbbb $common cccc dddd"),
+      (2L, s"XXXX yyyy zzzz $common wwww"),
+      (3L, "completely unrelated content qqqq"))
+    val spans = Winnow.matchSpans(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k, w, minShared = 1).collect()
+    // only the (1,2) pair shares fingerprints
+    spans.map(r => (r.getLong(0), r.getLong(1))).distinct shouldBe Array((1L, 2L))
+    // every evidence row's positions point at the SAME k-gram text in
+    // both normalized documents — the location claim itself
+    def norm(t: String) = t.toLowerCase.trim.replaceAll("\\s+", " ")
+    val (t1, t2) = (norm(docs(0)._2), norm(docs(1)._2))
+    spans.foreach { r =>
+      val (pa, pb) = (r.getInt(3), r.getInt(4))
+      t1.substring(pa, pa + k) shouldBe t2.substring(pb, pb + k)
+    }
+    // shared counts agree with pairs() (distinct hashes, not positions)
+    val fromPairs = Winnow.pairs(docs.toDF("doc_id", "text"),
+      "doc_id", "text", k, w, minShared = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    spans.map(r => (r.getLong(0), r.getLong(1), r.getLong(5))).toSet shouldBe fromPairs
+    // at least one matched position differs between the two docs (the
+    // common run sits at different offsets), proving positions are
+    // per-document, not copied across
+    spans.exists(r => r.getInt(3) != r.getInt(4)) shouldBe true
+    // hot-fingerprint guard: with maxBlock = 1 every block is dropped
+    Winnow.matchSpans(docs.toDF("doc_id", "text"), "doc_id", "text",
+      k, w, minShared = 1, maxBlock = 1).count() shouldBe 0L
+  }
 }
