@@ -34,7 +34,39 @@ object Bench {
       .map(_.split(",").toSet).getOrElse(Set.empty[String])
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val errors = scala.collection.mutable.Map[String, String]()
-    val runs = SparkEntry.queries
+    // Stored-index BUILD/PROBE separation: each index is deleted and
+    // cold-built ONCE here, timed as its own `<index>_build` row, so
+    // the regular indexed-query rows below time pure probes — without
+    // this the one-time build hides inside the first timed run and the
+    // scale-soak artifact can't show that the probe cost is
+    // corpus-independent (the pre-round-9 sf10 artifact read as "the
+    // indexed path scales at 54×" when 25 of those 26 s were the build).
+    // Builds are timed once (not min-of-N): a build is a one-time cost
+    // whose honest figure is the cold run, and N cold rebuilds would
+    // triple the bench wall-clock for a smoother min nobody compares.
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val all = java.nio.file.Files.walk(p)
+        try all.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally all.close()
+      }
+    val buildRuns = SparkEntry.indexSurfaces.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n + "_build") }
+      .map { case (n, surf) =>
+        rmTree(surf.loc(sfDir))
+        val t0 = System.nanoTime()
+        val ok =
+          try { surf.ensure(spark, sfDir); true }
+          catch { case e: Throwable =>
+            errors(n + "_build") =
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+            System.err.println(s"[bench] ${n}_build FAILED: ${errors(n + "_build")}")
+            false
+          }
+        (n + "_build") -> Seq(((System.nanoTime() - t0) / 1e9, ok))
+      }
+    val queryRuns = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .map { case (name, fn) =>
       // a failure is recorded, never swallowed: a silently-failing query
@@ -54,6 +86,7 @@ object Bench {
       }
       name -> Seq.fill(nRuns)(once())
     }
+    val runs = buildRuns ++ queryRuns
     def r(d: Double): Double = math.rint(d * 10000) / 10000
     // min over SUCCESSFUL runs only — a fast failure must not masquerade
     // as the query's reproducible cost; all-failed → -1 (clearly invalid)
@@ -68,7 +101,7 @@ object Bench {
     // artifact below, and in num_failed here
     val qs = results.collect { case (k, v) if v >= 0 => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = r(results.values.filter(_ >= 0).sum)
+    val total = r(results.map(_._2).filter(_ >= 0).sum)
     // full JSON string escape (same contract as Verify's q()): every
     // control char < 0x20 — a raw \f or \b in an exception message would
     // make the artifact unparseable exactly in the failure case it

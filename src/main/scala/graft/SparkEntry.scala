@@ -242,10 +242,13 @@ object SparkEntry {
     * partial build (postings written, sidecar missing) is rebuilt, never
     * reused. Shared by the conjunctive search, indexed BM25, and hybrid
     * RRF queries, so one bench run builds the index once. */
-  private def invertedIndexPath(s: SparkSession, dir: String): String = {
-    val path = java.nio.file.Paths.get(
+  private def invertedIndexLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft-invidx2-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+
+  private def invertedIndexPath(s: SparkSession, dir: String): String = {
+    val path = invertedIndexLoc(dir)
     if (!java.nio.file.Files.exists(path.resolve("_stats").resolve("_SUCCESS")))
       graft.operators.Keywords.writeInvertedIndex(
         s.read.parquet(s"$dir/documents.parquet"), path.toString)
@@ -257,15 +260,98 @@ object SparkEntry {
     * bare existence: an interrupted writeLshIndexPortable leaves a
     * partial directory that bare Files.exists would reuse forever.
     * Shared by the indexed-ANN query and the hybrid RRF fusion. */
-  private def lshPortableIndexPath(s: SparkSession, dir: String): String = {
-    val path = java.nio.file.Paths.get(
+  private def lshPortableIndexLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       "graft-lsh-pindex-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  private def lshPortableIndexPath(s: SparkSession, dir: String): String = {
+    val path = lshPortableIndexLoc(dir)
     if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
       graft.operators.Similarity.writeLshIndexPortable(
         s.read.parquet(s"$dir/embeddings.parquet"), path.toString)
     path.toString
   }
+
+  private def lsh6IndexLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-lsh-index-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  /** Build-once accessor for the Gaussian 6-plane × 4-table LSH index
+    * (`knn_lsh_indexed`'s perf-default index). Gated on the LAST
+    * table's `_SUCCESS`: the 4 per-table writes land in order, so a
+    * crash mid-build leaves table=3 unmarked and the whole index is
+    * rebuilt instead of a partial directory being reused. */
+  private def lsh6IndexPath(s: SparkSession, dir: String): String = {
+    val path = lsh6IndexLoc(dir)
+    if (!java.nio.file.Files.exists(path.resolve("table=3/_SUCCESS")))
+      graft.operators.Similarity.writeLshIndex(
+        s.read.parquet(s"$dir/embeddings.parquet"), path.toString, numPlanes = 6)
+    path.toString
+  }
+
+  private def pqIndexLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-pq-pindex-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  /** Build-once accessor for the portable-codebook PQ codes index. */
+  private def pqIndexPath(s: SparkSession, dir: String): String = {
+    val path = pqIndexLoc(dir)
+    if (!java.nio.file.Files.exists(path.resolve("codes/_SUCCESS")))
+      graft.operators.Similarity.pqPortable()
+        .write(s.read.parquet(s"$dir/embeddings.parquet"), path.toString)
+    path.toString
+  }
+
+  private def ivfAppendLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-ivf-append-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  /** Build-once accessor for the IVF index exercised through its
+    * write-then-append maintenance path (first half written, second
+    * half appended — frozen centers make append ≡ rebuild exactly). */
+  private def ivfAppendPath(s: SparkSession, dir: String): String = {
+    val path = ivfAppendLoc(dir)
+    val marker = path.resolve("_APPEND_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val idx = graft.operators.Similarity.IvfIndex(
+        graft.functions.VectorFunctions.portableCentroids(8, 64))
+      val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+      idx.write(e.filter(col("vec_id") <= mid), path.toString)
+      idx.append(e.filter(col("vec_id") > mid), path.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    path.toString
+  }
+
+  /** Stored-index surfaces, exposed so the bench mains can account
+    * index BUILD time separately from probe time (`<name>_build`
+    * rows): an index amortizes its build over many probes, so folding
+    * the one-time build into the first timed probe run (the
+    * pre-round-9 accounting) made the indexed rows look
+    * corpus-dependent in the scale soaks even though the probe itself
+    * is partition-pruned and ~flat across scale factors. `loc`
+    * computes the deterministic location WITHOUT building (so a bench
+    * can delete it for a cold-build measurement); `ensure` is the
+    * same build-on-miss accessor the queries call. */
+  case class IndexSurface(loc: String => java.nio.file.Path,
+      ensure: (SparkSession, String) => Unit)
+
+  def indexSurfaces: Map[String, IndexSurface] = Map(
+    "index_inverted" -> IndexSurface(invertedIndexLoc,
+      (s, d) => { invertedIndexPath(s, d); () }),
+    "index_lsh_portable" -> IndexSurface(lshPortableIndexLoc,
+      (s, d) => { lshPortableIndexPath(s, d); () }),
+    "index_lsh6" -> IndexSurface(lsh6IndexLoc,
+      (s, d) => { lsh6IndexPath(s, d); () }),
+    "index_pq" -> IndexSurface(pqIndexLoc,
+      (s, d) => { pqIndexPath(s, d); () }),
+    "index_ivf_append" -> IndexSurface(ivfAppendLoc,
+      (s, d) => { ivfAppendPath(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -2441,21 +2527,10 @@ object SparkEntry {
     // oracle is the plain full-corpus IVF probe — same SQL as
     // knn_ivf_oracled — because a cell is a pure function of the frozen
     // centers: append must be indistinguishable from a rebuild
-    "knn_ivf_append_oracled" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val idx = Similarity.IvfIndex(V.portableCentroids(8, 64))
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft-ivf-append-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
-      val marker = path.resolve("_APPEND_DONE")
-      if (!java.nio.file.Files.exists(marker)) {
-        val mid = e.agg(max("vec_id")).head.getLong(0) / 2
-        idx.write(e.filter(col("vec_id") <= mid), path.toString)
-        idx.append(e.filter(col("vec_id") > mid), path.toString)
-        java.nio.file.Files.createFile(marker)
-      }
-      idx.topKStored(s, path.toString, queryVec(s, dir), k = 20, nProbes = 3)
-    }),
+    "knn_ivf_append_oracled" -> ((s, dir) =>
+      Similarity.IvfIndex(V.portableCentroids(8, 64))
+        .topKStored(s, ivfAppendPath(s, dir), queryVec(s, dir),
+          k = 20, nProbes = 3)),
 
     // product-quantization ADC top-20 under fixed md5 codebooks: encode
     // (8× NearestCenter over sliced subvectors) + query-side distance
@@ -2472,14 +2547,9 @@ object SparkEntry {
     // Same oracle SQL as knn_pq_oracled: storage must be a pure round
     // trip, so this row pins write → load → probe end to end
     "knn_pq_indexed_oracled" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft-pq-pindex-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
-      if (!java.nio.file.Files.exists(path.resolve("codes/_SUCCESS")))
-        Similarity.pqPortable().write(e, path.toString)
-      Similarity.pqLoad(s, path.toString)
-        .topKIndexed(s, path.toString, queryVec(s, dir), k = 20)
+      val path = pqIndexPath(s, dir)
+      Similarity.pqLoad(s, path)
+        .topKIndexed(s, path, queryVec(s, dir), k = 20)
     }),
 
     // IVF-PQ (IVFADC): coarse routing on fixed md5 centroids (the
@@ -2629,26 +2699,17 @@ object SparkEntry {
     // partitioned copies, probe each with a partition-pruned read
     // (PlanSpec asserts pruning + result equality with the scan variant).
     // Timing includes the index writes — the trade the index makes.
-    "knn_lsh_indexed" -> ((s, dir) => {
-      val e = s.read.parquet(s"$dir/embeddings.parquet")
+    "knn_lsh_indexed" -> ((s, dir) =>
       // index built ONCE per corpus into a deterministic location, then
       // probed — an index amortizes its build over many queries, so the
       // steady-state probe is the honest per-query cost (scd_cdc_stored
-      // measures the opposite trade: per-cycle writes). 6 planes → 64
+      // measures the opposite trade: per-cycle writes; Bench times the
+      // build separately as index_lsh6_build). 6 planes → 64
       // buckets/table, sized so each bucket holds many rows at this
       // corpus size (2^planes ≪ rows — the file-count sizing rule at any
       // scale).
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft-lsh-index-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
-      // gate on the LAST table's _SUCCESS: the 4 per-table writes land in
-      // order, so a crash mid-build leaves table=3 unmarked and the whole
-      // index is rebuilt instead of a partial directory being reused
-      if (!java.nio.file.Files.exists(path.resolve("table=3/_SUCCESS")))
-        Similarity.writeLshIndex(e, path.toString, numPlanes = 6)
-      Similarity.lshTopKIndexed(s, path.toString, queryVec(s, dir), k = 20,
-        numPlanes = 6, probeHamming = 2)
-    }),
+      Similarity.lshTopKIndexed(s, lsh6IndexPath(s, dir), queryVec(s, dir),
+        k = 20, numPlanes = 6, probeHamming = 2)),
 
     "knn_ivf" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/embeddings.parquet")

@@ -160,7 +160,15 @@ object Sf1Soak {
     "contrastive_hard", "sketch_topk_merged", "incremental_agg_distinct",
     // final wave: winnow CC groups, the Tukey-fence profile, and the
     // categorical drift mix
-    "dedup_winnow_groups", "quality_outliers", "monitor_drift_categorical")
+    "dedup_winnow_groups", "quality_outliers", "monitor_drift_categorical",
+    // round-9 wave: the remaining stored-index PROBES (their builds are
+    // timed separately above — these rows are the ~flat-across-SF
+    // corpus-independence evidence), the occupancy-adaptive blocking
+    // stage in isolation (plane count grows with the corpus here:
+    // 9 planes at sf1's 20k vectors, 12 at sf10's 200k — candidate
+    // volume stays ~linear), and the two new operators
+    "knn_lsh_indexed", "knn_ivf_append_oracled", "knn_pq_indexed_oracled",
+    "lsh_bucket_candidates", "text_winnow_spans", "media_video_embedding")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
@@ -180,7 +188,28 @@ object Sf1Soak {
           if (q == "linkage_fuzzy_pairs") "linkage_fuzzy_join" else q)
       else Headline).filterNot(q => Copies > 30 &&
         Set("dedup_winnow", "dedup_winnow_groups")(q))
-    qs.map { name =>
+    // stored-index build/probe separation (same accounting as Bench):
+    // delete + cold-build each index ONCE, timed as `<index>_build`, so
+    // the indexed query rows below time pure probes — this is what lets
+    // the sf1/sf10 artifacts show probe wall-time ~flat across scale
+    // factors (the corpus-independence the partition-pruned plans pin)
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        val all = java.nio.file.Files.walk(p)
+        try all.sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+        finally all.close()
+      }
+    val builds = graft.SparkEntry.indexSurfaces.toSeq.sortBy(_._1)
+      .map { case (n, surf) =>
+        rmTree(surf.loc(Dst))
+        val t0 = System.nanoTime()
+        surf.ensure(spark, Dst)
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[$Label] ${n + "_build"}%-28s $t%.2f s")
+        (n + "_build") -> t
+      }
+    builds ++ qs.map { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(): Double = {
         val t0 = System.nanoTime()
