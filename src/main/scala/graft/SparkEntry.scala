@@ -461,11 +461,35 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // PERF DEFAULT: KLL-sketch quantiles (k=200 ⇒ ~1.65% rank error,
+    // bounded sketch state per task regardless of value cardinality).
+    // The built-in exact percentile() accumulates a value→count map per
+    // group per task — for a continuous measure the map IS the column,
+    // and the sf10 soak measured the merge cost at 26× for 10× data
+    // (80 s); the sketch path's state is O(k·log n) bytes. Exact
+    // interpolated quantiles stay available as q13_percentiles_oracled
+    // (hash-checked vs quantile_cont) and as the sort-based
+    // q14_percentiles_sorted; the sketch's rank-error CONTRACT is
+    // pinned by sketch_quantiles_merged's oracle booleans.
     "q13_percentiles" -> ((s, dir) => {
-      // ONE percentile buffer for both quantiles (the array form): two
-      // scalar percentile() calls would each accumulate their own
-      // value-count map over the same column — at 100 TB that is double
-      // the aggregation state for identical inputs
+      import graft.functions.QuantileSketch._
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(kllAgg(col("l_extendedprice").cast("double")).as("__sk"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"))
+        .select(col("l_returnflag"),
+          round(kllQuantile(col("__sk"), 0.5), 4).as("p50"),
+          round(kllQuantile(col("__sk"), 0.9), 4).as("p90"),
+          col("sd_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    // the exact twin: interpolated percentiles matching quantile_cont,
+    // hash-checked. ONE percentile buffer for both quantiles (the array
+    // form): two scalar percentile() calls would each accumulate their
+    // own value-count map over the same column — double the aggregation
+    // state for identical inputs
+    "q13_percentiles_oracled" -> ((s, dir) => {
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -2802,11 +2826,20 @@ object SparkEntry {
     // the same double algebra the brute-force oracle hash-matches — so
     // DuckDB reproduces the exact survivor set without decoding a pixel
     "media_neardup" -> ((s, dir) => {
+      // DECODE ONCE: the tiered dedup references its input in three
+      // stages (exact-collapse aggregate, representative blocking, the
+      // final anti-join), and without materialization each reference
+      // re-runs the whole synthesize+decode subtree — measured 3× the
+      // decode cost at sf1 on the audio twin. The checkpoint pins the
+      // slim (id, 64-float) relation (~100 B/row — shed-the-bytes-early
+      // doctrine, Media.extractFeatures doc) so decode happens exactly
+      // once regardless of how many passes the dedup makes.
       val vecs = Media.extractFeatures(
           Media.synthesizeImageGroups(
             s.read.parquet(s"$dir/documents.parquet")))
         .toDF()
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+        .localCheckpoint(true)
       // tiered: bit-identical descriptors (exact image dups) collapse
       // to one representative BEFORE pairwise verify — same survivor
       // set, and the deep duplicate pockets this fixture plants stop
@@ -2840,11 +2873,17 @@ object SparkEntry {
     // all closed-form arithmetic, so DuckDB reproduces the exact
     // survivor set without parsing a byte of RIFF
     "media_audio_neardup" -> ((s, dir) => {
+      // decode once (see media_neardup): without the checkpoint the
+      // tiered dedup's three input references re-ran synthesize+decode
+      // 3× — the sf1 soak's 18× jump was decode amplification, not the
+      // dedup (sf1 measured: 12 s synth+decode, 50.6 s full row before,
+      // ~decode+dedup after)
       val vecs = Media.extractFeatures(
           Media.synthesizeWavGroups(
             s.read.parquet(s"$dir/documents.parquet")))
         .toDF()
         .select(col("media_id").as("vec_id"), col("features").as("embedding"))
+        .localCheckpoint(true)
       graft.operators.Dedup.embeddingPortableTiered(vecs, dim = 16,
           threshold = 0.999)
         .select("vec_id")
@@ -3497,7 +3536,9 @@ object SparkEntry {
         |    ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin,
 
-    "q13_percentiles" ->
+    // the exact twin of the KLL perf default (q13_percentiles itself is
+    // rows-only: a sketch quantile is ±1.65% rank, not a hashable value)
+    "q13_percentiles_oracled" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
