@@ -143,9 +143,64 @@ object Keywords {
         .write.mode("overwrite").partitionBy("bucket").parquet(path)
       val tot = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
       // written LAST: gate index reuse on _stats/_SUCCESS, which only
-      // exists once the whole artifact (postings + sidecar) is complete
+      // exists once the whole artifact (postings + sidecar) is complete.
+      // n_buckets is recorded so appendToInvertedIndex can refuse a
+      // mismatched bucketing (postings in wrong directories would be
+      // invisible to the probe's partition pruning — silent recall loss)
       spark.range(1)
-        .select(lit(nDocs).as("n_docs"), lit(tot).as("total_tokens"))
+        .select(lit(nDocs).as("n_docs"), lit(tot).as("total_tokens"),
+          lit(nBuckets).as("n_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    } finally tf.unpersist(false)
+  }
+
+  /** O(batch) incremental maintenance for [[writeInvertedIndex]] — the
+    * retrieval twin of `IvfIndex.append`: tokenize ONLY the new
+    * documents, append their posting rows into the existing `bucket=`
+    * partition directories, and roll the `_stats` sidecar forward.
+    * Resident postings are never read or rewritten, and the probe path
+    * ([[bm25FromIndex]] / the search functions) is untouched.
+    *
+    * Append ≡ full rebuild EXACTLY, not approximately: every BM25
+    * input is batch-decomposable — a posting row `(term, doc, tf, dl)`
+    * depends only on its own document's text, per-term `df` is the
+    * posting count inside the term's bucket (old + new rows), and
+    * `N`/`avgdl` come from the additive sidecar totals. So the indexed
+    * scores after an append hash-match the full-corpus oracle verbatim
+    * (`text_bm25_index_append`), the same equivalence contract the IVF
+    * append pins.
+    *
+    * Caller contract: batch ids must be NEW (an id present in the
+    * resident index would double its postings — dedupe upstream, the
+    * incremental-dedup operators exist for exactly this). The bucket
+    * count is read from the sidecar and must match the build's; a
+    * mismatch is refused loudly (mis-bucketed postings would be
+    * invisible to partition pruning — silent recall loss). Writes are
+    * ordered postings-then-stats; a crash between them leaves scores
+    * on the stale (smaller) totals — re-run the append idempotently
+    * only after removing the partial batch files, or rebuild (the
+    * `_stats` overwrite is the commit point, mirroring the build's
+    * write-sidecar-last discipline). */
+  def appendToInvertedIndex(newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val st = spark.read.parquet(s"$path/_stats").head()
+    val nBuckets = st.getAs[Int]("n_buckets")
+    val nNew = newDocs.count()
+    val tf = tokens(newDocs, idCol, textCol)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
+      tf.join(dl, Seq(idCol))
+        .withColumn("bucket", bucketCol(col("term"), nBuckets))
+        .repartition(col("bucket"))
+        .write.mode("append").partitionBy("bucket").parquet(path)
+      val tot = tf.agg(coalesce(sum("tf"), lit(0L))).head().getLong(0)
+      spark.range(1)
+        .select(lit(st.getAs[Long]("n_docs") + nNew).as("n_docs"),
+          lit(st.getAs[Long]("total_tokens") + tot).as("total_tokens"),
+          lit(nBuckets).as("n_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
     } finally tf.unpersist(false)
   }
@@ -323,41 +378,97 @@ object Keywords {
     * per-row `bits/tokens` division. */
   def surprisalScore(score: DataFrame, model: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      backoffBits: Int = 4, oovBits: Int = 8): DataFrame = {
-    def positioned(docs: DataFrame): DataFrame =
-      docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__t"))
-        .select(col(idCol), explode(transform(sequence(lit(1), size(col("__t"))),
-          i => struct(i.cast("long").as("pos"),
-            element_at(col("__t"), i).as("cur"),
-            when(i > lit(1), element_at(col("__t"), i - 1)).as("prev")))).as("__p"))
-        .select(col(idCol), col("__p.pos").as("pos"),
-          col("__p.cur").as("cur"), col("__p.prev").as("prev"))
-    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
-    Dedup.withProjectionCache(positioned(model)) { mp =>
+      backoffBits: Int = 4, oovBits: Int = 8): DataFrame =
+    Dedup.withProjectionCache(positionedTokens(model, idCol, textCol)) { mp =>
       val uni = mp.groupBy(col("cur")).agg(count(lit(1)).as("c_uni"))
       val bi = mp.filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
       val tot = mp.agg(count(lit(1)).as("n_total"))
-      val bits =
-        when(col("c_bi").isNotNull, ilog2(expr("c_prev div c_bi")))
-          .when(col("c_uni").isNotNull && col("pos") > 1,
-            lit(backoffBits.toLong) + ilog2(expr("n_total div c_uni")))
-          .when(col("c_uni").isNotNull, ilog2(expr("n_total div c_uni")))
-          .otherwise(lit(oovBits.toLong) + ilog2(col("n_total")))
-      positioned(score)
-        .crossJoin(broadcast(tot)) // one-row total, broadcast by design
-        .join(uni, Seq("cur"), "left")
-        .join(uni.select(col("cur").as("prev"), col("c_uni").as("c_prev")),
-          Seq("prev"), "left")
-        .join(bi, Seq("prev", "cur"), "left")
-        .withColumn("__bits", bits)
-        .groupBy(col(idCol))
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(col("__bits")).as("total_bits"),
-          round(sum(col("__bits")) * lit(1.0) / count(lit(1)), 4)
-            .as("bits_per_token"))
+      surprisalAgainst(score, uni, bi, tot, backoffBits, oovBits,
+        idCol, textCol)
     }
+
+  /** `(id, pos, cur, prev)` token positions shared by the surprisal
+    * train and score sides. */
+  private def positionedTokens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__t"))
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("__t"))),
+        i => struct(i.cast("long").as("pos"),
+          element_at(col("__t"), i).as("cur"),
+          when(i > lit(1), element_at(col("__t"), i - 1)).as("prev")))).as("__p"))
+      .select(col(idCol), col("__p.pos").as("pos"),
+        col("__p.cur").as("cur"), col("__p.prev").as("prev"))
+
+  /** The scoring join shared by [[surprisalScore]] (counts derived
+    * inline) and [[surprisalFromModel]] (counts read from a stored
+    * model): identical arithmetic over whatever `(cur, c_uni)` /
+    * `(prev, cur, c_bi)` / one-row `(n_total)` relations arrive. */
+  private def surprisalAgainst(score: DataFrame, uni: DataFrame,
+      bi: DataFrame, tot: DataFrame, backoffBits: Int, oovBits: Int,
+      idCol: String, textCol: String): DataFrame = {
+    def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("long")
+    val bits =
+      when(col("c_bi").isNotNull, ilog2(expr("c_prev div c_bi")))
+        .when(col("c_uni").isNotNull && col("pos") > 1,
+          lit(backoffBits.toLong) + ilog2(expr("n_total div c_uni")))
+        .when(col("c_uni").isNotNull, ilog2(expr("n_total div c_uni")))
+        .otherwise(lit(oovBits.toLong) + ilog2(col("n_total")))
+    positionedTokens(score, idCol, textCol)
+      .crossJoin(broadcast(tot)) // one-row total, broadcast by design
+      .join(uni, Seq("cur"), "left")
+      .join(uni.select(col("cur").as("prev"), col("c_uni").as("c_prev")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "cur"), "left")
+      .withColumn("__bits", bits)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__bits")).as("total_bits"),
+        round(sum(col("__bits")) * lit(1.0) / count(lit(1)), 4)
+          .as("bits_per_token"))
   }
+
+  /** Persist the bigram-backoff model [[surprisalScore]] derives, as a
+    * stored artifact — the KenLM production shape: TRAIN ONCE over the
+    * reference slice, then score every incoming batch against the
+    * stored counts without ever re-reading the model corpus. Layout:
+    * `uni/` `(cur, c_uni)`, `bi/` `(prev, cur, c_bi)`, and a one-row
+    * `_stats` `(n_total)` written LAST (reuse gates on
+    * `_stats/_SUCCESS`, the write-sidecar-last discipline every stored
+    * index here follows). The tables are vocabulary-sized — orders of
+    * magnitude below the corpus — so scoring cost is batch-dominated. */
+  def writeNgramModel(model: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = model.sparkSession
+    val mp = positionedTokens(model, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      mp.filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
+        .write.mode("overwrite").parquet(s"$path/bi")
+      mp.groupBy(col("cur")).agg(count(lit(1)).as("c_uni"))
+        .write.mode("overwrite").parquet(s"$path/uni")
+      val tot = mp.count()
+      spark.range(1).select(lit(tot).as("n_total"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
+    } finally mp.unpersist(false)
+  }
+
+  /** Score a batch against a STORED [[writeNgramModel]] artifact —
+    * output identical to [[surprisalScore]] trained on the same model
+    * slice (the equivalence `text_surprisal_stored` hash-checks with
+    * the inline query's own oracle). The model corpus text is never
+    * touched: the joins read vocab-sized count tables, and the skewed
+    * token keys (stopwords) hit the same AQE-skew/broadcast handling
+    * as the inline form. */
+  def surprisalFromModel(spark: SparkSession, path: String,
+      score: DataFrame, backoffBits: Int = 4, oovBits: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    surprisalAgainst(score,
+      spark.read.parquet(s"$path/uni"),
+      spark.read.parquet(s"$path/bi"),
+      spark.read.parquet(s"$path/_stats"),
+      backoffBits, oovBits, idCol, textCol)
 
   /** Lucene-style BM25 document scoring for a fixed query-term set — the
     * retrieval primitive over the same token recipe:

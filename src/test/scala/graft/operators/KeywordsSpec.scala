@@ -132,6 +132,72 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     plan should include("PartitionFilters: [bucket")
   }
 
+  test("appendToInvertedIndex: append ≡ rebuild exactly — postings, stats, and BM25 scores") {
+    val all = docs(
+      1L -> "spark join window spark",
+      2L -> ("spark " + Seq.fill(50)("filler").mkString(" ")),
+      3L -> "join window join",
+      4L -> "spark join",
+      5L -> "nothing relevant here",
+      6L -> "window join spark window")
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString
+    val inc = java.nio.file.Files.createTempDirectory("bm25inc").toString
+    Keywords.writeInvertedIndex(all, full, nBuckets = 16)
+    Keywords.writeInvertedIndex(all.filter(col("doc_id") <= 3), inc, nBuckets = 16)
+    Keywords.appendToInvertedIndex(all.filter(col("doc_id") > 3), inc)
+
+    // sidecar totals roll forward to exactly the full-corpus values
+    // (bucket count preserved from the build — append reads it, never
+    // takes it as an argument, so mis-bucketing is unrepresentable)
+    val sf = spark.read.parquet(s"$full/_stats").head()
+    val si = spark.read.parquet(s"$inc/_stats").head()
+    (si.getAs[Long]("n_docs"), si.getAs[Long]("total_tokens"),
+      si.getAs[Int]("n_buckets")) shouldBe
+      ((sf.getAs[Long]("n_docs"), sf.getAs[Long]("total_tokens"),
+        sf.getAs[Int]("n_buckets")))
+
+    // the posting RELATION matches row-for-row (dl per doc, tf per
+    // (doc, term), bucket routing) — append only adds the batch's rows
+    def postings(p: String) = spark.read.parquet(p)
+      .select("doc_id", "term", "tf", "dl", "bucket")
+      .collect().map(_.toSeq).toSet
+    postings(inc) shouldBe postings(full)
+
+    // and therefore the probe scores hash-match the full build
+    val q = Seq("spark", "join", "window")
+    def top(p: String) = Keywords.bm25FromIndex(spark, p, q, k = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    top(inc) shouldBe top(full)
+    // an empty append is a no-op on postings and stats alike
+    Keywords.appendToInvertedIndex(all.filter(col("doc_id") > 100), inc)
+    postings(inc) shouldBe postings(full)
+    top(inc) shouldBe top(full)
+  }
+
+  test("stored n-gram model: surprisalFromModel ≡ surprisalScore on the same slice") {
+    val corpus = docs(
+      0L -> "a b a b c",
+      2L -> "a b c a",
+      4L -> "b c b",
+      1L -> "a b z q",     // scored only: known bigrams + OOV tail
+      3L -> "q q q",       // scored only: all-OOV
+      5L -> "c a b")       // scored only: in-distribution
+    val model = corpus.filter(col("doc_id") % 2 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("ngram").toString
+    Keywords.writeNgramModel(model, dir)
+    // stats sidecar holds the exact model token total (5 + 4 + 3)
+    spark.read.parquet(s"$dir/_stats").head().getAs[Long]("n_total") shouldBe 12L
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val stored = rows(Keywords.surprisalFromModel(spark, dir, corpus))
+    val inline = rows(Keywords.surprisalScore(corpus, model))
+    stored shouldBe inline
+    // the scores separate in-distribution from garbage as intended
+    val byId = stored.map(t => t._1 -> t._4).toMap
+    byId(5L) should be < byId(3L)
+  }
+
   test("corpusFrequencyScore: hot-token boilerplate outscores rare-token docs; exact counts") {
     val d = docs(
       1L -> "common common common",          // corpus-hot tokens only

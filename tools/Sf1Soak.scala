@@ -168,7 +168,8 @@ object Sf1Soak {
     // 9 planes at sf1's 20k vectors, 12 at sf10's 200k — candidate
     // volume stays ~linear), and the two new operators
     "knn_lsh_indexed", "knn_ivf_append_oracled", "knn_pq_indexed_oracled",
-    "lsh_bucket_candidates", "text_winnow_spans", "media_video_embedding")
+    "lsh_bucket_candidates", "text_winnow_spans", "media_video_embedding",
+    "text_bm25_index_append", "text_surprisal_stored")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
