@@ -1718,6 +1718,20 @@ object SparkEntry {
           "segment", "day", "event_type")
         .orderBy("segment")),
 
+    // embedding-distribution drift — the vector-space member of the
+    // family: portable hyperplane bucket histograms ('drift:'
+    // namespace, 256 bins of kilobytes at any corpus size) compared
+    // with the same exact-integer TVD. A shifted embedding corpus
+    // (new domain, model refresh) moves mass between half-space sign
+    // patterns before any single coordinate alarms; the closed-form
+    // bucket bits make the whole metric hash-checkable
+    "monitor_drift_embedding" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Drift.tvdEmbeddingShift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1))
+    }),
+
     // Tukey-fence outlier profile per event type: exact Q1/Q3, fences
     // at 1.5·IQR, outside-count — the distributional audit the static
     // range rules can't express; fences rounded BEFORE judging so the
@@ -3723,6 +3737,29 @@ object SparkEntry {
         |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
         |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
         |FROM c2 GROUP BY segment ORDER BY segment""".stripMargin,
+
+    // the vector-space drift replay: 'drift:'-namespace bucket bits
+    // (the same closed-form integer algebra as every portable-plane
+    // oracle) over the even/odd slices, full-outer zero-filled
+    // histogram join, identical exact-integer TVD tail
+    "monitor_drift_embedding" ->
+      s"""WITH hb AS (
+        |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cb
+        |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+        |hc AS (
+        |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cc
+        |  FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+        |  FROM hb FULL OUTER JOIN hc USING (bin)),
+        |j2 AS (
+        |  SELECT cb, cc, sum(cb) OVER () AS nb, sum(cc) OVER () AS nc
+        |  FROM j)
+        |SELECT CAST(max(nb) AS BIGINT) AS n_base,
+        |  CAST(max(nc) AS BIGINT) AS n_cur,
+        |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
+        |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
+        |FROM j2""".stripMargin,
 
     "quality_outliers" ->
       """WITH v AS (

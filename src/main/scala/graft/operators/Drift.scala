@@ -119,6 +119,38 @@ object Drift {
     tvdBetweenHistograms(baseline,
       histogram(cur, groupCol, valueCol, binWidth, nBins), groupCol)
 
+  /** Embedding-distribution drift — the vector-space member of the
+    * drift family: bucket both slices with the PORTABLE hyperplane
+    * bits (namespace `"drift:"`, independent of every retrieval
+    * table), then the same exact-integer TVD over the two bucket
+    * histograms. An embedding corpus that shifts (new domain, model
+    * refresh, poisoned batch) moves probability mass between
+    * half-space sign patterns long before any single coordinate's
+    * numeric histogram alarms, and the bucket histogram is
+    * `2^numPlanes` longs per slice — kilobytes at any corpus size, so
+    * the baseline side can be a STORED histogram exactly like
+    * [[tvdAgainstBaseline]] (the `(bin, cnt)` shape is identical;
+    * pass it through [[tvdBetweenHistograms]] with a constant group).
+    * `numPlanes` here is bin GRANULARITY, not blocking (nothing
+    * expands pairs), so a fixed default is the right shape — unlike
+    * the dedup family's occupancy-adaptive sizing. Output: one row
+    * `(n_base, n_cur, tvd)`; the closed-form bucket bits make the
+    * whole metric replayable in an external engine. */
+  def tvdEmbeddingShift(base: DataFrame, cur: DataFrame,
+      vecCol: String = "embedding", numPlanes: Int = 8,
+      dim: Int = 64): DataFrame = {
+    val planes = graft.functions.VectorFunctions
+      .portablePlanes(numPlanes, dim, ns = "drift:")
+    def hist(df: DataFrame): DataFrame = df
+      .filter(col(vecCol).isNotNull)
+      .select(graft.functions.VectorFunctions
+        .portableBucketBits(col(vecCol), planes).as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      .select(lit("all").as("__g"), col("bin"), col("cnt"))
+    tvdBetweenHistograms(hist(base), hist(cur), "__g")
+      .select(col("n_base"), col("n_cur"), col("tvd"))
+  }
+
   /** Shared tail: per-bin `|c_base·n_cur − c_cur·n_base|` accumulated in
     * Longs (exact, order-independent under partial aggregation); the
     * single division happens once per group. */

@@ -1706,6 +1706,30 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     outDef shouldBe outOff
   }
 
+  test("embedding drift: identical slices read 0, a flipped corpus alarms, nulls excluded") {
+    val s = spark
+    import s.implicits._
+    def corpus(sign: Float, n: Int) = (1 to n).map(i =>
+        (i.toLong, Array.tabulate(16)(j => sign * ((i % 7) + j + 1f) / 20f)))
+      .toDF("vec_id", "embedding")
+    val base = corpus(1f, 400)
+    // identical distribution → every bucket count matches → TVD exactly 0
+    val same = graft.operators.Drift.tvdEmbeddingShift(
+      base, corpus(1f, 400), dim = 16).head()
+    (same.getLong(0), same.getLong(1), same.getDouble(2)) shouldBe ((400L, 400L, 0.0))
+    // negated vectors flip every hyperplane sign → disjoint buckets →
+    // total variation distance 1
+    val flipped = graft.operators.Drift.tvdEmbeddingShift(
+      base, corpus(-1f, 400), dim = 16).head()
+    flipped.getDouble(2) shouldBe 1.0
+    // null vectors are excluded from the histogram, not bucketed
+    val withNulls = corpus(1f, 400).unionByName(
+      Seq((9999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val filtered = graft.operators.Drift.tvdEmbeddingShift(
+      base, withNulls, dim = 16).head()
+    (filtered.getLong(1), filtered.getDouble(2)) shouldBe ((400L, 0.0))
+  }
+
   test("last-touch attribution: latest strict-prior touch in window, nulls kept") {
     val s = spark
     import s.implicits._

@@ -169,7 +169,8 @@ object Sf1Soak {
     // volume stays ~linear), and the two new operators
     "knn_lsh_indexed", "knn_ivf_append_oracled", "knn_pq_indexed_oracled",
     "lsh_bucket_candidates", "text_winnow_spans", "media_video_embedding",
-    "text_bm25_index_append", "text_surprisal_stored")
+    "text_bm25_index_append", "text_surprisal_stored",
+    "monitor_drift_embedding")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
@@ -188,7 +189,10 @@ object Sf1Soak {
         Headline.map(q =>
           if (q == "linkage_fuzzy_pairs") "linkage_fuzzy_join" else q)
       else Headline).filterNot(q => Copies > 30 &&
-        Set("dedup_winnow", "dedup_winnow_groups")(q))
+        // text_winnow_spans shares the quadratic-OUTPUT property: every
+        // doc duplicated Copies× makes each fingerprint block emit
+        // C(Copies,2) pairs × per-pair position evidence
+        Set("dedup_winnow", "dedup_winnow_groups", "text_winnow_spans")(q))
     // stored-index build/probe separation (same accounting as Bench):
     // delete + cold-build each index ONCE, timed as `<index>_build`, so
     // the indexed query rows below time pure probes — this is what lets
