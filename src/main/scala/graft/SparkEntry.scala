@@ -305,6 +305,68 @@ object SparkEntry {
     path.toString
   }
 
+  private def posIndexLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-posidx-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+
+  /** Build-once accessor for the positional index (gated on the
+    * `_meta` sidecar's `_SUCCESS` — the LAST artifact the write
+    * produces). */
+  private def posIndexPath(s: SparkSession, dir: String): String = {
+    val path = posIndexLoc(dir)
+    if (!java.nio.file.Files.exists(path.resolve("_meta").resolve("_SUCCESS")))
+      graft.operators.Keywords.writePositionalIndex(
+        s.read.parquet(s"$dir/documents.parquet"), path.toString)
+    path.toString
+  }
+
+  private def posAppendLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-posidx-app-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+
+  /** Build-once accessor for the positional index exercised through
+    * its write-then-append maintenance path. */
+  private def posAppendPath(s: SparkSession, dir: String): String = {
+    val path = posAppendLoc(dir)
+    val marker = path.resolve("_APPEND_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val mid = docs.agg(max("doc_id")).head.getLong(0) / 2
+      graft.operators.Keywords.writePositionalIndex(
+        docs.filter(col("doc_id") <= mid), path.toString)
+      graft.operators.Keywords.appendToPositionalIndex(
+        docs.filter(col("doc_id") > mid), path.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    path.toString
+  }
+
+  private def pqAppendLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-pq-app-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+
+  /** Build-once accessor for the PQ index exercised through its
+    * write-then-append maintenance path (second half encoded by the
+    * REHYDRATED index — the pqLoad round trip the append contract
+    * prescribes). */
+  private def pqAppendPath(s: SparkSession, dir: String): String = {
+    val path = pqAppendLoc(dir)
+    val marker = path.resolve("_APPEND_DONE")
+    if (!java.nio.file.Files.exists(marker)) {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val mid = e.agg(max("vec_id")).head.getLong(0) / 2
+      graft.operators.Similarity.pqPortable()
+        .write(e.filter(col("vec_id") <= mid), path.toString)
+      graft.operators.Similarity.pqLoad(s, path.toString)
+        .append(e.filter(col("vec_id") > mid), path.toString)
+      java.nio.file.Files.createFile(marker)
+    }
+    path.toString
+  }
+
   private def ngramModelLoc(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
@@ -397,7 +459,13 @@ object SparkEntry {
     "index_inverted_append" -> IndexSurface(invertedAppendLoc,
       (s, d) => { invertedAppendPath(s, d); () }),
     "index_ngram_model" -> IndexSurface(ngramModelLoc,
-      (s, d) => { ngramModelPath(s, d); () }))
+      (s, d) => { ngramModelPath(s, d); () }),
+    "index_pos" -> IndexSurface(posIndexLoc,
+      (s, d) => { posIndexPath(s, d); () }),
+    "index_pos_append" -> IndexSurface(posAppendLoc,
+      (s, d) => { posAppendPath(s, d); () }),
+    "index_pq_append" -> IndexSurface(pqAppendLoc,
+      (s, d) => { pqAppendPath(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -1167,16 +1235,16 @@ object SparkEntry {
     // exact-phrase search against the STORED positional index: shifted
     // position-list intersection per doc, partition-pruned term buckets,
     // occurrence-count ranking with id tiebreak
-    "search_phrase_oracled" -> ((s, dir) => {
-      val path = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"),
-        "graft-posidx-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
-      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
-        graft.operators.Keywords.writePositionalIndex(
-          s.read.parquet(s"$dir/documents.parquet"), path.toString)
+    "search_phrase_oracled" -> ((s, dir) =>
       graft.operators.Keywords.phraseSearch(
-        s, path.toString, Seq("table", "scan"), k = 20)
-    }),
+        s, posIndexPath(s, dir), Seq("table", "scan"), k = 20)),
+
+    // positional-index O(batch) append, equivalence-oracled: postings
+    // are per-document, so build-half + append-half must answer phrase
+    // probes identically to the full build — same oracle verbatim
+    "search_phrase_append" -> ((s, dir) =>
+      graft.operators.Keywords.phraseSearch(
+        s, posAppendPath(s, dir), Seq("table", "scan"), k = 20)),
 
     // BM25 retrieval from the STORED inverted index — the production
     // path: the index carries tf/dl on the posting rows and (N, total
@@ -2661,6 +2729,15 @@ object SparkEntry {
         .topKIndexed(s, path, queryVec(s, dir), k = 20)
     }),
 
+    // PQ-codes O(batch) append: second half encoded by the REHYDRATED
+    // index (frozen codebooks => append ≡ re-encode exactly), probes
+    // must match the full-corpus ADC oracle verbatim
+    "knn_pq_append_oracled" -> ((s, dir) => {
+      val path = pqAppendPath(s, dir)
+      Similarity.pqLoad(s, path)
+        .topKIndexed(s, path, queryVec(s, dir), k = 20)
+    }),
+
     // IVF-PQ (IVFADC): coarse routing on fixed md5 centroids (the
     // knn_ivf_oracled machinery under the data-scaled 'ivfq:' namespace)
     // + PQ over the cell RESIDUAL on fixed 'pqr:' codebooks; the query
@@ -3342,7 +3419,14 @@ object SparkEntry {
         |  round(sum(bits) * 1.0 / count(*), 4) AS bits_per_token
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++ Map(
+    // append ≡ rebuild equivalences: the appended index must answer
+    // probes identically to the full build, so each append row reuses
+    // its full-build twin's oracle verbatim
+    "search_phrase_append" -> baseOracleSql("search_phrase_oracled"),
+    "knn_pq_append_oracled" -> baseOracleSql("knn_pq_indexed_oracled"))
+
+  private def baseOracleSql: Map[String, String] = Map(
 
     // the ok CTE mirrors the Spark side's candidatePairs hot-bucket guard
     // (drop buckets with 1 or >10000 members) so the two engines compute

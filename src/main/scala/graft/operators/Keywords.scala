@@ -279,7 +279,18 @@ object Keywords {
     * [[writeInvertedIndex]]; postings are ~|occurrences| ints heavier
     * than the tf rows, still payload-free. */
   def writePositionalIndex(docs: DataFrame, path: String, nBuckets: Int = 64,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    positionalPostings(docs, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // bucket-count sidecar written LAST (the _stats discipline):
+    // appendToPositionalIndex reads it back, so a mis-bucketed append
+    // is unrepresentable
+    docs.sparkSession.range(1).select(lit(nBuckets).as("n_buckets"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_meta")
+  }
+
+  private def positionalPostings(docs: DataFrame, idCol: String,
+      textCol: String, nBuckets: Int): DataFrame =
     docs.select(col(idCol),
         posexplode(split(lower(trim(col(textCol))), "\\s+")).as(Seq("pos", "term")))
       .filter(col("term") =!= "")
@@ -287,7 +298,21 @@ object Keywords {
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketCol(col("term"), nBuckets))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** O(batch) maintenance for [[writePositionalIndex]] — positional
+    * postings are per-document (a term's position list never references
+    * another document), so appending the batch's rows into the existing
+    * `bucket=` dirs IS a full rebuild, exactly; phrase/proximity probes
+    * are untouched. Bucket count comes from the `_meta` sidecar, never
+    * from an argument. Caller contract: batch ids must be new (the
+    * [[appendToInvertedIndex]] contract). */
+  def appendToPositionalIndex(newDocs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val nBuckets = newDocs.sparkSession.read.parquet(s"$path/_meta")
+      .head().getAs[Int]("n_buckets")
+    positionalPostings(newDocs, idCol, textCol, nBuckets)
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
 
   /** Exact-phrase search against a [[writePositionalIndex]] index: the
     * i-th phrase word's positions shift by −i, and a document matches

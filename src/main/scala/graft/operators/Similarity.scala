@@ -949,6 +949,30 @@ object Similarity {
         .write.mode("overwrite").parquet(s"$path/codes")
     }
 
+    /** O(batch) maintenance for a [[write]]-materialized index: encode
+      * ONLY the new vectors with this index's codebooks and append
+      * their `(id, codes)` rows — a code is a pure function of the
+      * vector and the FROZEN codebooks, so append ≡ full re-encode
+      * exactly (the PQ member of the frozen-parameter append family:
+      * IVF cells, inverted/positional postings). The stored codebooks
+      * are the index's identity: this method REFUSES to append when
+      * its own codebooks differ from the stored ones (an append under
+      * different codebooks would silently corrupt every ADC score —
+      * rehydrate with [[pqLoad]] to be safe by construction). Caller
+      * contract: batch ids must be new. */
+    def append(df: DataFrame, path: String, vecCol: String = "embedding",
+        idCol: String = "vec_id"): Unit = {
+      val stored = pqLoad(df.sparkSession, path)
+      require(stored.codebooks.length == m &&
+          stored.codebooks.zip(codebooks).forall { case (a, b) =>
+            a.length == b.length &&
+              a.zip(b).forall { case (x, y) => x.sameElements(y) } },
+        s"append refused: this PqIndex's codebooks differ from the stored index at $path " +
+          "(encode under different codebooks corrupts ADC scores; rehydrate with pqLoad)")
+      encode(df, vecCol, idCol)
+        .write.mode("append").parquet(s"$path/codes")
+    }
+
     /** ADC top-k against a [[write]]-materialized index: reads ONLY the
       * slim codes table — no float vector is scanned anywhere. */
     def topKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,

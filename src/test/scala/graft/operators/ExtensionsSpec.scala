@@ -772,6 +772,31 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     idxR.toSeq shouldBe memR.toSeq
   }
 
+  test("PQ append: frozen codebooks make append ≡ re-encode; foreign codebooks refused") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val full = java.nio.file.Files.createTempDirectory("pq-full").toString
+    val inc = java.nio.file.Files.createTempDirectory("pq-inc").toString
+    val pq = Similarity.pqPortable()
+    pq.write(e, full)
+    pq.write(e.filter(col("vec_id") <= 250), inc)
+    // append through the prescribed pqLoad round trip
+    Similarity.pqLoad(spark, inc).append(e.filter(col("vec_id") > 250), inc)
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    codes(inc) shouldBe codes(full)
+    def top(p: String) = Similarity.pqLoad(spark, p)
+      .topKIndexed(spark, p, q, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    top(inc) shouldBe top(full)
+    // an index with DIFFERENT codebooks must refuse to append here
+    val foreign = Similarity.PqIndex(
+      graft.functions.VectorFunctions.pqPortableCodebooks(8, 16, 8, ns = "other"))
+    an[IllegalArgumentException] should be thrownBy
+      foreign.append(e.filter(col("vec_id") > 250), inc)
+  }
+
   test("IVF-PQ: residual codes discriminate; stored probe ≡ scan; fitted rerank has recall") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")

@@ -174,6 +174,32 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     top(inc) shouldBe top(full)
   }
 
+  test("appendToPositionalIndex: append ≡ rebuild — postings and phrase answers") {
+    val all = docs(
+      1L -> "full table scan is slow",
+      2L -> "index scan beats table scan",
+      3L -> "table scan table scan table scan",
+      4L -> "unrelated words only",
+      5L -> "the table scan returns")
+    val full = java.nio.file.Files.createTempDirectory("posfull").toString
+    val inc = java.nio.file.Files.createTempDirectory("posinc").toString
+    Keywords.writePositionalIndex(all, full, nBuckets = 16)
+    Keywords.writePositionalIndex(all.filter(col("doc_id") <= 2), inc, nBuckets = 16)
+    Keywords.appendToPositionalIndex(all.filter(col("doc_id") > 2), inc)
+    // bucket count came from the sidecar, postings match row-for-row
+    def postings(p: String) = spark.read.parquet(p)
+      .select("doc_id", "term", "positions", "bucket")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getSeq[Int](2), r.getInt(3))).toSet
+    postings(inc) shouldBe postings(full)
+    // and phrase probes answer identically (multi-occurrence ranking)
+    def phrase(p: String) = Keywords.phraseSearch(
+        spark, p, Seq("table", "scan"), k = 10, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    phrase(inc) shouldBe phrase(full)
+    phrase(full).head._1 shouldBe 3L // 3 occurrences ranks first
+  }
+
   test("stored n-gram model: surprisalFromModel ≡ surprisalScore on the same slice") {
     val corpus = docs(
       0L -> "a b a b c",

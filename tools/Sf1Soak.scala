@@ -170,7 +170,8 @@ object Sf1Soak {
     "knn_lsh_indexed", "knn_ivf_append_oracled", "knn_pq_indexed_oracled",
     "lsh_bucket_candidates", "text_winnow_spans", "media_video_embedding",
     "text_bm25_index_append", "text_surprisal_stored",
-    "monitor_drift_embedding")
+    "monitor_drift_embedding", "search_phrase_append",
+    "knn_pq_append_oracled")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
