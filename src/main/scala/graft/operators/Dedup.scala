@@ -283,23 +283,43 @@ object Dedup {
 
   // ---- shared candidate generation ----------------------------------------
 
-  /** Scoped cache for the single-scan near-dup pipelines: persist the
-    * per-document projection, build the pair result over it, materialize
-    * that (small) result with an eager localCheckpoint, then unpersist the
-    * projection. The cache lives exactly as long as the one call that
-    * needs it — the earlier persist-and-return shape leaked a cached copy
-    * of every corpus ever deduped into the session's CacheManager (which
-    * pins plan-level caches until an explicit unpersist; executors fill
-    * with dead blocks across calls). The checkpointed pair list is
-    * per-bucket-bounded candidate pairs, orders of magnitude smaller than
-    * the corpus, and its blocks are released by the ContextCleaner when
-    * the caller drops the result. */
+  /** Scoped cache for the single-scan near-dup pipelines: eagerly
+    * materialize the per-document projection, build the pair result
+    * over it, materialize that (small) result, then release the
+    * projection's blocks. The cache lives exactly as long as the one
+    * call that needs it — the earlier persist-and-return shape leaked a
+    * cached copy of every corpus ever deduped into the session's
+    * CacheManager. The checkpointed pair list is per-bucket-bounded
+    * candidate pairs, orders of magnitude smaller than the corpus, and
+    * its blocks are released by the ContextCleaner when the caller
+    * drops the result.
+    *
+    * The projection is materialized with `localCheckpoint`, NOT
+    * `persist`: a localCheckpoint truncates the plan to an RDD scan,
+    * so there is no Catalyst-cache plan substitution downstream —
+    * which matters because Spark 4.1.2's InMemoryRelation substitution
+    * can MIS-BIND the pipelines built here (a projection persisted
+    * after an action already ran on its source, then self-joined with
+    * its own aggregate — exactly the blocked⋈keyOk shape — fails task
+    * binding with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, flakily by
+    * exprId). The checkpoint costs the same one evaluation the persist
+    * paid on first use, stores the same blocks, and removes the bug
+    * class instead of dodging it. */
   private[operators] def withProjectionCache(base: DataFrame)(
       build: DataFrame => DataFrame): DataFrame = {
-    val cached = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = base.localCheckpoint(true)
     try build(cached).localCheckpoint(true)
-    finally cached.unpersist(false)
+    finally releaseCheckpoint(cached)
   }
+
+  /** Deterministically free an eager `localCheckpoint`'s blocks (the
+    * ContextCleaner would only reclaim them after the frame is GC'd —
+    * too late for corpus-sized projections churned per call). */
+  private[operators] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false); ()
+    }.getOrElse(())
 
   /** Candidate pairs (id_a < id_b) from a blocking table `(key, id)`: one
     * shuffle groups ids per key, pairs are generated *within* each bucket
@@ -315,18 +335,26 @@ object Dedup {
     * callers that care can lower the band width instead. */
   def candidatePairs(blocked: DataFrame, keyCol: String, idCol: String,
       maxBucket: Int = 10000): DataFrame = {
-    // hot-key guard BEFORE materializing bucket lists: a degenerate blocking
-    // key (all-identical boilerplate) would otherwise accumulate an
-    // unbounded collect_list buffer on one reducer. The guard does evaluate
-    // the blocking subtree a second time (AQE broadcasts the small key set,
-    // so there is no identical exchange to reuse) — acceptable because the
-    // signature kernels made blocking the cheap stage; at 100 TB persist
-    // the blocked table before calling this if the input scan is the cost.
-    val keyOk = blocked.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("__n"))
+    // hot-key guard BEFORE materializing bucket lists, as a windowed
+    // count over the SAME key partitioning the collect_list aggregate
+    // needs: ONE exchange serves guard and grouping, the blocking
+    // subtree (signatures, bucket bits) is evaluated once instead of
+    // once per guard-join side, and a degenerate hot key buffers in the
+    // window's spill-safe row container instead of growing an unbounded
+    // collect_list array on one reducer. This deliberately avoids the
+    // earlier guard-JOIN form (aggregate the keys, semi-join back):
+    // Spark 4.1.2's constraint inference could transplant the left
+    // side's bucket-ALIAS constraint (bucket = f(vec)) onto the
+    // deduplicated right branch of that self-join, where the vec
+    // attribute doesn't exist — task-time
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, flaky by exprId (triggered,
+    // e.g., whenever a caller ran any action on the source DataFrame
+    // before blocking). A single-lineage window has no join to infer
+    // across.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    val ids = blocked
+      .withColumn("__n", count(lit(1)).over(w))
       .filter(col("__n") > 1 && col("__n") <= maxBucket)
-      .select(col(keyCol))
-    val ids = blocked.join(keyOk, keyCol)
       .groupBy(col(keyCol))
       .agg(collect_list(col(idCol)).as("ids"))
       .select(array_sort(col("ids")).as("ids"))
@@ -687,15 +715,10 @@ object Dedup {
 
   /** Resolve a `numPlanes` argument: positive = explicit (the caller owns
     * recall/occupancy), 0 = occupancy-adaptive from one `count()` of the
-    * input. Callers pass the ALREADY-PERSISTED projection from
-    * [[withProjectionCache]], so the count materializes the same cache
-    * the blocking scan reads — the corpus is still scanned exactly once.
-    * (Counting the raw source DataFrame here would also trip a Spark
-    * 4.1.2 cache-substitution bug: an action on the un-projected plan
-    * followed by persisting a projection of it makes the later
-    * InMemoryRelation self-join mis-bind the bucket expression —
-    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. Counting the projection itself
-    * is both the efficient and the safe order.) */
+    * input. Callers pass the ALREADY-CHECKPOINTED projection from
+    * [[withProjectionCache]], so the count reads the materialized blocks
+    * the blocking scan will read — the corpus is still scanned exactly
+    * once, and the count is a metadata pass over the checkpoint. */
   private[graft] def resolveNumPlanes(df: DataFrame, numPlanes: Int): Int =
     if (numPlanes > 0) numPlanes else adaptiveNumPlanes(df.count())
 

@@ -132,9 +132,14 @@ object Keywords {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = docs.sparkSession
     val nDocs = docs.count() // parquet footer count
+    // eager checkpoint, not persist: tf self-joins with its own dl
+    // aggregate below — the plan shape Spark 4.1.2's cache substitution
+    // can mis-bind after the count() action above (see
+    // Dedup.withProjectionCache); the checkpoint truncates lineage so
+    // there is nothing to substitute
     val tf = tokens(docs, idCol, textCol)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     try {
       val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
       tf.join(dl, Seq(idCol))
@@ -151,7 +156,7 @@ object Keywords {
         .select(lit(nDocs).as("n_docs"), lit(tot).as("total_tokens"),
           lit(nBuckets).as("n_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
-    } finally tf.unpersist(false)
+    } finally Dedup.releaseCheckpoint(tf)
   }
 
   /** O(batch) incremental maintenance for [[writeInvertedIndex]] — the
@@ -189,7 +194,7 @@ object Keywords {
     val nNew = newDocs.count()
     val tf = tokens(newDocs, idCol, textCol)
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // see writeInvertedIndex
     try {
       val dl = tf.groupBy(col(idCol)).agg(sum("tf").as("dl"))
       tf.join(dl, Seq(idCol))
@@ -202,7 +207,7 @@ object Keywords {
           lit(st.getAs[Long]("total_tokens") + tot).as("total_tokens"),
           lit(nBuckets).as("n_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
-    } finally tf.unpersist(false)
+    } finally Dedup.releaseCheckpoint(tf)
   }
 
   /** BM25 top-`k` from a stored [[writeInvertedIndex]] index — the
@@ -466,7 +471,7 @@ object Keywords {
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val spark = model.sparkSession
     val mp = positionedTokens(model, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // see writeInvertedIndex
     try {
       mp.filter(col("prev").isNotNull)
         .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_bi"))
@@ -476,7 +481,7 @@ object Keywords {
       val tot = mp.count()
       spark.range(1).select(lit(tot).as("n_total"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/_stats")
-    } finally mp.unpersist(false)
+    } finally Dedup.releaseCheckpoint(mp)
   }
 
   /** Score a batch against a STORED [[writeNgramModel]] artifact —
