@@ -1800,6 +1800,27 @@ object SparkEntry {
         e.filter(col("vec_id") % 2 === 1))
     }),
 
+    // the O(increment) production shape of the same metric: the BASE
+    // slice's bucket histogram is STORED (2^8 longs — kilobytes at any
+    // corpus size) and today's check aggregates only the current
+    // slice, comparing against the stored rows. The storage round trip
+    // is pure (exact integer counts), so this row must hash-match the
+    // inline monitor_drift_embedding oracle verbatim
+    "monitor_drift_embedding_stored" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val path = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-driftbase-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+      if (!java.nio.file.Files.exists(path.resolve("_SUCCESS")))
+        graft.operators.Drift.embeddingHistogram(
+            e.filter(col("vec_id") % 2 === 0))
+          .write.mode("overwrite").parquet(path.toString)
+      graft.operators.Drift.tvdEmbeddingHistograms(
+        s.read.parquet(path.toString),
+        graft.operators.Drift.embeddingHistogram(
+          e.filter(col("vec_id") % 2 === 1)))
+    }),
+
     // Tukey-fence outlier profile per event type: exact Q1/Q3, fences
     // at 1.5·IQR, outside-count — the distributional audit the static
     // range rules can't express; fences rounded BEFORE judging so the
@@ -3424,7 +3445,10 @@ object SparkEntry {
     // probes identically to the full build, so each append row reuses
     // its full-build twin's oracle verbatim
     "search_phrase_append" -> baseOracleSql("search_phrase_oracled"),
-    "knn_pq_append_oracled" -> baseOracleSql("knn_pq_indexed_oracled"))
+    "knn_pq_append_oracled" -> baseOracleSql("knn_pq_indexed_oracled"),
+    // stored-baseline drift is the same metric through a pure storage
+    // round trip — the inline oracle verbatim
+    "monitor_drift_embedding_stored" -> baseOracleSql("monitor_drift_embedding"))
 
   private def baseOracleSql: Map[String, String] = Map(
 

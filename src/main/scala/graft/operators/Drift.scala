@@ -138,16 +138,34 @@ object Drift {
     * whole metric replayable in an external engine. */
   def tvdEmbeddingShift(base: DataFrame, cur: DataFrame,
       vecCol: String = "embedding", numPlanes: Int = 8,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    tvdEmbeddingHistograms(
+      embeddingHistogram(base, vecCol, numPlanes, dim),
+      embeddingHistogram(cur, vecCol, numPlanes, dim))
+
+  /** The embedding bucket histogram in STORABLE `(bin, cnt)` form —
+    * `2^numPlanes` longs at any corpus size, the drift-baseline shape:
+    * persist yesterday's histogram (a parquet write of kilobytes) and
+    * tomorrow's check aggregates ONLY the increment
+    * ([[tvdEmbeddingHistograms]] with the stored side read back — the
+    * storage round trip is pure, bit-identical TVD). */
+  def embeddingHistogram(df: DataFrame, vecCol: String = "embedding",
+      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
     val planes = graft.functions.VectorFunctions
       .portablePlanes(numPlanes, dim, ns = "drift:")
-    def hist(df: DataFrame): DataFrame = df
-      .filter(col(vecCol).isNotNull)
+    df.filter(col(vecCol).isNotNull)
       .select(graft.functions.VectorFunctions
         .portableBucketBits(col(vecCol), planes).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-      .select(lit("all").as("__g"), col("bin"), col("cnt"))
-    tvdBetweenHistograms(hist(base), hist(cur), "__g")
+  }
+
+  /** TVD between two [[embeddingHistogram]]s (either side may come
+    * from storage) — one row `(n_base, n_cur, tvd)`. */
+  def tvdEmbeddingHistograms(baseHist: DataFrame,
+      curHist: DataFrame): DataFrame = {
+    def g(df: DataFrame): DataFrame =
+      df.select(lit("all").as("__g"), col("bin"), col("cnt"))
+    tvdBetweenHistograms(g(baseHist), g(curHist), "__g")
       .select(col("n_base"), col("n_cur"), col("tvd"))
   }
 

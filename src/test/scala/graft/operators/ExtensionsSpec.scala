@@ -1753,6 +1753,16 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     val filtered = graft.operators.Drift.tvdEmbeddingShift(
       base, withNulls, dim = 16).head()
     (filtered.getLong(1), filtered.getDouble(2)) shouldBe ((400L, 0.0))
+    // stored-baseline round trip is pure: persisting the base histogram
+    // and comparing against the read-back rows yields the identical TVD
+    val path = java.nio.file.Files.createTempDirectory("driftbase").toString
+    graft.operators.Drift.embeddingHistogram(base, dim = 16)
+      .write.mode("overwrite").parquet(path)
+    val stored = graft.operators.Drift.tvdEmbeddingHistograms(
+      spark.read.parquet(path),
+      graft.operators.Drift.embeddingHistogram(corpus(-1f, 400), dim = 16)).head()
+    (stored.getLong(0), stored.getLong(1), stored.getDouble(2)) shouldBe
+      ((flipped.getLong(0), flipped.getLong(1), flipped.getDouble(2)))
   }
 
   test("last-touch attribution: latest strict-prior touch in window, nulls kept") {
