@@ -171,7 +171,11 @@ object Sf1Soak {
     "lsh_bucket_candidates", "text_winnow_spans", "media_video_embedding",
     "text_bm25_index_append", "text_surprisal_stored",
     "monitor_drift_embedding", "search_phrase_append",
-    "knn_pq_append_oracled")
+    "knn_pq_append_oracled",
+    // stored-baseline embedding drift: the baseline histogram is built
+    // once per corpus fingerprint (2^8 longs), so across SFs this row
+    // times one aggregate scan of the current slice only
+    "monitor_drift_embedding_stored")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
