@@ -1821,6 +1821,50 @@ object SparkEntry {
           e.filter(col("vec_id") % 2 === 1)))
     }),
 
+    // the drilldown behind the alarm: WHICH embedding-space regions
+    // (hyperplane sign patterns) moved, ranked by each bin's exact
+    // additive share of the TVD — the diagnostic a monitor emits so an
+    // operator can inspect the shifted region instead of rescanning.
+    // Ranks a histogram (≤2^8 rows), so the window is on kilobytes
+    "monitor_drift_embedding_buckets" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      graft.operators.Drift.embeddingTopMovers(
+          graft.operators.Drift.embeddingHistogram(
+            e.filter(col("vec_id") % 2 === 0)),
+          graft.operators.Drift.embeddingHistogram(
+            e.filter(col("vec_id") % 2 === 1)),
+          k = 10)
+        .orderBy("rank")
+    }),
+
+    // embedding drift FED BY A STREAM: the current slice streams
+    // through the same exactly-once histogram accumulator as the
+    // numeric monitor (per-micro-batch (bin, cnt) partials land
+    // overwrite-by-batchId across 3 stop/start cycles — a replayed
+    // batch rewrites, never double-counts), and the TVD compare reads
+    // the stored baseline plus the stream-maintained counts. Must
+    // equal the single-pass monitor_drift_embedding verbatim — the
+    // same oracle SQL hash-checks exactly-once accumulation
+    "stream_drift_embedding_oracled" -> ((s, dir) => {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-sedrift-" + corpusFingerprint(Seq(s"$dir/embeddings.parquet")))
+      val basePath = work.resolve("baseline")
+      if (!java.nio.file.Files.exists(basePath.resolve("_SUCCESS")))
+        graft.operators.Drift.embeddingHistogram(
+            e.filter(col("vec_id") % 2 === 0))
+          .coalesce(1).write.mode("overwrite").parquet(basePath.toString)
+      val streamed = graft.streaming.Replay.histogramReplay(s,
+        e.filter(col("vec_id") % 2 === 1 && col("embedding").isNotNull)
+          .select(col("vec_id").as("id"), lit("all").as("__g"),
+            graft.operators.Drift.embeddingBin(col("embedding")).as("bin")),
+        "__g", work.resolve("replay").toString)
+      graft.operators.Drift.tvdEmbeddingHistograms(
+        s.read.parquet(basePath.toString),
+        streamed.select(col("bin"), col("cnt")))
+    }),
+
     // Tukey-fence outlier profile per event type: exact Q1/Q3, fences
     // at 1.5·IQR, outside-count — the distributional audit the static
     // range rules can't express; fences rounded BEFORE judging so the
@@ -3448,7 +3492,11 @@ object SparkEntry {
     "knn_pq_append_oracled" -> baseOracleSql("knn_pq_indexed_oracled"),
     // stored-baseline drift is the same metric through a pure storage
     // round trip — the inline oracle verbatim
-    "monitor_drift_embedding_stored" -> baseOracleSql("monitor_drift_embedding"))
+    "monitor_drift_embedding_stored" -> baseOracleSql("monitor_drift_embedding"),
+    // the streamed feed must land on the identical histogram (exactly-
+    // once accumulation across restarts), so the inline oracle
+    // hash-checks it verbatim too
+    "stream_drift_embedding_oracled" -> baseOracleSql("monitor_drift_embedding"))
 
   private def baseOracleSql: Map[String, String] = Map(
 
@@ -3868,6 +3916,37 @@ object SparkEntry {
         |  round(CAST(sum(abs(cb * nc - cc * nb)) AS DOUBLE) /
         |    (CAST(max(nb) AS DOUBLE) * CAST(max(nc) AS DOUBLE) * 2.0), 4) AS tvd
         |FROM j2""".stripMargin,
+
+    // the per-bucket drilldown: same histograms, same exact-integer
+    // numerator per bin; rank order is engine-independent because the
+    // numerator is exact and ties break on the bit-string bin
+    "monitor_drift_embedding_buckets" ->
+      s"""WITH hb AS (
+        |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cb
+        |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+        |hc AS (
+        |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cc
+        |  FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+        |j AS (
+        |  SELECT bin, coalesce(cb, 0) AS cnt_base, coalesce(cc, 0) AS cnt_cur
+        |  FROM hb FULL OUTER JOIN hc USING (bin)),
+        |j2 AS (
+        |  SELECT bin, cnt_base, cnt_cur,
+        |    sum(cnt_base) OVER () AS nb, sum(cnt_cur) OVER () AS nc
+        |  FROM j),
+        |j3 AS (
+        |  SELECT bin, cnt_base, cnt_cur, nb, nc,
+        |    abs(cnt_base * nc - cnt_cur * nb) AS num,
+        |    row_number() OVER (
+        |      ORDER BY abs(cnt_base * nc - cnt_cur * nb) DESC, bin) AS rank
+        |  FROM j2)
+        |SELECT CAST(rank AS BIGINT) AS rank, bin,
+        |  CAST(cnt_base AS BIGINT) AS cnt_base,
+        |  CAST(cnt_cur AS BIGINT) AS cnt_cur,
+        |  CASE WHEN nb > 0 AND nc > 0 THEN
+        |    round(CAST(num AS DOUBLE) /
+        |      (CAST(nb AS DOUBLE) * CAST(nc AS DOUBLE) * 2.0), 4) END AS contrib
+        |FROM j3 WHERE rank <= 10 ORDER BY rank""".stripMargin,
 
     "quality_outliers" ->
       """WITH v AS (

@@ -150,14 +150,21 @@ object Drift {
     * ([[tvdEmbeddingHistograms]] with the stored side read back — the
     * storage round trip is pure, bit-identical TVD). */
   def embeddingHistogram(df: DataFrame, vecCol: String = "embedding",
-      numPlanes: Int = 8, dim: Int = 64): DataFrame = {
-    val planes = graft.functions.VectorFunctions
-      .portablePlanes(numPlanes, dim, ns = "drift:")
+      numPlanes: Int = 8, dim: Int = 64): DataFrame =
     df.filter(col(vecCol).isNotNull)
-      .select(graft.functions.VectorFunctions
-        .portableBucketBits(col(vecCol), planes).as("bin"))
+      .select(embeddingBin(col(vecCol), numPlanes, dim).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
-  }
+
+  /** The per-row bucket expression behind [[embeddingHistogram]] — for
+    * feeds that bin BEFORE aggregating elsewhere (e.g. a streaming
+    * micro-batch accumulator maintaining the current histogram): the
+    * portable `"drift:"`-namespace hyperplane sign pattern as a bit
+    * string. */
+  def embeddingBin(vec: Column, numPlanes: Int = 8,
+      dim: Int = 64): Column =
+    graft.functions.VectorFunctions.portableBucketBits(vec,
+      graft.functions.VectorFunctions
+        .portablePlanes(numPlanes, dim, ns = "drift:"))
 
   /** TVD between two [[embeddingHistogram]]s (either side may come
     * from storage) — one row `(n_base, n_cur, tvd)`. */
@@ -167,6 +174,59 @@ object Drift {
       df.select(lit("all").as("__g"), col("bin"), col("cnt"))
     tvdBetweenHistograms(g(baseHist), g(curHist), "__g")
       .select(col("n_base"), col("n_cur"), col("tvd"))
+  }
+
+  /** The drilldown behind a TVD alarm: WHICH bins moved. Per
+    * (`groupCol`, bin) of the two histograms (full outer, zero-fill),
+    * the exact per-bin numerator `|c_base·n_cur − c_cur·n_base|` ranks
+    * the movers (ties by bin — the numerator is exact integer, so the
+    * order is engine-independent), and `contrib` is that bin's additive
+    * share of the group's TVD (pre-rounding, the contribs of ALL bins
+    * sum to the [[tvdBetweenHistograms]] value; the top-k rows answer "what
+    * changed" — a new dominant language, a poisoned embedding region —
+    * without any further scan). Returns the top `k` rows per group:
+    * `(groupCol, rank, bin, cnt_base, cnt_cur, contrib)`.
+    *
+    * Scale shape: inputs are HISTOGRAMS (bins × groups rows — kilobytes
+    * regardless of corpus size), so the per-group window here ranks a
+    * bounded relation; the corpus-sized work already happened in the
+    * one aggregate that built each histogram. */
+  def tvdTopMovers(baseHist: DataFrame, curHist: DataFrame,
+      groupCol: String, k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    baseHist.withColumnRenamed("cnt", "__cb")
+      .join(curHist.withColumnRenamed("cnt", "__cc"),
+        Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("__cb"), lit(0L)).as("cnt_base"),
+        coalesce(col("__cc"), lit(0L)).as("cnt_cur"))
+      .withColumn("__nb", sum(col("cnt_base")).over(w))
+      .withColumn("__nc", sum(col("cnt_cur")).over(w))
+      .withColumn("__num",
+        abs(col("cnt_base") * col("__nc") - col("cnt_cur") * col("__nb")))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+          .orderBy(col("__num").desc, col("bin"))))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank").cast("long").as("rank"), col("bin"),
+        col("cnt_base"), col("cnt_cur"),
+        when(col("__nb") > 0 && col("__nc") > 0,
+          round(col("__num").cast("double") /
+            (col("__nb").cast("double") * col("__nc") * 2.0), 4))
+          .as("contrib"))
+  }
+
+  /** [[tvdTopMovers]] over two [[embeddingHistogram]]s (either side may
+    * come from storage): which embedding-space regions (hyperplane sign
+    * patterns) absorbed or lost probability mass. Returns
+    * `(rank, bin, cnt_base, cnt_cur, contrib)`. */
+  def embeddingTopMovers(baseHist: DataFrame, curHist: DataFrame,
+      k: Int = 10): DataFrame = {
+    def g(df: DataFrame): DataFrame =
+      df.select(lit("all").as("__g"), col("bin"), col("cnt"))
+    tvdTopMovers(g(baseHist), g(curHist), "__g", k)
+      .select(col("rank"), col("bin"), col("cnt_base"), col("cnt_cur"),
+        col("contrib"))
   }
 
   /** Shared tail: per-bin `|c_base·n_cur − c_cur·n_base|` accumulated in

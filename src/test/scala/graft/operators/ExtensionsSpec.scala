@@ -1765,6 +1765,45 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       ((flipped.getLong(0), flipped.getLong(1), flipped.getDouble(2)))
   }
 
+  test("drift top movers: exact contribs, numerator-then-bin rank, zero-fill, per-group, k cap") {
+    val s = spark
+    import s.implicits._
+    // hand-built histograms with exact-decimal contributions:
+    // g1 base A:60 B:40 (nb=100) vs cur A:20 B:60 C:20 (nc=100) →
+    // num A=4000, B=2000, C=2000 → contrib 0.2 / 0.1 / 0.1, TVD 0.4;
+    // B and C tie on the numerator → bin string breaks the tie
+    val baseH = Seq(("g1", "A", 60L), ("g1", "B", 40L), ("g2", "X", 10L))
+      .toDF("seg", "bin", "cnt")
+    val curH = Seq(("g1", "A", 20L), ("g1", "B", 60L), ("g1", "C", 20L),
+      ("g2", "X", 30L)).toDF("seg", "bin", "cnt")
+    val rows = graft.operators.Drift.tvdTopMovers(baseH, curH, "seg")
+      .orderBy("seg", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    rows shouldBe Array(
+      ("g1", 1L, "A", 60L, 20L, 0.2),
+      ("g1", 2L, "B", 40L, 60L, 0.1),
+      ("g1", 3L, "C", 0L, 20L, 0.1), // cur-only bin zero-fills, rank after B
+      ("g2", 1L, "X", 10L, 30L, 0.0)) // identical distribution → no drift
+    // contribs are the additive decomposition of the group's TVD
+    graft.operators.Drift.tvdBetweenHistograms(baseH, curH, "seg")
+      .filter(col("seg") === "g1").head().getDouble(3) shouldBe 0.4
+    // k caps the output per group
+    graft.operators.Drift.tvdTopMovers(baseH, curH, "seg", k = 1)
+      .count() shouldBe 2L
+    // embedding wrapper: a flipped corpus occupies disjoint buckets, so
+    // every mover row has one side zero-filled
+    def corpus16(sign: Float) = (1 to 200).map(i =>
+        (i.toLong, Array.tabulate(16)(j => sign * ((i % 7) + j + 1f) / 20f)))
+      .toDF("vec_id", "embedding")
+    val movers = graft.operators.Drift.embeddingTopMovers(
+      graft.operators.Drift.embeddingHistogram(corpus16(1f), dim = 16),
+      graft.operators.Drift.embeddingHistogram(corpus16(-1f), dim = 16),
+      k = 100).collect()
+    movers should not be empty
+    all(movers.map(r => math.min(r.getLong(2), r.getLong(3)))) shouldBe 0L
+  }
+
   test("last-touch attribution: latest strict-prior touch in window, nulls kept") {
     val s = spark
     import s.implicits._

@@ -175,7 +175,10 @@ object Sf1Soak {
     // stored-baseline embedding drift: the baseline histogram is built
     // once per corpus fingerprint (2^8 longs), so across SFs this row
     // times one aggregate scan of the current slice only
-    "monitor_drift_embedding_stored")
+    "monitor_drift_embedding_stored",
+    // the per-bucket drilldown: same two histogram aggregates plus a
+    // window over ≤2^8 rows — should track monitor_drift_embedding
+    "monitor_drift_embedding_buckets")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
