@@ -44,17 +44,10 @@ object Bench {
     // Builds are timed once (not min-of-N): a build is a one-time cost
     // whose honest figure is the cold run, and N cold rebuilds would
     // triple the bench wall-clock for a smoother min nobody compares.
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        val all = java.nio.file.Files.walk(p)
-        try all.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally all.close()
-      }
     val buildRuns = SparkEntry.indexSurfaces.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n + "_build") }
       .map { case (n, surf) =>
-        rmTree(surf.loc(sfDir))
+        graft.core.Fs.deleteRecursively(surf.loc(sfDir))
         val t0 = System.nanoTime()
         val ok =
           try { surf.ensure(spark, sfDir); true }

@@ -2949,7 +2949,6 @@ object SparkEntry {
     // ANN against the STORED multi-table LSH index: write L bucket-
     // partitioned copies, probe each with a partition-pruned read
     // (PlanSpec asserts pruning + result equality with the scan variant).
-    // Timing includes the index writes — the trade the index makes.
     "knn_lsh_indexed" -> ((s, dir) =>
       // index built ONCE per corpus into a deterministic location, then
       // probed — an index amortizes its build over many queries, so the
@@ -3901,10 +3900,10 @@ object SparkEntry {
     "monitor_drift_embedding" ->
       s"""WITH hb AS (
         |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cb
-        |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY 1),
         |hc AS (
         |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cc
-        |  FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+        |  FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY 1),
         |j AS (
         |  SELECT coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
         |  FROM hb FULL OUTER JOIN hc USING (bin)),
@@ -3923,10 +3922,10 @@ object SparkEntry {
     "monitor_drift_embedding_buckets" ->
       s"""WITH hb AS (
         |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cb
-        |  FROM embeddings WHERE vec_id % 2 = 0 GROUP BY 1),
+        |  FROM embeddings WHERE vec_id % 2 = 0 AND embedding IS NOT NULL GROUP BY 1),
         |hc AS (
         |  SELECT ${duckBucketBitsNs("drift:")} AS bin, count(*) AS cc
-        |  FROM embeddings WHERE vec_id % 2 = 1 GROUP BY 1),
+        |  FROM embeddings WHERE vec_id % 2 = 1 AND embedding IS NOT NULL GROUP BY 1),
         |j AS (
         |  SELECT bin, coalesce(cb, 0) AS cnt_base, coalesce(cc, 0) AS cnt_cur
         |  FROM hb FULL OUTER JOIN hc USING (bin)),

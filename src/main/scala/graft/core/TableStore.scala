@@ -348,9 +348,5 @@ class TableStore(val root: String, spark: SparkSession) {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      withListing(p)(_.toSeq).foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
+  private def deleteRecursively(p: Path): Unit = Fs.deleteRecursively(p)
 }

@@ -304,7 +304,17 @@ object Dedup {
     * binding with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, flakily by
     * exprId). The checkpoint costs the same one evaluation the persist
     * paid on first use, stores the same blocks, and removes the bug
-    * class instead of dodging it. */
+    * class instead of dodging it.
+    *
+    * Fault-tolerance trade, stated explicitly: localCheckpoint
+    * truncates lineage, so on a multi-executor cluster a lost executor
+    * mid-job fails the enclosing operator call with a missing-block
+    * error instead of recomputing (plain persist would recompute from
+    * lineage). The operators are deterministic, so the recovery is to
+    * re-run the call — acceptable for batch dedup/index jobs; if an
+    * executor-loss-tolerant variant is ever needed, reliable
+    * `checkpoint(dir)` (replicated to storage) slots in here without
+    * touching callers. */
   private[operators] def withProjectionCache(base: DataFrame)(
       build: DataFrame => DataFrame): DataFrame = {
     val cached = base.localCheckpoint(true)

@@ -94,15 +94,31 @@ object Drift {
     * stream-accumulated counts): full outer on (group, bin), zero-fill,
     * then the exact-integer TVD tail. */
   def tvdBetweenHistograms(baseHist: DataFrame, curHist: DataFrame,
-      groupCol: String): DataFrame = {
-    val counts = baseHist.withColumnRenamed("cnt", "__cb")
+      groupCol: String): DataFrame =
+    tvdFromCounts(
+      zeroFilledJoin(baseHist, curHist, groupCol)
+        .select(col(groupCol), col("bin").as("__bin"),
+          col("__cb"), col("__cc")),
+      groupCol)
+
+  /** The one histogram-pair join both the TVD and its drilldown share:
+    * full outer on (group, bin), absent side zero-filled — so a change
+    * to this contract (e.g. null-bin handling) can never desynchronize
+    * the metric from its own per-bin decomposition. Returns
+    * `(groupCol, bin, __cb, __cc)`. */
+  private def zeroFilledJoin(baseHist: DataFrame, curHist: DataFrame,
+      groupCol: String): DataFrame =
+    baseHist.withColumnRenamed("cnt", "__cb")
       .join(curHist.withColumnRenamed("cnt", "__cc"),
         Seq(groupCol, "bin"), "full_outer")
-      .select(col(groupCol), col("bin").as("__bin"),
+      .select(col(groupCol), col("bin"),
         coalesce(col("__cb"), lit(0L)).as("__cb"),
         coalesce(col("__cc"), lit(0L)).as("__cc"))
-    tvdFromCounts(counts, groupCol)
-  }
+
+  /** A single-slice histogram `(bin, cnt)` tagged with the constant
+    * group the grouped machinery expects. */
+  private def constGroup(df: DataFrame): DataFrame =
+    df.select(lit("all").as("__g"), col("bin"), col("cnt"))
 
   /** TVD of a current slice against a STORED baseline histogram — the
     * O(increment) monitoring shape: the baseline never rescans (it is a
@@ -169,12 +185,9 @@ object Drift {
   /** TVD between two [[embeddingHistogram]]s (either side may come
     * from storage) — one row `(n_base, n_cur, tvd)`. */
   def tvdEmbeddingHistograms(baseHist: DataFrame,
-      curHist: DataFrame): DataFrame = {
-    def g(df: DataFrame): DataFrame =
-      df.select(lit("all").as("__g"), col("bin"), col("cnt"))
-    tvdBetweenHistograms(g(baseHist), g(curHist), "__g")
+      curHist: DataFrame): DataFrame =
+    tvdBetweenHistograms(constGroup(baseHist), constGroup(curHist), "__g")
       .select(col("n_base"), col("n_cur"), col("tvd"))
-  }
 
   /** The drilldown behind a TVD alarm: WHICH bins moved. Per
     * (`groupCol`, bin) of the two histograms (full outer, zero-fill),
@@ -194,12 +207,9 @@ object Drift {
   def tvdTopMovers(baseHist: DataFrame, curHist: DataFrame,
       groupCol: String, k: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
-    baseHist.withColumnRenamed("cnt", "__cb")
-      .join(curHist.withColumnRenamed("cnt", "__cc"),
-        Seq(groupCol, "bin"), "full_outer")
+    zeroFilledJoin(baseHist, curHist, groupCol)
       .select(col(groupCol), col("bin"),
-        coalesce(col("__cb"), lit(0L)).as("cnt_base"),
-        coalesce(col("__cc"), lit(0L)).as("cnt_cur"))
+        col("__cb").as("cnt_base"), col("__cc").as("cnt_cur"))
       .withColumn("__nb", sum(col("cnt_base")).over(w))
       .withColumn("__nc", sum(col("cnt_cur")).over(w))
       .withColumn("__num",
@@ -221,13 +231,10 @@ object Drift {
     * patterns) absorbed or lost probability mass. Returns
     * `(rank, bin, cnt_base, cnt_cur, contrib)`. */
   def embeddingTopMovers(baseHist: DataFrame, curHist: DataFrame,
-      k: Int = 10): DataFrame = {
-    def g(df: DataFrame): DataFrame =
-      df.select(lit("all").as("__g"), col("bin"), col("cnt"))
-    tvdTopMovers(g(baseHist), g(curHist), "__g", k)
+      k: Int = 10): DataFrame =
+    tvdTopMovers(constGroup(baseHist), constGroup(curHist), "__g", k)
       .select(col("rank"), col("bin"), col("cnt_base"), col("cnt_cur"),
         col("contrib"))
-  }
 
   /** Shared tail: per-bin `|c_base·n_cur − c_cur·n_base|` accumulated in
     * Longs (exact, order-independent under partial aggregation); the

@@ -205,7 +205,15 @@ object Winnow {
         .join(ev.select(col("h"), col("id").as("id_b"),
           col("pos").as("pos_b")), "h")
         .filter(col("id_a") < col("id_b"))
-      val qualified = evPairs.select("id_a", "id_b", "h").distinct()
+      // qualification runs on the slim distinct (h, id) relation, NOT on
+      // evPairs: the position cross-product — the query's largest
+      // relation — would otherwise be evaluated twice (once under the
+      // distinct-hash aggregate, once in the output join), and the
+      // distinct (id_a, id_b, h) sets are identical by construction
+      val evIds = ev.select(col("h"), col("id")).distinct()
+      val qualified = evIds.select(col("h"), col("id").as("id_a"))
+        .join(evIds.select(col("h"), col("id").as("id_b")), "h")
+        .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= minShared)

@@ -401,11 +401,5 @@ object Replay {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val s = java.nio.file.Files.walk(p)
-      try {
-        s.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.deleteIfExists(f))
-      } finally s.close()
-    }
+    graft.core.Fs.deleteRecursively(p)
 }

@@ -206,19 +206,19 @@ object Sf1Soak {
     // the indexed query rows below time pure probes — this is what lets
     // the sf1/sf10 artifacts show probe wall-time ~flat across scale
     // factors (the corpus-independence the partition-pruned plans pin)
-    def rmTree(p: java.nio.file.Path): Unit =
-      if (java.nio.file.Files.exists(p)) {
-        val all = java.nio.file.Files.walk(p)
-        try all.sorted(java.util.Comparator.reverseOrder())
-          .forEach(f => java.nio.file.Files.delete(f))
-        finally all.close()
-      }
+    // a failed build records -1 and the soak continues (same contract as
+    // Bench): one bad index must not discard every subsequent row of an
+    // hour-long sf10 artifact
     val builds = graft.SparkEntry.indexSurfaces.toSeq.sortBy(_._1)
       .map { case (n, surf) =>
-        rmTree(surf.loc(Dst))
+        graft.core.Fs.deleteRecursively(surf.loc(Dst))
         val t0 = System.nanoTime()
-        surf.ensure(spark, Dst)
-        val t = (System.nanoTime() - t0) / 1e9
+        val t =
+          try { surf.ensure(spark, Dst); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[$Label] ${n}_build FAILED: ${e.getMessage}")
+            -1.0
+          }
         println(f"[$Label] ${n + "_build"}%-28s $t%.2f s")
         (n + "_build") -> t
       }
@@ -229,7 +229,12 @@ object Sf1Soak {
         fn(spark, Dst).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = (1 to BenchRuns).map(_ => once()).min
+      val t =
+        try (1 to BenchRuns).map(_ => once()).min
+        catch { case e: Throwable =>
+          System.err.println(s"[$Label] $name FAILED: ${e.getMessage}")
+          -1.0
+        }
       println(f"[$Label] $name%-28s $t%.2f s")
       name -> t
     }
