@@ -432,6 +432,56 @@ object SparkEntry {
     path.toString
   }
 
+  private def statsStoreLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      // "2": manifests without #hist records predate committedVersions —
+      // a pre-history store at the same fingerprint must not be reused
+      "graft-storestats2-" + corpusFingerprint(Seq(s"$dir/orders.parquet")))
+
+  /** Build-once accessor for the stats-pruned orders store: one
+    * [[graft.core.TableStore]] version of `orders` clustered on
+    * `o_orderdate` (so each file covers a tight date range) with a
+    * [[graft.core.FileStats]] sidecar — min/max zone maps on
+    * `o_orderdate`, a per-file bloom on the hash-scattered
+    * `o_custkey`. Reuse is gated on the store manifest, which the
+    * build writes LAST and atomically, so a partial build (version
+    * staged, sidecar or commit missing) is rebuilt, never reused. */
+  private def statsStore(s: SparkSession, dir: String): graft.core.TableStore = {
+    val store = new graft.core.TableStore(statsStoreLoc(dir).toString, s)
+    if (!store.exists("orders")) {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      // 4 Mibit blooms: at the sf10 soak's ~1M rows/file the default
+      // 64 Kibit filter would saturate (fill → 1, zero pruning); 2^22
+      // bits keeps fill ≤ ~50% there (per-file fp ≤ ~12%) while the
+      // sparse word-map stays kilobytes at the small SFs
+      store.commit(Map("orders" -> store.stageWithStats("orders",
+        o.repartitionByRange(16, col("o_orderdate"))
+          .sortWithinPartitions(col("o_orderdate")),
+        statsCols = Seq("o_orderdate"), bloomCols = Seq("o_custkey"),
+        bloomBitsLog2 = 22)))
+    }
+    // a second table with TWO committed versions (even-key half, then
+    // the full table) for the time-travel query: versions are immutable
+    // and commit-ordered, so the pre-overwrite snapshot stays readable
+    // until vacuum — gated separately so stores built before this table
+    // existed pick it up on next access
+    if (!store.exists("orders_history")) {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      store.commit(Map("orders_history" -> store.stage("orders_history",
+        o.filter(col("o_orderkey") % 2 === 0))))
+      store.commit(Map("orders_history" -> store.stage("orders_history", o)))
+    }
+    store
+  }
+
+  /** A timestamp literal in the exact flavor (TIMESTAMP vs
+    * TIMESTAMP_NTZ) the parquet column reads as, so range predicates
+    * compare natively against both the data and its sidecar min/max
+    * (sessions are pinned UTC, making the two flavors agree). */
+  private def tsLit(df: DataFrame, c: String, v: String): Column =
+    lit(v).cast(df.schema(c).dataType)
+
   /** Stored-index surfaces, exposed so the bench mains can account
     * index BUILD time separately from probe time (`<name>_build`
     * rows): an index amortizes its build over many probes, so folding
@@ -465,7 +515,9 @@ object SparkEntry {
     "index_pos_append" -> IndexSurface(posAppendLoc,
       (s, d) => { posAppendPath(s, d); () }),
     "index_pq_append" -> IndexSurface(pqAppendLoc,
-      (s, d) => { pqAppendPath(s, d); () }))
+      (s, d) => { pqAppendPath(s, d); () }),
+    "index_store_stats" -> IndexSurface(statsStoreLoc,
+      (s, d) => { statsStore(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -1092,6 +1144,54 @@ object SparkEntry {
           col(graft.core.Schemas.cdcIsUpdateCol).as("_is_update"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("qty")), 2).as("sum_qty"))
         .orderBy("_action", "_is_update")
+    }),
+
+    // -- stats-pruned store scans (core.FileStats): the micro-partition
+    //    metadata path — scan planning reads the per-file sidecar (min/max
+    //    zone maps + bloom filters) instead of opening data-file footers,
+    //    plans only surviving files, then re-applies the exact predicate,
+    //    so pruning can never change results. The oracle is the plain
+    //    filter over the raw table; FileStatsSpec pins the file skipping
+    //    itself via DataFrame.inputFiles. ---------------------------------
+    "store_prune_range" -> ((s, dir) => {
+      // date-range slice of the o_orderdate-clustered store: ~7% of the
+      // 1995..2001 span touches 1-2 of the 16 range-partitioned files
+      val store = statsStore(s, dir)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      store.readPrunedRange("orders", "o_orderdate",
+          tsLit(o, "o_orderdate", "1998-01-01 00:00:00"),
+          tsLit(o, "o_orderdate", "1998-06-30 00:00:00"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "store_prune_point" -> ((s, dir) => {
+      // point lookup on the hash-scattered o_custkey: every file's
+      // [min, max] brackets the whole key domain, so only the per-file
+      // bloom prunes — the high-cardinality complement to range skipping
+      val store = statsStore(s, dir)
+      store.readPrunedPoint("orders", "o_custkey", lit(42L))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "store_time_travel" -> ((s, dir) => {
+      // AS-OF read: aggregate the FIRST committed version of a table
+      // that was later overwritten — versions are immutable and
+      // commit-ordered (nanotime-prefixed names), so the old snapshot
+      // is a plain pruned read of its version dir, no log replay. The
+      // oracle recomputes what that first version held (the even-key
+      // half) from the raw table.
+      val store = statsStore(s, dir)
+      val v0 = store.committedVersions("orders_history").head
+      store.readVersion("orders_history", v0,
+          s.read.parquet(s"$dir/orders.parquet").schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderpriority")
     }),
 
     // -- skew mitigation (operators under graft.operators.Salt): results
@@ -4518,6 +4618,30 @@ object SparkEntry {
         |  SELECT 'INSERT', FALSE, count(*), round(sum(qty), 2)
         |  FROM base WHERE dim_id % 11 = 0)
         |ORDER BY _action, _is_update""".stripMargin,
+
+    // stats-pruned store scans: pruning is planning-level only (the
+    // exact predicate is re-applied after the pruned read), so the
+    // oracle is the plain filter over the raw table
+    "store_prune_range" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1998-06-30 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "store_prune_point" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_custkey = 42
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // time travel reads the FIRST committed version (the even-key half);
+    // the oracle recomputes that version's content from the raw table
+    "store_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

@@ -7,7 +7,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, lit}
+import org.apache.spark.sql.functions.{coalesce, col, concat, element_at, lit, split, sum}
 import org.apache.spark.sql.types.StructType
 
 /** Versioned, parquet-backed multi-table store with atomic multi-table
@@ -46,15 +46,39 @@ class TableStore(val root: String, spark: SparkSession) {
   Files.createDirectories(rootPath)
   private def manifestPath: Path = rootPath.resolve("_manifest")
 
-  /** table → current version dir name. */
+  /** table → current version dir name. Lines starting with `#` are
+    * commit-history records ([[history]]), not mappings. */
   def manifest: Map[String, String] =
     if (!Files.exists(manifestPath)) Map.empty
     else Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala
-      .filter(_.nonEmpty)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { line =>
         val i = line.indexOf('\t')
         line.substring(0, i) -> line.substring(i + 1)
       }.toMap
+
+  /** table → superseded committed versions, oldest first (current NOT
+    * included). Recorded as `#hist` lines in the SAME manifest file, so
+    * history and the current mapping move in one atomic swap — a
+    * version is in history iff it was really committed, which is what
+    * lets [[vacuum]] retain genuine time-travel targets while still
+    * sweeping crashed write-ahead garbage (whose versions never reached
+    * any manifest). Bounded to the last [[MaxHistory]] per table. */
+  def history: Map[String, Seq[String]] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else Files.readAllLines(manifestPath, StandardCharsets.UTF_8).asScala
+      .filter(_.startsWith("#hist\t")).toSeq
+      .map { line =>
+        val f = line.split('\t'); (f(1), f(2))
+      }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+  /** committed versions of a table, oldest first, current last — the
+    * time-travel index (unlike the raw directory listing, this never
+    * contains crashed write-ahead versions). */
+  def committedVersions(table: String): Seq[String] =
+    history.getOrElse(table, Seq.empty) ++ manifest.get(table).toSeq
+
+  private val MaxHistory = 32
 
   def exists(table: String): Boolean = manifest.contains(table)
 
@@ -158,6 +182,47 @@ class TableStore(val root: String, spark: SparkSession) {
         .repartitionByRange(numFiles, clusterBy)
         .sortWithinPartitions(clusterBy))))
 
+  /** [[stage]] plus a [[FileStats]] sidecar: per-file min/max/null
+    * counts for `statsCols` and bloom filters for `bloomCols`, written
+    * INTO the version dir before any commit — so stats are atomic with
+    * the version (a version is either fully statted or not committed)
+    * and vacuum reclaims them with their data. This is the
+    * micro-partition-metadata shape: scan planning on a statted table
+    * reads one kilobyte-scale sidecar instead of opening every data
+    * file's footer, which at 100 TB is the difference between a
+    * metadata lookup and millions of object-store reads per query.
+    * Pair with [[compactClustered]]: a clustered layout makes each
+    * file's min/max range tight, so range pruning actually bites. */
+  def stageWithStats(table: String, df: DataFrame, statsCols: Seq[String],
+      bloomCols: Seq[String] = Nil, partitionBy: Seq[String] = Nil,
+      bloomBitsLog2: Int = 16, bloomK: Int = 3): String = {
+    val version = stage(table, df, partitionBy)
+    FileStats.write(spark, versionDir(table, version).toString,
+      statsCols, bloomCols, bloomBitsLog2, bloomK)
+    version
+  }
+
+  /** Range scan of the current version with sidecar file skipping (see
+    * [[FileStats.readPrunedRange]]): only files whose [min, max]
+    * overlaps [lo, hi] are read, and the exact predicate is re-applied,
+    * so results are identical to a full filtered scan regardless of
+    * sidecar quality. Versions without a sidecar full-scan. */
+  def readPrunedRange(table: String, c: String, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): DataFrame =
+    FileStats.readPrunedRange(spark, currentPathOrFail(table), c, lo, hi)
+
+  /** Point lookup on the current version with sidecar file skipping —
+    * min/max bracketing plus the bloom filter when `c` carries one (the
+    * high-cardinality-column case where clustering-based min/max is
+    * useless but a per-file bloom skips almost every file). */
+  def readPrunedPoint(table: String, c: String,
+      v: org.apache.spark.sql.Column): DataFrame =
+    FileStats.readPrunedPoint(spark, currentPathOrFail(table), c, v)
+
+  private def currentPathOrFail(table: String): String =
+    currentPath(table).getOrElse(
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+
   /** Materialize `df` as a new (uncommitted) version of `table`; returns the
     * version id to pass to [[commit]]. The write is the only Spark action —
     * the data lands on disk before any pointer moves. `partitionBy` lays the
@@ -255,11 +320,24 @@ class TableStore(val root: String, spark: SparkSession) {
   }
 
   /** Atomically point each table at its staged version — one manifest swap
-    * covers all of them (the cross-table transaction of SURVEY.md §7.5.1). */
+    * covers all of them (the cross-table transaction of SURVEY.md §7.5.1).
+    * Each superseded mapping is appended to that table's `#hist` records
+    * in the same swap, so the commit log can never disagree with the
+    * current pointer. */
   def commit(updates: Map[String, String]): Unit = synchronized {
-    val next = manifest ++ updates
+    val cur = manifest
+    val next = cur ++ updates
+    val nextHist = updates.foldLeft(history) { case (h, (t, v)) =>
+      cur.get(t) match {
+        case Some(old) if old != v =>
+          h.updated(t, (h.getOrElse(t, Seq.empty) :+ old).takeRight(MaxHistory))
+        case _ => h
+      }
+    }
     val tmp = rootPath.resolve(s"_manifest.tmp-${UUID.randomUUID()}")
-    val body = next.toSeq.sorted.map { case (t, v) => s"$t\t$v" }.mkString("\n")
+    val body = (next.toSeq.sorted.map { case (t, v) => s"$t\t$v" } ++
+      nextHist.toSeq.sortBy(_._1).flatMap { case (t, vs) =>
+        vs.map(v => s"#hist\t$t\t$v") }).mkString("\n")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
@@ -304,6 +382,107 @@ class TableStore(val root: String, spark: SparkSession) {
     before - after
   }
 
+  /** Surgical range DELETE using the [[FileStats]] sidecar: removes rows
+    * with `c` in [lo, hi] (inclusive; NULLs never match) by rewriting
+    * ONLY the files whose [min, max] may overlap the range — every other
+    * file is carried into the new version verbatim (a local-fs byte
+    * copy standing in for an object store's server-side copy /
+    * manifest-level file reuse), and its sidecar row is carried over
+    * with it, so the whole operation is O(matching files), not
+    * O(table). On a date-clustered 100 TB table a retention sweep
+    * rewrites one date-range's worth of files instead of the corpus.
+    * Falls back to [[deleteWhere]]'s full copy-on-write rewrite when
+    * the version has no zone maps for `c` or a layout file-level
+    * surgery can't preserve (hive-partitioned / bucketed versions).
+    * Row counts come from the sidecar (before) and the rewritten
+    * files' fresh stats (after) — no extra counting scans. Returns the
+    * number of rows deleted; deleting zero rows commits nothing. */
+  def deleteRange(table: String, c: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): Long = {
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val curDir = versionDir(table, curV)
+    val fallback = () => deleteWhere(table, col(c) >= lo && col(c) <= hi)
+    FileStats.read(spark, curDir.toString) match {
+      case None => fallback()
+      case Some(_) if Files.exists(curDir.resolve(BucketSpecFile)) => fallback()
+      case Some(stats) if !stats.columns.contains(s"min_$c") => fallback()
+      case Some(stats) =>
+        val rows = stats.cache()
+        try {
+          val matched = rows.filter(FileStats.mayContainRange(c, lo, hi))
+            .select("file").collect().map(_.getString(0))
+          if (matched.isEmpty) return 0L
+          val untouchedRows = rows.filter(!FileStats.mayContainRange(c, lo, hi))
+          val untouched = untouchedRows.select("file")
+            .collect().map(_.getString(0))
+          // partitioned layouts nest files under key=value dirs; the
+          // flat copy below would orphan them — full rewrite instead
+          val allFiles = matched ++ untouched
+          if (allFiles.exists(f =>
+              Paths.get(java.net.URI.create(f).getPath).getParent !=
+                curDir.toAbsolutePath)) return fallback()
+
+          val version = newVersion()
+          val dst = versionDir(table, version)
+          Files.createDirectories(dst)
+          val copiedNames = untouched.map { uri =>
+            val src = Paths.get(java.net.URI.create(uri).getPath)
+            Files.copy(src, dst.resolve(src.getFileName.toString))
+            src.getFileName.toString
+          }.toSet
+          // rewrite the matching files minus the range, landing the
+          // survivors directly in the new version dir (append mode:
+          // the dir already holds the copied files; Spark's UUID part
+          // names cannot collide with them)
+          spark.read.option("basePath", curDir.toString)
+            .parquet(matched.toIndexedSeq: _*)
+            .filter(!coalesce(col(c) >= lo && col(c) <= hi, lit(false)))
+            .write.mode("append").parquet(dst.toString)
+          val newFiles = withListing(dst)(_
+            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              !copiedNames.contains(p.getFileName.toString))
+            .map(_.toUri.toString).toSeq)
+          // sidecar: fresh stats for the rewritten files only; carried
+          // rows for copied files get their path remapped (same name,
+          // new version dir) — O(changed files) maintenance
+          val statsCols = rows.columns.collect {
+            case n if n.startsWith("min_") => n.stripPrefix("min_") }.toSeq
+          val bloomCols = rows.columns.collect {
+            case n if n.startsWith("bloom_") && n != "bloom_bits" &&
+              n != "bloom_k" => n.stripPrefix("bloom_") }.toSeq
+          val head = rows.select("bloom_bits", "bloom_k").head()
+          val bitsLog2 = java.lang.Long.numberOfTrailingZeros(head.getLong(0))
+          val dstUri = dst.toUri.toString.stripSuffix("/")
+          val carried = untouchedRows.withColumn("file",
+            concat(lit(dstUri + "/"),
+              element_at(split(col("file"), "/"), -1)))
+          val fresh =
+            if (newFiles.isEmpty) carried.limit(0)
+            else FileStats.computeStats(
+              spark.read.option("basePath", dst.toString)
+                .parquet(newFiles: _*),
+              statsCols, bloomCols, bitsLog2, head.getInt(1))
+          FileStats.writeStatsDf(carried.unionByName(fresh), dst.toString)
+          // stage()'s Spark write emits _SUCCESS itself; the append
+          // write above did too, so the version dir is marker-complete
+          val before = rows.join(
+            spark.createDataset(matched.toIndexedSeq)(
+              org.apache.spark.sql.Encoders.STRING).toDF("file"), "file")
+            .agg(sum("row_cnt")).head().getLong(0)
+          val after =
+            if (newFiles.isEmpty) 0L
+            else Option(FileStats.read(spark, dst.toString).get
+              .join(spark.createDataset(newFiles.toIndexedSeq)(
+                org.apache.spark.sql.Encoders.STRING).toDF("file"), "file")
+              .agg(sum("row_cnt")).head().get(0))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+          commit(Map(table -> version))
+          before - after
+        } finally rows.unpersist()
+    }
+  }
+
   /** List a directory through a function, always closing the stream (an
     * unclosed `Files.list` leaks a directory fd per call). */
   private def withListing[T](dir: Path)(f: Iterator[Path] => T): T = {
@@ -313,11 +492,20 @@ class TableStore(val root: String, spark: SparkSession) {
 
   /** Drop version dirs no longer referenced by the manifest (call between
     * cycles, never during one — late readers may still hold old paths).
-    * `synchronized` with [[commit]]: the tmp-manifest sweep below must not
-    * delete the tmp file of a commit that is between its write and its
-    * rename. */
-  def vacuum(): Unit = synchronized {
-    val live = manifest.map { case (t, v) => versionDir(t, v).toAbsolutePath }.toSet
+    * `retain` keeps that many of the most recently superseded COMMITTED
+    * versions per table alongside the current one — the time-travel
+    * retention window (Snowflake's `DATA_RETENTION_TIME_IN_DAYS`, by
+    * count instead of wall clock); crashed write-ahead versions never
+    * reached a manifest, are absent from [[history]], and are swept
+    * regardless. `synchronized` with [[commit]]: the tmp-manifest sweep
+    * below must not delete the tmp file of a commit that is between its
+    * write and its rename. */
+  def vacuum(retain: Int = 0): Unit = synchronized {
+    val live = manifest.map { case (t, v) => versionDir(t, v).toAbsolutePath }.toSet ++
+      (if (retain <= 0) Set.empty[Path]
+       else history.flatMap { case (t, vs) =>
+         vs.takeRight(retain).map(v => versionDir(t, v).toAbsolutePath)
+       }.toSet)
     if (Files.exists(rootPath)) {
       // stale tmp manifests are the debris of a crash in the one
       // non-atomic window (between tmp-write and rename in [[commit]]):

@@ -178,7 +178,13 @@ object Sf1Soak {
     "monitor_drift_embedding_stored",
     // the per-bucket drilldown: same two histogram aggregates plus a
     // window over ≤2^8 rows — should track monitor_drift_embedding
-    "monitor_drift_embedding_buckets")
+    "monitor_drift_embedding_buckets",
+    // stats-pruned store scans (index_store_stats surface builds the
+    // clustered+statted store above): probe cost tracks SELECTED data
+    // (one sidecar read + the surviving files), not corpus size — the
+    // range row reads a ~7% date slice, the point row reads only the
+    // bloom's surviving files for one key
+    "store_prune_range", "store_prune_point")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
