@@ -1177,6 +1177,24 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "store_prune_compound" -> ((s, dir) => {
+      // compound predicate: zone maps ∧ bloom intersect at the METADATA
+      // level (a file survives only if every conjunct may match), so a
+      // clustered-date range AND a point key typically plans 0-1 files
+      val store = statsStore(s, dir)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val dataDir = store.currentPath("orders").get
+      val lo = tsLit(o, "o_orderdate", "1995-01-01 00:00:00")
+      val hi = tsLit(o, "o_orderdate", "1997-12-31 00:00:00")
+      graft.core.FileStats.readPrunedWhere(s, dataDir,
+          graft.core.FileStats.mayContainRange("o_orderdate", lo, hi) &&
+            graft.core.FileStats.mayContainPoint("o_custkey", lit(42L),
+              range = false, bloom = true),
+          col("o_orderdate").between(lo, hi) && col("o_custkey") === 42L)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "store_time_travel" -> ((s, dir) => {
       // AS-OF read: aggregate the FIRST committed version of a table
       // that was later overwritten — versions are immutable and
@@ -4633,6 +4651,14 @@ object SparkEntry {
     "store_prune_point" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM orders WHERE o_custkey = 42
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "store_prune_compound" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+        |  AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND o_custkey = 42
         |ORDER BY o_orderkey""".stripMargin,
 
     // time travel reads the FIRST committed version (the even-key half);

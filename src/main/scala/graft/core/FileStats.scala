@@ -172,6 +172,16 @@ object FileStats {
       .filter(col(c) === v)
   }
 
+  /** General pruned scan: `keep` is any sidecar predicate (compose
+    * [[mayContainRange]] / [[mayContainPoint]] with `&&` — evidence
+    * intersects at the metadata level, so a file survives only if EVERY
+    * conjunct may match); `predicate` is the exact row predicate
+    * re-applied after the pruned read. */
+  def readPrunedWhere(spark: SparkSession, dataDir: String, keep: Column,
+      predicate: Column): DataFrame =
+    readKept(spark, dataDir, prunedFiles(spark, dataDir, keep))
+      .filter(predicate)
+
   private def readKept(spark: SparkSession, dataDir: String,
       kept: Option[Seq[String]]): DataFrame = kept match {
     case None => spark.read.parquet(dataDir) // no sidecar: full scan

@@ -184,7 +184,7 @@ object Sf1Soak {
     // (one sidecar read + the surviving files), not corpus size — the
     // range row reads a ~7% date slice, the point row reads only the
     // bloom's surviving files for one key
-    "store_prune_range", "store_prune_point")
+    "store_prune_range", "store_prune_point", "store_prune_compound")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
