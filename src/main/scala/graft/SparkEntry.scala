@@ -475,6 +475,82 @@ object SparkEntry {
     store
   }
 
+  private def morStoreLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-storemor-" + corpusFingerprint(Seq(s"$dir/orders.parquet")))
+
+  /** Build-once accessor for the merge-on-read / metadata-aggregate
+    * store: four tables built from `orders`, each with a
+    * [[graft.core.FileStats]] sidecar on `o_totalprice` (+
+    * `o_custkey` for the stats table).
+    *
+    *  - `orders_stats`: untouched — the [[graft.core.TableStore.statsAgg]]
+    *    metadata-only aggregate target.
+    *  - `orders_mor`: a merge-on-read DELETE of the price tail
+    *    (`o_totalprice > 450000`, ~10% of rows) committed as a
+    *    [[graft.core.DeleteVectors]] sidecar — data files carried
+    *    verbatim, tombstones applied by the read's anti-join. Stays
+    *    DV'd, so `store_delete_mor` measures the DV-aware read.
+    *  - `orders_purge`: the same delete then [[graft.core.TableStore.purgeDeletes]]
+    *    — tombstones materialized by rewriting only the DV'd files
+    *    (the price-clustered layout concentrates them in the top
+    *    range files), back to a plain version.
+    *
+    * Reuse is gated on the store manifest (written last, atomically),
+    * and the build's delete/purge are content-idempotent, so a
+    * repeated build or a re-run against a built store converges on
+    * the same content — which one oracle (the plain filtered
+    * aggregate) checks for both the DV'd and the purged table. */
+  private def morStore(s: SparkSession, dir: String): graft.core.TableStore = {
+    val store = new graft.core.TableStore(morStoreLoc(dir).toString, s)
+    def clustered = s.read.parquet(s"$dir/orders.parquet")
+      .repartitionByRange(16, col("o_totalprice"))
+      .sortWithinPartitions(col("o_totalprice"))
+    if (!store.exists("orders_stats"))
+      store.commit(Map("orders_stats" -> store.stageWithStats("orders_stats",
+        clustered, statsCols = Seq("o_totalprice", "o_custkey"))))
+    val pred = col("o_totalprice") > lit(450000.0)
+    if (!store.exists("orders_mor")) {
+      store.commit(Map("orders_mor" -> store.stageWithStats("orders_mor",
+        clustered, statsCols = Seq("o_totalprice"))))
+      store.deleteWhereMoR("orders_mor", pred)
+    }
+    if (!store.exists("orders_purge")) {
+      store.commit(Map("orders_purge" -> store.stageWithStats("orders_purge",
+        clustered, statsCols = Seq("o_totalprice"))))
+      store.deleteWhereMoR("orders_purge", pred)
+      store.purgeDeletes("orders_purge")
+    }
+    // orders_merge: a merge-on-read UPSERT — key-synthesized updates
+    // (every 97th key: replaced, status 'U') and inserts (every 101st
+    // key shifted out of the domain, status 'N') land as tombstones +
+    // appended files, zero carried bytes rewritten. Batch is derived
+    // from the key domain alone (key-unique, closed-form), so the
+    // oracle replays it verbatim.
+    if (!store.exists("orders_merge")) {
+      store.commit(Map("orders_merge" -> store.stageWithStats("orders_merge",
+        clustered, statsCols = Seq("o_totalprice"))))
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val ts = tsLit(o, "o_orderdate", "1999-01-01 00:00:00")
+      def synth(keys: DataFrame, keyExpr: Column, status: String) =
+        keys.select(keyExpr.as("o_orderkey"),
+          (col("o_orderkey") % 1000).as("o_custkey"),
+          lit(status).as("o_orderstatus"),
+          ((col("o_orderkey") % 9999).cast("double") + 0.5).as("o_totalprice"),
+          ts.as("o_orderdate"),
+          lit("X-MERGED").as("o_orderpriority"))
+      val upd = synth(o.select(col("o_orderkey"))
+          .filter(col("o_orderkey") % 97 === 0).distinct(),
+        col("o_orderkey"), "U")
+      val ins = synth(o.select(col("o_orderkey"))
+          .filter(col("o_orderkey") % 101 === 0).distinct(),
+        col("o_orderkey") + 1000000000L, "N")
+      store.upsertMoR("orders_merge", upd.unionByName(ins), Seq("o_orderkey"))
+    }
+    store
+  }
+
   /** A timestamp literal in the exact flavor (TIMESTAMP vs
     * TIMESTAMP_NTZ) the parquet column reads as, so range predicates
     * compare natively against both the data and its sidecar min/max
@@ -517,7 +593,9 @@ object SparkEntry {
     "index_pq_append" -> IndexSurface(pqAppendLoc,
       (s, d) => { pqAppendPath(s, d); () }),
     "index_store_stats" -> IndexSurface(statsStoreLoc,
-      (s, d) => { statsStore(s, d); () }))
+      (s, d) => { statsStore(s, d); () }),
+    "index_store_mor" -> IndexSurface(morStoreLoc,
+      (s, d) => { morStore(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -1210,6 +1288,61 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy("o_orderpriority")
+    }),
+
+    // -- merge-on-read DML (core.DeleteVectors) + metadata-only
+    //    aggregates (core.TableStore.statsAgg): the third deletion tier
+    //    and the count/min/max shortcut. Oracles recompute the post-
+    //    delete content (or the aggregate) from the raw table. --------
+    "store_delete_mor" -> ((s, dir) => {
+      // read THROUGH a deletion vector: orders_mor had its price tail
+      // (~10% of rows) deleted as (file, pos) tombstones — every data
+      // file carried verbatim, zero data bytes rewritten at delete
+      // time — and the scan anti-joins the broadcast DV sidecar, so
+      // the result equals the plain post-delete table
+      val store = morStore(s, dir)
+      store.read("orders_mor")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "store_purge" -> ((s, dir) => {
+      // the same delete MATERIALIZED: purgeDeletes rewrote ONLY the
+      // files the DV names (the price-clustered layout concentrates
+      // the tail in the top range files) and committed a DV-free
+      // version — identical content, plain scan, same oracle
+      val store = morStore(s, dir)
+      store.read("orders_purge")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "store_merge_mor" -> ((s, dir) => {
+      // merge-on-read UPSERT: matched keys tombstoned via the DV,
+      // updates + inserts appended as new files — zero carried bytes
+      // rewritten; the read composes carried-minus-tombstoned with the
+      // appended files through the same DV anti-join
+      val store = morStore(s, dir)
+      store.read("orders_merge")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "store_stats_agg" -> ((s, dir) => {
+      // metadata-only aggregate: row count, min/max and non-null count
+      // per column answered from the FileStats sidecar ALONE — the
+      // kilobyte-scale sidecar scan replaces the corpus scan (exact,
+      // not approximate: sidecar min/max are true per-file column
+      // aggregates, so their fold equals the global answer; the spec
+      // pins that no data file is opened)
+      val store = morStore(s, dir)
+      store.statsAgg("orders_stats", Seq("o_totalprice", "o_custkey"))
     }),
 
     // -- skew mitigation (operators under graft.operators.Salt): results
@@ -4668,6 +4801,59 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // merge-on-read delete (tombstone sidecar applied at scan time) and
+    // its materialized purge hold identical content: the raw table
+    // minus the price tail (NULL prices never match the delete
+    // predicate, so they survive)
+    "store_delete_mor" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_totalprice <= 450000 OR o_totalprice IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "store_purge" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_totalprice <= 450000 OR o_totalprice IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // merge-on-read UPSERT: the oracle replays the key-synthesized
+    // update/insert batch in closed form — survivors are the rows whose
+    // key no update carries (NULL keys never match, so they survive),
+    // plus one 'U' row per 97-divisible key and one 'N' insert per
+    // 101-divisible key (insert keys are shifted by 1e9; their payload
+    // derives from the ORIGINAL key, matching the Spark-side synth)
+    "store_merge_mor" ->
+      """WITH keys97 AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |keys101 AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 101 = 0),
+        |merged AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey IS NULL
+        |     OR o_orderkey NOT IN (SELECT o_orderkey FROM keys97)
+        |  UNION ALL
+        |  SELECT 'U', (o_orderkey % 9999) + 0.5 FROM keys97
+        |  UNION ALL
+        |  SELECT 'N', (o_orderkey % 9999) + 0.5 FROM keys101)
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // metadata-only aggregate: exact fold of per-file sidecar stats
+    // equals the data-scan aggregate the oracle computes
+    "store_stats_agg" ->
+      """SELECT count(*) AS n_rows,
+        |  min(o_totalprice) AS min_o_totalprice,
+        |  max(o_totalprice) AS max_o_totalprice,
+        |  count(o_totalprice) AS cnt_o_totalprice,
+        |  min(o_custkey) AS min_o_custkey,
+        |  max(o_custkey) AS max_o_custkey,
+        |  count(o_custkey) AS cnt_o_custkey
+        |FROM orders""".stripMargin,
 
     "salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

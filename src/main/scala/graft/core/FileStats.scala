@@ -182,9 +182,15 @@ object FileStats {
     readKept(spark, dataDir, prunedFiles(spark, dataDir, keep))
       .filter(predicate)
 
+  /** Scan of the kept files, with the version's deletion vector (if
+    * any) applied — pruning must compose with merge-on-read deletes or
+    * a pruned scan of a DV'd version would resurrect tombstoned rows.
+    * The full DV is applied to whatever subset of files was planned:
+    * tombstones of unplanned files simply never match the anti-join. */
   private def readKept(spark: SparkSession, dataDir: String,
       kept: Option[Seq[String]]): DataFrame = kept match {
-    case None => spark.read.parquet(dataDir) // no sidecar: full scan
+    case None => // no sidecar: full scan
+      DeleteVectors.applyTo(spark, spark.read.parquet(dataDir), dataDir)
     case Some(Nil) => // nothing can match: empty relation, zero I/O
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -192,6 +198,7 @@ object FileStats {
     case Some(files) =>
       // basePath keeps hive-partition columns resolvable when the
       // version is partitioned and we hand Spark leaf files directly
-      spark.read.option("basePath", dataDir).parquet(files: _*)
+      DeleteVectors.applyTo(spark,
+        spark.read.option("basePath", dataDir).parquet(files: _*), dataDir)
   }
 }

@@ -7,7 +7,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, element_at, lit, split, sum}
+import org.apache.spark.sql.functions.{coalesce, col, concat, count, element_at, lit, max, min, split, sum}
 import org.apache.spark.sql.types.StructType
 
 /** Versioned, parquet-backed multi-table store with atomic multi-table
@@ -94,7 +94,10 @@ class TableStore(val root: String, spark: SparkSession) {
     * Fails if the table was never committed. */
   def read(table: String): DataFrame = manifest.get(table) match {
     case Some(v) => catalogNameIfBucketed(table, v).map(spark.table)
-      .getOrElse(spark.read.parquet(versionDir(table, v).toString))
+      .getOrElse {
+        val dir = versionDir(table, v).toString
+        DeleteVectors.applyTo(spark, spark.read.parquet(dir), dir)
+      }
     case None =>
       throw new IllegalStateException(s"table '$table' does not exist in $root")
   }
@@ -120,7 +123,9 @@ class TableStore(val root: String, spark: SparkSession) {
     catalogNameIfBucketed(table, version) match {
       case Some(name) => spark.table(name)
       case None =>
-        spark.read.schema(schema).parquet(versionDir(table, version).toString)
+        val dir = versionDir(table, version).toString
+        DeleteVectors.applyTo(spark,
+          spark.read.schema(schema).parquet(dir), dir)
     }
 
   /** Time travel: versions are immutable and named in commit order
@@ -406,6 +411,10 @@ class TableStore(val root: String, spark: SparkSession) {
     FileStats.read(spark, curDir.toString) match {
       case None => fallback()
       case Some(_) if Files.exists(curDir.resolve(BucketSpecFile)) => fallback()
+      // a DV'd version: the verbatim file-carry below would drop the
+      // tombstones and resurrect deleted rows — the fallback reads
+      // DV-aware and materializes the deletions in its full rewrite
+      case Some(_) if DeleteVectors.exists(curDir.toString) => fallback()
       case Some(stats) if !stats.columns.contains(s"min_$c") => fallback()
       case Some(stats) =>
         val rows = stats.cache()
@@ -446,24 +455,7 @@ class TableStore(val root: String, spark: SparkSession) {
           // sidecar: fresh stats for the rewritten files only; carried
           // rows for copied files get their path remapped (same name,
           // new version dir) — O(changed files) maintenance
-          val statsCols = rows.columns.collect {
-            case n if n.startsWith("min_") => n.stripPrefix("min_") }.toSeq
-          val bloomCols = rows.columns.collect {
-            case n if n.startsWith("bloom_") && n != "bloom_bits" &&
-              n != "bloom_k" => n.stripPrefix("bloom_") }.toSeq
-          val head = rows.select("bloom_bits", "bloom_k").head()
-          val bitsLog2 = java.lang.Long.numberOfTrailingZeros(head.getLong(0))
-          val dstUri = dst.toUri.toString.stripSuffix("/")
-          val carried = untouchedRows.withColumn("file",
-            concat(lit(dstUri + "/"),
-              element_at(split(col("file"), "/"), -1)))
-          val fresh =
-            if (newFiles.isEmpty) carried.limit(0)
-            else FileStats.computeStats(
-              spark.read.option("basePath", dst.toString)
-                .parquet(newFiles: _*),
-              statsCols, bloomCols, bitsLog2, head.getInt(1))
-          FileStats.writeStatsDf(carried.unionByName(fresh), dst.toString)
+          carrySidecar(rows, untouchedRows, dst, newFiles)
           // stage()'s Spark write emits _SUCCESS itself; the append
           // write above did too, so the version dir is marker-complete
           val before = rows.join(
@@ -481,6 +473,282 @@ class TableStore(val root: String, spark: SparkSession) {
           before - after
         } finally rows.unpersist()
     }
+  }
+
+  /** Sidecar maintenance shared by the surgical DML paths
+    * ([[deleteRange]], [[purgeDeletes]]): carried files keep their
+    * existing stats rows with the path remapped to the new version dir
+    * (same file name, new directory), freshly written files get stats
+    * recomputed with the sidecar's own self-described parameters —
+    * O(changed files), never a rescan of the carried data. */
+  private def carrySidecar(rows: DataFrame, untouchedRows: DataFrame,
+      dst: Path, newFiles: Seq[String]): Unit = {
+    val statsCols = rows.columns.collect {
+      case n if n.startsWith("min_") => n.stripPrefix("min_") }.toSeq
+    val bloomCols = rows.columns.collect {
+      case n if n.startsWith("bloom_") && n != "bloom_bits" &&
+        n != "bloom_k" => n.stripPrefix("bloom_") }.toSeq
+    val head = rows.select("bloom_bits", "bloom_k").head()
+    val bitsLog2 = java.lang.Long.numberOfTrailingZeros(head.getLong(0))
+    val dstUri = dst.toUri.toString.stripSuffix("/")
+    val carried = untouchedRows.withColumn("file",
+      concat(lit(dstUri + "/"),
+        element_at(split(col("file"), "/"), -1)))
+    val fresh =
+      if (newFiles.isEmpty) carried.limit(0)
+      else FileStats.computeStats(
+        spark.read.option("basePath", dst.toString)
+          .parquet(newFiles: _*),
+        statsCols, bloomCols, bitsLog2, head.getInt(1))
+    FileStats.writeStatsDf(carried.unionByName(fresh), dst.toString)
+  }
+
+  /** The version's data files (flat layout). */
+  private def dataFiles(dir: Path): Seq[Path] =
+    withListing(dir)(_.filter(p => Files.isRegularFile(p) &&
+      p.getFileName.toString.endsWith(".parquet")).toSeq)
+
+  /** Whether the version nests files in subdirectories (hive
+    * partitioning) — the layouts the flat name-keyed carry paths
+    * can't model (sidecar dirs are `_`-prefixed, not data). */
+  private def hasNestedData(dir: Path): Boolean =
+    withListing(dir)(_.exists(p => Files.isDirectory(p) &&
+      !p.getFileName.toString.startsWith("_")))
+
+  /** Merge-on-read DELETE ([[DeleteVectors]]): record the matching
+    * rows as (file, position) tombstones and carry every data file
+    * verbatim — no data bytes are rewritten, so the commit costs one
+    * predicate scan plus O(deleted rows) metadata REGARDLESS of how
+    * the matches scatter across files. This is the tier for
+    * low-selectivity deletes on unclustered predicates, where
+    * [[deleteRange]]'s zone maps would match every file and
+    * [[deleteWhere]] would rewrite the corpus: on a 100 TB table the
+    * DV commit is minutes of scan and kilobytes of write. Reads of a
+    * DV'd version anti-join the sidecar (broadcast — no shuffle of
+    * the data side) until [[purgeDeletes]] materializes the
+    * tombstones; repeated MoR deletes accumulate into one DV.
+    * Deleting zero rows commits nothing. Falls back to the
+    * copy-on-write [[deleteWhere]] for bucketed / hive-partitioned
+    * layouts (their reads bypass the flat-version DV application).
+    * Like all DML here: time travel keeps the pre-delete version
+    * readable until vacuum, and a compliance purge is this plus
+    * [[purgeDeletes]] plus [[vacuum]]. */
+  def deleteWhereMoR(table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val curDir = versionDir(table, curV)
+    if (Files.exists(curDir.resolve(BucketSpecFile)) || hasNestedData(curDir))
+      return deleteWhere(table, predicate)
+    val files = dataFiles(curDir)
+    if (files.isEmpty) return 0L // empty version: nothing to delete
+
+    // tombstones of the NEWLY matching rows, computed on the DV-adjusted
+    // view so already-deleted rows are never re-recorded (positions are
+    // captured directly above the scan — before the anti-join — because
+    // `_metadata` doesn't resolve through joins); localCheckpoint pins
+    // the small result so the count and the sidecar write below don't
+    // each re-run the predicate scan
+    val withPos =
+      DeleteVectors.withPosition(spark.read.parquet(curDir.toString))
+    val alive = DeleteVectors.read(spark, curDir.toString) match {
+      case Some(old) => DeleteVectors.antiJoin(withPos, old)
+      case None      => withPos
+    }
+    val fresh = alive.filter(coalesce(predicate, lit(false)))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .localCheckpoint(true)
+    val freshN = fresh.count()
+    if (freshN == 0L) return 0L
+
+    val version = newVersion()
+    val dst = versionDir(table, version)
+    Files.createDirectories(dst)
+    files.foreach(f => Files.copy(f, dst.resolve(f.getFileName.toString)))
+    Files.createFile(dst.resolve("_SUCCESS"))
+    val dv = DeleteVectors.read(spark, curDir.toString) match {
+      case Some(old) => old.unionByName(fresh) // disjoint by construction
+      case None      => fresh
+    }
+    DeleteVectors.write(dv, dst.toString)
+    // zone maps / blooms describe the FILES (tombstones included) and
+    // stats can only skip, so the sidecar carries over untouched; the
+    // stale row_cnt is why [[statsAgg]] won't answer from metadata here
+    FileStats.read(spark, curDir.toString).foreach { rows =>
+      carrySidecar(rows, rows, dst, Seq.empty)
+    }
+    commit(Map(table -> version))
+    freshN
+  }
+
+  /** Materialize a version's deletion vector: rewrite ONLY the files
+    * the DV names (minus their tombstoned rows), carry every other
+    * file verbatim, and commit a DV-free version — returning reads to
+    * plain scans. O(DV'd files), not O(table): the OPTIMIZE-style
+    * maintenance call that bounds how long the anti-join read tax
+    * accrues. Stats sidecars are carried/recomputed per file like
+    * [[deleteRange]]. Returns the number of tombstones materialized
+    * (0, committing nothing, when the version has no DV). */
+  def purgeDeletes(table: String): Long = {
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val curDir = versionDir(table, curV)
+    DeleteVectors.read(spark, curDir.toString) match {
+      case None => 0L
+      case Some(dv) =>
+        val dvRows = dv.localCheckpoint(true)
+        val dvN = dvRows.count()
+        if (dvN == 0L) return 0L // pathological empty DV: nothing to do
+        val dvFiles = dvRows.select("file").distinct()
+          .collect().map(_.getString(0)).toSet
+        val (rewrite, untouched) =
+          dataFiles(curDir).partition(f => dvFiles(f.getFileName.toString))
+        val version = newVersion()
+        val dst = versionDir(table, version)
+        Files.createDirectories(dst)
+        untouched.foreach(f =>
+          Files.copy(f, dst.resolve(f.getFileName.toString)))
+        val copiedNames = untouched.map(_.getFileName.toString).toSet
+        if (rewrite.nonEmpty)
+          DeleteVectors.applyTo(spark,
+              spark.read.option("basePath", curDir.toString)
+                .parquet(rewrite.map(_.toUri.toString): _*),
+              curDir.toString)
+            .write.mode("append").parquet(dst.toString)
+        else Files.createFile(dst.resolve("_SUCCESS"))
+        FileStats.read(spark, curDir.toString).foreach { rows =>
+          val newFiles = withListing(dst)(_
+            .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+              !copiedNames.contains(p.getFileName.toString))
+            .map(_.toUri.toString).toSeq)
+          val dstUri = dst.toUri.toString.stripSuffix("/")
+          val untouchedRows = rows.filter(!element_at(
+            split(col("file"), "/"), -1).isin(dvFiles.toSeq: _*))
+          carrySidecar(rows, untouchedRows, dst, newFiles)
+        }
+        commit(Map(table -> version))
+        dvN
+    }
+  }
+
+  /** Metadata-only aggregates: row count and, per requested column,
+    * min / max / non-null count of the CURRENT version, answered from
+    * the [[FileStats]] sidecar alone — zero data-file I/O, the
+    * Snowflake-style `count(*)`/`min`/`max` shortcut where the answer
+    * at 100 TB is a kilobyte-scale sidecar scan instead of a corpus
+    * scan. Exact, not approximate: sidecar min/max are true column
+    * aggregates per file (not truncated parquet footer stats), so
+    * their fold equals the global aggregate, and non-null counts are
+    * `row_cnt − nulls_c` summed. Falls back to the equivalent data
+    * scan when the version lacks stats for any requested column or
+    * carries a deletion vector (tombstones make the per-file counts
+    * stale, and a deleted row may hold the min/max) — same columns,
+    * same values, just paid in I/O. Returns one row:
+    * `(n_rows, min_c1, max_c1, cnt_c1, …)`. */
+  def statsAgg(table: String, cols: Seq[String]): DataFrame = {
+    val dir = currentPathOrFail(table)
+    val sidecar =
+      if (DeleteVectors.exists(dir)) None else FileStats.read(spark, dir)
+    sidecar match {
+      case Some(st) if cols.forall(c => st.columns.contains(s"min_$c")) =>
+        val aggs = coalesce(sum(col("row_cnt")), lit(0L)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"),
+            coalesce(sum(col("row_cnt")) - sum(col(s"nulls_$c")), lit(0L))
+              .as(s"cnt_$c")))
+        st.agg(aggs.head, aggs.tail: _*)
+      case _ =>
+        val aggs = count(lit(1)).as("n_rows") +:
+          cols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"),
+            count(col(c)).as(s"cnt_$c")))
+        read(table).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Merge-on-read UPSERT (MERGE): rows of `updates` replace current
+    * rows sharing their `keys` value and insert otherwise — committed
+    * WITHOUT rewriting one byte of existing data. Matched current rows
+    * become `(file, pos)` tombstones in the version's
+    * [[DeleteVectors]] sidecar (computed on the DV-adjusted view, so
+    * re-upserting a key already tombstoned records nothing twice),
+    * every current file is carried verbatim, and `updates` lands as
+    * freshly appended files in the same version dir — reads see
+    * carried-minus-tombstoned plus appended through the normal DV
+    * path, no special casing. Cost: one key semi-join scan plus
+    * O(|updates|) write, independent of how matches scatter across
+    * files — against [[graft.ops.Merge.upsert]]'s full-rewrite
+    * copy-on-write, this is the tier for a trickle of updates into a
+    * 100 TB table (the MERGE shape of the lakehouse formats' deletion
+    * vectors). The read tax and its bound are [[purgeDeletes]]'s, which
+    * also materializes upsert tombstones. Contract: `updates` must be
+    * key-unique and share the table's columns (written in table column
+    * order); NULL keys never match and therefore insert. Falls back to
+    * a copy-on-write merge for bucketed / hive-partitioned layouts
+    * (flat-version DV application doesn't cover their readers).
+    * Returns the number of current rows replaced. */
+  def upsertMoR(table: String, updates: DataFrame,
+      keys: Seq[String]): Long = {
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val curDir = versionDir(table, curV)
+    val cols = read(table).columns.toSeq
+    val aligned = updates.select(cols.map(col): _*)
+    if (Files.exists(curDir.resolve(BucketSpecFile)) || hasNestedData(curDir)) {
+      // copy-on-write fallback: anti-join out the matched rows, append
+      // the updates, overwrite (plain layout, like deleteWhere's)
+      val cur = read(table)
+      val matched = cur.join(aligned.select(keys.map(col): _*).distinct(),
+        keys, "left_semi").count()
+      overwrite(table, cur.join(
+          aligned.select(keys.map(col): _*).distinct(), keys, "left_anti")
+        .unionByName(aligned))
+      return matched
+    }
+    val files = dataFiles(curDir)
+    // tombstones for alive rows whose key a fresh update row carries;
+    // position capture directly above the scan (before any join), the
+    // key semi-join after — `_metadata` doesn't resolve through joins
+    val withPos =
+      DeleteVectors.withPosition(spark.read.parquet(curDir.toString))
+    val alive = DeleteVectors.read(spark, curDir.toString) match {
+      case Some(old) => DeleteVectors.antiJoin(withPos, old)
+      case None      => withPos
+    }
+    val fresh = alive.join(aligned.select(keys.map(col): _*).distinct(),
+        keys, "left_semi")
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .localCheckpoint(true)
+    val freshN = fresh.count()
+
+    val version = newVersion()
+    val dst = versionDir(table, version)
+    Files.createDirectories(dst)
+    files.foreach(f => Files.copy(f, dst.resolve(f.getFileName.toString)))
+    val copiedNames = files.map(_.getFileName.toString).toSet
+    // Spark's append write emits _SUCCESS itself → marker-complete
+    aligned.write.mode("append").parquet(dst.toString)
+    // pure-insert upsert with no inherited DV: no sidecar at all — the
+    // new version reads as a plain scan with no anti-join tax
+    DeleteVectors.read(spark, curDir.toString) match {
+      case Some(old) =>
+        DeleteVectors.write(old.unionByName(fresh), dst.toString)
+      case None if freshN > 0L =>
+        DeleteVectors.write(fresh, dst.toString)
+      case None => ()
+    }
+    // carried files keep their sidecar rows (stats may only skip, and
+    // tombstoned rows only widen bounds); appended files get fresh stats
+    FileStats.read(spark, curDir.toString).foreach { rows =>
+      val newFiles = withListing(dst)(_
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !copiedNames.contains(p.getFileName.toString))
+        .map(_.toUri.toString).toSeq)
+      carrySidecar(rows, rows, dst, newFiles)
+    }
+    commit(Map(table -> version))
+    freshN
   }
 
   /** List a directory through a function, always closing the stream (an

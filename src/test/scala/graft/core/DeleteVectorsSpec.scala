@@ -1,0 +1,288 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+/** Merge-on-read deletion vectors ([[DeleteVectors]],
+  * [[TableStore.deleteWhereMoR]], [[TableStore.purgeDeletes]]) and the
+  * metadata-only aggregate ([[TableStore.statsAgg]]).
+  *
+  * The scale contracts under test:
+  *  - a MoR delete rewrites ZERO data bytes (files carried verbatim,
+  *    byte-identical) — the 100 TB property;
+  *  - every read path (plain, pruned, time travel, fallback DML)
+  *    applies the tombstones — deleted rows never resurrect;
+  *  - purge rewrites ONLY the files the DV names;
+  *  - statsAgg answers from the sidecar alone (zero data-file I/O)
+  *    and falls back — same values — when tombstones make per-file
+  *    counts stale.
+  */
+class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
+
+  import org.apache.spark.sql.functions._
+
+  /** Top-level parquet data files of a version dir: (name, size). */
+  private def dataFiles(dir: String): Map[String, Long] =
+    Files.list(Paths.get(dir)).iterator().asScala
+      .filter(p => Files.isRegularFile(p) &&
+        p.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> Files.size(p)).toMap
+
+  private def ids(store: TableStore, t: String): Seq[Long] =
+    store.read(t).select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("MoR delete: content filtered, zero data bytes rewritten, O(deleted) sidecar") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv"), spark)
+    store.overwrite("t",
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4))
+    val before = store.currentPath("t").get
+    val beforeFiles = dataFiles(before)
+    beforeFiles.size shouldBe 4
+
+    store.deleteWhereMoR("t", col("id") % 10 === 0) shouldBe 100L
+
+    val after = store.currentPath("t").get
+    after should not be before
+    // every data file carried verbatim: same names, same sizes
+    dataFiles(after) shouldBe beforeFiles
+    DeleteVectors.exists(after) shouldBe true
+    ids(store, "t") shouldBe (0L until 1000L).filter(_ % 10 != 0)
+    // the prior version is untouched (time travel / pinned readers)
+    DeleteVectors.exists(before) shouldBe false
+  }
+
+  test("repeated MoR deletes accumulate into one DV without re-recording") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-acc"), spark)
+    store.overwrite("t",
+      (0L until 1000L).map(i => (i, i % 7)).toDF("id", "grp").repartition(4))
+
+    store.deleteWhereMoR("t", col("id") % 10 === 0) shouldBe 100L
+    // overlaps the first delete: ids %5==0 minus the %10==0 already gone
+    store.deleteWhereMoR("t", col("id") % 5 === 0) shouldBe 100L
+    // no-op delete commits nothing
+    val v = store.currentPath("t").get
+    store.deleteWhereMoR("t", col("id") === -1L) shouldBe 0L
+    store.currentPath("t").get shouldBe v
+
+    val dv = DeleteVectors.read(spark, v).get
+    dv.count() shouldBe 200L // disjoint union, nothing double-recorded
+    dv.select("file", "pos").distinct().count() shouldBe 200L
+    ids(store, "t") shouldBe (0L until 1000L).filter(_ % 5 != 0)
+  }
+
+  test("MoR delete predicate is null-safe: null rows survive") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-null"), spark)
+    store.overwrite("t",
+      Seq((1L, Some(10.0)), (2L, None), (3L, Some(3.0)), (4L, Some(20.0)))
+        .toDF("id", "price"))
+    store.deleteWhereMoR("t", col("price") > 5.0) shouldBe 2L
+    ids(store, "t") shouldBe Seq(2L, 3L) // NULL price never matches
+  }
+
+  test("purge rewrites only the DV'd files; carried files stay byte-identical") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-purge"), spark)
+    // id-clustered: the delete's matches concentrate in the top range file
+    val df = (0L until 1000L).map(i => (i, i % 3)).toDF("id", "grp")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    store.commit(Map("t" -> store.stageWithStats("t", df, Seq("id"))))
+
+    store.deleteWhereMoR("t", col("id") >= 900L) shouldBe 100L
+    val dvDir = store.currentPath("t").get
+    val dvFiles = DeleteVectors.read(spark, dvDir).get
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val carried = dataFiles(dvDir) -- dvFiles
+    dvFiles should not be empty
+    carried should not be empty // clustering kept most files clean
+
+    store.purgeDeletes("t") shouldBe 100L
+    val purged = store.currentPath("t").get
+    DeleteVectors.exists(purged) shouldBe false
+    val after = dataFiles(purged)
+    // untouched files carried verbatim; the DV'd names are gone
+    carried.foreach { case (name, size) => after.get(name) shouldBe Some(size) }
+    dvFiles.foreach(name => after.contains(name) shouldBe false)
+    ids(store, "t") shouldBe (0L until 900L)
+    // the carried stats sidecar still prunes and never resurrects rows
+    store.readPrunedRange("t", "id", lit(850L), lit(950L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (850L until 900L)
+    // purging a DV-free table is a no-op
+    store.purgeDeletes("t") shouldBe 0L
+  }
+
+  test("every read path applies the DV: pruned scans, time travel, fallback DML") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-paths"), spark)
+    val df = (0L until 1000L).map(i => (i, i % 5)).toDF("id", "grp")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    store.commit(Map("t" -> store.stageWithStats("t", df, Seq("id"))))
+    val v0 = store.committedVersions("t").last
+
+    store.deleteWhereMoR("t", col("id") % 4 === 0) shouldBe 250L
+    val vDv = store.committedVersions("t").last
+
+    // pruned range scan on the DV'd version: skipping composes with
+    // tombstones (the delete scatters across every file, so the DV —
+    // not the zone maps — is what must hide the rows)
+    store.readPrunedRange("t", "id", lit(100L), lit(120L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (100L to 120L).filter(_ % 4 != 0)
+
+    // time travel: the pre-delete version reads full, the DV'd version
+    // reads its tombstones
+    val schema = store.read("t").schema
+    store.readVersion("t", v0, schema).count() shouldBe 1000L
+    store.readVersion("t", vDv, schema).count() shouldBe 750L
+
+    // range DML on a DV'd version falls back to a DV-aware rewrite:
+    // no resurrection of MoR-deleted rows in the overlapping range
+    store.deleteRange("t", "id", lit(500L), lit(599L)) shouldBe 75L
+    DeleteVectors.exists(store.currentPath("t").get) shouldBe false
+    ids(store, "t") shouldBe
+      (0L until 1000L).filter(i => i % 4 != 0 && (i < 500L || i > 599L))
+  }
+
+  test("MoR falls back to copy-on-write for layouts its flat carry can't model") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-hive"), spark)
+    val df = (0L until 100L).map(i => (i, (i % 3).toString)).toDF("id", "part")
+    store.commit(Map("t" -> store.stage("t", df, partitionBy = Seq("part"))))
+    store.deleteWhereMoR("t", col("id") < 10L) shouldBe 10L
+    DeleteVectors.exists(store.currentPath("t").get) shouldBe false
+    ids(store, "t") shouldBe (10L until 100L)
+  }
+
+  test("MoR upsert: matched rows tombstoned, updates appended, carried bytes untouched") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-upsert"), spark)
+    store.overwrite("t",
+      (0L until 100L).map(i => (i, s"old$i")).toDF("id", "v").repartition(4))
+    val before = store.currentPath("t").get
+    val beforeFiles = dataFiles(before)
+
+    // 10 updates of existing keys + 5 inserts of fresh keys
+    val batch = ((0L until 100L by 10L).map(i => (i, s"new$i")) ++
+      (200L until 205L).map(i => (i, s"ins$i"))).toDF("id", "v")
+    store.upsertMoR("t", batch, Seq("id")) shouldBe 10L
+
+    val after = store.currentPath("t").get
+    val afterFiles = dataFiles(after)
+    // every original file carried byte-identical; appended files are new
+    beforeFiles.foreach { case (n, sz) => afterFiles.get(n) shouldBe Some(sz) }
+    (afterFiles.keySet -- beforeFiles.keySet) should not be empty
+    DeleteVectors.read(spark, after).get.count() shouldBe 10L
+
+    val got = store.read("t").as[(Long, String)].collect().toMap
+    got.size shouldBe 105
+    got(5L) shouldBe "old5"   // unmatched survives
+    got(10L) shouldBe "new10" // matched replaced
+    got(202L) shouldBe "ins202" // insert present
+
+    // purge materializes upsert tombstones too
+    store.purgeDeletes("t") shouldBe 10L
+    DeleteVectors.exists(store.currentPath("t").get) shouldBe false
+    store.read("t").as[(Long, String)].collect().toMap shouldBe got
+  }
+
+  test("MoR upsert composes with prior MoR deletes and pure inserts leave no DV") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-upsert2"), spark)
+    store.overwrite("t",
+      (0L until 100L).map(i => (i, i.toString)).toDF("id", "v").repartition(2))
+
+    // pure insert on a DV-free table: no sidecar, no read tax
+    store.upsertMoR("t", Seq((100L, "i100")).toDF("id", "v"), Seq("id")) shouldBe 0L
+    DeleteVectors.exists(store.currentPath("t").get) shouldBe false
+
+    store.deleteWhereMoR("t", col("id") < 10L) shouldBe 10L
+    // upserting a key the delete already tombstoned records nothing new
+    // for it (the key no longer exists → it inserts)
+    store.upsertMoR("t",
+      Seq((5L, "back5"), (50L, "new50")).toDF("id", "v"), Seq("id")) shouldBe 1L
+    val dv = DeleteVectors.read(spark, store.currentPath("t").get).get
+    dv.count() shouldBe 11L // 10 deleted + 1 replaced, nothing doubled
+    val got = store.read("t").as[(Long, String)].collect().toMap
+    got.size shouldBe 92 // 100 - 10 + i100 + back5; 50 replaced in place
+    got(5L) shouldBe "back5"
+    got(50L) shouldBe "new50"
+    got.contains(3L) shouldBe false
+  }
+
+  test("statsAgg answers from the sidecar alone — zero data-file I/O") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-stats"), spark)
+    val df = Seq((1L, Some(10.0)), (2L, None), (3L, Some(-4.5)), (4L, Some(99.0)),
+        (5L, Some(7.0)), (6L, None)).toDF("id", "price").repartition(3)
+    store.commit(Map("t" -> store.stageWithStats("t", df, Seq("id", "price"))))
+
+    val agg = store.statsAgg("t", Seq("id", "price"))
+    // the plan touches ONLY the sidecar parquet, never a data file
+    agg.inputFiles should not be empty
+    all(agg.inputFiles.toSeq) should include(FileStats.StatsDir)
+    val r = agg.head()
+    r.getLong(0) shouldBe 6L            // n_rows
+    r.getLong(1) shouldBe 1L            // min_id
+    r.getLong(2) shouldBe 6L            // max_id
+    r.getLong(3) shouldBe 6L            // cnt_id
+    r.getDouble(4) shouldBe -4.5        // min_price
+    r.getDouble(5) shouldBe 99.0        // max_price
+    r.getLong(6) shouldBe 4L            // cnt_price (nulls excluded)
+
+    // a version whose sidecar lacks one requested column → data-scan
+    // fallback: same columns, same values, paid in I/O
+    val store2 = new TableStore(tmpDir("dv-stats-fb"), spark)
+    store2.commit(Map("t" -> store2.stageWithStats("t", df, Seq("id"))))
+    val fb = store2.statsAgg("t", Seq("id", "price"))
+    atLeast(1, fb.inputFiles.toSeq) should not include FileStats.StatsDir
+    val fr = fb.head()
+    fr.getLong(0) shouldBe 6L
+    fr.getDouble(4) shouldBe -4.5
+    fr.getLong(6) shouldBe 4L
+  }
+
+  test("statsAgg on a DV'd version falls back — tombstones make file counts stale") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-stats-mor"), spark)
+    val df = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "price")
+      .repartition(4)
+    store.commit(Map("t" -> store.stageWithStats("t", df, Seq("price"))))
+
+    // delete the row holding the global max: a sidecar answer would
+    // report the stale 100.0
+    store.deleteWhereMoR("t", col("price") >= 99.0) shouldBe 2L
+    val agg = store.statsAgg("t", Seq("price"))
+    atLeast(1, agg.inputFiles.toSeq) should not include FileStats.StatsDir
+    val r = agg.head()
+    r.getLong(0) shouldBe 98L
+    r.getDouble(2) shouldBe 98.0 // max_price sees the deletion
+
+    // purge returns statsAgg to... the rewritten sidecar is fresh, so
+    // the metadata answer is live again and agrees with the data
+    store.purgeDeletes("t") shouldBe 2L
+    val agg2 = store.statsAgg("t", Seq("price"))
+    all(agg2.inputFiles.toSeq) should include(FileStats.StatsDir)
+    val r2 = agg2.head()
+    r2.getLong(0) shouldBe 98L
+    r2.getDouble(2) shouldBe 98.0
+  }
+}
