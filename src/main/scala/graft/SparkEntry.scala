@@ -524,7 +524,7 @@ object SparkEntry {
     }
     // orders_merge: a merge-on-read UPSERT — key-synthesized updates
     // (every 97th key: replaced, status 'U') and inserts (every 101st
-    // key shifted out of the domain, status 'N') land as tombstones +
+    // key shifted by 1e11 out of the domain, status 'N') land as tombstones +
     // appended files, zero carried bytes rewritten. Batch is derived
     // from the key domain alone (key-unique, closed-form), so the
     // oracle replays it verbatim.
@@ -543,9 +543,12 @@ object SparkEntry {
       val upd = synth(o.select(col("o_orderkey"))
           .filter(col("o_orderkey") % 97 === 0).distinct(),
         col("o_orderkey"), "U")
+      // insert keys shifted clear of every corpus's key domain (the
+      // deep-replication soaks reach ~1e10); the oracle never sees the
+      // shifted key — insert payloads derive from the ORIGINAL key
       val ins = synth(o.select(col("o_orderkey"))
           .filter(col("o_orderkey") % 101 === 0).distinct(),
-        col("o_orderkey") + 1000000000L, "N")
+        col("o_orderkey") + 100000000000L, "N")
       store.upsertMoR("orders_merge", upd.unionByName(ins), Seq("o_orderkey"))
     }
     store
@@ -1332,6 +1335,22 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy("o_orderstatus")
+    }),
+
+    "store_cdf" -> ((s, dir) => {
+      // version-aware change data feed: exact row-level changes between
+      // the initial commit and the post-upsert version of orders_merge,
+      // read from metadata + O(changed files) — tombstones read back as
+      // DELETEs, appended files as INSERTs, the unchanged corpus never
+      // scanned and no diff join (vs SnapshotCdc's two full scans +
+      // key shuffle)
+      val store = morStore(s, dir)
+      val vs = store.committedVersions("orders_merge")
+      store.changesBetween("orders_merge", vs.head, vs.last)
+        .groupBy(col("_action"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("_action", "o_orderstatus")
     }),
 
     "store_stats_agg" -> ((s, dir) => {
@@ -4842,6 +4861,25 @@ object SparkEntry {
         |SELECT o_orderstatus, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // change data feed across the upsert: DELETEs are the replaced
+    // original rows (key % 97 = 0), INSERTs are the update + insert
+    // batch rows — the same closed-form batch store_merge_mor replays
+    "store_cdf" ->
+      """WITH keys97 AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 97 = 0),
+        |keys101 AS (
+        |  SELECT DISTINCT o_orderkey FROM orders WHERE o_orderkey % 101 = 0),
+        |changes AS (
+        |  SELECT 'DELETE' AS _action, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |  UNION ALL
+        |  SELECT 'INSERT', 'U', (o_orderkey % 9999) + 0.5 FROM keys97
+        |  UNION ALL
+        |  SELECT 'INSERT', 'N', (o_orderkey % 9999) + 0.5 FROM keys101)
+        |SELECT _action, o_orderstatus, count(*) AS n_rows,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // metadata-only aggregate: exact fold of per-file sidecar stats
     // equals the data-scan aggregate the oracle computes

@@ -751,6 +751,85 @@ class TableStore(val root: String, spark: SparkSession) {
     freshN
   }
 
+  /** Version-aware change data feed: the exact row-level changes
+    * between two committed versions connected by verbatim-carry
+    * commits (the MoR DML family: [[deleteWhereMoR]], [[upsertMoR]],
+    * and any chain of them), read in O(changed files) — never a scan
+    * of the unchanged corpus and never a diff join. The insight: on a
+    * carry chain the versions share their data files BY NAME, so the
+    * changes are fully described by metadata — DELETEs are the
+    * tombstones `toV` carries beyond `fromV` (read back from just the
+    * files they name), INSERTs are the rows of files appended since
+    * `fromV` (minus rows `toV` already tombstoned there: a row
+    * inserted and deleted within the span nets to no change). Against
+    * [[graft.ops.SnapshotCdc.diff]]'s two full scans plus a key
+    * shuffle join, this is the CDC shape that survives a 100 TB table
+    * taking a trickle of DML: cost scales with the delta, and it
+    * needs no key — upserts surface as DELETE+INSERT pairs (the
+    * reference's own stream convention; callers with a key can mark
+    * update pairs themselves). Output: the table's columns plus
+    * `_action` ('DELETE' | 'INSERT'). Both endpoints stay readable —
+    * this is a read, not DML. Refuses (with the SnapshotCdc pointer)
+    * when `toV` does not carry every `fromV` file — e.g. across a
+    * [[purgeDeletes]] or copy-on-write rewrite, where file identity
+    * breaks and snapshot diffing is the honest cost. */
+  def changesBetween(table: String, fromV: String, toV: String): DataFrame = {
+    val fromDir = versionDir(table, fromV)
+    val toDir = versionDir(table, toV)
+    require(Files.isDirectory(fromDir) && Files.isDirectory(toDir),
+      s"changesBetween: unknown version(s) $fromV/$toV of '$table'")
+    val fromNames = dataFiles(fromDir).map(_.getFileName.toString).toSet
+    val toNames = dataFiles(toDir).map(_.getFileName.toString).toSet
+    require(fromNames.subsetOf(toNames),
+      s"changesBetween('$table', $fromV -> $toV): target does not carry " +
+        "every source file (a purge or copy-on-write rewrite broke file " +
+        "identity) — diff snapshots with graft.ops.SnapshotCdc.diff instead")
+    require(toNames.nonEmpty,
+      s"changesBetween: version $toV of '$table' holds no data files")
+    val action = Schemas.cdcActionCol
+
+    def scanOf(names: Seq[String]) = DeleteVectors.withPosition(
+      spark.read.option("basePath", toDir.toString)
+        .parquet(names.map(n => toDir.resolve(n).toUri.toString): _*))
+    val dataCols = spark.read.parquet(toDir.toString).columns.toSeq
+    def shaped(df: DataFrame, a: String) =
+      df.select(dataCols.map(col): _*).withColumn(action, lit(a))
+    val empty = shaped(scanOf(toNames.toSeq).limit(0), "-").limit(0)
+
+    // DELETEs: toV tombstones on files fromV already had, minus
+    // tombstones fromV already carried — read back from ONLY the files
+    // the delta names (collect is bounded by changed-file count, the
+    // same metadata scale purgeDeletes works at)
+    val dvTo = DeleteVectors.read(spark, toDir.toString)
+    val deletes = dvTo match {
+      case None => empty
+      case Some(dv) =>
+        val inFrom = dv.filter(col("file").isInCollection(fromNames))
+        val delta = (DeleteVectors.read(spark, fromDir.toString) match {
+          case Some(old) => inFrom.join(old, Seq("file", "pos"), "left_anti")
+          case None      => inFrom
+        }).localCheckpoint(true)
+        val names = delta.select("file").distinct()
+          .collect().map(_.getString(0)).toSeq
+        if (names.isEmpty) empty
+        else shaped(scanOf(names).join(
+          delta.select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_semi"), "DELETE")
+    }
+
+    // INSERTs: files appended since fromV, minus rows toV tombstoned
+    // within them (inserted-and-deleted inside the span nets out)
+    val appended = (toNames -- fromNames).toSeq
+    val inserts =
+      if (appended.isEmpty) empty
+      else shaped(dvTo match {
+        case Some(dv) => DeleteVectors.antiJoin(scanOf(appended), dv)
+        case None     => scanOf(appended)
+      }, "INSERT")
+
+    deletes.unionByName(inserts)
+  }
+
   /** List a directory through a function, always closing the stream (an
     * unclosed `Files.list` leaks a directory fd per call). */
   private def withListing[T](dir: Path)(f: Iterator[Path] => T): T = {

@@ -226,6 +226,69 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     got.contains(3L) shouldBe false
   }
 
+  test("changesBetween: O(changed files) CDF across a MoR delete/upsert chain") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-cdf"), spark)
+    store.overwrite("t",
+      (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4))
+    val v0 = store.committedVersions("t").last
+
+    store.deleteWhereMoR("t", col("id") < 10L) shouldBe 10L
+    val v1 = store.committedVersions("t").last
+    // delete-only span: pure DELETE rows, exactly the tombstoned ones
+    val d01 = store.changesBetween("t", v0, v1)
+    d01.filter(col("_action") =!= "DELETE").count() shouldBe 0L
+    d01.select("id").as[Long].collect().sorted.toSeq shouldBe (0L until 10L)
+
+    // upsert: 5 replaced, 3 inserted
+    store.upsertMoR("t",
+      ((20L until 25L).map(i => (i, s"new$i")) ++
+        (200L until 203L).map(i => (i, s"ins$i"))).toDF("id", "v"),
+      Seq("id")) shouldBe 5L
+    val v2 = store.committedVersions("t").last
+    val d12 = store.changesBetween("t", v1, v2)
+    d12.filter(col("_action") === "DELETE").select("id").as[Long]
+      .collect().sorted.toSeq shouldBe (20L until 25L)
+    d12.filter(col("_action") === "INSERT").as[(Long, String, String)]
+      .collect().map(r => (r._1, r._2)).sorted.toSeq shouldBe
+      ((20L until 25L).map(i => (i, s"new$i")) ++
+        (200L until 203L).map(i => (i, s"ins$i")))
+
+    // cumulative span v0 -> v2, and net-out: delete an id INSERTED
+    // within the span — it must vanish from the v1 -> v3 feed entirely
+    store.deleteWhereMoR("t", col("id") === 201L) shouldBe 1L
+    val v3 = store.committedVersions("t").last
+    val d13 = store.changesBetween("t", v1, v3)
+    d13.filter(col("id") === 201L).count() shouldBe 0L // netted out
+    d13.filter(col("_action") === "DELETE").select("id").as[Long]
+      .collect().sorted.toSeq shouldBe (20L until 25L)
+    val d03 = store.changesBetween("t", v0, v3)
+    d03.filter(col("_action") === "DELETE").select("id").as[Long]
+      .collect().sorted.toSeq shouldBe ((0L until 10L) ++ (20L until 25L))
+
+    // identity span: no changes
+    store.changesBetween("t", v2, v2).count() shouldBe 0L
+
+    // applying the feed to the old snapshot reproduces the new one
+    val before = store.readVersion("t", v0, store.read("t").schema)
+    val replayed = before.join(
+        d03.filter(col("_action") === "DELETE").select("id"), Seq("id"),
+        "left_anti")
+      .unionByName(d03.filter(col("_action") === "INSERT").drop("_action"))
+    replayed.as[(Long, String)].collect().sorted.toSeq shouldBe
+      store.read("t").as[(Long, String)].collect().sorted.toSeq
+
+    // a purge breaks file identity: the feed refuses and names the
+    // honest alternative instead of silently mis-diffing
+    store.purgeDeletes("t")
+    val v4 = store.committedVersions("t").last
+    val ex = intercept[IllegalArgumentException] {
+      store.changesBetween("t", v0, v4)
+    }
+    ex.getMessage should include("SnapshotCdc")
+  }
+
   test("statsAgg answers from the sidecar alone — zero data-file I/O") {
     val s = spark
     import s.implicits._

@@ -184,7 +184,15 @@ object Sf1Soak {
     // (one sidecar read + the surviving files), not corpus size — the
     // range row reads a ~7% date slice, the point row reads only the
     // bloom's surviving files for one key
-    "store_prune_range", "store_prune_point", "store_prune_compound")
+    "store_prune_range", "store_prune_point", "store_prune_compound",
+    // merge-on-read tier (index_store_mor surface builds the DV'd /
+    // purged / upserted tables above): the DV'd read pays one
+    // broadcast anti-join over the carried scan, the purged read is a
+    // plain scan again, the CDF row reads tombstones + changed files
+    // only, and the metadata aggregate should be ~constant across SFs
+    // (it scans the kilobyte sidecar, never data)
+    "store_delete_mor", "store_purge", "store_merge_mor", "store_cdf",
+    "store_stats_agg")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
