@@ -791,10 +791,18 @@ class TableStore(val root: String, spark: SparkSession) {
     def scanOf(names: Seq[String]) = DeleteVectors.withPosition(
       spark.read.option("basePath", toDir.toString)
         .parquet(names.map(n => toDir.resolve(n).toUri.toString): _*))
-    val dataCols = spark.read.parquet(toDir.toString).columns.toSeq
+    val dataSchema = spark.read.parquet(toDir.toString).schema
+    val dataCols = dataSchema.fieldNames.toSeq
     def shaped(df: DataFrame, a: String) =
       df.select(dataCols.map(col): _*).withColumn(action, lit(a))
-    val empty = shaped(scanOf(toNames.toSeq).limit(0), "-").limit(0)
+    // a scan-free empty relation: a limit(0) over a file scan would
+    // still enlist every file in the plan (and in inputFiles), defeating
+    // the O(changed files) structure this read exists for
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(dataSchema.fields :+
+        org.apache.spark.sql.types.StructField(action,
+          org.apache.spark.sql.types.StringType)))
 
     // DELETEs: toV tombstones on files fromV already had, minus
     // tombstones fromV already carried — read back from ONLY the files

@@ -637,6 +637,37 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     SparkEntry.entry(spark).count() should be > 0L
   }
 
+  test("DV'd reads broadcast the tombstones — the data side never shuffles") {
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.TableStore(tmpDir("plan-dv"), spark)
+    store.overwrite("t",
+      (0L until 10000L).map(i => (i, i % 7)).toDF("id", "grp").repartition(4))
+    store.deleteWhereMoR("t", col("id") % 100 === 0) shouldBe 100L
+
+    val plan = executedPlan(store.read("t"))
+    // the scan-time tombstone application: one broadcast LEFT ANTI hash
+    // join — a sort-merge (or any exchange of the data side) would make
+    // every read of a 100 TB DV'd table pay a corpus shuffle
+    plan should include("BroadcastHashJoin")
+    plan should include("LeftAnti")
+    plan should not include "SortMergeJoin"
+    // the ONLY exchange is the broadcast of the kilobyte DV sidecar
+    plan should not include "Exchange hashpartitioning"
+
+    // CDF reads scale with the delta: only tombstone-named files are
+    // scanned for the DELETE side, never the whole version
+    val vs = store.committedVersions("t")
+    val cdf = store.changesBetween("t", vs.head, vs.last)
+    val scanned = cdf.inputFiles.map(_.split('/').last).toSet
+    val dvFiles = graft.core.DeleteVectors
+      .read(spark, store.currentPath("t").get).get
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    // delete scatters across all 4 files here, but the assertion is
+    // structural: the CDF never plans files outside DV-named ∪ appended
+    scanned.filter(_.endsWith(".parquet")) shouldBe dvFiles
+  }
+
   test("staging uncommitted versions never leak into reads; vacuum removes them") {
     val s = spark
     import s.implicits._
