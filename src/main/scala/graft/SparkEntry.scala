@@ -554,6 +554,38 @@ object SparkEntry {
     store
   }
 
+  private def streamMorLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-streammor-" + corpusFingerprint(Seq(s"$dir/orders.parquet")))
+
+  /** Build-once streaming-MERGE replay (StoreStream.upsertReplay):
+    * `orders` seeded price-clustered, then three key-synthesized CDC
+    * slices stream in as micro-batches — one stop/start cycle each,
+    * every batch applied as a TAGGED merge-on-read upsert with the
+    * batch id as the exactly-once high-water mark. Slices overlap
+    * (keys divisible by 24 are hit by all three), so the final table
+    * witnesses last-wins ordering, not just application: the oracle's
+    * CASE replays exactly "the LAST slice containing the key wins". */
+  private def streamMorStore(s: SparkSession, dir: String): graft.core.TableStore = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val ts = tsLit(o, "o_orderdate", "1999-06-01 00:00:00")
+    def slice(m: Long, status: String, bump: Double) =
+      o.select(col("o_orderkey"))
+        .filter(col("o_orderkey") % m === 0).distinct()
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 1000).as("o_custkey"),
+          lit(status).as("o_orderstatus"),
+          ((col("o_orderkey") % 999).cast("double") + bump).as("o_totalprice"),
+          ts.as("o_orderdate"),
+          lit("S-STREAM").as("o_orderpriority"))
+    graft.streaming.StoreStream.upsertReplay(s,
+      o.repartitionByRange(8, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice")),
+      Seq(slice(4, "A", 0.5), slice(6, "B", 1000.5), slice(8, "C", 2000.5)),
+      Seq("o_orderkey"), streamMorLoc(dir).toString, "orders_live")
+  }
+
   /** A timestamp literal in the exact flavor (TIMESTAMP vs
     * TIMESTAMP_NTZ) the parquet column reads as, so range predicates
     * compare natively against both the data and its sidecar min/max
@@ -598,7 +630,9 @@ object SparkEntry {
     "index_store_stats" -> IndexSurface(statsStoreLoc,
       (s, d) => { statsStore(s, d); () }),
     "index_store_mor" -> IndexSurface(morStoreLoc,
-      (s, d) => { morStore(s, d); () }))
+      (s, d) => { morStore(s, d); () }),
+    "index_stream_mor" -> IndexSurface(streamMorLoc,
+      (s, d) => { streamMorStore(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -1351,6 +1385,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy("_action", "o_orderstatus")
+    }),
+
+    "stream_upsert_mor_oracled" -> ((s, dir) => {
+      // streaming MERGE into the store: three overlapping CDC slices
+      // applied as tagged merge-on-read upserts across three stop/start
+      // cycles — exactly-once effect via the version-tag high-water
+      // mark; the oracle's CASE replays the batch last-wins merge, so
+      // any dropped or doubled batch breaks the hash
+      val store = streamMorStore(s, dir)
+      store.read("orders_live")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
     }),
 
     "store_stats_agg" -> ((s, dir) => {
@@ -4880,6 +4928,25 @@ object SparkEntry {
         |SELECT _action, o_orderstatus, count(*) AS n_rows,
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // streaming MERGE replay: last-wins over the three overlapping
+    // key-synthesized slices (the LAST slice containing a key wins:
+    // %8 -> 'C' over %6 -> 'B' over %4 -> 'A'); unmatched rows keep
+    // their original status and price
+    "stream_upsert_mor_oracled" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 8 = 0 THEN 'C'
+        |              WHEN o_orderkey % 6 = 0 THEN 'B'
+        |              WHEN o_orderkey % 4 = 0 THEN 'A'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 8 = 0 THEN (o_orderkey % 999) + 2000.5
+        |              WHEN o_orderkey % 6 = 0 THEN (o_orderkey % 999) + 1000.5
+        |              WHEN o_orderkey % 4 = 0 THEN (o_orderkey % 999) + 0.5
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // metadata-only aggregate: exact fold of per-file sidecar stats
     // equals the data-scan aggregate the oracle computes

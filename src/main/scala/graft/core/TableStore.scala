@@ -437,7 +437,7 @@ class TableStore(val root: String, spark: SparkSession) {
           Files.createDirectories(dst)
           val copiedNames = untouched.map { uri =>
             val src = Paths.get(java.net.URI.create(uri).getPath)
-            Files.copy(src, dst.resolve(src.getFileName.toString))
+            carryFile(src, dst)
             src.getFileName.toString
           }.toSet
           // rewrite the matching files minus the range, landing the
@@ -503,6 +503,26 @@ class TableStore(val root: String, spark: SparkSession) {
     FileStats.writeStatsDf(carried.unionByName(fresh), dst.toString)
   }
 
+  /** Carry an immutable version file into a new version dir without
+    * moving data bytes: a hard link when the filesystem supports it —
+    * O(1) per file, the local-fs analogue of an object store's
+    * server-side copy / manifest-level file reuse, and safe precisely
+    * because version files are never modified in place (deleting a
+    * linked version dir only drops a reference; the bytes live until
+    * the LAST referencing version is vacuumed). Falls back to a byte
+    * copy on filesystems without hard links. This is what keeps the
+    * carry-based DML tiers ([[deleteRange]], [[deleteWhereMoR]],
+    * [[upsertMoR]], [[purgeDeletes]]) at O(changed data + file count)
+    * rather than O(table bytes) per commit — on a 100 TB table a
+    * trickle upsert must not re-copy 100 TB of untouched files. */
+  private def carryFile(src: Path, dstDir: Path): Unit = {
+    val dst = dstDir.resolve(src.getFileName.toString)
+    try Files.createLink(dst, src)
+    catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+      Files.copy(src, dst); ()
+    }
+  }
+
   /** The version's data files (flat layout). */
   private def dataFiles(dir: Path): Seq[Path] =
     withListing(dir)(_.filter(p => Files.isRegularFile(p) &&
@@ -564,7 +584,7 @@ class TableStore(val root: String, spark: SparkSession) {
     val version = newVersion()
     val dst = versionDir(table, version)
     Files.createDirectories(dst)
-    files.foreach(f => Files.copy(f, dst.resolve(f.getFileName.toString)))
+    files.foreach(carryFile(_, dst))
     Files.createFile(dst.resolve("_SUCCESS"))
     val dv = DeleteVectors.read(spark, curDir.toString) match {
       case Some(old) => old.unionByName(fresh) // disjoint by construction
@@ -577,6 +597,7 @@ class TableStore(val root: String, spark: SparkSession) {
     FileStats.read(spark, curDir.toString).foreach { rows =>
       carrySidecar(rows, rows, dst, Seq.empty)
     }
+    carryTag(curDir, dst)
     commit(Map(table -> version))
     freshN
   }
@@ -606,8 +627,7 @@ class TableStore(val root: String, spark: SparkSession) {
         val version = newVersion()
         val dst = versionDir(table, version)
         Files.createDirectories(dst)
-        untouched.foreach(f =>
-          Files.copy(f, dst.resolve(f.getFileName.toString)))
+        untouched.foreach(carryFile(_, dst))
         val copiedNames = untouched.map(_.getFileName.toString).toSet
         if (rewrite.nonEmpty)
           DeleteVectors.applyTo(spark,
@@ -626,6 +646,7 @@ class TableStore(val root: String, spark: SparkSession) {
             split(col("file"), "/"), -1).isin(dvFiles.toSeq: _*))
           carrySidecar(rows, untouchedRows, dst, newFiles)
         }
+        carryTag(curDir, dst)
         commit(Map(table -> version))
         dvN
     }
@@ -687,15 +708,27 @@ class TableStore(val root: String, spark: SparkSession) {
     * order); NULL keys never match and therefore insert. Falls back to
     * a copy-on-write merge for bucketed / hive-partitioned layouts
     * (flat-version DV application doesn't cover their readers).
-    * Returns the number of current rows replaced. */
-  def upsertMoR(table: String, updates: DataFrame,
-      keys: Seq[String]): Long = {
+    * Returns the number of current rows replaced.
+    *
+    * `tag`: an optional opaque marker written INTO the version dir
+    * before the commit, readable back via [[versionTag]] — because the
+    * commit is one atomic manifest swap, the tag is visible iff the
+    * upsert is, which is exactly the idempotence token a streaming
+    * MERGE sink needs for exactly-once-effect across restarts (tag =
+    * micro-batch id; a replayed batch sees its own tag and skips —
+    * [[graft.streaming.StoreStream]]). Refused on the copy-on-write
+    * fallback layouts, where silently dropping it would void that
+    * contract. */
+  def upsertMoR(table: String, updates: DataFrame, keys: Seq[String],
+      tag: Option[String] = None): Long = {
     val curV = manifest.getOrElse(table,
       throw new IllegalStateException(s"table '$table' does not exist in $root"))
     val curDir = versionDir(table, curV)
     val cols = read(table).columns.toSeq
     val aligned = updates.select(cols.map(col): _*)
     if (Files.exists(curDir.resolve(BucketSpecFile)) || hasNestedData(curDir)) {
+      require(tag.isEmpty, "upsertMoR: version tags require the MoR path; " +
+        "this layout (bucketed/partitioned) falls back to copy-on-write")
       // copy-on-write fallback: anti-join out the matched rows, append
       // the updates, overwrite (plain layout, like deleteWhere's)
       val cur = read(table)
@@ -725,7 +758,7 @@ class TableStore(val root: String, spark: SparkSession) {
     val version = newVersion()
     val dst = versionDir(table, version)
     Files.createDirectories(dst)
-    files.foreach(f => Files.copy(f, dst.resolve(f.getFileName.toString)))
+    files.foreach(carryFile(_, dst))
     val copiedNames = files.map(_.getFileName.toString).toSet
     // Spark's append write emits _SUCCESS itself → marker-complete
     aligned.write.mode("append").parquet(dst.toString)
@@ -747,9 +780,38 @@ class TableStore(val root: String, spark: SparkSession) {
         .map(_.toUri.toString).toSeq)
       carrySidecar(rows, rows, dst, newFiles)
     }
+    // tag lands before the commit: visible iff the version is; an
+    // untagged upsert carries the current tag (the high-water mark
+    // survives interleaved maintenance DML)
+    tag match {
+      case Some(t) =>
+        Files.write(dst.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
+      case None => carryTag(curDir, dst)
+    }
     commit(Map(table -> version))
     freshN
   }
+
+  private val TagFile = "_graft_tag"
+
+  /** Carry the current version's tag (if any) into a successor version
+    * built by maintenance DML — a purge or delete between streaming
+    * micro-batches must not erase the sink's applied-batch
+    * high-water mark. */
+  private def carryTag(curDir: Path, dst: Path): Unit = {
+    val t = curDir.resolve(TagFile)
+    if (Files.exists(t)) { Files.copy(t, dst.resolve(TagFile)); () }
+  }
+
+  /** The [[upsertMoR]] `tag` of the CURRENT version, if it carries one.
+    * Atomic with the data by construction (written into the version dir
+    * before its one-swap commit), so a streaming sink can read it as
+    * the high-water mark of applied micro-batches: a tag is visible
+    * exactly when its upsert is. */
+  def versionTag(table: String): Option[String] =
+    manifest.get(table).map(v => versionDir(table, v).resolve(TagFile))
+      .filter(Files.exists(_))
+      .map(p => new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
 
   /** Version-aware change data feed: the exact row-level changes
     * between two committed versions connected by verbatim-carry

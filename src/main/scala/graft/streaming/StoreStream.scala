@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.core.TableStore
+
+/** Streaming MERGE into the versioned store: a `foreachBatch` sink that
+  * applies each micro-batch of updates as a merge-on-read upsert
+  * ([[TableStore.upsertMoR]]) with exactly-once EFFECT across failures
+  * and restarts.
+  *
+  * The idempotence protocol needs no transaction coordinator — it rides
+  * the store's own atomicity. Each applied batch commits its batch id
+  * as the version's tag, written into the version dir BEFORE the
+  * one-swap manifest commit, so the tag is visible iff the upsert is.
+  * On (re)delivery the sink reads the current tag as the applied
+  * high-water mark and skips any batch at or below it:
+  *
+  *   - crash AFTER the upsert's commit but before the stream checkpoint
+  *     advances → the batch is redelivered, sees its own tag, skips;
+  *   - crash BEFORE the commit → the half-built version never entered a
+  *     manifest (vacuum-sweepable garbage), the tag is invisible, the
+  *     redelivered batch applies cleanly.
+  *
+  * Monotone batch ids are Structured Streaming's own contract for a
+  * shared checkpoint. Maintenance DML between batches (MoR delete,
+  * purge) carries the tag forward, so an OPTIMIZE pass never erases the
+  * high-water mark. Single-writer-per-table is the store's documented
+  * deployment assumption; this sink is that writer.
+  *
+  * At 100 TB this is the shape that makes streaming CDC into a huge
+  * table viable at all: each micro-batch costs one key semi-join plus
+  * O(batch) appended bytes and metadata (hard-linked carries move no
+  * data), never a rewrite of the table — and the read side stays
+  * correct through the DV anti-join until a scheduled
+  * [[TableStore.purgeDeletes]] folds the tombstones in.
+  */
+object StoreStream {
+
+  /** The `foreachBatch` body: apply `batch` as a tagged MoR upsert
+    * unless its id is at or below the table's applied high-water mark.
+    * Returns true iff the batch was applied (false = replay skipped). */
+  def upsertBatch(store: TableStore, table: String, keys: Seq[String])(
+      batch: DataFrame, batchId: Long): Boolean = {
+    val applied = store.versionTag(table).map(_.toLong).getOrElse(-1L)
+    if (batchId <= applied) false
+    else {
+      store.upsertMoR(table, batch, keys, tag = Some(batchId.toString))
+      true
+    }
+  }
+
+  /** Deterministic replay harness (the [[Replay]] batch-equivalence
+    * pattern, for the store sink): seed `table` with `base`, then drive
+    * `slices` through a real file-source stream — one stop/start cycle
+    * per slice over a shared checkpoint, each micro-batch applied by
+    * [[upsertBatch]] — and leave the store at `storeRoot` for the
+    * caller to read. The final table must equal the batch last-wins
+    * merge of `base` with the concatenated slices, which an external
+    * SQL engine computes in closed form; the equality witnesses
+    * exactly-once effect across every restart (a re-applied slice
+    * would double-tombstone nothing but would append duplicate rows —
+    * any skew from the oracle is a dropped or doubled batch). Built
+    * once per `workDir`, gated on a completion marker written last. */
+  def upsertReplay(
+      spark: SparkSession,
+      base: DataFrame,
+      slices: Seq[DataFrame],
+      keys: Seq[String],
+      workDir: String,
+      table: String = "t"): TableStore = {
+    val root = Paths.get(workDir)
+    val done = root.resolve("_replay_done")
+    val store = new TableStore(root.resolve("store").toString, spark)
+    if (Files.exists(done)) return store
+    graft.core.Fs.deleteRecursively(root)
+    Files.createDirectories(root)
+    val src = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema: StructType = base.schema
+
+    store.overwrite(table, base)
+    slices.foreach { slice =>
+      slice.coalesce(1).write.mode("append").parquet(src)
+      val q = spark.readStream.schema(schema).parquet(src)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          upsertBatch(store, table, keys)(batch.toDF(), batchId); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.createFile(done)
+    store
+  }
+}

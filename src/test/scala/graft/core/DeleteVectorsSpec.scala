@@ -289,6 +289,64 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     ex.getMessage should include("SnapshotCdc")
   }
 
+  test("streaming MoR sink: exactly-once effect via version tags, carry through maintenance") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StoreStream
+    val base = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    val slices = Seq(
+      Seq((0L, "a0"), (10L, "a10"), (200L, "a200")).toDF("id", "v"),
+      Seq((10L, "b10"), (20L, "b20")).toDF("id", "v"),
+      Seq((20L, "c20"), (201L, "c201")).toDF("id", "v"))
+    val store = StoreStream.upsertReplay(spark, base, slices, Seq("id"),
+      tmpDir("dv-stream"), "t")
+
+    // batch last-wins merge, across three stop/start cycles
+    val got = store.read("t").as[(Long, String)].collect().toMap
+    got.size shouldBe 102
+    got(0L) shouldBe "a0"
+    got(10L) shouldBe "b10"  // slice 2 overwrote slice 1
+    got(20L) shouldBe "c20"  // slice 3 overwrote slice 2
+    got(201L) shouldBe "c201"
+    got(5L) shouldBe "v5"
+    store.versionTag("t") shouldBe Some("2") // applied high-water mark
+
+    // redelivery of an applied batch (crash after commit, before the
+    // stream checkpoint advanced): skipped, content untouched
+    StoreStream.upsertBatch(store, "t", Seq("id"))(
+      Seq((0L, "GHOST")).toDF("id", "v"), 2L) shouldBe false
+    store.read("t").as[(Long, String)].collect().toMap shouldBe got
+
+    // maintenance DML between batches carries the high-water mark
+    store.purgeDeletes("t") should be > 0L
+    store.versionTag("t") shouldBe Some("2")
+    store.deleteWhereMoR("t", col("id") === 5L) shouldBe 1L
+    store.versionTag("t") shouldBe Some("2")
+
+    // the next genuine batch still applies after maintenance
+    StoreStream.upsertBatch(store, "t", Seq("id"))(
+      Seq((0L, "d0")).toDF("id", "v"), 3L) shouldBe true
+    store.versionTag("t") shouldBe Some("3")
+    store.read("t").as[(Long, String)].collect().toMap.apply(0L) shouldBe "d0"
+  }
+
+  test("carries hard-link when the fs allows: no data bytes duplicated") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-link"), spark)
+    store.overwrite("t",
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4))
+    val before = store.currentPath("t").get
+    store.deleteWhereMoR("t", col("id") % 10 === 0) shouldBe 100L
+    val after = store.currentPath("t").get
+    // same inode ⇒ the carry moved metadata, not bytes (local tmpfs
+    // supports hard links; the copy fallback is for fs that don't)
+    val name = dataFiles(before).keys.head
+    val inode = (p: String) => Files.getAttribute(
+      Paths.get(p, name), "unix:ino")
+    inode(after) shouldBe inode(before)
+  }
+
   test("statsAgg answers from the sidecar alone — zero data-file I/O") {
     val s = spark
     import s.implicits._

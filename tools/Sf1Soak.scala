@@ -192,7 +192,11 @@ object Sf1Soak {
     // only, and the metadata aggregate should be ~constant across SFs
     // (it scans the kilobyte sidecar, never data)
     "store_delete_mor", "store_purge", "store_merge_mor", "store_cdf",
-    "store_stats_agg")
+    "store_stats_agg",
+    // streaming MERGE replay (index_stream_mor surface runs the
+    // 3-cycle stream): this row times the DV'd READ of the final
+    // table — the stream cost is the build row
+    "stream_upsert_mor_oracled")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
