@@ -551,6 +551,11 @@ object SparkEntry {
         col("o_orderkey") + 100000000000L, "N")
       store.upsertMoR("orders_merge", upd.unionByName(ins), Seq("o_orderkey"))
     }
+    // orders_mor_clone: a zero-copy CLONE of the DV'd table — data
+    // files hard-linked, tombstone sidecar carried, so the clone reads
+    // exactly what its source read at clone time
+    if (!store.exists("orders_mor_clone"))
+      store.cloneTable("orders_mor", "orders_mor_clone")
     store
   }
 
@@ -1385,6 +1390,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
         .orderBy("_action", "o_orderstatus")
+    }),
+
+    "store_clone" -> ((s, dir) => {
+      // zero-copy clone (Snowflake CREATE TABLE ... CLONE): the clone
+      // of the DV'd table carries hard-linked data files + the
+      // tombstone sidecar — a metadata-only commit whose read must
+      // equal the source's read at clone time (same oracle as
+      // store_delete_mor)
+      val store = morStore(s, dir)
+      store.read("orders_mor_clone")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
     }),
 
     "stream_upsert_mor_oracled" -> ((s, dir) => {
@@ -4928,6 +4947,14 @@ object SparkEntry {
         |SELECT _action, o_orderstatus, count(*) AS n_rows,
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM changes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the clone reads exactly what its DV'd source read at clone time
+    "store_clone" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |WHERE o_totalprice <= 450000 OR o_totalprice IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // streaming MERGE replay: last-wins over the three overlapping
     // key-synthesized slices (the LAST slice containing a key wins:

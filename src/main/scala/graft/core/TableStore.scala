@@ -803,6 +803,46 @@ class TableStore(val root: String, spark: SparkSession) {
     if (Files.exists(t)) { Files.copy(t, dst.resolve(TagFile)); () }
   }
 
+  /** Zero-copy CLONE (Snowflake's `CREATE TABLE ... CLONE`, the
+    * platform capability the reference's engine is famous for): commit
+    * `dst` as a new table whose first version carries `src`'s current
+    * data files as hard links and its sidecars (deletion vector, file
+    * stats, version tag) verbatim — a metadata-only commit, O(file
+    * count + sidecar bytes) regardless of table size; cloning a 100 TB
+    * table moves zero data bytes (an object store does this as
+    * manifest reuse). The clone and the source then diverge freely:
+    * every DML here writes fresh immutable versions, so neither side
+    * can ever see the other's changes, and the shared bytes live until
+    * the LAST referencing version is vacuumed (hard-link semantics —
+    * [[vacuum]] on one table only drops its references). Sidecar
+    * carries keep the clone's read shape identical: a DV'd source
+    * clones with its tombstones applied, a statted source clones with
+    * pruning intact (stats rows are path-remapped like every carry).
+    * Bucketed and hive-partitioned layouts fall back to a full
+    * copy-on-write materialization (their reads need layout artifacts
+    * the flat-version link carry can't model). `dst` must not exist. */
+  def cloneTable(src: String, dst: String): Unit = {
+    require(!exists(dst), s"cloneTable: '$dst' already exists in $root")
+    val curV = manifest.getOrElse(src,
+      throw new IllegalStateException(s"table '$src' does not exist in $root"))
+    val curDir = versionDir(src, curV)
+    if (Files.exists(curDir.resolve(BucketSpecFile)) || hasNestedData(curDir)) {
+      commit(Map(dst -> stage(dst, read(src))))
+      return
+    }
+    val version = newVersion()
+    val dstDir = versionDir(dst, version)
+    Files.createDirectories(dstDir)
+    dataFiles(curDir).foreach(carryFile(_, dstDir))
+    Files.createFile(dstDir.resolve("_SUCCESS"))
+    DeleteVectors.read(spark, curDir.toString)
+      .foreach(dv => DeleteVectors.write(dv, dstDir.toString))
+    FileStats.read(spark, curDir.toString)
+      .foreach(rows => carrySidecar(rows, rows, dstDir, Seq.empty))
+    carryTag(curDir, dstDir)
+    commit(Map(dst -> version))
+  }
+
   /** The [[upsertMoR]] `tag` of the CURRENT version, if it carries one.
     * Atomic with the data by construction (written into the version dir
     * before its one-swap commit), so a streaming sink can read it as

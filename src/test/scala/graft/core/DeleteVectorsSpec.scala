@@ -347,6 +347,48 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     inode(after) shouldBe inode(before)
   }
 
+  test("zero-copy clone: hard-linked data, carried sidecars, free divergence") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-clone"), spark)
+    val df = (0L until 1000L).map(i => (i, i.toDouble)).toDF("id", "price")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    store.commit(Map("t" -> store.stageWithStats("t", df, Seq("id"))))
+    store.deleteWhereMoR("t", col("id") % 10 === 0) shouldBe 100L
+
+    store.cloneTable("t", "c")
+    // clone reads what the DV'd source read: tombstones carried
+    ids(store, "c") shouldBe (0L until 1000L).filter(_ % 10 != 0)
+    // zero-copy: same inode for every data file
+    val srcDir = store.currentPath("t").get
+    val cloneDir = store.currentPath("c").get
+    val ino = (d: String, n: String) =>
+      Files.getAttribute(Paths.get(d, n), "unix:ino")
+    dataFiles(srcDir).keys.foreach(n => ino(cloneDir, n) shouldBe ino(srcDir, n))
+    // carried stats still prune on the clone
+    store.readPrunedRange("c", "id", lit(100L), lit(110L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (100L to 110L).filter(_ % 10 != 0)
+
+    // divergence is free both ways: DML on either side is invisible
+    // to the other
+    store.deleteWhereMoR("c", col("id") < 500L) shouldBe 450L
+    store.upsertMoR("t", Seq((5000L, 5000.0)).toDF("id", "price"),
+      Seq("id")) shouldBe 0L
+    ids(store, "c") shouldBe (500L until 1000L).filter(_ % 10 != 0)
+    ids(store, "t") shouldBe
+      ((0L until 1000L).filter(_ % 10 != 0) :+ 5000L)
+
+    // overwriting + vacuuming the SOURCE cannot break the clone: links
+    // keep the shared bytes alive until the last reference drops
+    store.overwrite("t", Seq((1L, 1.0)).toDF("id", "price"))
+    store.vacuum()
+    ids(store, "c") shouldBe (500L until 1000L).filter(_ % 10 != 0)
+
+    // cloning onto an existing name refuses
+    intercept[IllegalArgumentException] { store.cloneTable("t", "c") }
+  }
+
   test("statsAgg answers from the sidecar alone — zero data-file I/O") {
     val s = spark
     import s.implicits._
