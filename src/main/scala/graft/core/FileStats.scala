@@ -121,7 +121,10 @@ object FileStats {
   def mayContainRange(c: String, lo: Column, hi: Column): Column =
     coalesce(col(s"max_$c") >= lo && col(s"min_$c") <= hi, lit(false))
 
-  /** Sidecar predicate: file may hold a row with `c = v` (v non-null).
+  /** Sidecar predicate: file may hold a row with `c = v` (v non-null,
+    * and already of the column's STORED type — cast it first, as
+    * [[readPrunedPoint]] does, or the bloom hash will not match the
+    * write side's and may false-negative).
     * Composes whichever evidence the sidecar carries for `c` — min/max
     * bracketing when `range`, the bloom test when `bloom` (all-null
     * files have a null map, test negative on every word lookup, and are
@@ -162,14 +165,33 @@ object FileStats {
       .filter(col(c) >= lo && col(c) <= hi)
 
   /** Point lookup with file skipping: min/max bracketing plus the bloom
-    * filter when the sidecar carries one for `c`. `v` must be a non-null
-    * literal of the column's type (equality to null is never true). */
+    * filter when the sidecar carries one for `c` (`v` non-null; equality
+    * to null is never true). The probe literal is cast to the column's
+    * STORED type before hashing, making the bloom test type-safe by
+    * construction: the write side hashed the column's native type, so an
+    * int literal probed against a bigint column would otherwise hash
+    * differently, false-negative on every word, and silently prune files
+    * that DO contain the value — wrong results, not just wasted I/O. The
+    * stored type comes from the sidecar's own `min_c` column when present
+    * (min of the column ⇒ exact type) and from the data schema for
+    * bloom-only sidecars. The cast is a `try_cast`: a literal the stored
+    * type cannot represent becomes null, matches nothing, and returns
+    * empty (a plain cast would throw under ANSI mode — a malformed probe
+    * is an empty lookup, not a query error). */
   def readPrunedPoint(spark: SparkSession, dataDir: String, c: String,
       v: Column): DataFrame = {
-    val cols = read(spark, dataDir).map(_.columns.toSet).getOrElse(Set.empty)
+    val sidecar = read(spark, dataDir)
+    val cols = sidecar.map(_.columns.toSet).getOrElse(Set.empty)
+    val storedType = sidecar
+      .flatMap(_.schema.find(_.name == s"min_$c").map(_.dataType))
+      .orElse(
+        if (cols.contains(s"bloom_$c"))
+          spark.read.parquet(dataDir).schema.find(_.name == c).map(_.dataType)
+        else None)
+    val vv = storedType.map(v.try_cast).getOrElse(v)
     readKept(spark, dataDir, prunedFiles(spark, dataDir,
-      mayContainPoint(c, v, cols.contains(s"min_$c"), cols.contains(s"bloom_$c"))))
-      .filter(col(c) === v)
+      mayContainPoint(c, vv, cols.contains(s"min_$c"), cols.contains(s"bloom_$c"))))
+      .filter(col(c) === vv)
   }
 
   /** General pruned scan: `keep` is any sidecar predicate (compose

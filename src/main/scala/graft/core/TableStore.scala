@@ -145,8 +145,18 @@ class TableStore(val root: String, spark: SparkSession) {
     * swap atomically. */
   def compact(table: String, schema: StructType, numFiles: Int = 1,
       partitionBy: Seq[String] = Nil): Unit =
-    commit(Map(table -> stage(table,
-      readOrEmpty(table, schema).coalesce(numFiles), partitionBy)))
+    commitMaintenance(table, stage(table,
+      readOrEmpty(table, schema).coalesce(numFiles), partitionBy))
+
+  /** Commit a maintenance rewrite (compaction/clustering): same rows,
+    * new layout — so the version tag (the streaming sink's applied-batch
+    * high-water mark, [[versionTag]]) carries over. A scheduled OPTIMIZE
+    * between micro-batches must never reset it. */
+  private def commitMaintenance(table: String, version: String): Unit = {
+    manifest.get(table)
+      .foreach(c => carryTag(versionDir(table, c), versionDir(table, version)))
+    commit(Map(table -> version))
+  }
 
   /** Data bytes of the current version (parquet files only — manifest
     * debris, `_SUCCESS`, bucket specs excluded). 0 if never committed. */
@@ -182,10 +192,10 @@ class TableStore(val root: String, spark: SparkSession) {
     * commit: readers of the old layout are never disturbed. */
   def compactClustered(table: String, schema: StructType,
       clusterBy: org.apache.spark.sql.Column, numFiles: Int): Unit =
-    commit(Map(table -> stage(table,
+    commitMaintenance(table, stage(table,
       readOrEmpty(table, schema)
         .repartitionByRange(numFiles, clusterBy)
-        .sortWithinPartitions(clusterBy))))
+        .sortWithinPartitions(clusterBy)))
 
   /** [[stage]] plus a [[FileStats]] sidecar: per-file min/max/null
     * counts for `statsCols` and bloom filters for `bloomCols`, written
@@ -339,6 +349,14 @@ class TableStore(val root: String, spark: SparkSession) {
         case _ => h
       }
     }
+    writeManifest(next, nextHist)
+  }
+
+  /** Serialize mappings + history and swap them in atomically (the one
+    * write path for the manifest — [[commit]] and [[vacuum]]'s history
+    * pruning both go through here). */
+  private def writeManifest(next: Map[String, String],
+      nextHist: Map[String, Seq[String]]): Unit = {
     val tmp = rootPath.resolve(s"_manifest.tmp-${UUID.randomUUID()}")
     val body = (next.toSeq.sorted.map { case (t, v) => s"$t\t$v" } ++
       nextHist.toSeq.sortBy(_._1).flatMap { case (t, vs) =>
@@ -383,7 +401,11 @@ class TableStore(val root: String, spark: SparkSession) {
     val before = cur.count()
     val v = stage(table, keep)
     val after = spark.read.parquet(versionDir(table, v).toString).count()
-    commit(Map(table -> v))
+    // a delete is maintenance on the same logical table: the streaming
+    // sink's applied-batch tag (high-water mark) survives it — all
+    // surgical/MoR DML carries it, and this copy-on-write fallback must
+    // too, or a retention sweep voids the sink's exactly-once contract
+    commitMaintenance(table, v)
     before - after
   }
 
@@ -469,6 +491,11 @@ class TableStore(val root: String, spark: SparkSession) {
                 org.apache.spark.sql.Encoders.STRING).toDF("file"), "file")
               .agg(sum("row_cnt")).head().get(0))
               .map(_.asInstanceOf[Long]).getOrElse(0L)
+          // maintenance DML must not erase the streaming sink's
+          // applied-batch high-water mark ([[versionTag]]): a retention
+          // sweep between micro-batches would otherwise reset it and a
+          // redelivered batch would re-apply, voiding exactly-once
+          carryTag(curDir, dst)
           commit(Map(table -> version))
           before - after
         } finally rows.unpersist()
@@ -488,7 +515,14 @@ class TableStore(val root: String, spark: SparkSession) {
     val bloomCols = rows.columns.collect {
       case n if n.startsWith("bloom_") && n != "bloom_bits" &&
         n != "bloom_k" => n.stripPrefix("bloom_") }.toSeq
-    val head = rows.select("bloom_bits", "bloom_k").head()
+    // a statted EMPTY version has a zero-row sidecar: nothing to carry
+    // and no self-described bloom parameters to stat fresh files with —
+    // skip the sidecar entirely (readers of the new version degrade to
+    // full scans; stats can only skip, so correctness is untouched)
+    // rather than crash the enclosing DML on .head() of an empty relation
+    val headOpt = rows.select("bloom_bits", "bloom_k").take(1).headOption
+    if (headOpt.isEmpty) return
+    val head = headOpt.get
     val bitsLog2 = java.lang.Long.numberOfTrailingZeros(head.getLong(0))
     val dstUri = dst.toUri.toString.stripSuffix("/")
     val carried = untouchedRows.withColumn("file",
@@ -963,6 +997,16 @@ class TableStore(val root: String, spark: SparkSession) {
        else history.flatMap { case (t, vs) =>
          vs.takeRight(retain).map(v => versionDir(t, v).toAbsolutePath)
        }.toSet)
+    // prune swept versions from the #hist records FIRST, so the
+    // time-travel index ([[committedVersions]]/[[history]]) only ever
+    // advertises versions whose directories exist — a crash between this
+    // swap and the sweep below just leaves orphan dirs for the next
+    // vacuum, never a history entry pointing at a deleted path
+    val keptHist = history
+      .map { case (t, vs) =>
+        t -> vs.filter(v => live.contains(versionDir(t, v).toAbsolutePath)) }
+      .filter(_._2.nonEmpty)
+    if (keptHist != history) writeManifest(manifest, keptHist)
     if (Files.exists(rootPath)) {
       // stale tmp manifests are the debris of a crash in the one
       // non-atomic window (between tmp-write and rename in [[commit]]):

@@ -46,7 +46,14 @@ object StoreStream {
     * Returns true iff the batch was applied (false = replay skipped). */
   def upsertBatch(store: TableStore, table: String, keys: Seq[String])(
       batch: DataFrame, batchId: Long): Boolean = {
-    val applied = store.versionTag(table).map(_.toLong).getOrElse(-1L)
+    // defensive parse: a non-numeric tag (a direct upsertMoR(tag=...) by
+    // some other caller on this table) is treated as "no high-water
+    // mark" rather than wedging the stream with NumberFormatException on
+    // every micro-batch — the sink then applies and re-tags with its own
+    // numeric id. Single-writer-per-table is the documented deployment
+    // assumption; this is the graceful path for violating it.
+    val applied = store.versionTag(table)
+      .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(-1L)
     if (batchId <= applied) false
     else {
       store.upsertMoR(table, batch, keys, tag = Some(batchId.toString))

@@ -448,4 +448,77 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     r2.getLong(0) shouldBe 98L
     r2.getDouble(2) shouldBe 98.0
   }
+
+  test("EVERY maintenance path carries the streaming high-water tag: " +
+      "deleteRange, deleteWhere, compact, compactClustered") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-tagcarry"), spark)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.StringType)))
+    store.commit(Map("t" -> store.stageWithStats("t",
+      (0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(10, col("id")).sortWithinPartitions("id"),
+      Seq("id"))))
+    // the sink's applied-batch high-water mark lands via a tagged upsert
+    store.upsertMoR("t", Seq((0L, "u0")).toDF("id", "v"), Seq("id"),
+      tag = Some("7")) shouldBe 1L
+    store.versionTag("t") shouldBe Some("7")
+    // fold the upsert's tombstone in so deleteRange takes its SURGICAL
+    // path below (a DV'd version falls back to deleteWhere by design)
+    store.purgeDeletes("t") shouldBe 1L
+    store.versionTag("t") shouldBe Some("7")
+
+    // surgical range delete (the retention-sweep shape the ADVICE
+    // flagged: interleaved with micro-batches it must not erase the tag)
+    store.deleteRange("t", "id", lit(100L), lit(199L)) shouldBe 100L
+    store.versionTag("t") shouldBe Some("7")
+    // copy-on-write fallback delete
+    store.deleteWhere("t", col("id") === 5L) shouldBe 1L
+    store.versionTag("t") shouldBe Some("7")
+    // scheduled OPTIMIZE between batches
+    store.compact("t", schema, numFiles = 2)
+    store.versionTag("t") shouldBe Some("7")
+    store.compactClustered("t", schema, col("id"), numFiles = 2)
+    store.versionTag("t") shouldBe Some("7")
+
+    // and a redelivered batch at/below the mark still skips after all
+    // that maintenance
+    graft.streaming.StoreStream.upsertBatch(store, "t", Seq("id"))(
+      Seq((0L, "GHOST")).toDF("id", "v"), 7L) shouldBe false
+    store.read("t").filter(col("id") === 0L).select("v")
+      .head().getString(0) shouldBe "u0"
+  }
+
+  test("a foreign non-numeric tag degrades gracefully: the sink applies " +
+      "and re-tags instead of wedging on NumberFormatException") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-foreigntag"), spark)
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    store.upsertMoR("t", Seq((1L, "b")).toDF("id", "v"), Seq("id"),
+      tag = Some("not-a-number")) shouldBe 1L
+    graft.streaming.StoreStream.upsertBatch(store, "t", Seq("id"))(
+      Seq((1L, "c")).toDF("id", "v"), 0L) shouldBe true
+    store.versionTag("t") shouldBe Some("0")
+    store.read("t").select("v").head().getString(0) shouldBe "c"
+  }
+
+  test("statted EMPTY version: sidecar-carrying DML degrades to no " +
+      "sidecar instead of crashing on the empty stats relation") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-emptystats"), spark)
+    store.commit(Map("t" -> store.stageWithStats("t",
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))))
+    // upsertMoR carries sidecars; pre-fix this threw NoSuchElementException
+    store.upsertMoR("t", Seq((1L, "a")).toDF("id", "v"), Seq("id")) shouldBe 0L
+    store.read("t").count() shouldBe 1L
+    // clone of a statted-empty-history table also survives
+    store.cloneTable("t", "c")
+    store.read("c").count() shouldBe 1L
+  }
 }

@@ -169,6 +169,66 @@ class FileStatsSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.versions("t") shouldBe Seq(committed.last)
   }
 
+  test("vacuum prunes swept versions from the time-travel index: " +
+      "committedVersions only lists readable snapshots") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore("fs-histprune")
+    store.overwrite("t", Seq(1).toDF("gen"))
+    store.overwrite("t", Seq(2).toDF("gen"))
+    store.overwrite("t", Seq(3).toDF("gen"))
+    val committed = store.committedVersions("t")
+
+    store.vacuum(retain = 1)
+    // pre-fix: history kept advertising all three and readVersion on the
+    // swept oldest threw path-not-found; now the index IS the readable set
+    store.committedVersions("t") shouldBe committed.takeRight(2)
+    val schema = store.read("t").schema
+    store.committedVersions("t").foreach { v =>
+      store.readVersion("t", v, schema).count() shouldBe 1L
+    }
+
+    store.vacuum()
+    store.committedVersions("t") shouldBe Seq(committed.last)
+    // and history stays consistent across the NEXT commit after pruning
+    store.overwrite("t", Seq(4).toDF("gen"))
+    store.committedVersions("t") shouldBe
+      Seq(committed.last, store.manifest("t"))
+  }
+
+  test("point probe is type-safe: a literal of a different numeric type " +
+      "still finds the files that contain the value") {
+    val s = spark
+    import s.implicits._
+    val store = freshStore("fs-probetype")
+    // bigint column, bloom evidence only (min/max would mask a bloom
+    // false-negative by keeping files on range grounds)
+    val df = (0L until 20000L).toDF("id")
+      .withColumn("key", pmod(xxhash64(col("id")), lit(1000000L)))
+      .repartition(8)
+    store.commit(Map("t" -> store.stageWithStats("t", df,
+      statsCols = Seq.empty, bloomCols = Seq("key"))))
+    val full = store.read("t")
+    val probe = full.filter(col("id") === 7L).select("key").head().getLong(0)
+
+    // an INT literal: pre-fix, xxhash64(int) != xxhash64(bigint) made
+    // every bloom word test false and pruned ALL files — silently empty
+    val got = store.readPrunedPoint("t", "key", lit(probe.toInt))
+    got.count() shouldBe full.filter(col("key") === probe).count()
+    got.count() should be >= 1L
+
+    // zone-map path too: int literal against bigint min/max
+    val store2 = freshStore("fs-probetype2")
+    store2.commit(Map("u" -> store2.stageWithStats("u",
+      (0L until 1000L).toDF("id").repartitionByRange(4, col("id"))
+        .sortWithinPartitions("id"), Seq("id"))))
+    store2.readPrunedPoint("u", "id", lit(500))
+      .count() shouldBe 1L
+
+    // a literal the stored type can't hold matches nothing, consistently
+    store2.readPrunedPoint("u", "id", lit("not-a-number")).count() shouldBe 0L
+  }
+
   test("sidecar is invisible to plain reads and vacuumed with its version") {
     val s = spark
     import s.implicits._
