@@ -39,6 +39,14 @@ import org.apache.spark.sql.types.StructType
   * single small-file swap, so the scheme carries to an object store
   * unchanged (rename→putIfAbsent on the manifest key / a metastore CAS).
   * Version dirs can be partitioned parquet; readers prune normally.
+  *
+  * Concurrency: commits take an exclusive cross-process lock on the
+  * manifest and merge from the FRESH on-disk state, so writers to
+  * disjoint tables compose; same-table conflicts are detected against
+  * the writer's pinned snapshot and REFUSED
+  * (`ConcurrentModificationException`) instead of silently lost — see
+  * [[commit]]. Single-writer-per-table remains the performance
+  * assumption; violating it is loud, not corrupting.
   */
 class TableStore(val root: String, spark: SparkSession) {
 
@@ -141,21 +149,27 @@ class TableStore(val root: String, spark: SparkSession) {
     * streaming cadence produces a small file per cycle; at scale the
     * many-small-files tax is on every subsequent scan's task scheduling).
     * A compaction is just another version + commit — readers are never
-    * disturbed, and a concurrent cycle commit wins or loses the manifest
-    * swap atomically. */
+    * disturbed, and a concurrent commit on the same table makes the
+    * swap refuse (detect-and-refuse OCC, [[commit]]) rather than lose
+    * either side's update. */
   def compact(table: String, schema: StructType, numFiles: Int = 1,
-      partitionBy: Seq[String] = Nil): Unit =
+      partitionBy: Seq[String] = Nil): Unit = {
+    val cur = manifest.get(table)
     commitMaintenance(table, stage(table,
-      readOrEmpty(table, schema).coalesce(numFiles), partitionBy))
+      cur.map(readVersion(table, _, schema)).getOrElse(
+        readOrEmpty(table, schema)).coalesce(numFiles), partitionBy), cur)
+  }
 
   /** Commit a maintenance rewrite (compaction/clustering): same rows,
     * new layout — so the version tag (the streaming sink's applied-batch
-    * high-water mark, [[versionTag]]) carries over. A scheduled OPTIMIZE
-    * between micro-batches must never reset it. */
-  private def commitMaintenance(table: String, version: String): Unit = {
-    manifest.get(table)
+    * high-water mark, [[versionTag]]) carries over, and the commit
+    * expects `basedOn` (the version the rewrite read) to still be
+    * current — a racing writer makes it refuse, never lose an update. */
+  private def commitMaintenance(table: String, version: String,
+      basedOn: Option[String]): Unit = {
+    basedOn
       .foreach(c => carryTag(versionDir(table, c), versionDir(table, version)))
-    commit(Map(table -> version))
+    commit(Map(table -> version), expect = Map(table -> basedOn))
   }
 
   /** Data bytes of the current version (parquet files only — manifest
@@ -191,11 +205,14 @@ class TableStore(val root: String, spark: SparkSession) {
     * scans. Like [[compact]], this is just another version + atomic
     * commit: readers of the old layout are never disturbed. */
   def compactClustered(table: String, schema: StructType,
-      clusterBy: org.apache.spark.sql.Column, numFiles: Int): Unit =
+      clusterBy: org.apache.spark.sql.Column, numFiles: Int): Unit = {
+    val cur = manifest.get(table)
     commitMaintenance(table, stage(table,
-      readOrEmpty(table, schema)
+      cur.map(readVersion(table, _, schema)).getOrElse(
+        readOrEmpty(table, schema))
         .repartitionByRange(numFiles, clusterBy)
-        .sortWithinPartitions(clusterBy)))
+        .sortWithinPartitions(clusterBy)), cur)
+  }
 
   /** [[stage]] plus a [[FileStats]] sidecar: per-file min/max/null
     * counts for `statsCols` and bloom filters for `bloomCols`, written
@@ -338,19 +355,65 @@ class TableStore(val root: String, spark: SparkSession) {
     * covers all of them (the cross-table transaction of SURVEY.md §7.5.1).
     * Each superseded mapping is appended to that table's `#hist` records
     * in the same swap, so the commit log can never disagree with the
-    * current pointer. */
-  def commit(updates: Map[String, String]): Unit = synchronized {
-    val cur = manifest
-    val next = cur ++ updates
-    val nextHist = updates.foldLeft(history) { case (h, (t, v)) =>
-      cur.get(t) match {
-        case Some(old) if old != v =>
-          h.updated(t, (h.getOrElse(t, Seq.empty) :+ old).takeRight(MaxHistory))
-        case _ => h
+    * current pointer.
+    *
+    * Concurrency: the swap runs under an exclusive cross-process lock on
+    * `_manifest.lock` (plus a JVM-wide per-root monitor, so two
+    * TableStore instances in one JVM never contend for the OS lock), and
+    * the merge reads the manifest FRESH under that lock — concurrent
+    * commits to DISJOINT tables from separate processes both land
+    * instead of last-swap-wins erasing one. For commits to the SAME
+    * table, pass `expect`: the version each table's new data was BASED
+    * on (`None` = the table must not exist yet). If another writer moved
+    * a pointer in between, the commit REFUSES with
+    * `ConcurrentModificationException` instead of silently publishing a
+    * lost update — optimistic concurrency control, detect-and-refuse
+    * (the DML paths all pass their pinned snapshot; blind overwrites
+    * pass nothing by design). Single-writer-per-table remains the
+    * PERFORMANCE assumption — this makes violating it loud, not fast.
+    * On an object store the same protocol is a conditional PUT /
+    * metastore CAS on the manifest key. */
+  def commit(updates: Map[String, String],
+      expect: Map[String, Option[String]] = Map.empty): Unit =
+    withManifestLock {
+      val cur = manifest // fresh read under the lock
+      expect.foreach { case (t, exp) =>
+        val got = cur.get(t)
+        if (got != exp)
+          throw new java.util.ConcurrentModificationException(
+            s"commit('$t'): expected current version $exp but found $got — " +
+              "another writer committed this table after this operation " +
+              "pinned its snapshot; rerun against the new version " +
+              "(the staged data is write-ahead garbage, swept by vacuum)")
       }
+      val next = cur ++ updates
+      val nextHist = updates.foldLeft(history) { case (h, (t, v)) =>
+        cur.get(t) match {
+          case Some(old) if old != v =>
+            h.updated(t, (h.getOrElse(t, Seq.empty) :+ old).takeRight(MaxHistory))
+          case _ => h
+        }
+      }
+      writeManifest(next, nextHist)
     }
-    writeManifest(next, nextHist)
-  }
+
+  /** Exclusive manifest lock: a JVM-global monitor per canonical root
+    * (file locks are held per-JVM — without it, two instances on the
+    * same root in one JVM would hit OverlappingFileLockException, not
+    * mutual exclusion) wrapping an OS file lock (mutual exclusion
+    * ACROSS processes — the scheduled-OPTIMIZE-beside-a-streaming-sink
+    * deployment). */
+  private def withManifestLock[T](f: => T): T =
+    TableStore.rootMonitor(rootPath).synchronized {
+      val ch = java.nio.channels.FileChannel.open(
+        rootPath.resolve("_manifest.lock"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try f finally lock.release()
+      } finally ch.close()
+    }
 
   /** Serialize mappings + history and swap them in atomically (the one
     * write path for the manifest — [[commit]] and [[vacuum]]'s history
@@ -387,16 +450,19 @@ class TableStore(val root: String, spark: SparkSession) {
     * scan; at 100 TB pair it with a partitioned layout so the scan prunes
     * to the partitions that can match. */
   def deleteWhere(table: String, predicate: org.apache.spark.sql.Column): Long = {
-    // read() resolves the manifest ONCE, so `cur` is pinned to one
-    // immutable version: the before-count scan and the staged rewrite
-    // read the SAME files even if another commit lands in between. Cost
-    // is two scans of that version (footer-only metadata count + the
-    // filtered rewrite) plus a footer count of the staged files. Like
-    // all DML here, concurrent writers to the SAME table are
-    // last-writer-wins at commit — the returned delta describes this
-    // snapshot, single-writer-per-table is the deployment assumption
-    // ([[commit]] docs).
-    val cur = read(table)
+    // the version is pinned ONCE, so the before-count scan and the
+    // staged rewrite read the SAME immutable files even if another
+    // commit lands in between. Cost is two scans of that version
+    // (footer-only metadata count + the filtered rewrite) plus a footer
+    // count of the staged files. A concurrent writer to the SAME table
+    // makes the commit below REFUSE (detect-and-refuse OCC, [[commit]]
+    // docs) — never a silent lost update.
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val cur = catalogNameIfBucketed(table, curV).map(spark.table).getOrElse {
+      val dir = versionDir(table, curV).toString
+      DeleteVectors.applyTo(spark, spark.read.parquet(dir), dir)
+    }
     val keep = cur.filter(!coalesce(predicate, lit(false)))
     val before = cur.count()
     val v = stage(table, keep)
@@ -405,7 +471,7 @@ class TableStore(val root: String, spark: SparkSession) {
     // sink's applied-batch tag (high-water mark) survives it — all
     // surgical/MoR DML carries it, and this copy-on-write fallback must
     // too, or a retention sweep voids the sink's exactly-once contract
-    commitMaintenance(table, v)
+    commitMaintenance(table, v, Some(curV))
     before - after
   }
 
@@ -496,7 +562,7 @@ class TableStore(val root: String, spark: SparkSession) {
           // sweep between micro-batches would otherwise reset it and a
           // redelivered batch would re-apply, voiding exactly-once
           carryTag(curDir, dst)
-          commit(Map(table -> version))
+          commit(Map(table -> version), expect = Map(table -> Some(curV)))
           before - after
         } finally rows.unpersist()
     }
@@ -632,7 +698,7 @@ class TableStore(val root: String, spark: SparkSession) {
       carrySidecar(rows, rows, dst, Seq.empty)
     }
     carryTag(curDir, dst)
-    commit(Map(table -> version))
+    commit(Map(table -> version), expect = Map(table -> Some(curV)))
     freshN
   }
 
@@ -681,7 +747,7 @@ class TableStore(val root: String, spark: SparkSession) {
           carrySidecar(rows, untouchedRows, dst, newFiles)
         }
         carryTag(curDir, dst)
-        commit(Map(table -> version))
+        commit(Map(table -> version), expect = Map(table -> Some(curV)))
         dvN
     }
   }
@@ -822,7 +888,7 @@ class TableStore(val root: String, spark: SparkSession) {
         Files.write(dst.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
       case None => carryTag(curDir, dst)
     }
-    commit(Map(table -> version))
+    commit(Map(table -> version), expect = Map(table -> Some(curV)))
     freshN
   }
 
@@ -861,7 +927,7 @@ class TableStore(val root: String, spark: SparkSession) {
       throw new IllegalStateException(s"table '$src' does not exist in $root"))
     val curDir = versionDir(src, curV)
     if (Files.exists(curDir.resolve(BucketSpecFile)) || hasNestedData(curDir)) {
-      commit(Map(dst -> stage(dst, read(src))))
+      commit(Map(dst -> stage(dst, read(src))), expect = Map(dst -> None))
       return
     }
     val version = newVersion()
@@ -874,7 +940,10 @@ class TableStore(val root: String, spark: SparkSession) {
     FileStats.read(spark, curDir.toString)
       .foreach(rows => carrySidecar(rows, rows, dstDir, Seq.empty))
     carryTag(curDir, dstDir)
-    commit(Map(dst -> version))
+    // the carried files come from src's immutable pinned version, so a
+    // concurrent commit on SRC cannot corrupt the clone — only a racing
+    // creation of DST itself must refuse
+    commit(Map(dst -> version), expect = Map(dst -> None))
   }
 
   /** The [[upsertMoR]] `tag` of the CURRENT version, if it carries one.
@@ -988,10 +1057,11 @@ class TableStore(val root: String, spark: SparkSession) {
     * retention window (Snowflake's `DATA_RETENTION_TIME_IN_DAYS`, by
     * count instead of wall clock); crashed write-ahead versions never
     * reached a manifest, are absent from [[history]], and are swept
-    * regardless. `synchronized` with [[commit]]: the tmp-manifest sweep
-    * below must not delete the tmp file of a commit that is between its
-    * write and its rename. */
-  def vacuum(retain: Int = 0): Unit = synchronized {
+    * regardless. Runs under the same manifest lock as [[commit]] — also
+    * across processes: the tmp-manifest sweep below must not delete the
+    * tmp file of a commit that is between its write and its rename, even
+    * when that commit comes from another JVM. */
+  def vacuum(retain: Int = 0): Unit = withManifestLock {
     val live = manifest.map { case (t, v) => versionDir(t, v).toAbsolutePath }.toSet ++
       (if (retain <= 0) Set.empty[Path]
        else history.flatMap { case (t, vs) =>
@@ -1038,4 +1108,15 @@ class TableStore(val root: String, spark: SparkSession) {
   }
 
   private def deleteRecursively(p: Path): Unit = Fs.deleteRecursively(p)
+}
+
+object TableStore {
+  /** One monitor per canonical store root, JVM-wide: instances on the
+    * same root serialize here before taking the cross-process file lock
+    * (see [[TableStore.withManifestLock]]). */
+  private val monitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[core] def rootMonitor(root: Path): Object =
+    monitors.computeIfAbsent(
+      root.toAbsolutePath.normalize.toString, _ => new Object)
 }

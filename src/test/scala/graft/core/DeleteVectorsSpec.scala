@@ -507,6 +507,64 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").select("v").head().getString(0) shouldBe "c"
   }
 
+  test("composition matrix: pruned scan × DV × time travel × clone all " +
+      "interact correctly on ONE table") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-matrix"), spark)
+    val df = (0L until 2000L).map(i => (i, i * 3L)).toDF("id", "key")
+      .repartitionByRange(10, col("id")).sortWithinPartitions("id")
+    store.commit(Map("t" -> store.stageWithStats("t", df,
+      statsCols = Seq("id"), bloomCols = Seq("key"))))
+    val v0 = store.manifest("t")
+    val schema = store.read("t").schema
+
+    // DV the statted source, then CLONE the DV'd + statted table
+    store.deleteWhereMoR("t", col("id") % 10 === 0L) shouldBe 200L
+    store.cloneTable("t", "c")
+
+    // 1. pruned RANGE scan on the CLONE: stats pruning AND tombstones
+    //    both apply — carried sidecar skips files, carried DV hides rows
+    val pruned = store.readPrunedRange("c", "id", lit(100L), lit(299L))
+    // repartitionByRange samples its boundaries: a 200-id span over 10
+    // ~200-row files touches at most 3
+    pruned.inputFiles.length should be <= 3
+    pruned.select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (100L to 299L).filterNot(_ % 10 == 0)
+    // bloom point probe on the clone composes with the DV the same way
+    store.readPrunedPoint("c", "key", lit(30L)).count() shouldBe 0L  // id=10: deleted
+    store.readPrunedPoint("c", "key", lit(33L)).count() shouldBe 1L  // id=11: alive
+
+    // 2. TIME TRAVEL the source to v0: the pre-delete snapshot is intact
+    //    even though the current version carries a DV
+    store.readVersion("t", v0, schema).count() shouldBe 2000L
+
+    // 3. divergence under DML: more deletes on the clone touch neither
+    //    the source's current read nor its time-travel targets
+    store.deleteWhereMoR("c", col("id") >= 1000L) shouldBe 900L
+    store.read("t").count() shouldBe 1800L
+    store.readVersion("t", v0, schema).count() shouldBe 2000L
+    store.readPrunedRange("c", "id", lit(900L), lit(1099L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (900L until 1000L).filterNot(_ % 10 == 0)
+
+    // 4. PURGE the clone: tombstones materialize, pruned reads unchanged
+    store.purgeDeletes("c") shouldBe 1100L
+    store.readPrunedRange("c", "id", lit(900L), lit(1099L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (900L until 1000L).filterNot(_ % 10 == 0)
+
+    // 5. source overwritten + vacuumed: clone keeps reading and PRUNING
+    //    (hard links keep shared bytes alive; the clone's sidecar is its
+    //    own copy)
+    store.overwrite("t", Seq((1L, 3L)).toDF("id", "key"))
+    store.vacuum()
+    val afterVac = store.readPrunedRange("c", "id", lit(100L), lit(299L))
+    afterVac.inputFiles.length should be <= 3
+    afterVac.select("id").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      (100L to 299L).filterNot(_ % 10 == 0)
+  }
+
   test("statted EMPTY version: sidecar-carrying DML degrades to no " +
       "sidecar instead of crashing on the empty stats relation") {
     val s = spark
