@@ -591,6 +591,54 @@ object SparkEntry {
       Seq("o_orderkey"), streamMorLoc(dir).toString, "orders_live")
   }
 
+  private def streamMaintLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-streammaint-" + corpusFingerprint(Seq(s"$dir/orders.parquet")))
+
+  /** How many micro-batches the maintained replay drives and its
+    * OPTIMIZE cadence — shared between the builder and the oracle. */
+  private val StreamMaintBatches = 48
+  private val StreamMaintEvery = 8
+
+  /** Build-once LONG-RUN streaming-MERGE replay with scheduled
+    * maintenance: 48 micro-batches (one per slice file,
+    * `maxFilesPerTrigger 1`) across 6 stop/start cycles, and every 8th
+    * applied batch the sink itself runs OPTIMIZE
+    * ([[graft.core.TableStore.purgeDeletes]] +
+    * [[graft.core.TableStore.compactSmallFiles]]) — the production
+    * trajectory where a MoR sink would otherwise grow one small file
+    * plus one deletion vector per batch forever. Batch i rewrites the
+    * DISJOINT key residue `o_orderkey % 997 == i+1` (status 'M', price
+    * `(o_orderkey % 999) + i`), so the batch last-wins merge has a ONE-
+    * CASE closed form any SQL engine replays — and every batch still
+    * tombstones base rows, so the DV/file-count trajectory is real.
+    * Disjointness keeps the oracle trivial; the overlapping-slices row
+    * ([[streamMorStore]]) already witnesses last-wins ordering. */
+  private def streamMaintStore(s: SparkSession, dir: String): graft.core.TableStore = {
+    val o = s.read.parquet(s"$dir/orders.parquet")
+    val ts = tsLit(o, "o_orderdate", "1999-06-01 00:00:00")
+    def slice(i: Int) =
+      o.select(col("o_orderkey"))
+        .filter(col("o_orderkey") % 997 === (i + 1).toLong).distinct()
+        .select(col("o_orderkey"),
+          (col("o_orderkey") % 1000).as("o_custkey"),
+          lit("M").as("o_orderstatus"),
+          ((col("o_orderkey") % 999).cast("double") + i).as("o_totalprice"),
+          ts.as("o_orderdate"),
+          lit("S-MAINT").as("o_orderpriority"))
+    graft.streaming.StoreStream.upsertReplay(s,
+      o.repartitionByRange(8, col("o_totalprice"))
+        .sortWithinPartitions(col("o_totalprice")),
+      (0 until StreamMaintBatches).map(slice),
+      Seq("o_orderkey"), streamMaintLoc(dir).toString, "orders_maint",
+      // 4 MiB target: above the per-batch appends at every SF (so ticks
+      // really bin-pack) and below the sf1+ base files (so those are
+      // CARRIED, pinning the O(work since last tick) claim at scale)
+      maintainEvery = StreamMaintEvery, targetBytes = 4L << 20,
+      filesPerCycle = StreamMaintEvery)
+  }
+
   /** A timestamp literal in the exact flavor (TIMESTAMP vs
     * TIMESTAMP_NTZ) the parquet column reads as, so range predicates
     * compare natively against both the data and its sidecar min/max
@@ -637,7 +685,9 @@ object SparkEntry {
     "index_store_mor" -> IndexSurface(morStoreLoc,
       (s, d) => { morStore(s, d); () }),
     "index_stream_mor" -> IndexSurface(streamMorLoc,
-      (s, d) => { streamMorStore(s, d); () }))
+      (s, d) => { streamMorStore(s, d); () }),
+    "index_stream_maint" -> IndexSurface(streamMaintLoc,
+      (s, d) => { streamMaintStore(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -1414,6 +1464,21 @@ object SparkEntry {
       // any dropped or doubled batch breaks the hash
       val store = streamMorStore(s, dir)
       store.read("orders_live")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    }),
+
+    "stream_upsert_maintained_oracled" -> ((s, dir) => {
+      // LONG-RUN streaming MERGE: 48 micro-batches with OPTIMIZE
+      // (purge + bin-pack) scheduled INSIDE the sink every 8th batch —
+      // file count and DV size stay bounded by work-since-last-tick
+      // while the content hash still witnesses exactly-once across all
+      // 6 restarts and every maintenance tick (a tick that dropped the
+      // tag would re-apply a batch and break the hash)
+      val store = streamMaintStore(s, dir)
+      store.read("orders_maint")
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
@@ -4971,6 +5036,22 @@ object SparkEntry {
         |         CASE WHEN o_orderkey % 8 = 0 THEN (o_orderkey % 999) + 2000.5
         |              WHEN o_orderkey % 6 = 0 THEN (o_orderkey % 999) + 1000.5
         |              WHEN o_orderkey % 4 = 0 THEN (o_orderkey % 999) + 0.5
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // maintained streaming MERGE replay: batch i owns the DISJOINT key
+    // residue o_orderkey % 997 == i+1 (i in [0, 48)), so last-wins is
+    // one CASE — updated keys take status 'M' and price
+    // (o_orderkey % 999) + i where i = (o_orderkey % 997) - 1
+    "stream_upsert_maintained_oracled" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM (
+        |  SELECT CASE WHEN o_orderkey % 997 BETWEEN 1 AND $StreamMaintBatches
+        |              THEN 'M' ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 997 BETWEEN 1 AND $StreamMaintBatches
+        |              THEN (o_orderkey % 999) + ((o_orderkey % 997) - 1)
         |              ELSE o_totalprice END AS o_totalprice
         |  FROM orders)
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -214,6 +214,71 @@ class TableStore(val root: String, spark: SparkSession) {
         .sortWithinPartitions(clusterBy)), cur)
   }
 
+  /** OPTIMIZE bin-packing: rewrite ONLY the current version's
+    * sub-`targetBytes` data files into `ceil(smallBytes/targetBytes)`
+    * packed files, carrying every already-right-sized file verbatim
+    * (hard links — no data bytes move). This is the maintenance shape a
+    * STREAMING sink needs: each micro-batch appends one small file
+    * forever, and [[compact]]/[[compactToSize]]'s full rewrite would pay
+    * O(table) per OPTIMIZE tick — on a 100 TB table the tick must cost
+    * O(files appended since the last tick), which this does. DV-aware:
+    * tombstones of rewritten files are APPLIED in the rewrite (positions
+    * change, so the references must materialize); tombstones of carried
+    * files carry with them. Stats sidecar rows carry for kept files and
+    * are recomputed for the packed ones; the version tag (the sink's
+    * exactly-once high-water mark) always carries. No-ops (committing
+    * nothing) when fewer than `minSmallFiles` are small enough to pack,
+    * so a scheduled cadence is cheap to over-call; skips bucketed /
+    * hive-partitioned layouts (their layout artifacts outrank packing —
+    * use [[compact]] with `partitionBy`). Returns the number of small
+    * files packed. */
+  def compactSmallFiles(table: String, targetBytes: Long = 128L << 20,
+      minSmallFiles: Int = 4): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val curDir = versionDir(table, curV)
+    if (Files.exists(curDir.resolve(BucketSpecFile)) || hasNestedData(curDir))
+      return 0
+    val (small, big) = dataFiles(curDir).partition(Files.size(_) < targetBytes)
+    if (small.size < minSmallFiles) return 0
+
+    val version = newVersion()
+    val dst = versionDir(table, version)
+    Files.createDirectories(dst)
+    big.foreach(carryFile(_, dst))
+    val copiedNames = big.map(_.getFileName.toString).toSet
+    val smallNames = small.map(_.getFileName.toString).toSet
+    val smallBytes = small.map(Files.size).sum
+    val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
+    val dv = DeleteVectors.read(spark, curDir.toString)
+    val smallScan = spark.read.option("basePath", curDir.toString)
+      .parquet(small.map(_.toUri.toString): _*)
+    // rewritten files materialize their tombstones (applyTo's anti-join
+    // on the full DV: entries naming carried files simply never match)
+    val packed = dv.fold(smallScan)(_ =>
+      DeleteVectors.applyTo(spark, smallScan, curDir.toString))
+    packed.coalesce(n).write.mode("append").parquet(dst.toString)
+    // tombstones of CARRIED files keep pointing at unmoved rows
+    dv.foreach { d =>
+      val kept = d.filter(col("file").isInCollection(copiedNames))
+        .localCheckpoint(true)
+      if (kept.count() > 0L) DeleteVectors.write(kept, dst.toString)
+    }
+    FileStats.read(spark, curDir.toString).foreach { rows =>
+      val newFiles = withListing(dst)(_
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !copiedNames.contains(p.getFileName.toString))
+        .map(_.toUri.toString).toSeq)
+      val untouchedRows = rows.filter(!element_at(
+        split(col("file"), "/"), -1).isin(smallNames.toSeq: _*))
+      carrySidecar(rows, untouchedRows, dst, newFiles)
+    }
+    carryTag(curDir, dst)
+    commit(Map(table -> version), expect = Map(table -> Some(curV)))
+    small.size
+  }
+
   /** [[stage]] plus a [[FileStats]] sidecar: per-file min/max/null
     * counts for `statsCols` and bloom filters for `bloomCols`, written
     * INTO the version dir before any commit — so stats are atomic with

@@ -63,8 +63,10 @@ object StoreStream {
 
   /** Deterministic replay harness (the [[Replay]] batch-equivalence
     * pattern, for the store sink): seed `table` with `base`, then drive
-    * `slices` through a real file-source stream — one stop/start cycle
-    * per slice over a shared checkpoint, each micro-batch applied by
+    * `slices` through a real file-source stream — grouped into
+    * stop/start cycles of `filesPerCycle` slice files over a shared
+    * checkpoint (`maxFilesPerTrigger 1`, so every slice is its own
+    * micro-batch regardless of grouping), each batch applied by
     * [[upsertBatch]] — and leave the store at `storeRoot` for the
     * caller to read. The final table must equal the batch last-wins
     * merge of `base` with the concatenated slices, which an external
@@ -72,14 +74,28 @@ object StoreStream {
     * exactly-once effect across every restart (a re-applied slice
     * would double-tombstone nothing but would append duplicate rows —
     * any skew from the oracle is a dropped or doubled batch). Built
-    * once per `workDir`, gated on a completion marker written last. */
+    * once per `workDir`, gated on a completion marker written last.
+    *
+    * `maintainEvery > 0` schedules OPTIMIZE inside the sink: after
+    * every `maintainEvery`-th applied batch, [[TableStore.purgeDeletes]]
+    * folds the accumulated tombstones in (bounding the DV anti-join
+    * read tax) and [[TableStore.compactSmallFiles]] bin-packs the
+    * per-batch small files (bounding file count). Both carry the
+    * version tag, so the exactly-once high-water mark survives every
+    * tick — this is the long-run shape of a production sink, where the
+    * MoR trickle would otherwise grow one file + one DV per batch
+    * forever. Maintenance cost per tick is O(work since the last
+    * tick), never O(table). */
   def upsertReplay(
       spark: SparkSession,
       base: DataFrame,
       slices: Seq[DataFrame],
       keys: Seq[String],
       workDir: String,
-      table: String = "t"): TableStore = {
+      table: String = "t",
+      maintainEvery: Int = 0,
+      targetBytes: Long = 128L << 20,
+      filesPerCycle: Int = 1): TableStore = {
     val root = Paths.get(workDir)
     val done = root.resolve("_replay_done")
     val store = new TableStore(root.resolve("store").toString, spark)
@@ -91,12 +107,23 @@ object StoreStream {
     val schema: StructType = base.schema
 
     store.overwrite(table, base)
-    slices.foreach { slice =>
-      slice.coalesce(1).write.mode("append").parquet(src)
-      val q = spark.readStream.schema(schema).parquet(src)
+    slices.grouped(math.max(1, filesPerCycle)).foreach { cycle =>
+      cycle.foreach(_.coalesce(1).write.mode("append").parquet(src))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1) // one slice file = one micro-batch
+        .parquet(src)
         .writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          upsertBatch(store, table, keys)(batch.toDF(), batchId); ()
+          val applied = upsertBatch(store, table, keys)(batch.toDF(), batchId)
+          if (applied && maintainEvery > 0 &&
+              (batchId + 1) % maintainEvery == 0) {
+            store.purgeDeletes(table)
+            store.compactSmallFiles(table, targetBytes)
+            // between batches the sink is the store's only reader, so
+            // sweeping superseded versions here is the documented-safe
+            // window — keeps disk O(table), not O(table × batches)
+            store.vacuum(retain = 2)
+          }
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())

@@ -507,6 +507,85 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").select("v").head().getString(0) shouldBe "c"
   }
 
+  test("compactSmallFiles: bin-packs only the small files, carries big " +
+      "ones by hard link, applies/keeps tombstones per side, carries tag") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("dv-binpack"), spark)
+    // one BIG file (10k rows) + trickle of small per-batch files
+    store.commit(Map("t" -> store.stageWithStats("t",
+      (0L until 10000L).map(i => (i, s"v$i")).toDF("id", "v").coalesce(1),
+      Seq("id"))))
+    val bigName = dataFiles(store.currentPath("t").get).keys.head
+    (0 until 6).foreach { i =>
+      store.upsertMoR("t",
+        Seq((10000L + i, s"n$i"), (i.toLong, s"u$i")).toDF("id", "v")
+          .coalesce(1),
+        Seq("id"), tag = Some(i.toString))
+    }
+    // 6 appended small files + the big one; a DV naming the big file
+    val preDir = store.currentPath("t").get
+    dataFiles(preDir).size shouldBe 7
+    DeleteVectors.exists(preDir) shouldBe true
+
+    val packed = store.compactSmallFiles("t", targetBytes = 32L << 10,
+      minSmallFiles = 4)
+    packed shouldBe 6
+    val dir = store.currentPath("t").get
+    val files = dataFiles(dir)
+    // 6 small files → 1 packed file; the big file carried by inode
+    files.size shouldBe 2
+    val ino = (d: String, n: String) =>
+      Files.getAttribute(Paths.get(d, n), "unix:ino")
+    ino(dir, bigName) shouldBe ino(preDir, bigName)
+    // tombstones of the CARRIED big file survive; rewritten files
+    // materialized theirs — content is exactly the post-upsert state
+    DeleteVectors.exists(dir) shouldBe true
+    store.read("t").count() shouldBe 10006L
+    store.read("t").filter(col("id") < 6L).select("v")
+      .collect().map(_.getString(0)).sorted.toSeq shouldBe
+      (0 until 6).map(i => s"u$i")
+    // stats sidecar carried + recomputed: range pruning still exact
+    store.readPrunedRange("t", "id", lit(10000L), lit(10005L))
+      .count() shouldBe 6L
+    // the exactly-once high-water mark survived the OPTIMIZE
+    store.versionTag("t") shouldBe Some("5")
+    // under the threshold: no-op, nothing committed
+    val v = store.currentPath("t").get
+    store.compactSmallFiles("t", targetBytes = 32L << 10) shouldBe 0
+    store.currentPath("t").get shouldBe v
+  }
+
+  test("maintained streaming sink: file count and DV stay bounded over " +
+      "many micro-batches, content still exactly-once") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StoreStream
+    val base = (0L until 500L).map(i => (i, "base")).toDF("id", "v")
+    // 20 micro-batches; batch i updates ids [10*i, 10*i+14] — overlaps
+    // its neighbor so later batches tombstone earlier batches' appends
+    val slices = (0 until 20).map(i =>
+      (10L * i until 10L * i + 15L).map(k => (k, s"b$i")).toDF("id", "v"))
+    val store = StoreStream.upsertReplay(spark, base, slices, Seq("id"),
+      tmpDir("dv-maint"), "t",
+      maintainEvery = 4, targetBytes = 1L << 20, filesPerCycle = 5)
+
+    // last-wins closed form: id belongs to the HIGHEST batch whose
+    // window contains it
+    val expect = (0L until 500L).map { id =>
+      val owners = (0 until 20).filter(i => id >= 10L * i && id < 10L * i + 15L)
+      id -> (if (owners.isEmpty) "base" else s"b${owners.max}")
+    }.toMap
+    store.read("t").as[(Long, String)].collect().toMap shouldBe expect
+    store.versionTag("t") shouldBe Some("19")
+
+    // the long-run bound: 20 batches would leave 21+ files and a fat DV
+    // without maintenance; the cadence keeps both O(work since last tick)
+    val dir = store.currentPath("t").get
+    dataFiles(dir).size should be <= 6
+    DeleteVectors.read(spark, dir).map(_.count()).getOrElse(0L) should be <= 60L
+  }
+
   test("composition matrix: pruned scan × DV × time travel × clone all " +
       "interact correctly on ONE table") {
     val s = spark
