@@ -3423,6 +3423,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    "media_quarantine" -> ((s, dir) => {
+      // the codec boundary as a ROUTE, not a silent stub: a mixed
+      // corpus — decodable MPNG AVIs (%4=0) and PCM16 WAVs (%4=2)
+      // interleaved with codec-compressed MP4s (%4=1) and mislabeled
+      // text-byte "images" (%4=3) — flows through the same sniff+decode
+      // probes the embedding path dispatches on; exactly the rows whose
+      // features would have been the digest stub land here with a
+      // reason, ready to park or re-ingest after transcoding. The
+      // oracle predicts the FULL routing in closed form: any decodable
+      // row leaking in (or clean row leaking out) breaks the hash.
+      import s.implicits._
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val badImages = docs.filter(col("doc_id") % 4 === 3)
+        .select(col("doc_id").as("media_id"), lit("image").as("kind"),
+          // the "txt:" prefix can never collide with an image magic, on
+          // ANY corpus — the mislabel is deterministic by construction
+          encode(concat(lit("txt:"), col("text")), "UTF-8").as("payload"),
+          col("source").as("meta_source")).as[Media.MediaFile]
+      val mix = Media.synthesizeMpngAvis(docs.filter(col("doc_id") % 4 === 0))
+        .unionByName(Media.synthesizeMp4s(docs.filter(col("doc_id") % 4 === 1)))
+        .unionByName(Media.synthesizeWavs(docs.filter(col("doc_id") % 4 === 2)))
+        .unionByName(badImages)
+      Media.quarantineUndecodable(mix).orderBy("media_id")
+    }),
+
     // -- non-SQL-expressible operators (rows-only driver check) -----------
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhash(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
@@ -6987,6 +7012,21 @@ object SparkEntry {
         |  strlen(text) AS byte_len,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    // the quarantine routing in closed form: codec-compressed MP4s
+    // (%4=1) and text-byte mislabeled images (%4=3) are quarantined
+    // with their probe-specific reasons; decodable MPNG AVIs (%4=0)
+    // and PCM16 WAVs (%4=2) must be ABSENT
+    "media_quarantine" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 4 = 1 THEN 'video' ELSE 'image' END AS kind,
+        |  CASE WHEN doc_id % 4 = 1
+        |    THEN 'video: no pure-JDK decoder for this container (codec-compressed)'
+        |    ELSE 'image: unrecognized container (not PNG/JPEG/GIF/BMP)'
+        |  END AS reason
+        |FROM documents
+        |WHERE doc_id % 4 IN (1, 3)
+        |ORDER BY media_id""".stripMargin,
 
     // the solid-color corpus's closed-form descriptor: channel means are
     // the doc_id-residue channels /255, the DC luma dim is Rec.601 over

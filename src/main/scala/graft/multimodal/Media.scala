@@ -1215,6 +1215,56 @@ object Media {
       .select(col("media_id"),
         sequence(lit(0), col("n_frames") - 1, lit(stride)).as("frame_indices"))
 
+  /** Quarantine route for payloads the pure-JDK content path cannot
+    * decode — the OTHER half of the codec boundary: [[extractFeatures]]
+    * keeps undecodable rows flowing with the deterministic digest stub
+    * so pipelines never stall, and THIS relation names exactly those
+    * rows with a reason, so an operator can park them (side table,
+    * re-ingest after transcoding) instead of silently training on stub
+    * features. The criteria are the SAME probes the embedding path
+    * dispatches on — a row is quarantined iff its features would have
+    * been the stub: images must sniff as PNG/JPEG/GIF/BMP AND decode;
+    * audio must be a WAV container AND PCM16; video must be an AVI
+    * container AND intra-coded (MPNG/MJPEG) with every sampled frame
+    * decodable (codec-compressed H.264/AAC/MP4 payloads are the
+    * permanent pure-JDK boundary — SURVEY §8). Output:
+    * `(media_id, kind, reason)`; decodable rows are absent (callers
+    * anti-join to keep the clean side). Partition-mapped like every
+    * decode pass: one probe per row, no shuffle, payloads shed at the
+    * boundary. */
+  def quarantineUndecodable(files: Dataset[MediaFile]): DataFrame = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.mapPartitions { it =>
+      it.flatMap { f =>
+        val reason: Option[String] = f.kind match {
+          case "image" =>
+            if (!looksLikeImage(f.payload))
+              Some("image: unrecognized container (not PNG/JPEG/GIF/BMP)")
+            else if (imageEmbedding(f.payload).isEmpty)
+              Some("image: recognized container but pixels undecodable")
+            else None
+          case "audio" =>
+            if (!looksLikeWav(f.payload))
+              Some("audio: no pure-JDK decoder for this container")
+            else if (audioEmbedding(f.payload).isEmpty)
+              Some("audio: WAV container but not PCM16")
+            else None
+          case "video" =>
+            if (!looksLikeAvi(f.payload))
+              Some("video: no pure-JDK decoder for this container " +
+                "(codec-compressed)")
+            else if (videoEmbedding(f.payload).isEmpty)
+              Some("video: AVI container but frames not intra-coded " +
+                "stills")
+            else None
+          case other => Some(s"unknown kind '$other'")
+        }
+        reason.map(r => (f.media_id, f.kind, r))
+      }
+    }.toDF("media_id", "kind", "reason")
+  }
+
   /** Resize pass for image rows: decode → scale → re-encode, stubbed like
     * [[decodeStub]] (deterministic pseudo-resize: payload truncated/padded
     * proportionally to the pixel ratio, metadata updated for real). The

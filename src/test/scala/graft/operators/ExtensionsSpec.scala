@@ -1417,6 +1417,35 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       files.collect().sortBy(_.media_id).map(_.payload.toSeq).toSeq
   }
 
+  test("quarantine route: exactly the stub-bound payloads, with probe-" +
+      "specific reasons; decodable rows absent") {
+    val s = spark
+    import s.implicits._
+    val d = (id: Long) => docs((id, s"doc $id")).withColumn("source", lit("fx"))
+    val decodableAvi = Media.synthesizeMpngAvis(d(0L))   // kept
+    val decodableWav = Media.synthesizeWavs(d(1L))       // kept
+    val mp4 = Media.synthesizeMp4s(d(2L))                // codec-compressed
+    // PNG magic with a truncated body: sniffs as image, decodes to nothing
+    val pngMagicJunk = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)
+    val fakes = Seq(
+      Media.MediaFile(3L, "image", "txt:not an image".getBytes("UTF-8"), "fx"),
+      Media.MediaFile(4L, "image", pngMagicJunk, "fx"),  // magic, no pixels
+      Media.MediaFile(5L, "audio", pngMagicJunk, "fx"),  // not a WAV
+      Media.MediaFile(6L, "video", "txt:junk".getBytes("UTF-8"), "fx"),
+      Media.MediaFile(7L, "weird", Array[Byte](1, 2), "fx")).toDS()
+    val q = Media.quarantineUndecodable(
+        decodableAvi.unionByName(decodableWav).unionByName(mp4)
+          .unionByName(fakes))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    q.keySet shouldBe Set(2L, 3L, 4L, 5L, 6L, 7L)
+    q(2L) should include("codec-compressed")
+    q(3L) should include("unrecognized container")
+    q(4L) should include("pixels undecodable")
+    q(5L) should include("no pure-JDK decoder")
+    q(6L) should include("codec-compressed")
+    q(7L) should include("unknown kind")
+  }
+
   test("rolling fingerprint: whitespace-insensitive via tokenization, order-sensitive") {
     val d = docs((1L, "a b c d"), (2L, "a  b   c d"), (3L, "d c b a"))
     // doc 2 differs only in whitespace → same fingerprint; doc 3 reorders → different
