@@ -6823,8 +6823,9 @@ object SparkEntry {
         |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
         |  FROM sh),
         |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.id < b.id),
+        |  SELECT DISTINCT min_id AS id_a, id AS id_b FROM (
+        |    SELECT id, min(id) OVER (PARTITION BY band) AS min_id FROM bk)
+        |  WHERE min_id < id),
         |dup AS (
         |  SELECT DISTINCT c.id_b
         |  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
@@ -6870,8 +6871,9 @@ object SparkEntry {
         |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
         |  FROM sh),
         |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM bk a JOIN bk b ON a.band = b.band AND a.id < b.id),
+        |  SELECT DISTINCT min_id AS id_a, id AS id_b FROM (
+        |    SELECT id, min(id) OVER (PARTITION BY band) AS min_id FROM bk)
+        |  WHERE min_id < id),
         |dup AS (
         |  SELECT DISTINCT c.id_b
         |  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b

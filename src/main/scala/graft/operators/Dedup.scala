@@ -381,6 +381,47 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Representative-link candidates for KEEP-ONE dedup — the band-space
+    * port of the embedding family's bounded-work fix
+    * ([[Similarity.contrastiveHardTriplets]]'s per-anchor cap, in the
+    * shape a keep-one consumer actually needs): within each bucket,
+    * every member pairs with the bucket's MIN id ONLY, so candidate
+    * volume is `bandRows − buckets` — LINEAR in corpus size at any
+    * duplicate density — instead of the all-pairs `Σ c²/2` that grows
+    * as |clique|² on duplicate-saturated corpora. Measured on the sf10
+    * soak corpus (jittered ~100-copy cliques): all-pairs volume is
+    * 27.31M distinct pairs for 500k docs — 109× the sf1 volume for 10×
+    * the rows, with 432M in-bucket pair slots feeding the distinct —
+    * while min-linking emits ≤ bands (16) candidates per doc, period.
+    *
+    * Why this preserves keep-one semantics where it matters: a doc is
+    * dropped iff SOME kept pair verifies, and a band bucket's members
+    * share an exact `rows`-hash signature slice, so a bucket's min is
+    * (with the same collision probability that produced the bucket) a
+    * genuine near-dup of every member — in a dense clique the bucket
+    * min IS a clique sibling and every non-min member links straight to
+    * it; in a 2-member bucket min-linking and all-pairs are literally
+    * the same pair. Only a mixed bucket whose min is dissimilar to a
+    * member that IS similar to some other smaller member can differ
+    * from the exact verify, and a band match at sub-threshold
+    * similarity is rare by construction (p ≈ 0.06 per band at j = 0.5
+    * with 4-row bands). No hot-bucket drop guard is needed — volume is
+    * linear, so a mega-bucket costs O(c), and nothing is silently
+    * lost. One exchange (the same window partitioning the all-pairs
+    * path needed anyway), no collect_list, no pair explosion, and the
+    * min-over-bucket closed form replays in one SQL window function.
+    * Pair-REPORTING surfaces keep the exact all-pairs path: their
+    * output IS the quadratic pair set. */
+  private[operators] def minLinkPairs(blocked: DataFrame, keyCol: String,
+      idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    blocked
+      .withColumn("__m", min(col(idCol)).over(w))
+      .filter(col("__m") < col(idCol))
+      .select(col("__m").as("id_a"), col(idCol).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   /** MinHash signature — delegated to the one-pass native expression
@@ -417,7 +458,8 @@ object Dedup {
       shingleSize: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      minLink: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // SINGLE corpus scan: the hashed-shingle projection (id, sh) is
     // persisted once and every downstream stage — banding signature, the
@@ -443,7 +485,9 @@ object Dedup {
           bands, rows)))
         .select(col("band"), col("id"))
 
-      val candidates = candidatePairs(banded, "band", "id")
+      val candidates =
+        if (minLink) minLinkPairs(banded, "band", "id")
+        else candidatePairs(banded, "band", "id")
 
       // exact-verify on hashed shingle sets (identical Jaccard up to 64-bit
       // collisions; long arrays are far cheaper than shingle strings to
@@ -458,10 +502,16 @@ object Dedup {
     }
   }
 
-  /** MinHash-LSH dedup: drop every doc with a verified smaller-id dup. */
+  /** MinHash-LSH dedup: drop every doc with a verified smaller-id dup.
+    * Candidates come from bucket-representative linking by default
+    * ([[minLinkPairs]] — linear volume at any duplicate density, the
+    * fix for the measured 109×-pairs-for-10×-rows growth on
+    * clique-saturated corpora); `minLink = false` restores the exact
+    * all-pairs verify. */
   def minhash(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-      threshold: Double = 0.8): DataFrame = {
-    val dupIds = minhashDuplicatePairs(df, textCol, idCol, threshold = threshold)
+      threshold: Double = 0.8, minLink: Boolean = true): DataFrame = {
+    val dupIds = minhashDuplicatePairs(df, textCol, idCol, threshold = threshold,
+        minLink = minLink)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -533,13 +583,15 @@ object Dedup {
     * independent engine (banding + verify + anti-join). */
   def minhashPortable(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
-      bands: Int = 16, threshold: Double = 0.8, maxId: Long = 300L): DataFrame = {
+      bands: Int = 16, threshold: Double = 0.8, maxId: Long = 300L,
+      minLink: Boolean = true): DataFrame = {
     val dupIds = withProjectionCache(
         portableBase(df, textCol, idCol, shingleSize, maxId)) { base =>
       val banded = base.select(
         explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
         col("id"))
-      candidatePairs(banded, "band", "id")
+      (if (minLink) minLinkPairs(banded, "band", "id")
+       else candidatePairs(banded, "band", "id"))
         .join(base.select(col("id").as("id_a"), col("shd").as("shd_a")), "id_a")
         .join(base.select(col("id").as("id_b"), col("shd").as("shd_b")), "id_b")
         .filter(size(array_intersect(col("shd_a"), col("shd_b"))).cast("double") /

@@ -358,6 +358,40 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 3L)
   }
 
+  test("min-link candidates: linear volume on a dense clique, keep-one " +
+      "result unchanged, deterministic") {
+    // a 60-member jittered clique (every member ≥0.9 jaccard to every
+    // other) + 5 unrelated docs: all-pairs candidates are |clique|²/2 ≈
+    // 1770; min-linking emits ≤ bands (16) per droppable doc — and
+    // because a bucket min is a clique sibling, keep-one still drops all
+    // 59 non-min members
+    val clique = (0 until 60).map { i =>
+      val toks = (1 to 50).map(t => s"tok$t").updated(i % 50, s"jit$i")
+      (i.toLong, toks.mkString(" "))
+    }
+    val others = (0 until 5).map(i =>
+      (100L + i, (1 to 50).map(t => s"w${i}_$t").mkString(" ")))
+    val d = docs(clique ++ others: _*)
+
+    val allPairs = Dedup.minhashDuplicatePairs(d, threshold = 0.5)
+    val linked = Dedup.minhashDuplicatePairs(d, threshold = 0.5, minLink = true)
+    allPairs.count() should be > 1000L    // the quadratic clique volume is real
+    linked.count() should be <= (65L * 16) // ≤ bands per droppable doc
+    // determinism: bucket minima are a pure function of the data
+    linked.collect().map(r => (r.getLong(0), r.getLong(1))).sorted shouldBe
+      Dedup.minhashDuplicatePairs(d, threshold = 0.5, minLink = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    // keep-one equivalence on the clique: min-link and exact agree
+    val keptLinked = Dedup.minhash(d, threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val keptExact = Dedup.minhash(d, threshold = 0.5, minLink = false)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    keptLinked shouldBe keptExact
+    keptLinked should contain(0L) // the clique min survives
+    keptLinked.count(_ < 100L) shouldBe 1
+  }
+
   test("portable md5 minhash: banding finds the near-dup, dedup drops it, cache stays clean") {
     spark.catalog.clearCache()
     val base = (1 to 40).map(i => s"token$i").mkString(" ")
