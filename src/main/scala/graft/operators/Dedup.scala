@@ -412,7 +412,7 @@ object Dedup {
     * min-over-bucket closed form replays in one SQL window function.
     * Pair-REPORTING surfaces keep the exact all-pairs path: their
     * output IS the quadratic pair set. */
-  private[operators] def minLinkPairs(blocked: DataFrame, keyCol: String,
+  private[graft] def minLinkPairs(blocked: DataFrame, keyCol: String,
       idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
     blocked

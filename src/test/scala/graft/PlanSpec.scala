@@ -406,6 +406,33 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("keep-one minhash plans min-link candidates: one window, no pair " +
+      "explosion") {
+    // the linear-volume contract structurally: the keep-one dedup plan
+    // carries the bucket-min window and NONE of the all-pairs machinery
+    // (posexplode suffix expansion / collect_list bucket arrays) — a
+    // regression that reintroduces in-bucket pair enumeration into the
+    // scale-default path fails here before any soak can measure it
+    // the dedup pipelines checkpoint their stages (withProjectionCache),
+    // so the pin targets the candidate relation itself, on the same
+    // (band, id) blocking shape the pipeline feeds it
+    val s = spark
+    import s.implicits._
+    val blocked = (1 to 50).map(i => (i.toLong % 7, i.toLong))
+      .toDF("band", "id")
+    val linked = graft.operators.Dedup.minLinkPairs(blocked, "band", "id")
+    val plan = executedPlan(linked)
+    plan should include("Window")
+    plan should not include "posexplode"
+    plan should not include "collect_list"
+    // the exact pair-reporting path keeps its all-pairs machinery
+    val pairs = executedPlan(
+      graft.operators.Dedup.candidatePairs(blocked, "band", "id"))
+    pairs should include("posexplode")
+    // and min-link emits exactly (bucket size - 1) pairs per bucket
+    linked.count() shouldBe (50 - 7)
+  }
+
   test("incremental dedup against a bucketed fingerprint store shuffles only the batch") {
     // the O(increment) daily-dedup story: the corpus fingerprint store is
     // laid out bucketed on fp, so the anti-join reads it partition-aware —
