@@ -196,7 +196,13 @@ object Sf1Soak {
     // streaming MERGE replay (index_stream_mor surface runs the
     // 3-cycle stream): this row times the DV'd READ of the final
     // table — the stream cost is the build row
-    "stream_upsert_mor_oracled")
+    "stream_upsert_mor_oracled",
+    // round-10 wave: the MAINTAINED 48-batch sink's final read (its
+    // 6-cycle stream + in-sink OPTIMIZE ticks are the
+    // index_stream_maint build row — the read should cost a compacted
+    // plain scan, not 48 files + a fat DV), and the codec-boundary
+    // quarantine route (per-row sniff+decode probes, linear)
+    "stream_upsert_maintained_oracled", "media_quarantine")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
