@@ -1963,15 +1963,21 @@ object SparkEntry {
     // the row (sorted-run fold for the top bigram — zero shuffle); the
     // oracle recomputes via the relational explode→groupBy→max formulation
     "text_repetition" -> ((s, dir) => {
-      val toks = split(lower(trim(col("text"))), "\\s+")
+      // fused one-pass kernel (RepetitionStatsExpr): both statistics in
+      // one codegen'd struct — the compositional HOF forms ran
+      // interpreted and allocated a bigram string + struct accumulator
+      // per token (single-run soak rows swung 31.9-177 s on identical
+      // plans from the GC churn); values identical (equivalence spec +
+      // the unchanged oracle)
+      val rep = graft.functions.TextKernels.repetitionStats(col("text"))
       s.read.parquet(s"$dir/documents.parquet")
         // the small bench parquet is one input split; pre-shuffle so the
         // per-row folds use every core (a real corpus scan has thousands
         // of splits and needs no such step)
         .repartition(32)
         .select(col("doc_id"),
-          round(T.dupTokenFrac(toks), 4).as("dup_token_frac"),
-          round(T.topBigramFrac(toks), 4).as("top_bigram_frac"))
+          round(rep.getField("dup_token_frac"), 4).as("dup_token_frac"),
+          round(rep.getField("top_bigram_frac"), 4).as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 

@@ -130,7 +130,45 @@ case class StripHtmlExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass repetition statistics — dup-token fraction and top-bigram
+  * fraction fused into one struct. The compositional forms
+  * ([[TextFunctions.dupTokenFrac]] / [[TextFunctions.topBigramFrac]])
+  * are correct but run through Catalyst's INTERPRETED higher-order
+  * functions and allocate one bigram STRING per token plus a per-step
+  * struct accumulator — at corpus scale that is pure GC churn (the
+  * single-run soak rows swung 31.9–177 s on identical plans). This
+  * kernel tokenizes once, counts distinct tokens in a hash set and
+  * bigram pairs in a hash map (no sort, no per-step structs), and stays
+  * inside whole-stage codegen. Values are identical to the
+  * compositional forms (same trim→lower→`\s+` split semantics; bigram
+  * keys joined with a single space, which cannot collide because
+  * tokens cannot contain whitespace) — pinned by the equivalence spec
+  * and the unchanged DuckDB oracle. */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"repetition_stats requires string, got ${other.catalogString}")
+  }
+  override def dataType: DataType = TextKernelImpl.repetitionType
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextKernelImpl.repetition(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernelImpl.repetition($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpr =
+    copy(child = newChild)
+}
+
 object TextKernelImpl {
+
+  val repetitionType: StructType = StructType(Seq(
+    StructField("dup_token_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
 
   val statsType: StructType = StructType(Seq(
     StructField("n_tokens", LongType, nullable = false),
@@ -203,6 +241,41 @@ object TextKernelImpl {
 
     new GenericInternalRow(Array[Any](
       n.toLong, punctRatio, meanTokenLen, stopRatio, quality))
+  }
+
+  /** One pass: (dup_token_frac, top_bigram_frac) with the exact
+    * semantics of the compositional columns — tokens =
+    * `split(lower(trim(text)), "\s+")` (Spark split limit −1 keeps
+    * empty tokens around non-space leading whitespace; an empty trimmed
+    * string yields the single empty token, same as Spark), dup fraction
+    * = 1 − distinct/n, bigram fraction = max pair count / (n − 1). */
+  def repetition(s: UTF8String): InternalRow = {
+    // UTF8String.toLowerCase IS Spark's lower(); trim strips only 0x20,
+    // and lowercasing never maps to/from a space, so trim-after-lower
+    // equals the compositional lower(trim(...))
+    val trimmed = trimSpaces(s.toLowerCase.toString)
+    val tokens = Ws.split(trimmed, -1)
+    val n = tokens.length
+    val seen = new java.util.HashSet[String](math.max(4, n * 2))
+    var t = 0
+    while (t < n) { seen.add(tokens(t)); t += 1 }
+    val dup = if (n == 0) 0.0 else 1.0 - seen.size.toDouble / n
+    var top = 0
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer](n * 2)
+      var i = 0
+      while (i < n - 1) {
+        // tokens cannot contain whitespace, so the space-joined key is
+        // collision-free AND byte-identical to the compositional
+        // concat_ws(" ", slice(...)) bigram string
+        val k = tokens(i) + " " + tokens(i + 1)
+        val c = counts.merge(k, 1, (a: Integer, b: Integer) => a + b: Integer)
+        if (c > top) top = c
+        i += 1
+      }
+    }
+    val bigram = if (n < 2) 0.0 else top.toDouble / (n - 1)
+    new GenericInternalRow(Array[Any](dup, bigram))
   }
 
   private val langLabels: Array[UTF8String] =
@@ -318,6 +391,11 @@ object TextKernels {
   /** All five text statistics as ONE struct column, computed in one pass. */
   def textStats(text: Column): Column =
     Bridge.column(TextStatsExpr(Bridge.expression(text)))
+
+  /** Fused repetition statistics (same values as
+    * [[TextFunctions.dupTokenFrac]] + [[TextFunctions.topBigramFrac]]). */
+  def repetitionStats(text: Column): Column =
+    Bridge.column(RepetitionStatsExpr(Bridge.expression(text)))
 
   /** Fused language ID (same result as [[TextFunctions.langId]]). */
   def langId(text: Column): Column =

@@ -66,6 +66,41 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out(3).getDouble(2) shouldBe 1.0 +- 1e-9 // one bigram = 100%
   }
 
+  test("fused repetition kernel ≡ compositional forms, including the " +
+      "tokenizer edge cases, and stays codegen'd") {
+    val pasted = Seq.fill(10)("buy cheap pills now").mkString(" ")
+    val d = docs(
+      (1L, pasted),
+      (2L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (3L, "single"), (4L, "a b"), (5L, ""), (6L, "   "),
+      (7L, "\tTab Leading"),          // non-space ws → leading empty token
+      (8L, "MiXeD CaSe mixed case"),  // lowercasing folds these together
+      (9L, "a a a a a"), (10L, "x y x y x y"))
+    val toks = split(lower(trim(col("text"))), "\\s+")
+    val rep = graft.functions.TextKernels.repetitionStats(col("text"))
+    val both = d.select(col("doc_id"),
+        T.dupTokenFrac(toks).as("dc"), T.topBigramFrac(toks).as("tc"),
+        rep.getField("dup_token_frac").as("dk"),
+        rep.getField("top_bigram_frac").as("tk"))
+      .orderBy("doc_id").collect()
+    both.foreach { r =>
+      withClue(s"doc ${r.getLong(0)}: ") {
+        r.getDouble(3) shouldBe r.getDouble(1) +- 1e-12
+        r.getDouble(4) shouldBe r.getDouble(2) +- 1e-12
+      }
+    }
+    // the kernel runs inside whole-stage codegen (no interpreted HOFs);
+    // repartition forces a real exec stage (a local relation would fold
+    // the projection into LocalTableScan at planning time)
+    val q = d.repartition(2).select(rep)
+    q.collect() // AQE finalizes the physical plan on execution
+    // the *(n) prefix is AQE's whole-stage-codegen marker: the kernel's
+    // projection runs generated, not interpreted
+    val plan = q.queryExecution.executedPlan.toString
+    "\\*\\(\\d+\\) Project \\[repetition_stats".r
+      .findFirstIn(plan) should not be empty
+  }
+
   test("exact dedup keeps the smallest id per normalized text") {
     val d = docs((5L, "Hello  World"), (2L, "hello world"), (9L, "unique"))
     val kept = Dedup.exact(d).select("doc_id").collect().map(_.getLong(0)).sorted
