@@ -948,17 +948,73 @@ object Media {
     * residue). */
   def imageEmbedding(payload: Array[Byte]): Option[Array[Float]] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null) None
-      else {
-        val w = img.getWidth; val h = img.getHeight
+      decodeBmp24(payload) match {
+        // pure-byte fast path: 24-bit uncompressed BMP rows are raw BGR
+        // triples — no inflate, no color model, no ImageIO plumbing. The
+        // packed-sRGB ints are bit-identical to ImageIO's for this format
+        // (BMP carries no color profile; spec-pinned), so the descriptor
+        // is unchanged; everything else (PNG/JPEG/GIF, palette/RLE/32-bit
+        // BMP) takes the ImageIO path below. At corpus scale the ImageIO
+        // reader-dispatch + buffered-stream machinery was most of the
+        // thumbnail decode budget.
+        case Some((w, h, px)) => Some(descriptorFromPixels(px, w, h))
+        case None =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload))
+          if (img == null) None
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            // ONE bulk getRGB per image: the per-pixel accessor routes
+            // every call through the ColorModel virtual dispatch — at
+            // corpus scale (10^8 pixels per 100k thumbnails) that was the
+            // whole decode budget; the bulk form fills an int[] in one
+            // pass with identical sRGB values
+            Some(descriptorFromPixels(img.getRGB(0, 0, w, h, null, 0, w), w, h))
+          }
+      }
+    } catch { case _: Exception => None }
+
+  /** Decode a 24-bit uncompressed (BI_RGB) BMP straight from its bytes
+    * into packed opaque sRGB ints — the one raster format simple enough
+    * that a pure-byte walk beats a pluggable decoder framework. Handles
+    * bottom-up (positive height) and top-down (negative) layouts and the
+    * 4-byte row padding; returns None for anything else (palette, RLE,
+    * 16/32-bit, short buffers), which falls back to ImageIO. */
+  private[graft] def decodeBmp24(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    def le32i(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    def le16i(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    if (p.length < 54 || p(0) != 'B' || p(1) != 'M') return None
+    val off = le32i(10)
+    if (le32i(14) < 40) return None // pre-BITMAPINFOHEADER variants
+    val w = le32i(18); val hRaw = le32i(22)
+    if (le16i(26) != 1 || le16i(28) != 24 || le32i(30) != 0) return None
+    val h = math.abs(hRaw)
+    if (w <= 0 || h == 0 || w.toLong * h > Int.MaxValue / 8) return None
+    val stride = (w * 3 + 3) & ~3
+    if (off < 54 || off.toLong + stride.toLong * h > p.length) return None
+    val topDown = hRaw < 0
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var o = off + (if (topDown) y else h - 1 - y) * stride
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        px(row + x) = 0xff000000 | ((p(o + 2) & 0xff) << 16) |
+          ((p(o + 1) & 0xff) << 8) | (p(o) & 0xff)
+        x += 1; o += 3
+      }
+      y += 1
+    }
+    Some((w, h, px))
+  }
+
+  /** The 64-dim descriptor body over decoded pixels (shared by the BMP
+    * fast path and the ImageIO route — identical input ints, identical
+    * output floats). */
+  private def descriptorFromPixels(px: Array[Int], w: Int, h: Int): Array[Float] = {
         val out = new Array[Float](64)
-        // ONE bulk getRGB per image: the per-pixel accessor routes every
-        // call through the ColorModel virtual dispatch — at corpus scale
-        // (10^8 pixels per 100k thumbnails) that was the whole decode
-        // budget; the bulk form fills an int[] in one pass with
-        // identical sRGB values
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
         // --- dims 0..47: 4x4 block-mean RGB, exact integer sums -------
         val sr = new Array[Long](16); val sg = new Array[Long](16)
         val sb = new Array[Long](16); val cn = new Array[Long](16)
@@ -1056,9 +1112,8 @@ object Media {
           }
           u += 1
         }
-        Some(out)
-      }
-    } catch { case _: Exception => None }
+        out
+  }
 
   /** CONTENT-DERIVED 16-dim audio descriptor from the real PCM samples —
     * the classical signal-feature embedding (framed mean amplitude +

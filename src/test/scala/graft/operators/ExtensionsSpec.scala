@@ -1058,6 +1058,37 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
     out.meta_source should include("resized=5x2")
   }
 
+  test("pure-byte BMP fast path decodes pixel-identical to ImageIO and " +
+      "yields the identical descriptor cross-format") {
+    // a non-solid gradient so every pixel differs: any byte-order,
+    // padding, or row-direction slip in the raw walk changes a value
+    val w = 9; val h = 6 // odd width → rows need the 4-byte BMP padding;
+    // ≥4px each way so every 4x4 block-mean cell is populated (an empty
+    // cell is NaN in both paths, and Seq equality can't witness NaN)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 50) << 16) | ((y * 80) << 8) | (x * y * 20))
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos); bos.toByteArray
+    }
+    val bmp = enc("bmp"); val png = enc("png")
+    // the raw walk reproduces ImageIO's packed-sRGB ints exactly
+    val (dw, dh, px) = Media.decodeBmp24(bmp).get
+    (dw, dh) shouldBe (w, h)
+    px.toSeq shouldBe img.getRGB(0, 0, w, h, null, 0, w).toSeq
+    // and the descriptor is format-independent: BMP (fast path) == PNG
+    // (ImageIO path) over the same pixels
+    Media.imageEmbedding(bmp).get.toSeq shouldBe
+      Media.imageEmbedding(png).get.toSeq
+    // non-24-bit / malformed BMPs refuse the fast path instead of
+    // mis-decoding (palette header, truncated buffer)
+    Media.decodeBmp24(bmp.take(30)) shouldBe None
+    val bad = bmp.clone(); bad(28) = 8 // claim 8-bit palette
+    Media.decodeBmp24(bad) shouldBe None
+  }
+
   test("imageEmbedding: content-derived, deterministic, crop-tolerant") {
     // a two-tone gradient-ish fixture: left half color A, right half B
     def png(w: Int, h: Int, a: Int, b: Int): Array[Byte] = {
