@@ -1168,19 +1168,25 @@ object SparkEntry {
           col("event_type"), col("cnt"), col("sum_mils"))
         .orderBy("window_start_us", "event_type")),
 
-    // interval×point range join WITHOUT an equi key (sessions × ALL
-    // events): binned into an equi join on the bin id — the naive form is
-    // a nested-loop cross product. Counts events from any user falling
-    // inside each session's time window.
+    // interval×point range COUNT (sessions × ALL events) via the
+    // prefix-sum bin ledger (RangeJoin.intervalPointCount): the pair
+    // join's intermediate is Σ(events per session window) — both
+    // factors densify with corpus size in a fixed wall-clock span, so
+    // it grows ~quadratically while the output stays one row per
+    // session. The ledger form resolves interior bins from broadcast
+    // prefix sums and joins per-point only in the ≤2 edge bins. Every
+    // session contains its own events, so no 0-count rows exist and
+    // the result is identical to the pair-join + groupBy (the oracle is
+    // binWidth-independent; a 10-minute bin keeps edge-bin volume low).
     "session_concurrency" -> ((s, dir) => {
       val sessions = queries("event_sessions")(s, dir)
         .select("user_id", "session_id", "session_start_us", "session_end_us")
-      val points = events(s, dir).select(col("event_id"), col("ts_us"))
-      graft.operators.RangeJoin.intervalPoint(sessions, points,
+      val points = events(s, dir).select(col("ts_us"))
+      graft.operators.RangeJoin.intervalPointCount(sessions, points,
           "session_start_us", "session_end_us", "ts_us",
-          binWidth = 3600L * 1000000L)
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(count(lit(1)).as("n_concurrent"))
+          binWidth = 600L * 1000000L, keys = Seq("user_id", "session_id"),
+          countName = "n_concurrent")
+        .select("user_id", "session_id", "n_concurrent")
         .orderBy("user_id", "session_id")
     }),
 
@@ -2831,6 +2837,30 @@ object SparkEntry {
           col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),
 
+    // entity resolution: connected components over the verified lev<=1
+    // pair relation restricted to a HARD blocking key (same nation) —
+    // records are one ENTITY iff connected at any path length (names
+    // drift one edit per revision; pairwise matching splits the chain).
+    // Without the hard key the sequential TPC-H names chain the whole
+    // table into one component (a correct but vacuous answer); with it
+    // the entity structure is rich (hundreds of multi-record entities
+    // at oracle scale) so the hash check pins real transitivity. The
+    // oracle recomputes the edges all-pairs and closes them with a
+    // recursive CTE; the Spark side is the production star-contraction
+    // operator over the SymSpell-blocked pair relation.
+    "linkage_entities" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val nat = c.select(col("c_custkey"), col("c_nationkey"))
+      val edges = graft.operators.Linkage.fuzzyPairs(c, "c_custkey", "c_name")
+        .join(nat.select(col("c_custkey").as("id_a"), col("c_nationkey").as("__na")), "id_a")
+        .join(nat.select(col("c_custkey").as("id_b"), col("c_nationkey").as("__nb")), "id_b")
+        .filter(col("__na") === col("__nb"))
+      graft.operators.Graph.connectedComponents(edges, "id_a", "id_b",
+          nodes = Some(c.select(col("c_custkey"))), nodeCol = "c_custkey")
+        .select(col("node").as("c_custkey"), col("component").as("entity_id"))
+        .orderBy("c_custkey")
+    }),
+
     // depth-2 neighborhood: complete for lev<=2 (FastSS), ~|s|^2/2
     // variants per record — the practical ceiling, exercised on the
     // same table so the oracle is the all-pairs lev<=2 recompute.
@@ -3048,6 +3078,73 @@ object SparkEntry {
           bands = 32, threshold = 0.5, maxId = 300L)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // PageRank over a closed-form synthetic link graph (doc d links to
+    // (d² + j·31) mod m for j = 1..3, m = max id + 1 — both engines
+    // derive the identical multigraph from the corpus; the QUADRATIC
+    // map is deliberately non-bijective so in-degrees vary 0..dozens
+    // and the rank distribution is rich — an affine map is a regular
+    // graph whose uniform ranks check nothing): authority scoring in
+    // EXACT integer fixed-point, so the oracle replays every rank as
+    // the same 64-bit long through 15 unrolled iterations. The
+    // iterative-operator discipline beyond connected components:
+    // fixed-round, integer-lattice, engine-portable.
+    "graph_pagerank" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j =>
+            (col("doc_id") * col("doc_id") + j * 31L) % col("__m")): _*)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+          nodes = d, nodeCol = "doc_id", iterations = 15)
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+        .orderBy("doc_id")
+    }),
+
+    // TRANSITIVE duplicate clusters: portable banding → min-link
+    // candidates → Jaccard verify → large-star/small-star connected
+    // components (Graph.connectedComponents). DuckDB replays the closure
+    // as a recursive label-propagation CTE over the identical verified
+    // edge set, so the full cluster ASSIGNMENT is hash-checked — chains
+    // of drifted revisions must land in one cluster in both engines.
+    // xxhash64 banding over the unbounded corpus stays the performance
+    // default (`dedup_cluster`).
+    "dedup_cluster_oracled" -> ((s, dir) =>
+      Dedup.clustersPortable(
+          s.read.parquet(s"$dir/documents.parquet"),
+          bands = 32, threshold = 0.5, maxId = 300L)
+        .orderBy("doc_id")),
+
+    // duplicate-cluster size distribution — the datacard row transitive
+    // clustering exists for (keep-one can't see cluster structure)
+    "dedup_cluster_stats" -> ((s, dir) =>
+      Dedup.clustersPortable(
+          s.read.parquet(s"$dir/documents.parquet"),
+          bands = 32, threshold = 0.5, maxId = 300L)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size")),
+
+    // cluster-level survivor selection: within each TRANSITIVE cluster
+    // keep the longest doc by the stored n_chars (ties → smallest id) —
+    // the policy exactKeepBest applies per exact-fingerprint group,
+    // lifted to near-dup clusters. One partial-combined max(struct)
+    // aggregate per cluster, no window over the corpus.
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Dedup.clustersPortable(docs, bands = 32, threshold = 0.5, maxId = 300L)
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"),
+          max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("__best"))
+        .select(col("cluster_id"), (-col("__best.nid")).as("kept_id"),
+          col("cluster_size"))
+        .orderBy("cluster_id")
+    }),
 
     // TIERED dedup (exact collapse → minhash near-dup over survivors) in
     // portable mode, end-to-end hash-verified. The corpus has no exact
@@ -3463,6 +3560,14 @@ object SparkEntry {
       Dedup.simhash(s.read.parquet(s"$dir/documents.parquet"), maxHamming = 3)
         .select("doc_id").orderBy("doc_id")),
 
+    // performance twin of dedup_cluster_oracled: xxhash64 banding over
+    // the UNBOUNDED corpus feeding the same Graph.connectedComponents —
+    // the scale row for transitive clustering (min-link keeps candidate
+    // volume linear; star contraction keeps rounds logarithmic)
+    "dedup_cluster" -> ((s, dir) =>
+      Dedup.clusters(s.read.parquet(s"$dir/documents.parquet"), threshold = 0.5)
+        .orderBy("doc_id")),
+
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embedding(s.read.parquet(s"$dir/embeddings.parquet"), threshold = 0.95)
         .select("vec_id").orderBy("vec_id")),
@@ -3759,6 +3864,78 @@ object SparkEntry {
       |  'NEW_SUPPLIER_' || CAST(k AS VARCHAR), state0
       |FROM sup WHERE k % 4 = 0
       |ORDER BY supplier_key""".stripMargin
+
+  /** Shared closed-form replay of [[Dedup.clustersPortable]]: portable
+    * md5 banding (32 bands × 2 rows) → min-link candidates → Jaccard
+    * ≥ 0.5 verify → transitive closure as a recursive label-propagation
+    * CTE (`reach` floods every component label along symmetrized edges;
+    * the UNION dedup terminates it). Ends with `comp(node, cluster_id)`
+    * where `cluster_id` = min reachable doc id — the identical algebra
+    * to the Spark side's star contraction, different engine. */
+  private val clusterCompSql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id AS id,
+      |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+      |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+      |      ELSE list_transform(
+      |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+      |        i -> array_to_string(
+      |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+      |    END) AS shd
+      |  FROM documents WHERE doc_id <= 300),
+      |bk AS (
+      |  SELECT id, unnest(list_transform(range(32), b ->
+      |    md5(b::VARCHAR || '|' || array_to_string(
+      |      list_transform(range(b*2, b*2+2), i ->
+      |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+      |  FROM sh),
+      |cand AS (
+      |  SELECT DISTINCT min_id AS id_a, id AS id_b FROM (
+      |    SELECT id, min(id) OVER (PARTITION BY band) AS min_id FROM bk)
+      |  WHERE min_id < id),
+      |e AS (
+      |  SELECT c.id_a, c.id_b
+      |  FROM cand c JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b
+      |  WHERE len(list_distinct(list_intersect(a.shd, b.shd))) * 1.0 /
+      |        len(list_distinct(a.shd || b.shd)) >= 0.5),
+      |sym AS (SELECT id_a AS u, id_b AS v FROM e
+      |        UNION ALL SELECT id_b, id_a FROM e),
+      |reach(node, lab) AS (
+      |  SELECT doc_id, doc_id FROM documents WHERE doc_id <= 300
+      |  UNION
+      |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node),
+      |comp AS (
+      |  SELECT node, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** Closed-form replay of [[Graph.pageRank]] on the synthetic doc link
+    * graph: the 15 damping iterations UNROLL as chained CTEs (recursive
+    * CTEs can't aggregate in the recursive term), every rank an exact
+    * integer — `//` is DuckDB's floor division, identical to Spark's
+    * `div` on the all-positive lattice; BIGINT casts keep sum() off
+    * HUGEINT. */
+  private val pageRankSql: String = {
+    val iters = 15
+    val step = (k: Int) =>
+      s"""pr${k + 1} AS (SELECT n.node,
+         |  CAST((1000000000::BIGINT * 15) // (100 * (SELECT n FROM nn)) +
+         |       (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |    FROM pr$k p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+       |e AS (
+       |  SELECT src, dst FROM (
+       |    SELECT node AS src, (node*node + j*31) % (SELECT max(node)+1 FROM nodes) AS dst
+       |    FROM nodes, (VALUES (1),(2),(3)) AS t(j))
+       |  WHERE dst IN (SELECT node FROM nodes)),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |pr0 AS (SELECT node,
+       |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, r AS rank_scaled FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** Shared CTE: documents with the identical synthetic URL the
     * Spark-side [[webDocs]] constructs (same residues, same strings). */
@@ -6840,6 +7017,47 @@ object SparkEntry {
         |SELECT doc_id, source FROM documents
         |WHERE doc_id <= 300 AND doc_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY doc_id""".stripMargin,
+
+    "graph_pagerank" -> pageRankSql,
+
+    "dedup_cluster_oracled" -> (clusterCompSql +
+      """
+        |SELECT node AS doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin),
+
+    "dedup_cluster_stats" -> (clusterCompSql +
+      """
+        |SELECT cluster_size, count(*) AS n_clusters FROM (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        |GROUP BY 1 ORDER BY cluster_size""".stripMargin),
+
+    "dedup_cluster_keep_best" -> (clusterCompSql +
+      """,
+        |j AS (SELECT c.cluster_id, d.doc_id, d.n_chars
+        |      FROM comp c JOIN documents d ON d.doc_id = c.node),
+        |r AS (SELECT cluster_id, doc_id,
+        |        row_number() OVER (PARTITION BY cluster_id
+        |          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+        |        count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM j)
+        |SELECT cluster_id, doc_id AS kept_id, cluster_size FROM r WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin),
+
+    // the same-nation lev<=1 pair relation recomputed all-pairs (the
+    // linkage_fuzzy_pairs oracle plus the hard blocking key), closed
+    // transitively with the same recursive label-propagation CTE as the
+    // cluster oracles
+    "linkage_entities" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |  WHERE a.c_nationkey = b.c_nationkey
+        |    AND levenshtein(a.c_name, b.c_name) <= 1),
+        |sym AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |reach(node, lab) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node)
+        |SELECT node AS c_custkey, min(lab) AS entity_id FROM reach GROUP BY node
+        |ORDER BY c_custkey""".stripMargin,
 
     // tier 1: min-id per md5(normalized text) group over the augmented
     // corpus (originals + whitespace-doubled copies at +1000); tier 2:

@@ -603,6 +603,60 @@ object Dedup {
       .join(dupIds.withColumnRenamed("id_b", idCol), Seq(idCol), "left_anti")
   }
 
+  // ---- Transitive duplicate clusters ---------------------------------------
+
+  /** TRANSITIVE duplicate clusters: minhash banding → min-link candidates
+    * → exact Jaccard verify → [[Graph.connectedComponents]] over the
+    * verified pair relation. Returns `(idCol, cluster_id)` for EVERY doc
+    * (non-duplicates are singletons of themselves); `cluster_id` is the
+    * smallest doc id reachable through verified near-dup pairs.
+    *
+    * This is the piece keep-one dedup ([[minhash]]) deliberately skips:
+    * chains of drifted revisions (A≈B≈C without A≈C) land in one cluster
+    * here, and the cluster relation itself feeds datacard size
+    * histograms and cluster-level survivor selection. Candidate volume
+    * stays LINEAR in corpus size (min-link, ≤ bands per doc) and — the
+    * property that makes min-link safe for clustering in a way it can't
+    * quite be for pairwise verification — connectivity over min-link
+    * candidates within a bucket EQUALS connectivity over all-pairs
+    * within that bucket (every member touches the bucket min, so the
+    * bucket is one piece either way); only the Jaccard verify of
+    * individual links differs from the all-pairs graph. */
+  def clusters(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", threshold: Double = 0.8): DataFrame = {
+    val edges = minhashDuplicatePairs(df, textCol, idCol,
+      threshold = threshold, minLink = true)
+    Graph.connectedComponents(edges, "id_a", "id_b",
+        nodes = Some(df.select(col(idCol))), nodeCol = idCol)
+      .select(col("node").as(idCol), col("component").as("cluster_id"))
+  }
+
+  /** [[clusters]] under the portable md5 banding — every stage (banding,
+    * min-link selection, Jaccard verify, transitive closure) is
+    * reproducible in closed-form SQL, so the full cluster assignment is
+    * hash-checkable against an independent engine (the closure replays
+    * as a recursive label-propagation CTE). */
+  def clustersPortable(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 32, threshold: Double = 0.5, maxId: Long = 300L): DataFrame = {
+    val edges = withProjectionCache(
+        portableBase(df, textCol, idCol, shingleSize, maxId)) { base =>
+      val banded = base.select(
+        explode(portableBandKeys(col("shd"), numHashes, bands)).as("band"),
+        col("id"))
+      minLinkPairs(banded, "band", "id")
+        .join(base.select(col("id").as("id_a"), col("shd").as("shd_a")), "id_a")
+        .join(base.select(col("id").as("id_b"), col("shd").as("shd_b")), "id_b")
+        .filter(size(array_intersect(col("shd_a"), col("shd_b"))).cast("double") /
+          size(array_union(col("shd_a"), col("shd_b"))) >= threshold)
+        .select(col("id_a"), col("id_b"))
+    }
+    Graph.connectedComponents(edges, "id_a", "id_b",
+        nodes = Some(df.filter(col(idCol) <= maxId).select(col(idCol))),
+        nodeCol = idCol)
+      .select(col("node").as(idCol), col("component").as("cluster_id"))
+  }
+
   // ---- Portable (cross-engine) SimHash -------------------------------------
 
   /** Bit b of the md5 hex string `h` under the portable layout: bit
@@ -1065,41 +1119,14 @@ object Dedup {
     * `minhash`/`simhash`/`embedding` dedup entry points does not: A~B and
     * B~C but not A~C (near-dup chains across a long document drift).
     *
-    * Iterative min-label propagation, the standard Spark shape for
-    * iterative graph algorithms: a driver loop over DataFrame steps, each
-    * iteration one join + partial-aggregated `min`, lineage truncated per
-    * step with `localCheckpoint` (an unmaterialized N-step loop re-executes
-    * the whole prefix every step). Labels move one hop per iteration —
-    * near-dup groups have tiny diameters (pairs already passed a similarity
-    * threshold), so `maxIterations` defaults low; raise it for deliberate
-    * long-chain inputs. Each iteration shuffles only `(id, label)` longs.
-    * The convergence check is one `isEmpty` action per iteration — at
-    * 100 TB that is metadata-cheap next to the join it gates. */
-  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
-    // undirected edge list, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIterations) {
-      val neighborMin = edges
-        .join(labels.select(col("id").as("dst"), col("label")), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      val updated = labels
-        .join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("__changed"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("__changed")).isEmpty
-      labels = updated.select(col("id"), col("label"))
-      iter += 1
-    }
-    labels.select(col("id"), col("label").as("group_id"))
-  }
+    * Delegates to [[Graph.connectedComponents]] (alternating large-star /
+    * small-star contraction): the earlier one-hop min-label propagation
+    * here needed O(diameter) rounds — fine for clique-shaped near-dup
+    * groups, but a deliberate long chain forced callers to raise
+    * `maxIterations` by hand; star contraction converges in O(log²)
+    * rounds on ANY shape, so the knob is now just a loud-failure
+    * backstop and chains cost the same as cliques. */
+  def duplicateGroups(pairs: DataFrame, maxIterations: Int = 50): DataFrame =
+    Graph.connectedComponents(pairs, "id_a", "id_b", maxIter = maxIterations)
+      .select(col("node").as("id"), col("component").as("group_id"))
 }

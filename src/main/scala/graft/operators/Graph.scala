@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed graph clustering for training-data pipelines — the
+  * transitive-closure piece the keep-one dedup family deliberately skips
+  * ([[Dedup]]'s scaladoc: at near-dup thresholds groups are cliques, so
+  * min-id keep-one needs no iteration). Transitivity DOES matter when:
+  *
+  *  - the pair relation is a CHAIN, not a clique — A≈B and B≈C at j=0.5
+  *    without A≈C (crawl drift: each revision near-dups its neighbor);
+  *    keep-one collapses A–B and B–C independently, cluster reporting
+  *    must put all three in ONE group;
+  *  - the consumer wants the cluster STRUCTURE itself (duplicate-cluster
+  *    size distribution for a datacard, cluster-level quality selection),
+  *    not just the kept set;
+  *  - record-linkage entity resolution: fuzzy-matched name pairs form an
+  *    entity iff connected, at any path length.
+  *
+  * The operator is the alternating large-star / small-star algorithm
+  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14) — the public-literature standard for CC on a shared-nothing
+  * engine. Each round is two window aggregations over the edge relation
+  * (shuffle on one endpoint), the edge set only ever SHRINKS toward a
+  * star forest, and convergence is O(log² n) rounds — at 100 TB that is
+  * a dozen bounded shuffles, never a driver-side union-find and never a
+  * diameter-length propagation (a path graph converges in ~log rounds,
+  * not n). Per-round results are `localCheckpoint`ed to cut the
+  * iterative lineage (same trade as [[Dedup.withProjectionCache]]:
+  * deterministic input, so executor loss → re-run the call).
+  */
+object Graph {
+
+  /** One large-star + small-star contraction round over a canonical
+    * `(u < v)` distinct edge relation. Exposed for the plan pin: a
+    * round is two window aggregations (shuffle on one endpoint each) —
+    * no join, no collect_list adjacency materialization, no pair
+    * expansion — so per-round cost is O(|E|) shuffled bytes however
+    * skewed the degree distribution (a hot node's neighborhood streams
+    * through the window's spill-safe container). */
+  private[graft] def starRound(e: DataFrame): DataFrame = {
+    // large-star: for every center c over the SYMMETRIZED edges, each
+    // strictly-larger neighbor links to min(neighborhood ∪ {c}) — long
+    // tails collapse toward small ids without growing the edge count
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val wU = Window.partitionBy(col("u"))
+    val ls = sym
+      .withColumn("m", least(min(col("v")).over(wU), col("u")))
+      .filter(col("v") > col("u"))
+      .select(col("m").as("u"), col("v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    // small-star: orient (hi ← lo); every smaller neighbor AND the
+    // center link to the neighborhood min — parent pointers compress
+    val wHi = Window.partitionBy(col("hi"))
+    ls.select(greatest(col("u"), col("v")).as("hi"),
+        least(col("u"), col("v")).as("lo"))
+      .withColumn("m", min(col("lo")).over(wHi))
+      .select(explode(array(
+        struct(col("m").as("u"), col("lo").as("v")),
+        struct(col("m").as("u"), col("hi").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components of the undirected graph given by `edges`.
+    *
+    * Returns `(node, component)` with one row per distinct node, where
+    * `component` is the MINIMUM node id reachable from `node` — a
+    * deterministic canonical label (the same representative policy as
+    * the keep-one dedup family). Self-loops, duplicate and reversed
+    * edges, and null endpoints are dropped. `nodes`, when given, adds
+    * isolated vertices (rows whose id never appears in `edges`) as
+    * singleton components of themselves.
+    *
+    * Scale shape: the working set is the edge relation itself — slim
+    * `(long, long)` rows, never an adjacency list and never a
+    * collect_list (a hot node's neighborhood streams through the window
+    * aggregate's spill-safe container). Every round strictly reduces
+    * max component diameter; `maxIter` (default 50 ≫ log²(any corpus))
+    * is a loud-failure backstop, not a tuning knob — exceeding it
+    * throws instead of returning partial components.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: Option[DataFrame] = None, nodeCol: String = "node",
+      maxIter: Int = 50): DataFrame = {
+    val canonical = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+
+    // every node of the original graph, before star contraction rewires
+    // edges (interior path nodes stop appearing in the edge set once
+    // their neighbors link straight to the root)
+    val allNodes = {
+      val fromEdges = canonical.select(col("u").as("node"))
+        .union(canonical.select(col("v").as("node")))
+      nodes.map(n => fromEdges.union(
+          n.filter(col(nodeCol).isNotNull).select(col(nodeCol).as("node"))))
+        .getOrElse(fromEdges)
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+    var e = canonical.localCheckpoint(true)
+    // (count, xxhash-xor) — an order-insensitive edge-set signature
+    // (xor, not sum: sum of 64-bit hashes overflows under ANSI
+    // semantics; xor is exact on a DISTINCT edge set); two longs to the
+    // driver per round, compared instead of a full set diff
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(e)
+    var converged = sig._1 == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = starRound(e).localCheckpoint(true)
+      val nextSig = signature(next)
+      Dedup.releaseCheckpoint(e)
+      e = next
+      converged = nextSig == sig // star forests are fixpoints of both stars
+      sig = nextSig
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(log²-round convergence makes this unreachable on any real " +
+          "graph; refusing to return partial components)")
+
+    // at the fixpoint e is a star forest: (root=u) < (member=v), one row
+    // per non-root member. Roots and isolated nodes label themselves.
+    allNodes
+      .join(e.select(col("v").as("node"), col("u").as("__root")), Seq("node"), "left")
+      .groupBy(col("node"))
+      .agg(coalesce(min(col("__root")), col("node")).as("component"))
+  }
+
+  /** PageRank in EXACT integer fixed-point arithmetic — authority
+    * scoring for link-informed quality weighting (the classic web
+    * signal a crawl-curation pipeline ranks domains by), built so the
+    * result is bit-reproducible in any engine with 64-bit integer
+    * division: ranks live on a `scale`-denominated integer lattice,
+    * every per-edge contribution is ONE truncating division
+    * `rank div outdeg`, and the damping update is
+    * `(scale·(100−dampingPct))/(100·n) + (dampingPct·Σcontrib)/100` —
+    * integer multiply-divide only, no floating point anywhere, so a
+    * closed-form SQL replay produces the IDENTICAL longs (the same
+    * portability discipline as the md5 banding / mil-scaled drift
+    * histograms). Truncation loses ≤ outdeg·n quanta of probability
+    * mass per round — at scale = 10⁹ that is measurement noise, and
+    * both engines lose exactly the same quanta.
+    *
+    * Runs a FIXED `iterations` count (no convergence action): rank
+    * queries want a reproducible artifact, and a fixed-round unrolling
+    * is what an external engine can replay. Each round is one
+    * broadcast-or-shuffle join of the slim `(node, rank)` relation
+    * against the edge list plus one map-side-combined sum — O(|E|) per
+    * round, `localCheckpoint`ed to cut the iterative lineage. Dangling
+    * nodes (no outlinks) keep their base rank and leak their damped
+    * mass, the documented simple policy (the synthetic-graph consumers
+    * here have none); `nodes` fixes the vertex universe. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: DataFrame, nodeCol: String = "node",
+      iterations: Int = 15, dampingPct: Int = 85,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 0 && iterations <= 100, "iterations in [0, 100]")
+    require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
+    val vs = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint(true)
+    val n = vs.count()
+    if (n == 0L) return vs.withColumn("rank_scaled", lit(0L))
+    val es = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      // edges must point inside the vertex universe or mass leaks to
+      // phantom nodes the caller never sees
+      .join(vs.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .join(vs.select(col("node").as("src")), Seq("src"), "left_semi")
+      .localCheckpoint(true)
+    val deg = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val base = (scale * (100L - dampingPct)) / (100L * n)
+    var ranks = vs.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val contrib = ranks
+        .join(deg, ranks("node") === deg("src"))
+        .join(es, Seq("src"))
+        .select(col("dst").as("node"), expr("r div deg").as("__c"))
+        .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
+      val next = vs
+        .join(contrib, Seq("node"), "left")
+        // integral `div`, NOT Column./ (which is double division and
+        // would push the ranks off the integer lattice)
+        .select(col("node"),
+          expr(s"${base}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("r"))
+        .localCheckpoint(true)
+      Dedup.releaseCheckpoint(ranks)
+      ranks = next
+      it += 1
+    }
+    ranks.select(col("node"), col("r").as("rank_scaled"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Interval×point range join — an operator Spark has no native form for
@@ -39,6 +39,106 @@ object RangeJoin {
     l.join(r, "__bin")
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bin")
+  }
+
+  /** COUNT of points per interval WITHOUT materializing the pairs — the
+    * aggregate-pushdown form of [[intervalPoint]] for consumers that
+    * only want `count(*)` per interval (concurrency, load profiles,
+    * events-per-session).
+    *
+    * Why it exists: the pair join's intermediate is
+    * Σ_intervals(points inside) rows. Both factors grow with corpus
+    * size when events densify in a fixed wall-clock span, so the
+    * intermediate grows ~quadratically while the OUTPUT stays one row
+    * per interval — the classic count-over-range problem. The scalable
+    * form is a prefix-sum ledger: count in `[s, e]` = (prefix count of
+    * full bins strictly inside) + (points matched in the ≤ 2 partial
+    * edge bins).
+    *
+    * Shape: one map-side-combined `groupBy(bin)` over the points builds
+    * per-bin counts; the DENSE bin axis with inclusive prefix sums is a
+    * BOUNDED relation (bins span wall-clock time ÷ binWidth — corpus-
+    * size-INDEPENDENT; its single-partition prefix window and its
+    * broadcast are sized by the time span, never by the data), so
+    * interior mass resolves by two broadcast lookups per interval.
+    * Only the two edge bins join per-point (equi on bin id, residual
+    * range filter): per-interval matched volume is ≤ 2·binWidth·density
+    * instead of window·density — shrink `binWidth` to shrink the only
+    * per-point work left. Total = interval columns + `countName`
+    * (intervals containing zero points keep a 0 row — callers wanting
+    * the inner-join semantics of [[intervalPoint]] filter > 0).
+    *
+    * `keys` must uniquely identify a `left` row (the edge counts join
+    * back by them). */
+  def intervalPointCount(
+      left: DataFrame,
+      right: DataFrame,
+      startCol: String,
+      endCol: String,
+      tsCol: String,
+      binWidth: Long,
+      keys: Seq[String],
+      countName: String = "n_points"): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val pts = right.select(col(tsCol).as("__ts"))
+      .withColumn("__b", expr(s"__ts div $binWidth"))
+    val binCnt = pts.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+    val span = binCnt.agg(min(col("__b")).as("__minB"),
+      max(col("__b")).as("__maxB"),
+      coalesce(sum(col("__c")), lit(0L)).as("__total"))
+    // dense axis: EVERY bin in span gets an inclusive prefix count, so
+    // in-range lookups never miss (sparse bins would)
+    val dense = span
+      .select(explode(sequence(col("__minB"), col("__maxB"))).as("__b"))
+      .join(binCnt, Seq("__b"), "left").na.fill(0L, Seq("__c"))
+      .withColumn("__cum", sum(col("__c")).over(Window.orderBy(col("__b"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("__b"), col("__cum"))
+    val l = left
+      .withColumn("__sb", expr(s"$startCol div $binWidth"))
+      .withColumn("__eb", expr(s"$endCol div $binWidth"))
+      // one-row span totals ride along by broadcast (the accepted
+      // 1-row crossJoin pattern) for out-of-span clamping
+      .crossJoin(broadcast(span))
+    // interior bins sb+1..eb-1 ⇒ cum(eb−1) − cum(sb), clamped to the
+    // observed span (an interval can out-reach the points entirely)
+    def clamped(lookup: Column, key: Column): Column =
+      when(key < col("__minB"), lit(0L))
+        .when(key > col("__maxB"), col("__total"))
+        .otherwise(coalesce(lookup, lit(0L)))
+    val withCums = l
+      .join(broadcast(dense.select(col("__b").as("__hb"), col("__cum").as("__cumHi"))),
+        col("__eb") - 1 === col("__hb"), "left")
+      .join(broadcast(dense.select(col("__b").as("__lb"), col("__cum").as("__cumLo"))),
+        col("__sb") === col("__lb"), "left")
+      .withColumn("__interior",
+        when(col("__eb") > col("__sb"),
+          clamped(col("__cumHi"), col("__eb") - 1) -
+            clamped(col("__cumLo"), col("__sb"))).otherwise(lit(0L)))
+    // ≤ 2 partial edge bins per interval resolve per-point: when the
+    // interval lives in ONE bin both ends clip it, otherwise the low
+    // bin clips at start and the high bin at end (bins strictly between
+    // are interior by construction)
+    val edges = l.select(keys.map(col) ++ Seq(col(startCol), col(endCol),
+        explode(when(col("__sb") === col("__eb"),
+            array(struct(col("__sb").as("__b"), lit("both").as("__m"))))
+          .otherwise(array(
+            struct(col("__sb").as("__b"), lit("low").as("__m")),
+            struct(col("__eb").as("__b"), lit("high").as("__m"))))).as("__ed")): _*)
+      .select(keys.map(col) ++ Seq(col(startCol), col(endCol),
+        col("__ed.__b").as("__b"), col("__ed.__m").as("__m")): _*)
+    val edgeCnt = edges.join(pts, Seq("__b"))
+      .filter(
+        (col("__m") === "both" &&
+          col("__ts") >= col(startCol) && col("__ts") <= col(endCol)) ||
+        (col("__m") === "low" && col("__ts") >= col(startCol)) ||
+        (col("__m") === "high" && col("__ts") <= col(endCol)))
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__ec"))
+    withCums
+      .join(edgeCnt, keys, "left")
+      .withColumn(countName, col("__interior") + coalesce(col("__ec"), lit(0L)))
+      .select(left.columns.map(col) :+ col(countName): _*)
   }
 
   /** Last-touch attribution — the canonical consumer of the time-binned

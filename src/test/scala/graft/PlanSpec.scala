@@ -433,6 +433,29 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     linked.count() shouldBe (50 - 7)
   }
 
+  test("a connected-components star round is two windows over the edge " +
+      "relation — no join, no adjacency materialization") {
+    // the O(|E|)-per-round contract structurally: star contraction
+    // plans as window aggregations (shuffle on one endpoint, hot-node
+    // neighborhoods stream through the window's spill-safe container),
+    // never a self-join on the edge list and never a collect_list
+    // adjacency array — the two shapes that break CC at 100 TB (pair
+    // amplification resp. one unbounded row per hub node)
+    val s = spark
+    import s.implicits._
+    val edges = (1L to 50L).map(i => (i, i % 17 + 100L)).toDF("u", "v")
+    val plan = executedPlan(graft.operators.Graph.starRound(edges))
+    "Window".r.findAllIn(plan).size should be >= 2
+    plan should not include "Join"
+    plan should not include "collect_list"
+    plan should not include "CartesianProduct"
+    // and the converged operator assigns every node its component min
+    // with the star forest joined back once (broadcast at this size)
+    val comp = graft.operators.Graph.connectedComponents(
+      edges, "u", "v", maxIter = 10)
+    comp.filter(col("component") > col("node")).count() shouldBe 0L
+  }
+
   test("incremental dedup against a bucketed fingerprint store shuffles only the batch") {
     // the O(increment) daily-dedup story: the corpus fingerprint store is
     // laid out bucketed on fp, so the anti-join reads it partition-aware —

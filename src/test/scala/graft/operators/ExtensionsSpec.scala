@@ -682,6 +682,37 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 4
   }
 
+  test("intervalPointCount equals the pair join's groupBy count at every " +
+      "bin width, including edge cases") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(77)
+    // random intervals + points over a small domain: plenty of
+    // single-bin intervals, empty interiors, span-overreaching ends,
+    // and duplicate timestamps at any bin width
+    val intervals = (1L to 60L)
+      .map { i => val a = rnd.nextInt(1000).toLong; (i, a, a + rnd.nextInt(300)) }
+      .toDF("iv_id", "lo", "hi")
+    val points = Seq.fill(400)(rnd.nextInt(1100).toLong - 50L).toDF("ts")
+    def viaPairs: Map[Long, Long] = RangeJoin
+      .intervalPoint(intervals, points, "lo", "hi", "ts", 100L)
+      .groupBy("iv_id").count()
+      .as[(Long, Long)].collect().toMap
+    val expected = viaPairs
+    for (w <- Seq(7L, 100L, 1000000L)) {
+      val got = RangeJoin.intervalPointCount(intervals, points,
+          "lo", "hi", "ts", w, keys = Seq("iv_id"))
+        .select("iv_id", "n_points").as[(Long, Long)].collect().toMap
+      // the count form keeps 0-count intervals; the pair join drops them
+      got.filter(_._2 > 0) shouldBe expected
+      got.keySet shouldBe (1L to 60L).toSet
+    }
+    // no points at all: every interval counts 0, nothing throws
+    RangeJoin.intervalPointCount(intervals, points.filter($"ts" > 99999L),
+        "lo", "hi", "ts", 100L, keys = Seq("iv_id"))
+      .agg(sum("n_points")).head().getLong(0) shouldBe 0L
+  }
+
   test("duplicateGroups resolves transitive chains to the smallest id") {
     val s = spark
     import s.implicits._

@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkSpec
+
+class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)],
+      nodes: Option[Seq[Long]] = None, maxIter: Int = 50): Map[Long, Long] =
+    Graph.connectedComponents(
+        edges.toDF("a", "b"), "a", "b",
+        nodes = nodes.map(_.toDF("node")), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  /** Reference union-find, the O(n α) single-machine ground truth. */
+  private def unionFind(edges: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    nodes.foreach(find)
+    edges.foreach { case (a, b) => union(a, b) }
+    // canonicalize to min-of-component (union already keeps min as root,
+    // but path compression timing can leave stale parents — re-find all)
+    val all = (nodes ++ edges.flatMap(e => Seq(e._1, e._2))).distinct
+    all.map(n => n -> find(n)).toMap
+  }
+
+  test("path graph: diameter-length chain converges in log rounds, one component") {
+    // 0-1-2-…-63: the worst case for naive neighbor propagation (64
+    // rounds); star contraction must close it within maxIter=10 ≈ log²
+    val edges = (0L until 63L).map(i => (i, i + 1))
+    val got = cc(edges, maxIter = 10)
+    got.keySet shouldBe (0L to 63L).toSet
+    got.values.toSet shouldBe Set(0L)
+  }
+
+  test("two cliques, a bridge-less gap, and isolated nodes from the nodes relation") {
+    val k1 = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    val k2 = for (a <- 20L to 24L; b <- (a + 1) to 24L) yield (a, b)
+    val got = cc(k1 ++ k2, nodes = Some(Seq(10L, 20L, 99L, 7L)))
+    (10L to 13L).foreach(n => got(n) shouldBe 10L)
+    (20L to 24L).foreach(n => got(n) shouldBe 20L)
+    got(99L) shouldBe 99L // isolated: singleton of itself
+    got(7L) shouldBe 7L
+    got.size shouldBe 4 + 5 + 2
+  }
+
+  test("self-loops, duplicate and reversed edges, and null endpoints are inert") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (null, 5L), (6L, null))
+      .toDF("a", "b")
+    val got = Graph.connectedComponents(df, "a", "b",
+        nodes = Some(Seq(3L).toDF("node")))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L)
+  }
+
+  test("empty edge relation: isolated nodes only, no iteration") {
+    val got = cc(Seq.empty, nodes = Some(Seq(4L, 8L)))
+    got shouldBe Map(4L -> 4L, 8L -> 8L)
+  }
+
+  test("random graph matches union-find ground truth, deterministically") {
+    val rnd = new scala.util.Random(1234)
+    val n = 400
+    // sparse random graph → many nontrivial components of varied shape
+    val edges = Seq.fill(300)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val nodes = (0L until n.toLong).toSeq
+    val expected = unionFind(edges, nodes)
+    val got = cc(edges, nodes = Some(nodes))
+    got shouldBe expected
+    cc(edges, nodes = Some(nodes)) shouldBe got // repeat run → identical
+  }
+
+  test("maxIter exhaustion throws instead of returning partial components") {
+    // a 16-chain cannot finish in 1 round
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    an[IllegalStateException] should be thrownBy cc(edges, maxIter = 1)
+  }
+
+  test("clusters: chain of drifted revisions lands in ONE cluster (the " +
+      "transitive case keep-one cannot express)") {
+    // sliding 40-token windows over a 50-token stream: consecutive docs
+    // share 35 tokens (shingle jaccard ≈ 0.77, comfortably banded and
+    // above threshold 0.7); the end docs share only 30 (j ≈ 0.58 —
+    // BELOW threshold, so no direct 1–3 edge). Transitivity must chain
+    // all three; pairwise keep-one semantics can't see the 1–3 link.
+    def win(from: Int): String =
+      (from until from + 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, win(1)), (2L, win(6)), (3L, win(11)),
+      (4L, "wholly unrelated text about something else entirely okay"))
+      .toDF("doc_id", "text")
+    val got = Dedup.clusters(docs, threshold = 0.7)
+      .as[(Long, Long)].collect().toMap
+    got(1L) shouldBe 1L; got(2L) shouldBe 1L; got(3L) shouldBe 1L
+    got(4L) shouldBe 4L
+  }
+
+  private def pr(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iters: Int = 15): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        nodes = nodes.toDF("node"), iterations = iters)
+      .as[(Long, Long)].collect().toMap
+
+  /** Double-precision reference PageRank, same damping/base policy. */
+  private def refPr(edges: Seq[(Long, Long)], nodes: Seq[Long],
+      iters: Int): Map[Long, Double] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val n = nodes.size
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    r
+  }
+
+  test("pageRank: symmetric cycle equalizes, authority hub outranks, " +
+      "mass is conserved up to truncation quanta") {
+    // 4-cycle: perfect symmetry → identical ranks
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val rc = pr(cyc, Seq(1L, 2L, 3L, 4L))
+    rc.values.toSet.size shouldBe 1
+    // star pointing at a hub: the hub must dominate every leaf
+    val star = (2L to 6L).map(i => (i, 1L)) ++ Seq((1L, 2L))
+    val rs = pr(star, (1L to 6L))
+    rs(1L) should be > rs(3L)
+    rs(3L) shouldBe rs(4L) // symmetric leaves tie exactly
+    // total mass stays within iterations × nodes truncation quanta of 1.0
+    val total = rs.values.sum
+    total should be <= 1000000000L
+    total should be >= (1000000000L - 15L * 6 * 10)
+  }
+
+  test("pageRank tracks a double-precision reference within truncation noise") {
+    val rnd = new scala.util.Random(42)
+    val nodes = (0L until 60L).toSeq
+    val edges = Seq.fill(240)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      // every node needs an outlink for the reference's deg() lookup
+      .++(nodes.map(v => (v, (v + 7) % 60)))
+    val got = pr(edges, nodes)
+    val ref = refPr(edges, nodes, 15)
+    nodes.foreach { v =>
+      (got(v).toDouble / 1e9) shouldBe ref(v) +- 1e-6
+    }
+    pr(edges, nodes) shouldBe got // deterministic repeat
+  }
+
+  test("clustersPortable equals the closed-form replay semantics on a tiny corpus") {
+    // exact duplicates → every copy clusters onto the original; the
+    // portable path bounds ids at maxId
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base), (2L, base), (3L, base),
+      (5L, "completely different content with no shared shingles at all here"),
+      (400L, base)) // beyond maxId → excluded
+      .toDF("doc_id", "text")
+    val got = Dedup.clustersPortable(docs, maxId = 300L)
+      .as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L)
+  }
+}

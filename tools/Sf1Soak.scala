@@ -202,7 +202,14 @@ object Sf1Soak {
     // index_stream_maint build row — the read should cost a compacted
     // plain scan, not 48 files + a fat DV), and the codec-boundary
     // quarantine route (per-row sniff+decode probes, linear)
-    "stream_upsert_maintained_oracled", "media_quarantine")
+    "stream_upsert_maintained_oracled", "media_quarantine",
+    // round-10 second wave: transitive duplicate clustering (min-link
+    // candidates keep edge volume linear at any duplicate density;
+    // star contraction keeps rounds logarithmic — the replicated
+    // corpus's 100-copy cliques are exactly its stress shape), the
+    // same-nation entity closure, and the prefix-sum session
+    // concurrency count (formerly the pair-materializing range join)
+    "dedup_cluster", "linkage_entities")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
@@ -223,8 +230,12 @@ object Sf1Soak {
       else Headline).filterNot(q => Copies > 30 &&
         // text_winnow_spans shares the quadratic-OUTPUT property: every
         // doc duplicated Copies× makes each fingerprint block emit
-        // C(Copies,2) pairs × per-pair position evidence
-        Set("dedup_winnow", "dedup_winnow_groups", "text_winnow_spans")(q))
+        // C(Copies,2) pairs × per-pair position evidence;
+        // linkage_entities' INPUT edge relation is the all-pairs lev<=1
+        // set — C(Copies,2) per replicated name before the closure even
+        // starts (the closure itself is linear; the edges aren't)
+        Set("dedup_winnow", "dedup_winnow_groups", "text_winnow_spans",
+          "linkage_entities")(q))
     // stored-index build/probe separation (same accounting as Bench):
     // delete + cold-build each index ONCE, timed as `<index>_build`, so
     // the indexed query rows below time pure probes — this is what lets
