@@ -83,7 +83,12 @@ object RangeJoin {
     import org.apache.spark.sql.expressions.Window
     val pts = right.select(col(tsCol).as("__ts"))
       .withColumn("__b", expr(s"__ts div $binWidth"))
+    // materialized once: span, the dense axis, and both broadcast
+    // lookups all derive from this bin-count relation — without the
+    // checkpoint each consumer re-scans and re-aggregates the points
+    // (the relation itself is bins-sized, kilobytes at any corpus size)
     val binCnt = pts.groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
     val span = binCnt.agg(min(col("__b")).as("__minB"),
       max(col("__b")).as("__maxB"),
       coalesce(sum(col("__c")), lit(0L)).as("__total"))
