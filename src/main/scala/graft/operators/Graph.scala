@@ -46,12 +46,14 @@ object Graph {
     // tails collapse toward small ids without growing the edge count
     val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
     val wU = Window.partitionBy(col("u"))
+    // no distinct here: duplicate (m, v) emissions collapse in the
+    // small-star window below and its final distinct — the mid-round
+    // dedup was a fourth shuffle per round buying nothing
     val ls = sym
       .withColumn("m", least(min(col("v")).over(wU), col("u")))
       .filter(col("v") > col("u"))
       .select(col("m").as("u"), col("v").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
     // small-star: orient (hi ← lo); every smaller neighbor AND the
     // center link to the neighborhood min — parent pointers compress
     val wHi = Window.partitionBy(col("hi"))
@@ -111,7 +113,11 @@ object Graph {
     // (count, xxhash-xor) — an order-insensitive edge-set signature
     // (xor, not sum: sum of 64-bit hashes overflows under ANSI
     // semantics; xor is exact on a DISTINCT edge set); two longs to the
-    // driver per round, compared instead of a full set diff
+    // driver per round, compared instead of a full set diff. A signature
+    // collision on DIFFERENT consecutive edge sets (probability ~2⁻⁶⁴
+    // per round, the same xxhash64 trust the fingerprint stores build
+    // on) would end the loop one round early — the same class of risk
+    // as any hash-keyed blocking in this library, accepted as such.
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.agg(count(lit(1)),
         coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
@@ -186,6 +192,10 @@ object Graph {
     val deg = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val base = (scale * (100L - dampingPct)) / (100L * n)
     var ranks = vs.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    // the frame whose root IS a checkpoint (release targets walk the
+    // plan for the first LogicalRDD — handing them a lazily-stacked
+    // frame would unpersist an upstream relation still in use)
+    var lastCkpt = ranks
     var it = 0
     while (it < iterations) {
       val contrib = ranks
@@ -193,14 +203,22 @@ object Graph {
         .join(es, Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
-      val next = vs
+      var next = vs
         .join(contrib, Seq("node"), "left")
         // integral `div`, NOT Column./ (which is double division and
         // would push the ranks off the integer lattice)
         .select(col("node"),
           expr(s"${base}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("r"))
-        .localCheckpoint(true)
-      Dedup.releaseCheckpoint(ranks)
+      // truncate lineage every few rounds, not every round: the chain
+      // between checkpoints is a handful of joins against already-
+      // checkpointed relations (linear, cheap to analyze), and each
+      // eager checkpoint is a full job — on small graphs the per-round
+      // fixed cost dominated the arithmetic
+      if (it % 4 == 3 || it == iterations - 1) {
+        next = next.localCheckpoint(true)
+        Dedup.releaseCheckpoint(lastCkpt)
+        lastCkpt = next
+      }
       ranks = next
       it += 1
     }

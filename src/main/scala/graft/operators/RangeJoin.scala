@@ -80,6 +80,10 @@ object RangeJoin {
       keys: Seq[String],
       countName: String = "n_points"): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    require(!left.columns.contains(countName),
+      s"left already has a column named '$countName'")
+    require(keys.nonEmpty && keys.forall(left.columns.contains),
+      "keys must name existing left columns that uniquely identify a row")
     import org.apache.spark.sql.expressions.Window
     val pts = right.select(col(tsCol).as("__ts"))
       .withColumn("__b", expr(s"__ts div $binWidth"))
