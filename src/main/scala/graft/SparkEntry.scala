@@ -714,6 +714,24 @@ object SparkEntry {
     path.toString
   }
 
+  private def mvClusterLoc(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      "graft-mvcluster-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+
+  /** Seed of the incremental-cluster assignment: the transitive closure
+    * of band-agreement pairs over the stored band table (no corpus
+    * text), built once — each arriving batch folds in via
+    * [[Dedup.incrementalClusters]] touching only collided clusters. */
+  private def mvClusterPath(s: SparkSession, dir: String): String = {
+    val path = mvClusterLoc(dir)
+    if (!java.nio.file.Files.exists(path.resolve("_SUCCESS"))) {
+      Dedup.clustersFromBands(s.read.parquet(mvMinhashPath(s, dir)))
+        .coalesce(1).write.mode("overwrite").parquet(path.toString)
+    }
+    path.toString
+  }
+
   /** A timestamp literal in the exact flavor (TIMESTAMP vs
     * TIMESTAMP_NTZ) the parquet column reads as, so range predicates
     * compare natively against both the data and its sidecar min/max
@@ -768,7 +786,9 @@ object SparkEntry {
     "index_mv_distinct" -> IndexSurface(mvDistinctLoc,
       (s, d) => { mvDistinctPath(s, d); () }),
     "index_mv_minhash" -> IndexSurface(mvMinhashLoc,
-      (s, d) => { mvMinhashPath(s, d); () }))
+      (s, d) => { mvMinhashPath(s, d); () }),
+    "index_mv_cluster" -> IndexSurface(mvClusterLoc,
+      (s, d) => { mvClusterPath(s, d); () }))
 
   private def queryVec(s: SparkSession, dir: String): Seq[Float] =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -2706,6 +2726,33 @@ object SparkEntry {
       Dedup.incrementalMinhash(batch,
           s.read.parquet(mvMinhashPath(s, dir)), portable = true)
         .select("doc_id", "source")
+        .orderBy("doc_id")
+    }),
+
+    // INCREMENTAL transitive clustering: the day's batch folds into the
+    // STORED cluster assignment (index_mv_cluster) via the STORED band
+    // table (index_mv_minhash) — untouched clusters carry over past a
+    // semi-join, the closure re-runs only on collided clusters + new
+    // edges, nothing re-shingles history. The oracle recomputes the
+    // FULL closure over store ∪ batch from scratch (batch-id > store-id
+    // append-only ingest makes incremental ≡ full recompute; the
+    // equality is the whole point, and the hash check enforces it).
+    // Same batch construction as dedup_incremental_minhash.
+    "dedup_cluster_incremental" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id").as("src_id"),
+        col("text").as("src_text"))
+      val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 750)
+        .join(base, col("doc_id") - 250 === col("src_id"))
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0,
+            concat(col("src_text"), lit(" "), col("src_text")))
+            .otherwise(col("text")).as("text"),
+          col("source"))
+      Dedup.incrementalClusters(batch,
+          s.read.parquet(mvMinhashPath(s, dir)),
+          s.read.parquet(mvClusterPath(s, dir)), portable = true)
+        .select(col("id").as("doc_id"), col("cluster_id"))
         .orderBy("doc_id")
     }),
 
@@ -6429,6 +6476,53 @@ object SparkEntry {
         |  GROUP BY bbk.id, st.sid HAVING count(*) >= 6)
         |SELECT doc_id, source FROM batch
         |WHERE doc_id NOT IN (SELECT DISTINCT id FROM m)
+        |ORDER BY doc_id""".stripMargin,
+
+    // full-recompute twin of the incremental fold: bands for store
+    // (< 250) and batch, band-agreement pairs >= 6 of 16 over the
+    // COMBINED relation, recursive closure — the incremental path must
+    // produce the identical assignment (append-only ids ⇒ identical min
+    // labels; untouched clusters byte-identical by construction)
+    "dedup_cluster_incremental" ->
+      """WITH RECURSIVE batch AS (
+        |  SELECT d.doc_id,
+        |    CASE WHEN d.doc_id % 5 = 0 THEN b.text || ' ' || b.text
+        |      ELSE d.text END AS text,
+        |    d.source
+        |  FROM documents d JOIN documents b ON b.doc_id = d.doc_id - 250
+        |  WHERE d.doc_id >= 250 AND d.doc_id < 750),
+        |corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 250
+        |  UNION ALL SELECT doc_id, text FROM batch),
+        |sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM corpus),
+        |bk AS (
+        |  SELECT id, unnest(list_transform(range(16), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*4, b*4+4), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM sh),
+        |ok AS (SELECT band FROM bk GROUP BY band HAVING count(*) <= 10000),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b USING (band)
+        |  WHERE a.id < b.id AND band IN (SELECT band FROM ok)
+        |  GROUP BY a.id, b.id HAVING count(*) >= 6),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT id, id FROM sh
+        |  UNION
+        |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node)
+        |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
         |ORDER BY doc_id""".stripMargin,
 
     // identical answer to dedup_incremental by construction: the bloom

@@ -1070,6 +1070,99 @@ object Dedup {
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Duplicate-pair relation judged ONLY from a band table: canonical
+    * `(id_a < id_b)` pairs whose band keys agree on ≥ `minBandMatches`
+    * of the `bands` slots — the [[incrementalMinhash]] admission
+    * criterion as a symmetric pair relation (P(band) = j^rows, so the
+    * agreement count is a deterministic signature-based similarity
+    * estimate needing NO document text). Bands larger than `maxBand`
+    * drop first (the shared degenerate-key policy). */
+  def bandAgreementPairs(bands: DataFrame, minBandMatches: Int = 6,
+      maxBand: Int = 10000): DataFrame = {
+    val ok = bands.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBand).select(col("band"))
+    val b = bands.select(col("band"), col("id")).join(ok, "band")
+    b.select(col("band"), col("id").as("id_a"))
+      .join(b.select(col("band"), col("id").as("id_b")), "band")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= minBandMatches)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** Cluster-assignment SEED for incremental clustering: transitive
+    * closure of [[bandAgreementPairs]] over a stored band table —
+    * `(id, cluster_id)` for every banded document, derivable from the
+    * band relation alone (no corpus text). Built once at ingest store
+    * creation; [[incrementalClusters]] maintains it per batch. */
+  def clustersFromBands(bands: DataFrame, minBandMatches: Int = 6,
+      maxBand: Int = 10000): DataFrame =
+    Graph.connectedComponents(
+        bandAgreementPairs(bands, minBandMatches, maxBand), "id_a", "id_b",
+        nodes = Some(bands.select(col("id")).distinct()), nodeCol = "id")
+      .select(col("node").as("id"), col("component").as("cluster_id"))
+
+  /** INCREMENTAL transitive clustering: fold a batch into a stored
+    * cluster assignment touching only the batch and the clusters it
+    * collides with — never re-clustering (or re-shingling) the corpus.
+    *
+    * Inputs are the two stored relations an ingest pipeline keeps
+    * anyway: the band table ([[minhashBandTable]], probed by
+    * [[incrementalMinhash]]) and the assignment seed
+    * ([[clustersFromBands]]). The batch is banded once; new edges are
+    * the band-agreement pairs with at least one batch endpoint;
+    * UNTOUCHED clusters carry over without being read past the
+    * semi-join; the closure re-runs only on (touched stars ∪ new
+    * edges) — star edges `(cluster_id, id)` preserve the store's full
+    * connectivity by construction, so the result EQUALS a from-scratch
+    * [[clustersFromBands]] over store ∪ batch whenever the `maxBand`
+    * guard stays inert (batch ids must exceed store ids — append-only
+    * ingest — for min labels to agree; spec-pinned). O(batch + touched)
+    * work at any corpus size: the 100 TB shape for daily cluster
+    * maintenance. */
+  def incrementalClusters(batch: DataFrame, storeBands: DataFrame,
+      storeAssign: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minBandMatches: Int = 6, maxBand: Int = 10000,
+      portable: Boolean = false): DataFrame = {
+    val probe = minhashBandTable(batch, textCol, idCol, shingleSize,
+      numHashes, bands, portable).localCheckpoint(true)
+    val all = storeBands.select(col("band"), col("id")).unionByName(probe)
+    // guard over the COMBINED relation (store + probe): the closure's
+    // full-recompute twin counts the same way
+    val ok = all.groupBy(col("band")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") <= maxBand).select(col("band"))
+    val newEdges = probe.join(ok, "band")
+      .select(col("band"), col("id").as("pa"))
+      .join(all.join(ok, "band").select(col("band"), col("id").as("ob")), "band")
+      .filter(col("pa") =!= col("ob"))
+      // canonicalize BEFORE counting: a batch–batch pair meets once per
+      // band from each side, and a double-counted band would halve the
+      // effective agreement threshold
+      .select(col("band"), least(col("pa"), col("ob")).as("u"),
+        greatest(col("pa"), col("ob")).as("v"))
+      .distinct()
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("__nb"))
+      .filter(col("__nb") >= minBandMatches)
+      .select(col("u").as("id_a"), col("v").as("id_b"))
+      .localCheckpoint(true)
+    val assign = storeAssign.select(col("id"), col("cluster_id"))
+    val endpoints = newEdges.select(col("id_a").as("id"))
+      .union(newEdges.select(col("id_b").as("id"))).distinct()
+    val touchedClusters = assign.join(endpoints, Seq("id"), "left_semi")
+      .select(col("cluster_id")).distinct()
+    val touchedStars = assign.join(touchedClusters, Seq("cluster_id"), "left_semi")
+    val cc = Graph.connectedComponents(
+      newEdges.unionByName(
+        touchedStars.select(col("cluster_id").as("id_a"), col("id").as("id_b"))),
+      "id_a", "id_b",
+      nodes = Some(batch.select(col(idCol).as("id"))
+        .union(touchedStars.select(col("id")))), nodeCol = "id")
+    assign.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .unionByName(cc.select(col("node").as("id"), col("component").as("cluster_id")))
+  }
+
   // ---- semantic (centroid-blocked) dedup -----------------------------------
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -159,6 +159,54 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     pr(edges, nodes) shouldBe got // deterministic repeat
   }
 
+  test("incrementalClusters: batch folds into the stored assignment — " +
+      "join, merge, new cluster, singleton — and equals a full recompute") {
+    // store: cluster {1,2} (same text), near-but-separate docs 5 and 6
+    // (8 of 150 tokens differ → shingle jaccard ≈ 0.72, expected band
+    // agreement ≈ 4 < 6), singleton 7
+    val t = (1 to 150).map(i => s"w$i").toArray
+    def doc(repl: (Int, String)*): String = {
+      val a = t.clone(); repl.foreach { case (i, v) => a(i) = v }; a.mkString(" ")
+    }
+    val dupText = (1 to 60).map(i => s"x$i").mkString(" ")
+    val dText = doc()
+    val eText = doc(Seq(10, 25, 40, 55, 70, 85, 100, 115)
+      .map(_ -> "CHANGED"): _*)
+    val other = (1 to 80).map(i => s"z$i").mkString(" ")
+    val store = Seq(
+      (1L, dupText), (2L, dupText), (5L, dText), (6L, eText), (7L, other))
+      .toDF("doc_id", "text")
+    val storeBands = Dedup.minhashBandTable(store)
+    val assign = Dedup.clustersFromBands(storeBands)
+    val seed = assign.as[(Long, Long)].collect().toMap
+    seed(1L) shouldBe 1L; seed(2L) shouldBe 1L
+    seed(5L) shouldBe 5L; seed(6L) shouldBe 6L // near, but under threshold
+    seed(7L) shouldBe 7L
+    // batch (append-only ids): 10 joins {1,2}; 11 sits BETWEEN 5 and 6
+    // (4 token edits from each, jaccard ≈ 0.85 → expected agreement ≈ 8
+    // ≥ 6 to both → MERGES them); 12+13 form a new batch-only cluster;
+    // 14 is a singleton
+    val xText = doc(Seq(10, 25, 40, 55).map(_ -> "CHANGED"): _*)
+    val newPair = (1 to 70).map(i => s"y$i").mkString(" ")
+    val batch = Seq(
+      (10L, dupText), (11L, xText), (12L, newPair), (13L, newPair),
+      (14L, "nothing shares these tokens at all believe me"))
+      .toDF("doc_id", "text")
+    val inc = Dedup.incrementalClusters(batch, storeBands, assign)
+      .as[(Long, Long)].collect().toMap
+    inc(10L) shouldBe 1L // joined the exact-dup cluster
+    inc(5L) shouldBe 5L; inc(6L) shouldBe 5L; inc(11L) shouldBe 5L // merged
+    inc(12L) shouldBe 12L; inc(13L) shouldBe 12L // new batch-only cluster
+    inc(14L) shouldBe 14L
+    inc(7L) shouldBe 7L // untouched cluster carried over
+    // the invariant everything above instantiates: incremental ≡ full
+    // recompute over store ∪ batch
+    val full = Dedup.clustersFromBands(
+        Dedup.minhashBandTable(store.unionByName(batch)))
+      .as[(Long, Long)].collect().toMap
+    inc shouldBe full
+  }
+
   test("clustersPortable equals the closed-form replay semantics on a tiny corpus") {
     // exact duplicates → every copy clusters onto the original; the
     // portable path bounds ids at maxId
