@@ -2734,9 +2734,8 @@ object SparkEntry {
     // table (index_mv_minhash) — untouched clusters carry over past a
     // semi-join, the closure re-runs only on collided clusters + new
     // edges, nothing re-shingles history. The oracle recomputes the
-    // FULL closure over store ∪ batch from scratch (batch-id > store-id
-    // append-only ingest makes incremental ≡ full recompute; the
-    // equality is the whole point, and the hash check enforces it).
+    // FULL closure over store ∪ batch from scratch — incremental ≡ full
+    // recompute is the whole point, and the hash check enforces it.
     // Same batch construction as dedup_incremental_minhash.
     "dedup_cluster_incremental" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -6481,8 +6480,8 @@ object SparkEntry {
     // full-recompute twin of the incremental fold: bands for store
     // (< 250) and batch, band-agreement pairs >= 6 of 16 over the
     // COMBINED relation, recursive closure — the incremental path must
-    // produce the identical assignment (append-only ids ⇒ identical min
-    // labels; untouched clusters byte-identical by construction)
+    // produce the identical assignment (untouched clusters keep their
+    // labels by construction; touched ones re-derive from the union)
     "dedup_cluster_incremental" ->
       """WITH RECURSIVE batch AS (
         |  SELECT d.doc_id,

@@ -1116,10 +1116,14 @@ object Dedup {
     * edges) — star edges `(cluster_id, id)` preserve the store's full
     * connectivity by construction, so the result EQUALS a from-scratch
     * [[clustersFromBands]] over store ∪ batch whenever the `maxBand`
-    * guard stays inert (batch ids must exceed store ids — append-only
-    * ingest — for min labels to agree; spec-pinned). O(batch + touched)
-    * work at any corpus size: the 100 TB shape for daily cluster
-    * maintenance. */
+    * guard stays inert (untouched components keep their min label
+    * because the batch doesn't touch them; touched components re-derive
+    * theirs from the union graph — correct for ANY id ordering, though
+    * append-only increasing ids are the normal ingest shape;
+    * hash-oracled at both verify SFs and spec-pinned). O(batch +
+    * touched) work at any corpus size: the 100 TB shape for daily
+    * cluster maintenance. The probe/edge checkpoints are batch-sized
+    * and live until the returned frame is GC'd. */
   def incrementalClusters(batch: DataFrame, storeBands: DataFrame,
       storeAssign: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,

@@ -30,6 +30,14 @@ import org.apache.spark.sql.functions._
   * not n). Per-round results are `localCheckpoint`ed to cut the
   * iterative lineage (same trade as [[Dedup.withProjectionCache]]:
   * deterministic input, so executor loss → re-run the call).
+  *
+  * Checkpoint lifetime: superseded per-round edge sets are released
+  * eagerly ([[Dedup.releaseCheckpoint]]); the terminal relations the
+  * RETURNED frame still reads lazily (the node universe, the final star
+  * forest / rank vector, the slim inputs of the PageRank loop) stay
+  * cached until the frame is garbage-collected — they are id-sized, not
+  * corpus-sized, the same lifetime every stored-seed relation in this
+  * library has.
   */
 object Graph {
 
