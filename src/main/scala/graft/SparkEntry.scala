@@ -2729,6 +2729,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SCHEMA EVOLUTION end-to-end: generation 1 (two columns) +
+    // appendEvolved generation 2 (adds o_channel) + a MoR delete
+    // spanning BOTH generations, read back under the declared union
+    // schema — old rows null-fill the added column, tombstones apply
+    // across the mixed file set, zero gen-1 bytes rewritten. The oracle
+    // is the closed-form UNION of the two generations minus the
+    // deleted keys.
+    "store_evolution" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft-evo-" + corpusFingerprint(Seq(s"$dir/orders.parquet")))
+      graft.core.Fs.deleteRecursively(work)
+      val store = new graft.core.TableStore(work.toString, s)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") <= 2000)
+      store.overwrite("orders_evo", o.filter(col("o_orderkey") <= 1000)
+        .select(col("o_orderkey"), col("o_totalprice")))
+      store.appendEvolved("orders_evo", o.filter(col("o_orderkey") > 1000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          concat(lit("ch"), col("o_orderkey") % 3).as("o_channel")))
+      store.deleteWhereMoR("orders_evo", col("o_orderkey") % 100 === 0)
+      store.read("orders_evo").orderBy("o_orderkey")
+    }),
+
     // INCREMENTAL transitive clustering: the day's batch folds into the
     // STORED cluster assignment (index_mv_cluster) via the STORED band
     // table (index_mv_minhash) — untouched clusters carry over past a
@@ -6476,6 +6499,16 @@ object SparkEntry {
         |SELECT doc_id, source FROM batch
         |WHERE doc_id NOT IN (SELECT DISTINCT id FROM m)
         |ORDER BY doc_id""".stripMargin,
+
+    "store_evolution" ->
+      """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+        |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey % 100 <> 0
+        |UNION ALL
+        |SELECT o_orderkey, o_totalprice,
+        |  'ch' || CAST(o_orderkey % 3 AS VARCHAR) AS o_channel
+        |FROM orders
+        |WHERE o_orderkey > 1000 AND o_orderkey <= 2000 AND o_orderkey % 100 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     // full-recompute twin of the incremental fold: bands for store
     // (< 250) and batch, band-agreement pairs >= 6 of 16 over the

@@ -159,9 +159,10 @@ object FileStats {
     * overlaps [lo, hi], then apply the predicate exactly. Falls back to
     * a full filtered scan if the version has no sidecar. */
   def readPrunedRange(spark: SparkSession, dataDir: String, c: String,
-      lo: Column, hi: Column): DataFrame =
+      lo: Column, hi: Column,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
     readKept(spark, dataDir, prunedFiles(spark, dataDir,
-      mayContainRange(c, lo, hi)))
+      mayContainRange(c, lo, hi)), dataSchema)
       .filter(col(c) >= lo && col(c) <= hi)
 
   /** Point lookup with file skipping: min/max bracketing plus the bloom
@@ -179,18 +180,21 @@ object FileStats {
     * empty (a plain cast would throw under ANSI mode — a malformed probe
     * is an empty lookup, not a query error). */
   def readPrunedPoint(spark: SparkSession, dataDir: String, c: String,
-      v: Column): DataFrame = {
+      v: Column,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val sidecar = read(spark, dataDir)
     val cols = sidecar.map(_.columns.toSet).getOrElse(Set.empty)
     val storedType = sidecar
       .flatMap(_.schema.find(_.name == s"min_$c").map(_.dataType))
       .orElse(
         if (cols.contains(s"bloom_$c"))
-          spark.read.parquet(dataDir).schema.find(_.name == c).map(_.dataType)
+          dataSchema.getOrElse(spark.read.parquet(dataDir).schema)
+            .find(_.name == c).map(_.dataType)
         else None)
     val vv = storedType.map(v.try_cast).getOrElse(v)
     readKept(spark, dataDir, prunedFiles(spark, dataDir,
-      mayContainPoint(c, vv, cols.contains(s"min_$c"), cols.contains(s"bloom_$c"))))
+      mayContainPoint(c, vv, cols.contains(s"min_$c"), cols.contains(s"bloom_$c"))),
+      dataSchema)
       .filter(col(c) === vv)
   }
 
@@ -200,8 +204,9 @@ object FileStats {
     * conjunct may match); `predicate` is the exact row predicate
     * re-applied after the pruned read. */
   def readPrunedWhere(spark: SparkSession, dataDir: String, keep: Column,
-      predicate: Column): DataFrame =
-    readKept(spark, dataDir, prunedFiles(spark, dataDir, keep))
+      predicate: Column,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    readKept(spark, dataDir, prunedFiles(spark, dataDir, keep), dataSchema)
       .filter(predicate)
 
   /** Scan of the kept files, with the version's deletion vector (if
@@ -210,17 +215,24 @@ object FileStats {
     * The full DV is applied to whatever subset of files was planned:
     * tombstones of unplanned files simply never match the anti-join. */
   private def readKept(spark: SparkSession, dataDir: String,
-      kept: Option[Seq[String]]): DataFrame = kept match {
-    case None => // no sidecar: full scan
-      DeleteVectors.applyTo(spark, spark.read.parquet(dataDir), dataDir)
-    case Some(Nil) => // nothing can match: empty relation, zero I/O
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        spark.read.parquet(dataDir).schema)
-    case Some(files) =>
-      // basePath keeps hive-partition columns resolvable when the
-      // version is partitioned and we hand Spark leaf files directly
-      DeleteVectors.applyTo(spark,
-        spark.read.option("basePath", dataDir).parquet(files: _*), dataDir)
+      kept: Option[Seq[String]],
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    // an evolved version's declared union schema must govern every
+    // branch here, or a generationally-mixed file set reads with
+    // whichever file Spark samples first (see TableStore.dataScan)
+    def reader = dataSchema.fold(spark.read)(s => spark.read.schema(s))
+    kept match {
+      case None => // no sidecar: full scan
+        DeleteVectors.applyTo(spark, reader.parquet(dataDir), dataDir)
+      case Some(Nil) => // nothing can match: empty relation, zero I/O
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          dataSchema.getOrElse(spark.read.parquet(dataDir).schema))
+      case Some(files) =>
+        // basePath keeps hive-partition columns resolvable when the
+        // version is partitioned and we hand Spark leaf files directly
+        DeleteVectors.applyTo(spark,
+          reader.option("basePath", dataDir).parquet(files: _*), dataDir)
+    }
   }
 }

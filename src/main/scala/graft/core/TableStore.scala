@@ -103,8 +103,8 @@ class TableStore(val root: String, spark: SparkSession) {
   def read(table: String): DataFrame = manifest.get(table) match {
     case Some(v) => catalogNameIfBucketed(table, v).map(spark.table)
       .getOrElse {
-        val dir = versionDir(table, v).toString
-        DeleteVectors.applyTo(spark, spark.read.parquet(dir), dir)
+        val dir = versionDir(table, v)
+        DeleteVectors.applyTo(spark, dataScan(dir), dir.toString)
       }
     case None =>
       throw new IllegalStateException(s"table '$table' does not exist in $root")
@@ -155,9 +155,14 @@ class TableStore(val root: String, spark: SparkSession) {
   def compact(table: String, schema: StructType, numFiles: Int = 1,
       partitionBy: Seq[String] = Nil): Unit = {
     val cur = manifest.get(table)
+    // an evolved version's declared schema outranks the caller's: a
+    // stale caller schema would compact the added columns away while
+    // the carried declaration still advertises them
+    val effective = cur.flatMap(v => declaredSchema(versionDir(table, v)))
+      .getOrElse(schema)
     commitMaintenance(table, stage(table,
-      cur.map(readVersion(table, _, schema)).getOrElse(
-        readOrEmpty(table, schema)).coalesce(numFiles), partitionBy), cur)
+      cur.map(readVersion(table, _, effective)).getOrElse(
+        readOrEmpty(table, effective)).coalesce(numFiles), partitionBy), cur)
   }
 
   /** Commit a maintenance rewrite (compaction/clustering): same rows,
@@ -252,7 +257,9 @@ class TableStore(val root: String, spark: SparkSession) {
     val smallBytes = small.map(Files.size).sum
     val n = math.max(1L, (smallBytes + targetBytes - 1) / targetBytes).toInt
     val dv = DeleteVectors.read(spark, curDir.toString)
-    val smallScan = spark.read.option("basePath", curDir.toString)
+    val smallReader = declaredSchema(curDir)
+      .fold(spark.read)(sc => spark.read.schema(sc))
+    val smallScan = smallReader.option("basePath", curDir.toString)
       .parquet(small.map(_.toUri.toString): _*)
     // rewritten files materialize their tombstones (applyTo's anti-join
     // on the full DV: entries naming carried files simply never match)
@@ -305,16 +312,22 @@ class TableStore(val root: String, spark: SparkSession) {
     * so results are identical to a full filtered scan regardless of
     * sidecar quality. Versions without a sidecar full-scan. */
   def readPrunedRange(table: String, c: String, lo: org.apache.spark.sql.Column,
-      hi: org.apache.spark.sql.Column): DataFrame =
-    FileStats.readPrunedRange(spark, currentPathOrFail(table), c, lo, hi)
+      hi: org.apache.spark.sql.Column): DataFrame = {
+    val dir = currentPathOrFail(table)
+    FileStats.readPrunedRange(spark, dir, c, lo, hi,
+      declaredSchema(Paths.get(dir)))
+  }
 
   /** Point lookup on the current version with sidecar file skipping —
     * min/max bracketing plus the bloom filter when `c` carries one (the
     * high-cardinality-column case where clustering-based min/max is
     * useless but a per-file bloom skips almost every file). */
   def readPrunedPoint(table: String, c: String,
-      v: org.apache.spark.sql.Column): DataFrame =
-    FileStats.readPrunedPoint(spark, currentPathOrFail(table), c, v)
+      v: org.apache.spark.sql.Column): DataFrame = {
+    val dir = currentPathOrFail(table)
+    FileStats.readPrunedPoint(spark, dir, c, v,
+      declaredSchema(Paths.get(dir)))
+  }
 
   private def currentPathOrFail(table: String): String =
     currentPath(table).getOrElse(
@@ -504,6 +517,41 @@ class TableStore(val root: String, spark: SparkSession) {
     overwrite(table, spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
 
+  /** DROP TABLE with retention (the Snowflake DROP/[[undropTable]]
+    * pair): ONE manifest swap removes the current mapping and records
+    * the dropped version as the newest `#hist` entry — no data bytes
+    * move, readers pinned on the old snapshot keep working, and the
+    * table stays restorable until [[vacuum]]'s retention policy sweeps
+    * its versions (`vacuum(retain = n)` keeps the last n per table;
+    * `vacuum(0)` is the hard purge). Dropping a missing table throws —
+    * a silent no-op would hide an orchestration bug. */
+  def dropTable(table: String): Unit = withManifestLock {
+    val cur = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    writeManifest(manifest - table,
+      history.updated(table,
+        (history.getOrElse(table, Seq.empty) :+ cur).takeRight(MaxHistory)))
+  }
+
+  /** UNDROP TABLE: restore the most recently dropped version with one
+    * metadata commit — the directory never moved, so the restored table
+    * reads byte-identically, sidecars (deletion vector, stats, version
+    * tag, declared schema) and all. Refuses when the table exists (drop
+    * first) or when no retained version remains (a retention vacuum
+    * already swept it — restores never resurrect reclaimed bytes). */
+  def undropTable(table: String): Unit = withManifestLock {
+    require(!manifest.contains(table),
+      s"undropTable: '$table' already exists in $root")
+    val hist = history.getOrElse(table, Seq.empty)
+    if (hist.isEmpty)
+      throw new IllegalStateException(
+        s"undropTable: no retained version of '$table' in $root — " +
+          "a retention vacuum already swept it")
+    writeManifest(manifest + (table -> hist.last),
+      if (hist.size > 1) history.updated(table, hist.dropRight(1))
+      else history - table)
+  }
+
   /** Predicate DELETE — the right-to-be-forgotten sweep the reference has
     * no counterpart for (its merges never delete, SURVEY §4b.5): commit a
     * new version WITHOUT the matching rows and return how many were
@@ -525,8 +573,8 @@ class TableStore(val root: String, spark: SparkSession) {
     val curV = manifest.getOrElse(table,
       throw new IllegalStateException(s"table '$table' does not exist in $root"))
     val cur = catalogNameIfBucketed(table, curV).map(spark.table).getOrElse {
-      val dir = versionDir(table, curV).toString
-      DeleteVectors.applyTo(spark, spark.read.parquet(dir), dir)
+      val dir = versionDir(table, curV)
+      DeleteVectors.applyTo(spark, dataScan(dir), dir.toString)
     }
     val keep = cur.filter(!coalesce(predicate, lit(false)))
     val before = cur.count()
@@ -735,7 +783,7 @@ class TableStore(val root: String, spark: SparkSession) {
     // the small result so the count and the sidecar write below don't
     // each re-run the predicate scan
     val withPos =
-      DeleteVectors.withPosition(spark.read.parquet(curDir.toString))
+      DeleteVectors.withPosition(dataScan(curDir))
     val alive = DeleteVectors.read(spark, curDir.toString) match {
       case Some(old) => DeleteVectors.antiJoin(withPos, old)
       case None      => withPos
@@ -909,7 +957,7 @@ class TableStore(val root: String, spark: SparkSession) {
     // position capture directly above the scan (before any join), the
     // key semi-join after — `_metadata` doesn't resolve through joins
     val withPos =
-      DeleteVectors.withPosition(spark.read.parquet(curDir.toString))
+      DeleteVectors.withPosition(dataScan(curDir))
     val alive = DeleteVectors.read(spark, curDir.toString) match {
       case Some(old) => DeleteVectors.antiJoin(withPos, old)
       case None      => withPos
@@ -951,21 +999,127 @@ class TableStore(val root: String, spark: SparkSession) {
     tag match {
       case Some(t) =>
         Files.write(dst.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
+        carrySchema(curDir, dst) // a fresh tag must not drop the evolved-read contract
       case None => carryTag(curDir, dst)
     }
     commit(Map(table -> version), expect = Map(table -> Some(curV)))
     freshN
   }
 
-  private val TagFile = "_graft_tag"
+  /** SCHEMA EVOLUTION: append `rows` whose schema is a SUPERSET of the
+    * table's current schema (every existing column present with its
+    * exact type; new columns added anywhere). The new version carries
+    * the old generation's files by hard link — zero data bytes
+    * rewritten, the lakehouse add-column shape — and declares the union
+    * schema in a version-local sidecar; every read of the version (and
+    * of every carry-descended successor) uses the declaration, so
+    * parquet null-fills the added columns for old-generation rows.
+    * Added columns are declared nullable by construction (the old
+    * generation IS their null population).
+    *
+    * Composition: the deletion vector carries verbatim ((file, pos)
+    * tombstones are schema-independent); the version tag carries (or a
+    * fresh one lands); the FILE-STATS sidecar is DROPPED — its per-file
+    * min/max columns are keyed to the old column set, and stats may
+    * only ever SKIP I/O, so absence degrades to full scans, never to
+    * wrong answers; re-stat after the next compaction if pruning
+    * matters. Only additive evolution is supported: dropping or
+    * retyping a column throws (widen-by-rewrite stays an explicit
+    * [[overwrite]]). Plain flat layout only — bucketed versions pin
+    * their schema in the bucket-spec DDL and hive-partitioned layouts
+    * pin theirs in the directory structure. */
+  def appendEvolved(table: String, rows: DataFrame,
+      tag: Option[String] = None): Unit = {
+    val curV = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    val curDir = versionDir(table, curV)
+    require(!Files.exists(curDir.resolve(BucketSpecFile)) &&
+      !hasNestedData(curDir),
+      "appendEvolved requires the plain flat layout (bucketed layouts pin " +
+        "their schema in the bucket spec; partitioned ones in the dir tree)")
+    val curSchema = declaredSchema(curDir).getOrElse(dataScan(curDir).schema)
+    val newSchema = rows.schema
+    curSchema.fields.foreach { f =>
+      val nf = newSchema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(
+          s"appendEvolved: column '${f.name}' missing from the evolved " +
+            "schema — only ADDITIVE evolution is supported (drop/rename " +
+            "is an explicit overwrite)"))
+      require(nf.dataType == f.dataType,
+        s"appendEvolved: column '${f.name}' changes type " +
+          s"(${f.dataType.sql} -> ${nf.dataType.sql}) — only additive " +
+          "evolution is supported (retype is an explicit overwrite)")
+    }
+    val declared = StructType(newSchema.fields.map { f =>
+      if (curSchema.fields.exists(_.name == f.name)) f
+      else f.copy(nullable = true) // old generation is the null population
+    })
+    val version = newVersion()
+    val dst = versionDir(table, version)
+    Files.createDirectories(dst)
+    dataFiles(curDir).foreach(carryFile(_, dst))
+    rows.write.mode("append").parquet(dst.toString)
+    DeleteVectors.read(spark, curDir.toString)
+      .foreach(dv => DeleteVectors.write(dv, dst.toString))
+    tag match {
+      case Some(t) =>
+        Files.write(dst.resolve(TagFile), t.getBytes(StandardCharsets.UTF_8))
+      case None => carryTag(curDir, dst)
+    }
+    // the union declaration lands LAST among sidecars (overwriting any
+    // carried older declaration) and before the commit: visible iff the
+    // version is
+    Files.write(dst.resolve(SchemaFile),
+      declared.toDDL.getBytes(StandardCharsets.UTF_8))
+    commit(Map(table -> version), expect = Map(table -> Some(curV)))
+  }
 
-  /** Carry the current version's tag (if any) into a successor version
-    * built by maintenance DML — a purge or delete between streaming
-    * micro-batches must not erase the sink's applied-batch
-    * high-water mark. */
+  private val TagFile = "_graft_tag"
+  private val SchemaFile = "_graft_schema"
+
+  /** The version's DECLARED read schema (present only once a table has
+    * been schema-evolved): the union schema every read of this version
+    * must use, because its data files are generationally mixed — old
+    * files simply lack the added columns and parquet null-fills them
+    * under an explicit read schema. Absent on never-evolved versions
+    * (uniform files, self-describing). */
+  private def declaredSchema(dir: Path): Option[StructType] = {
+    val f = dir.resolve(SchemaFile)
+    if (Files.exists(f))
+      Some(StructType.fromDDL(
+        new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+    else None
+  }
+
+  private def carrySchema(curDir: Path, dst: Path): Unit = {
+    val s = curDir.resolve(SchemaFile)
+    if (Files.exists(s)) {
+      Files.copy(s, dst.resolve(SchemaFile),
+        StandardCopyOption.REPLACE_EXISTING); ()
+    }
+  }
+
+  /** Raw scan of a version dir honoring its declared schema (schema
+    * evolution) — EVERY internal data read of a flat version must go
+    * through this, or a generationally-mixed version would read with
+    * whichever file's schema Spark samples first and silently drop the
+    * added columns. */
+  private def dataScan(dir: Path): DataFrame =
+    declaredSchema(dir) match {
+      case Some(s) => spark.read.schema(s).parquet(dir.toString)
+      case None    => spark.read.parquet(dir.toString)
+    }
+
+  /** Carry the current version's tag and declared schema (if any) into
+    * a successor version built by maintenance DML — a purge or delete
+    * between streaming micro-batches must not erase the sink's
+    * applied-batch high-water mark, and NO carry-based DML may erase
+    * the evolved-read contract while old-generation files are still
+    * being carried. */
   private def carryTag(curDir: Path, dst: Path): Unit = {
     val t = curDir.resolve(TagFile)
     if (Files.exists(t)) { Files.copy(t, dst.resolve(TagFile)); () }
+    carrySchema(curDir, dst)
   }
 
   /** Zero-copy CLONE (Snowflake's `CREATE TABLE ... CLONE`, the
@@ -1058,10 +1212,14 @@ class TableStore(val root: String, spark: SparkSession) {
       s"changesBetween: version $toV of '$table' holds no data files")
     val action = Schemas.cdcActionCol
 
+    // the target version's declared schema (evolution) governs both the
+    // changed-file scans and the CDF's output shape — old-generation
+    // changed files null-fill the added columns like any other read
+    val dataSchema = declaredSchema(toDir)
+      .getOrElse(spark.read.parquet(toDir.toString).schema)
     def scanOf(names: Seq[String]) = DeleteVectors.withPosition(
-      spark.read.option("basePath", toDir.toString)
+      spark.read.schema(dataSchema).option("basePath", toDir.toString)
         .parquet(names.map(n => toDir.resolve(n).toUri.toString): _*))
-    val dataSchema = spark.read.parquet(toDir.toString).schema
     val dataCols = dataSchema.fieldNames.toSeq
     def shaped(df: DataFrame, a: String) =
       df.select(dataCols.map(col): _*).withColumn(action, lit(a))

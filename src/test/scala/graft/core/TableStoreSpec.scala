@@ -418,4 +418,142 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").count() shouldBe 0
     store.readOrEmpty("t", df.schema).schema.fieldNames.toSeq shouldBe Seq("id", "v")
   }
+
+  test("DROP/UNDROP: metadata-only drop, byte-identical restore, retention " +
+      "vacuum makes the restore refuse") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("undrop"), spark)
+    store.overwrite("t", Seq((1L, "a")).toDF("id", "v"))
+    store.overwrite("t", Seq((2L, "b")).toDF("id", "v")) // prior history too
+    store.upsertMoR("t", Seq((2L, "B")).toDF("id", "v"), Seq("id"),
+      tag = Some("7")) // sidecars must survive the round trip
+    val expect = store.read("t").as[(Long, String)].collect().toSeq
+
+    store.dropTable("t")
+    store.exists("t") shouldBe false
+    an[IllegalStateException] should be thrownBy store.read("t")
+    an[IllegalStateException] should be thrownBy store.dropTable("t")
+
+    store.undropTable("t")
+    store.read("t").as[(Long, String)].collect().toSeq shouldBe expect
+    store.versionTag("t") shouldBe Some("7") // sidecar intact
+    an[IllegalArgumentException] should be thrownBy store.undropTable("t")
+
+    // retention purge: dropped versions are history — vacuum(0) sweeps
+    // them and the restore refuses instead of resurrecting nothing
+    store.dropTable("t")
+    store.vacuum(retain = 0)
+    an[IllegalStateException] should be thrownBy store.undropTable("t")
+    // and a retention-friendly vacuum keeps the restore alive
+    store.overwrite("u", Seq((1L, "x")).toDF("id", "v"))
+    store.dropTable("u")
+    store.vacuum(retain = 2)
+    store.undropTable("u")
+    store.read("u").as[(Long, String)].collect().toSeq shouldBe Seq((1L, "x"))
+  }
+
+  test("schema evolution: add-column append carries old files, null-fills " +
+      "old rows, and only ADDITIVE changes are accepted") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("evo"), spark)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val gen1Files = new java.io.File(store.currentPath("t").get)
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    store.appendEvolved("t",
+      Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "extra"))
+    val out = store.read("t").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    out shouldBe Seq((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(30L)), (4L, "d", Some(40L)))
+    store.read("t").schema("extra").nullable shouldBe true
+    // gen-1 files carried by link, not rewritten
+    val gen2Files = new java.io.File(store.currentPath("t").get)
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    gen1Files.subsetOf(gen2Files) shouldBe true
+
+    // refusals: dropped column, retyped column
+    an[IllegalArgumentException] should be thrownBy
+      store.appendEvolved("t", Seq((9L, 1L)).toDF("id", "extra"))
+    an[IllegalArgumentException] should be thrownBy
+      store.appendEvolved("t", Seq((9L, "z", "not-a-long")).toDF("id", "v", "extra"))
+    // bucketed layout refuses
+    store.commit(Map("tb" -> store.stageBucketed("tb",
+      Seq((1L, "a")).toDF("id", "v"), Seq("id"), 2)))
+    an[IllegalArgumentException] should be thrownBy
+      store.appendEvolved("tb", Seq((2L, "b", 1L)).toDF("id", "v", "extra"))
+  }
+
+  test("schema evolution composes with MoR deletes, upserts, compaction, " +
+      "clone, CDF, and time travel") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("evo2"), spark)
+    store.overwrite("t", (1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"))
+    val preEvoV = store.manifest("t")
+    store.appendEvolved("t",
+      Seq((7L, "v7", 70L), (8L, "v8", 80L)).toDF("id", "v", "extra"))
+
+    // MoR delete of a GEN-1 row: tombstone applies across the mixed read
+    store.deleteWhereMoR("t", col("id") === 2L) shouldBe 1L
+    store.read("t").count() shouldBe 7L
+    // upsert touching both generations; declared schema survives the DML
+    store.upsertMoR("t",
+      Seq((1L, "V1", 10L), (9L, "v9", 90L)).toDF("id", "v", "extra"),
+      Seq("id"))
+    val afterUpsert = store.read("t").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    afterUpsert.head shouldBe (1L, "V1", Some(10L))
+    afterUpsert.map(_._1) shouldBe Seq(1L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
+    afterUpsert.find(_._1 == 3L).get._3 shouldBe None
+
+    // purge + small-file compaction pack the mixed generations losslessly
+    store.purgeDeletes("t")
+    val before = store.read("t").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    store.compactSmallFiles("t", targetBytes = 10L << 20, minSmallFiles = 2)
+    store.read("t").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq shouldBe before
+
+    // zero-copy clone of the evolved table reads identically
+    store.cloneTable("t", "t2")
+    store.read("t2").orderBy("id")
+      .as[(Long, String, Option[Long])].collect().toSeq shouldBe before
+
+    // time travel: the pre-evolution version still reads its own shape
+    store.readVersion("t", preEvoV,
+        org.apache.spark.sql.types.StructType.fromDDL("id BIGINT, v STRING"))
+      .count() shouldBe 6L
+  }
+
+  test("schema evolution drops the stats sidecar; pruned reads degrade to " +
+      "correct full scans and CDF null-fills the added column") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("evo3"), spark)
+    val v0 = store.stageWithStats("t",
+      (1L to 100L).map(i => (i, i * 2)).toDF("id", "x").repartition(4),
+      statsCols = Seq("id"))
+    store.commit(Map("t" -> v0))
+    FileStats.read(spark, store.currentPath("t").get).isDefined shouldBe true
+    val fromV = store.manifest("t")
+
+    store.appendEvolved("t",
+      Seq((101L, 202L, "tag101")).toDF("id", "x", "label"))
+    // sidecar gone; pruned read = correct full-scan fallback
+    FileStats.read(spark, store.currentPath("t").get).isDefined shouldBe false
+    store.readPrunedRange("t", "id", lit(10L), lit(12L))
+      .orderBy("id").select("id").as[Long].collect().toSeq shouldBe
+      Seq(10L, 11L, 12L)
+    store.readPrunedRange("t", "id", lit(101L), lit(101L))
+      .select("label").as[String].collect().toSeq shouldBe Seq("tag101")
+
+    // change data feed across the evolution: one insert, schema-unioned
+    val cdf = store.changesBetween("t", fromV, store.manifest("t"))
+    cdf.count() shouldBe 1L
+    cdf.select("id", "label").as[(Long, String)].collect().toSeq shouldBe
+      Seq((101L, "tag101"))
+  }
 }
