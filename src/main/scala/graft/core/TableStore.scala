@@ -645,7 +645,11 @@ class TableStore(val root: String, spark: SparkSession) {
           // survivors directly in the new version dir (append mode:
           // the dir already holds the copied files; Spark's UUID part
           // names cannot collide with them)
-          spark.read.option("basePath", curDir.toString)
+          // declared-schema read (schema evolution): a matched-file set
+          // spanning generations must rewrite under the union schema,
+          // not whichever file's schema Spark samples first
+          declaredSchema(curDir).fold(spark.read)(sc => spark.read.schema(sc))
+            .option("basePath", curDir.toString)
             .parquet(matched.toIndexedSeq: _*)
             .filter(!coalesce(col(c) >= lo && col(c) <= hi, lit(false)))
             .write.mode("append").parquet(dst.toString)
@@ -844,7 +848,10 @@ class TableStore(val root: String, spark: SparkSession) {
         val copiedNames = untouched.map(_.getFileName.toString).toSet
         if (rewrite.nonEmpty)
           DeleteVectors.applyTo(spark,
-              spark.read.option("basePath", curDir.toString)
+              // declared-schema read: DV'd files can span generations
+              // (see deleteRange) — rewrite under the union schema
+              declaredSchema(curDir).fold(spark.read)(sc => spark.read.schema(sc))
+                .option("basePath", curDir.toString)
                 .parquet(rewrite.map(_.toUri.toString): _*),
               curDir.toString)
             .write.mode("append").parquet(dst.toString)

@@ -528,6 +528,23 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 6L
   }
 
+  test("cross-generation purge and range delete rewrite under the UNION " +
+      "schema — gen-2 values survive a rewrite that also touches gen-1 files") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("evo4"), spark)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    store.appendEvolved("t", Seq((3L, "c", 30L), (4L, "d", 40L))
+      .toDF("id", "v", "extra"))
+    // tombstone one row in EACH generation, then purge: the rewrite
+    // reads a mixed-generation file subset in one scan — pre-fix it
+    // sampled one file's schema and could silently drop gen-2's extra
+    store.deleteWhereMoR("t", col("id").isin(1L, 4L)) shouldBe 2L
+    store.purgeDeletes("t") shouldBe 2L
+    store.read("t").orderBy("id").as[(Long, String, Option[Long])]
+      .collect().toSeq shouldBe Seq((2L, "b", None), (3L, "c", Some(30L)))
+  }
+
   test("schema evolution drops the stats sidecar; pruned reads degrade to " +
       "correct full scans and CDF null-fills the added column") {
     val s = spark
