@@ -2764,6 +2764,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Trained text classification — the fastText-style curation router
+    // (language/quality routing, CCNet's filtering stage) as multinomial
+    // Naive Bayes: trained on the labeled slice in ONE count aggregate,
+    // scored with EXACT integer arithmetic (micro-scaled log-likelihood
+    // longs), so every argmax decision replays bit-for-bit in SQL —
+    // train counts, add-1 smoothing, floor(ln·10⁶) model weights,
+    // integer sums, tie-breaks, all of it. Note the synthetic corpus's
+    // lang labels are metadata over a SHARED vocabulary (unlearnable by
+    // construction), so this row pins the cross-engine arithmetic;
+    // KeywordsSpec carries the model-quality claim on a separable
+    // corpus (perfect held-out classification, OOV drop, exact ties).
+    "text_classify_nb" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val model = graft.operators.Keywords.naiveBayesTrain(
+        docs.filter(col("doc_id") < 250)
+          .select(col("doc_id"), col("text"), col("lang").as("label")))
+      graft.operators.Keywords.naiveBayesScore(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 750), model)
+        .orderBy("doc_id")
+    }),
+
     // SCHEMA EVOLUTION end-to-end: generation 1 (two columns) +
     // appendEvolved generation 2 (adds o_channel) + a MoR delete
     // spanning BOTH generations, read back under the declared union
@@ -6527,6 +6548,54 @@ object SparkEntry {
         |  GROUP BY bbk.id, st.sid HAVING count(*) >= 6)
         |SELECT doc_id, source FROM batch
         |WHERE doc_id NOT IN (SELECT DISTINCT id FROM m)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the full NB pipeline in closed form: training counts, add-1
+    // smoothing, floor(ln·1e6) model weights, integer score sums, and
+    // the (score DESC, label ASC) argmax — floor (not round) because
+    // round's half-away vs half-up disagree on negatives across engines
+    "text_classify_nb" ->
+      """WITH train AS (
+        |  SELECT lang AS label, text FROM documents WHERE doc_id < 250),
+        |ttok AS (
+        |  SELECT label, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM train),
+        |counts AS (SELECT term, label, count(*) AS c FROM ttok GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT term) AS v FROM counts),
+        |totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM train),
+        |labels AS (
+        |  SELECT p.label,
+        |    CAST(floor(ln(p.ndl * 1.0 / (SELECT n FROM nd)) * 1e6) AS BIGINT)
+        |      AS prior_mil,
+        |    CAST(floor(ln(1.0 / (t.t + (SELECT v FROM v))) * 1e6) AS BIGINT)
+        |      AS miss_mil
+        |  FROM (SELECT label, count(*) AS ndl FROM train GROUP BY 1) p
+        |  JOIN totals t ON t.label = p.label),
+        |terms AS (
+        |  SELECT c.term, c.label,
+        |    CAST(floor(ln((c.c + 1) * 1.0 / (t.t + (SELECT v FROM v))) * 1e6)
+        |      AS BIGINT) AS ll_mil
+        |  FROM counts c JOIN totals t ON t.label = c.label),
+        |stok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')) AS term
+        |  FROM documents WHERE doc_id >= 250 AND doc_id < 750),
+        |kept AS (
+        |  SELECT doc_id, term FROM stok
+        |  WHERE term IN (SELECT DISTINCT term FROM terms)),
+        |scored AS (
+        |  SELECT k.doc_id, l.label,
+        |    l.prior_mil + CAST(sum(coalesce(tr.ll_mil, l.miss_mil)) AS BIGINT)
+        |      AS score_mil
+        |  FROM kept k CROSS JOIN labels l
+        |  LEFT JOIN terms tr ON tr.term = k.term AND tr.label = l.label
+        |  GROUP BY k.doc_id, l.label, l.prior_mil),
+        |r AS (SELECT doc_id, label, score_mil, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_mil DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, label AS predicted, score_mil FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
     "store_evolution" ->

@@ -613,4 +613,93 @@ object Keywords {
       .orderBy(col("rrf").desc, col("id"))
       .limit(k)
   }
+
+  // ---- Naive Bayes text classification -------------------------------------
+
+  /** Trained multinomial Naive Bayes model: `terms(term, label,
+    * ll_mil)` holds the add-1-smoothed log-likelihood of each SEEN
+    * (term, label) pair and `labels(label, prior_mil, miss_mil)` the
+    * log prior plus the smoothed likelihood of a vocabulary term the
+    * label never saw. Everything is a micro-scaled LONG
+    * (`floor(ln(·)·10⁶)` — floor, not round: round's half-away vs
+    * half-up disagree on negatives across engines), so SCORING is pure
+    * integer summation: argmax decisions are exact and
+    * engine-portable, never one ulp of float drift away from flipping
+    * a class. */
+  final case class NbModel(terms: DataFrame, labels: DataFrame)
+
+  /** Train the classic curation classifier (fastText-style quality /
+    * language routing, CCNet's filtering stage — here as multinomial
+    * NB, the public-knowledge baseline those systems compare against):
+    * ONE tokenize pass, one (term, label) count aggregate (map-side
+    * combined), and label-sized side relations. At 100 TB the heavy
+    * relation is the token count — everything derived from it is
+    * vocab- or label-sized. */
+  def naiveBayesTrain(docs: DataFrame, textCol: String = "text",
+      labelCol: String = "label", idCol: String = "doc_id"): NbModel = {
+    val toks = docs.select(col(labelCol).as("label"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy(col("term"), col("label"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val vSize = counts.agg(count_distinct(col("term")).as("v"))
+    val totals = counts.groupBy(col("label")).agg(sum(col("c")).as("t"))
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val priors = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("nd"))
+    val labels = priors.crossJoin(broadcast(nDocs))
+      .join(totals, "label").crossJoin(broadcast(vSize))
+      .select(col("label"),
+        floor(log(col("nd").cast("double") / col("n")) * 1e6)
+          .cast("long").as("prior_mil"),
+        floor(log(lit(1.0) / (col("t") + col("v")))  * 1e6)
+          .cast("long").as("miss_mil"))
+      .localCheckpoint(true)
+    val terms = counts.join(totals, "label").crossJoin(broadcast(vSize))
+      .select(col("term"), col("label"),
+        floor(log((col("c") + lit(1)).cast("double") / (col("t") + col("v")))
+          * 1e6).cast("long").as("ll_mil"))
+      .localCheckpoint(true)
+    Dedup.releaseCheckpoint(counts)
+    NbModel(terms, labels)
+  }
+
+  /** Score documents against a trained [[NbModel]]: per document,
+    * per label, the integer sum of token log-likelihoods (seen pair →
+    * `ll_mil`, vocabulary term unseen under this label → the label's
+    * `miss_mil`, out-of-vocabulary token → skipped, the standard
+    * multinomial treatment) plus the prior; the predicted label is the
+    * exact-integer argmax (ties → lexicographically smallest label).
+    * Plan: one tokenize, a broadcast semi-join against the vocab, a
+    * label-fanout broadcast join (|labels| copies of each kept token),
+    * one partial-combined sum — linear in corpus tokens at any scale. */
+  def naiveBayesScore(docs: DataFrame, model: NbModel,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = model.terms.select(col("term")).distinct()
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .join(broadcast(vocab), Seq("term"), "left_semi")
+    val scored = toks
+      .crossJoin(broadcast(model.labels))
+      .join(broadcast(model.terms), Seq("term", "label"), "left")
+      .select(col("id"), col("label"), col("prior_mil"),
+        coalesce(col("ll_mil"), col("miss_mil")).as("tok_mil"))
+      .groupBy(col("id"), col("label"), col("prior_mil"))
+      .agg(sum(col("tok_mil")).as("sum_mil"))
+      .select(col("id"), col("label"),
+        (col("prior_mil") + col("sum_mil")).as("score_mil"))
+    // exact-integer argmax; ties break to the smallest label via a
+    // negative-rank component inside one max(struct) aggregate (no
+    // corpus-wide window)
+    val w = Window.orderBy(col("label"))
+    val idx = model.labels.select(col("label"),
+      row_number().over(w).cast("long").as("__li"))
+    scored.join(broadcast(idx), "label")
+      .groupBy(col("id"))
+      .agg(max(struct(col("score_mil"), (-col("__li")).as("nli"),
+        col("label"))).as("b"))
+      .select(col("id").as(idCol), col("b.label").as("predicted"),
+        col("b.score_mil").as("score_mil"))
+  }
 }

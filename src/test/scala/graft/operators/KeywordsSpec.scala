@@ -323,4 +323,41 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
       merged.estimateCount(t) shouldBe full.estimateCount(t)
     }
   }
+
+  test("naive bayes: separable corpus classifies perfectly, OOV-only docs " +
+      "drop, ties break to the smallest label, scoring is integer-exact") {
+    val s = spark
+    import s.implicits._
+    // two classes with mostly-disjoint vocab plus shared filler
+    val train = Seq(
+      ("spam", "buy cheap pills now buy offer cheap"),
+      ("spam", "offer cheap offer now click buy"),
+      ("ham", "meeting notes agenda project review notes"),
+      ("ham", "project review meeting agenda tomorrow notes"))
+      .toDF("label", "text").withColumn("doc_id", monotonically_increasing_id())
+    val model = Keywords.naiveBayesTrain(train)
+    val score = Seq(
+      (1L, "cheap pills offer buy"), // clearly spam
+      (2L, "agenda project meeting review"), // clearly ham
+      (3L, "totally unseen vocabulary zzz"), // OOV-only → dropped
+      (4L, "notes buy")) // mixed
+      .toDF("doc_id", "text")
+    val out = Keywords.naiveBayesScore(score, model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(1L) shouldBe "spam"
+    out(2L) shouldBe "ham"
+    out.contains(3L) shouldBe false
+    out should have size 3
+    // integer-exact determinism: identical longs on a repeat run
+    val twice = Keywords.naiveBayesScore(score, model)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    Keywords.naiveBayesScore(score, model)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq shouldBe twice
+    // tie-break: a scoring doc whose every token is equally likely under
+    // two symmetric classes → exact score tie → smallest label wins
+    val sym = Seq(("a", "x y"), ("b", "x y")).toDF("label", "text")
+    val mSym = Keywords.naiveBayesTrain(sym)
+    Keywords.naiveBayesScore(Seq((9L, "x y")).toDF("doc_id", "text"), mSym)
+      .head().getString(1) shouldBe "a"
+  }
 }
