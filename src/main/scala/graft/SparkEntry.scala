@@ -2764,6 +2764,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // STREAMING incremental clustering replayed across stop/start
+    // cycles: micro-batches of documents fold into the STORED (bands,
+    // assignment) pair exactly-once — bands idempotent by key,
+    // assignment tagged with the batch id — with later slices
+    // RE-SENDING earlier docs byte-identically (the refold must be a
+    // no-op by idempotence, not by luck). The final assignment must
+    // equal the from-scratch closure over base ∪ slices, which the
+    // oracle recomputes in closed form: the hash witnesses exactly-once
+    // effect across 5 restarts AND the fold's equivalence to full
+    // re-clustering. Built once per corpus (completion-marker-gated).
+    "stream_clusters_oracled" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-sclust-" + corpusFingerprint(Seq(s"$dir/documents.parquet")))
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val base = docs.filter(col("doc_id") < 250)
+      val slices = (0 until 5).map { i =>
+        val fresh = docs.filter(col("doc_id") >= 250 + i * 100 &&
+          col("doc_id") < 250 + (i + 1) * 100)
+        if (i == 0) fresh
+        else fresh.unionByName(docs.filter(col("doc_id") >= 250 &&
+          col("doc_id") < 250 + i * 100 && col("doc_id") % 7 === 0))
+      }
+      graft.streaming.StoreStream.clusterReplay(s, base, slices, work.toString)
+        .read("assign")
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    }),
+
     // Trained text classification — the fastText-style curation router
     // (language/quality routing, CCNet's filtering stage) as multinomial
     // Naive Bayes: trained on the labeled slice in ONE count aggregate,
@@ -6548,6 +6578,42 @@ object SparkEntry {
         |  GROUP BY bbk.id, st.sid HAVING count(*) >= 6)
         |SELECT doc_id, source FROM batch
         |WHERE doc_id NOT IN (SELECT DISTINCT id FROM m)
+        |ORDER BY doc_id""".stripMargin,
+
+    // from-scratch closure over base ∪ every streamed slice (docs
+    // < 750): same banding/pair/closure algebra as
+    // dedup_cluster_incremental, no batch transform — the streaming
+    // fold must land exactly here
+    "stream_clusters_oracled" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id AS id,
+        |    list_distinct(CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) < 3
+        |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\s+'), ' ')]
+        |      ELSE list_transform(
+        |        range(len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+        |        i -> array_to_string(
+        |          string_split_regex(lower(trim(text)), '\s+')[i+1:i+3], ' '))
+        |    END) AS shd
+        |  FROM documents WHERE doc_id < 750),
+        |bk AS (
+        |  SELECT id, unnest(list_transform(range(16), b ->
+        |    md5(b::VARCHAR || '|' || array_to_string(
+        |      list_transform(range(b*4, b*4+4), i ->
+        |        list_min(list_transform(shd, s -> md5(i::VARCHAR || ':' || s)))), '|')))) AS band
+        |  FROM sh),
+        |ok AS (SELECT band FROM bk GROUP BY band HAVING count(*) <= 10000),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM bk a JOIN bk b USING (band)
+        |  WHERE a.id < b.id AND band IN (SELECT band FROM ok)
+        |  GROUP BY a.id, b.id HAVING count(*) >= 6),
+        |sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT id, id FROM sh
+        |  UNION
+        |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node)
+        |SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
         |ORDER BY doc_id""".stripMargin,
 
     // the full NB pipeline in closed form: training counts, add-1

@@ -1129,9 +1129,34 @@ object Dedup {
       idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
       bands: Int = 16, minBandMatches: Int = 6, maxBand: Int = 10000,
       portable: Boolean = false): DataFrame = {
+    val assign = storeAssign.select(col("id"), col("cluster_id"))
+    val (delta, touchedClusters) = incrementalClustersDelta(batch,
+      storeBands, assign, textCol, idCol, shingleSize, numHashes, bands,
+      minBandMatches, maxBand, portable)
+    assign.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("id"), col("cluster_id"))
+      .unionByName(delta)
+  }
+
+  /** The CHANGED-ROWS form of [[incrementalClusters]]: returns
+    * `(delta, touchedClusters)` where `delta` is the re-derived
+    * assignment for the batch plus every collided cluster's members —
+    * exactly the rows an upsert-by-id against the stored assignment
+    * needs (the streaming sink's shape: the delta is O(batch + touched)
+    * rows, and re-applying it is idempotent because the closure result
+    * is a pure function of bands ∪ batch). */
+  private[graft] def incrementalClustersDelta(batch: DataFrame,
+      storeBands: DataFrame, assign: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", shingleSize: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, minBandMatches: Int = 6, maxBand: Int = 10000,
+      portable: Boolean = false): (DataFrame, DataFrame) = {
     val probe = minhashBandTable(batch, textCol, idCol, shingleSize,
       numHashes, bands, portable).localCheckpoint(true)
+    // distinct: under crash-retry the store may ALREADY hold this
+    // batch's bands (the bands commit landed, the assignment commit
+    // didn't) — duplicated (band, id) rows would double pair counts
     val all = storeBands.select(col("band"), col("id")).unionByName(probe)
+      .distinct()
     // guard over the COMBINED relation (store + probe): the closure's
     // full-recompute twin counts the same way
     val ok = all.groupBy(col("band")).agg(count(lit(1)).as("__n"))
@@ -1150,7 +1175,6 @@ object Dedup {
       .filter(col("__nb") >= minBandMatches)
       .select(col("u").as("id_a"), col("v").as("id_b"))
       .localCheckpoint(true)
-    val assign = storeAssign.select(col("id"), col("cluster_id"))
     val endpoints = newEdges.select(col("id_a").as("id"))
       .union(newEdges.select(col("id_b").as("id"))).distinct()
     val touchedClusters = assign.join(endpoints, Seq("id"), "left_semi")
@@ -1162,9 +1186,8 @@ object Dedup {
       "id_a", "id_b",
       nodes = Some(batch.select(col(idCol).as("id"))
         .union(touchedStars.select(col("id")))), nodeCol = "id")
-    assign.join(touchedClusters, Seq("cluster_id"), "left_anti")
-      .select(col("id"), col("cluster_id"))
-      .unionByName(cc.select(col("node").as("id"), col("component").as("cluster_id")))
+    (cc.select(col("node").as("id"), col("component").as("cluster_id")),
+      touchedClusters)
   }
 
   // ---- semantic (centroid-blocked) dedup -----------------------------------

@@ -133,4 +133,86 @@ object StoreStream {
     Files.createFile(done)
     store
   }
+
+  /** The `foreachBatch` body for STREAMING INCREMENTAL CLUSTERING: fold
+    * a micro-batch of documents into the stored (band table, cluster
+    * assignment) pair kept by an ingest pipeline — new docs band once,
+    * only collided clusters re-close
+    * ([[graft.operators.Dedup.incrementalClustersDelta]]).
+    *
+    * Exactly-once without a coordinator, on two tables: the bands
+    * upsert lands FIRST and is IDEMPOTENT by its (band, id) key (a
+    * crash-retry re-tombstones and re-appends identical rows — and the
+    * delta computation dedups the store∪probe union, so half-applied
+    * bands never double pair counts); the assignment upsert lands LAST
+    * carrying the batch-id tag, so the high-water mark is visible iff
+    * the FOLD completed. A redelivered batch at or below the mark skips
+    * both writes. Bands-without-assignment is the only crash state and
+    * the retry converges to the same content; assignment-without-bands
+    * cannot occur (commit order). */
+  def clusterBatch(store: TableStore, bandsTable: String,
+      assignTable: String)(batch: DataFrame, batchId: Long): Boolean = {
+    val applied = store.versionTag(assignTable)
+      .flatMap(t => scala.util.Try(t.toLong).toOption).getOrElse(-1L)
+    if (batchId <= applied) false
+    else {
+      val (delta, _) = graft.operators.Dedup.incrementalClustersDelta(
+        batch, store.read(bandsTable), store.read(assignTable),
+        portable = true)
+      val bandRows = graft.operators.Dedup.minhashBandTable(
+        batch, portable = true)
+      store.upsertMoR(bandsTable, bandRows, Seq("band", "id"))
+      store.upsertMoR(assignTable, delta, Seq("id"),
+        tag = Some(batchId.toString))
+      true
+    }
+  }
+
+  /** Deterministic replay harness for [[clusterBatch]] (the
+    * [[upsertReplay]] pattern): seed the band table and assignment from
+    * `base`, stream `slices` of documents through stop/start cycles
+    * over a shared checkpoint, and leave the store for the caller. The
+    * final assignment must equal the from-scratch closure over base ∪
+    * slices — which an external engine recomputes in closed form, so
+    * the equality witnesses exactly-once effect across every restart
+    * AND the incremental fold's equivalence to full re-clustering.
+    * Built once per `workDir`, gated on a completion marker. */
+  def clusterReplay(
+      spark: SparkSession,
+      base: DataFrame,
+      slices: Seq[DataFrame],
+      workDir: String,
+      filesPerCycle: Int = 1): TableStore = {
+    val root = Paths.get(workDir)
+    val done = root.resolve("_replay_done")
+    val store = new TableStore(root.resolve("store").toString, spark)
+    if (Files.exists(done)) return store
+    graft.core.Fs.deleteRecursively(root)
+    Files.createDirectories(root)
+    val src = root.resolve("src").toString
+    val ckpt = root.resolve("ckpt").toString
+    val schema: StructType = base.schema
+
+    val seedBands = graft.operators.Dedup.minhashBandTable(
+      base, portable = true)
+    store.overwrite("bands", seedBands)
+    store.overwrite("assign",
+      graft.operators.Dedup.clustersFromBands(store.read("bands")))
+    slices.grouped(math.max(1, filesPerCycle)).foreach { cycle =>
+      cycle.foreach(_.coalesce(1).write.mode("append").parquet(src))
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          clusterBatch(store, "bands", "assign")(batch.toDF(), batchId); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    Files.createFile(done)
+    store
+  }
 }

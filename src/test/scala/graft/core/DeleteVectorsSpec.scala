@@ -330,6 +330,52 @@ class DeleteVectorsSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("t").as[(Long, String)].collect().toMap.apply(0L) shouldBe "d0"
   }
 
+  test("streaming cluster sink: exactly-once fold, crash-retry with " +
+      "half-applied bands converges, redelivery skips") {
+    val s = spark
+    import s.implicits._
+    import graft.streaming.StoreStream
+    import graft.operators.Dedup
+    val mk = (id: Long, t: String) => (id, t)
+    val dup = "the exact same sentence repeated for deduplication purposes here"
+    val base = Seq(mk(1L, dup), mk(2L, dup),
+      mk(3L, "completely different content with no shared shingles at all"))
+      .toDF("doc_id", "text")
+    val slices = Seq(
+      Seq(mk(10L, dup)).toDF("doc_id", "text"), // joins cluster {1,2}
+      // resends doc 10 byte-identically AND adds a new singleton
+      Seq(mk(10L, dup), mk(11L, "another wholly unrelated sentence of fresh tokens"))
+        .toDF("doc_id", "text"))
+    val store = StoreStream.clusterReplay(spark, base, slices,
+      tmpDir("clust-stream"))
+    val got = store.read("assign").as[(Long, Long)].collect().toMap
+    got shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 10L -> 1L, 11L -> 11L)
+    store.versionTag("assign") shouldBe Some("1")
+    // incremental ≡ full recompute over everything streamed
+    val full = Dedup.clustersFromBands(store.read("bands"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe full
+
+    // redelivery at the high-water mark: skipped, content untouched
+    StoreStream.clusterBatch(store, "bands", "assign")(
+      Seq(mk(10L, dup)).toDF("doc_id", "text"), 1L) shouldBe false
+    store.read("assign").as[(Long, Long)].collect().toMap shouldBe got
+
+    // crash-retry state: the bands commit landed, the assignment didn't
+    // (the only possible half-state — commit order). Pre-planting the
+    // batch's bands then folding must converge to the same answer the
+    // clean fold gives: the delta dedups the store∪probe union.
+    val crashBatch = Seq(mk(12L, dup)).toDF("doc_id", "text")
+    store.upsertMoR("bands",
+      Dedup.minhashBandTable(crashBatch, portable = true), Seq("band", "id"))
+    StoreStream.clusterBatch(store, "bands", "assign")(
+      crashBatch, 2L) shouldBe true
+    val after = store.read("assign").as[(Long, Long)].collect().toMap
+    after(12L) shouldBe 1L
+    after shouldBe Dedup.clustersFromBands(store.read("bands"))
+      .as[(Long, Long)].collect().toMap
+  }
+
   test("carries hard-link when the fs allows: no data bytes duplicated") {
     val s = spark
     import s.implicits._
