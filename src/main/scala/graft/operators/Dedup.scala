@@ -1133,7 +1133,14 @@ object Dedup {
     val (delta, touchedClusters) = incrementalClustersDelta(batch,
       storeBands, assign, textCol, idCol, shingleSize, numHashes, bands,
       minBandMatches, maxBand, portable)
+    // carried rows must dodge the delta on BOTH axes: touched clusters
+    // (their members re-derive) AND the delta's ids — a redelivered or
+    // id-overwriting batch contains ids the store already assigned, and
+    // if such an id's cluster is untouched (no new edges) the carried
+    // row would otherwise survive alongside the delta's re-emission,
+    // yielding two (possibly conflicting) rows per id. Delta wins.
     assign.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .join(delta.select(col("id")), Seq("id"), "left_anti")
       .select(col("id"), col("cluster_id"))
       .unionByName(delta)
   }

@@ -625,7 +625,15 @@ object Keywords {
     * half-up disagree on negatives across engines), so SCORING is pure
     * integer summation: argmax decisions are exact and
     * engine-portable, never one ulp of float drift away from flipping
-    * a class. */
+    * a class. One residual boundary remains at TRAINING time, the same
+    * accepted class as every mil-scaled `floor(ln)` surface here: JVM
+    * `Math.log` and another engine's `ln` may differ in the last ulp,
+    * so when `ln(x)·10⁶` lands within an ulp of an integer the floored
+    * longs can diverge by 1 across engines — a near-tie argmax one
+    * micro-unit wide could then flip. The model arguments are exact
+    * rationals of small integer counts, so such landings are
+    * measure-zero coincidences, not systematic; a shared deterministic
+    * fixed-point log would close it at the cost of a bespoke routine. */
   final case class NbModel(terms: DataFrame, labels: DataFrame)
 
   /** Train the classic curation classifier (fastText-style quality /

@@ -85,8 +85,19 @@ object RangeJoin {
     require(keys.nonEmpty && keys.forall(left.columns.contains),
       "keys must name existing left columns that uniquely identify a row")
     import org.apache.spark.sql.expressions.Window
+    // floor division, not Spark's truncate-toward-zero `div`: negative
+    // values must bin downward or bin-0 points leak into the interior
+    // prefix term (pmod is non-negative for positive divisors, so
+    // (x − pmod(x, w)) div w is exact floor(x/w) on longs)
+    def floorBin(c: String): Column =
+      expr(s"($c - pmod($c, ${binWidth}L)) div ${binWidth}L")
+    // null timestamps carry no position: the pair-join form drops them
+    // at the range predicate, and the prefix-sum __total must agree
+    // (min/max already ignore nulls — an unfiltered sum would overcount
+    // clamped-past-span intervals by the null population)
     val pts = right.select(col(tsCol).as("__ts"))
-      .withColumn("__b", expr(s"__ts div $binWidth"))
+      .filter(col("__ts").isNotNull)
+      .withColumn("__b", floorBin("__ts"))
     // materialized once: span, the dense axis, and both broadcast
     // lookups all derive from this bin-count relation — without the
     // checkpoint each consumer re-scans and re-aggregates the points
@@ -105,8 +116,8 @@ object RangeJoin {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("__b"), col("__cum"))
     val l = left
-      .withColumn("__sb", expr(s"$startCol div $binWidth"))
-      .withColumn("__eb", expr(s"$endCol div $binWidth"))
+      .withColumn("__sb", floorBin(startCol))
+      .withColumn("__eb", floorBin(endCol))
       // one-row span totals ride along by broadcast (the accepted
       // 1-row crossJoin pattern) for out-of-span clamping
       .crossJoin(broadcast(span))

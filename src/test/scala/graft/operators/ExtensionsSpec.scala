@@ -713,6 +713,30 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .agg(sum("n_points")).head().getLong(0) shouldBe 0L
   }
 
+  test("intervalPointCount: null timestamps are inert and negative values " +
+      "floor-bin (truncating div would leak them into bin 0's interior)") {
+    val s = spark
+    import s.implicits._
+    // intervals straddling zero and living entirely below it; points in
+    // (-w, 0) are the truncation trap (trunc → bin 0, floor → bin −1)
+    val intervals = Seq((1L, -250L, -10L), (2L, -40L, 40L), (3L, 5L, 95L),
+      (4L, -1000L, 1000L)).toDF("iv_id", "lo", "hi")
+    val points = Seq(Some(-240L), Some(-99L), Some(-5L), Some(-1L), Some(0L),
+      Some(7L), Some(90L), None, None).toDF("ts")
+    def expected: Map[Long, Long] = RangeJoin
+      .intervalPoint(intervals, points.filter($"ts".isNotNull),
+        "lo", "hi", "ts", 100L)
+      .groupBy("iv_id").count().as[(Long, Long)].collect().toMap
+    val exp = expected
+    exp shouldBe Map(1L -> 2L, 2L -> 4L, 3L -> 2L, 4L -> 7L)
+    for (w <- Seq(3L, 100L, 1000000L)) {
+      val got = RangeJoin.intervalPointCount(intervals, points,
+          "lo", "hi", "ts", w, keys = Seq("iv_id"))
+        .select("iv_id", "n_points").as[(Long, Long)].collect().toMap
+      got shouldBe exp
+    }
+  }
+
   test("duplicateGroups resolves transitive chains to the smallest id") {
     val s = spark
     import s.implicits._

@@ -207,6 +207,33 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     inc shouldBe full
   }
 
+  test("incrementalClusters: redelivered batch — ids already assigned, " +
+      "clusters untouched — yields exactly one row per id, unchanged") {
+    // the duplicate-emission trap: a batch id that already exists in the
+    // stored assignment whose cluster gains NO new edge (its bands are
+    // already in the store, so the distinct() collapses them and pa≠ob
+    // filters the self-pair). The carried assignment must not keep the
+    // old row alongside the delta's unconditional re-emission.
+    val dup = (1 to 60).map(i => s"x$i").mkString(" ")
+    val store = Seq((1L, dup), (2L, dup),
+      (7L, (1 to 80).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val storeBands = Dedup.minhashBandTable(store)
+    val assign = Dedup.clustersFromBands(storeBands)
+    val batch = Seq((14L, "nothing shares these tokens at all believe me"),
+      (15L, dup)).toDF("doc_id", "text")
+    val once = Dedup.incrementalClusters(batch, storeBands, assign)
+      .localCheckpoint(true)
+    once.as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 14L -> 14L, 15L -> 1L)
+    // redeliver the SAME batch against the post-fold store state (bands
+    // landed first, the streaming commit order)
+    val bands2 = storeBands.unionByName(Dedup.minhashBandTable(batch))
+    val twice = Dedup.incrementalClusters(batch, bands2, once)
+    val rows = twice.as[(Long, Long)].collect().toSeq
+    rows.size shouldBe rows.map(_._1).distinct.size // one row per id
+    rows.toMap shouldBe once.as[(Long, Long)].collect().toMap // idempotent
+  }
+
   test("clustersPortable equals the closed-form replay semantics on a tiny corpus") {
     // exact duplicates → every copy clusters onto the original; the
     // portable path bounds ids at maxId

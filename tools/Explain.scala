@@ -1,8 +1,8 @@
 import org.apache.spark.sql.SparkSession
 
 /** Dump formatted physical plans for headline queries → stdout.
-  * Drive with the compile-and-run recipe in .claude/skills/verify
-  * (or `scala-cli` equivalents); used to regenerate PLANS.md. */
+  * Drive with the compile-and-run recipe in tools/README.md;
+  * used to regenerate PLANS.md. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
