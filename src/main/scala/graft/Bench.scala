@@ -44,20 +44,30 @@ object Bench {
     // Builds are timed once (not min-of-N): a build is a one-time cost
     // whose honest figure is the cold run, and N cold rebuilds would
     // triple the bench wall-clock for a smoother min nobody compares.
+    // Persisted FIXTURES (IndexSurface.persistAcrossBenches) are not
+    // deleted and, once built, emit no row: re-timing a one-time corpus
+    // fixture every run re-measures fixed replay machinery the spec and
+    // its oracle row already pin (the 48-batch maintained-stream replay
+    // alone was 26% of the sf0.1 bench wall). A fixture's FIRST build on
+    // a host is still timed and reported like any index build.
     val buildRuns = SparkEntry.indexSurfaces.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n + "_build") }
-      .map { case (n, surf) =>
-        graft.core.Fs.deleteRecursively(surf.loc(sfDir))
-        val t0 = System.nanoTime()
-        val ok =
-          try { surf.ensure(spark, sfDir); true }
-          catch { case e: Throwable =>
-            errors(n + "_build") =
-              Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
-            System.err.println(s"[bench] ${n}_build FAILED: ${errors(n + "_build")}")
-            false
-          }
-        (n + "_build") -> Seq(((System.nanoTime() - t0) / 1e9, ok))
+      .flatMap { case (n, surf) =>
+        if (surf.persistAcrossBenches && surf.built(sfDir)) None
+        else {
+          if (!surf.persistAcrossBenches)
+            graft.core.Fs.deleteRecursively(surf.loc(sfDir))
+          val t0 = System.nanoTime()
+          val ok =
+            try { surf.ensure(spark, sfDir); true }
+            catch { case e: Throwable =>
+              errors(n + "_build") =
+                Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+              System.err.println(s"[bench] ${n}_build FAILED: ${errors(n + "_build")}")
+              false
+            }
+          Some((n + "_build") -> Seq(((System.nanoTime() - t0) / 1e9, ok)))
+        }
       }
     val queryRuns = SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -781,9 +781,21 @@ object SparkEntry {
     * is partition-pruned and ~flat across scale factors. `loc`
     * computes the deterministic location WITHOUT building (so a bench
     * can delete it for a cold-build measurement); `ensure` is the
-    * same build-on-miss accessor the queries call. */
+    * same build-on-miss accessor the queries call.
+    *
+    * Two accounting classes: an INDEX is deleted and cold-rebuilt every
+    * bench (its cold-build cost is the number users compare against the
+    * probe); a persisted FIXTURE (`persistAcrossBenches`) is built once
+    * per corpus and kept — re-timing it each run re-measures fixed
+    * replay machinery the spec and oracle row already pin, at the cost
+    * of drowning the artifact (the 48-batch maintained-stream replay
+    * alone was 26% of the sf0.1 bench wall). A fixture's first-ever
+    * build on a host is still timed and reported; after that `built`
+    * short-circuits the row. */
   case class IndexSurface(loc: String => java.nio.file.Path,
-      ensure: (SparkSession, String) => Unit)
+      ensure: (SparkSession, String) => Unit,
+      persistAcrossBenches: Boolean = false,
+      built: String => Boolean = _ => false)
 
   def indexSurfaces: Map[String, IndexSurface] = Map(
     "index_inverted" -> IndexSurface(invertedIndexLoc,
@@ -812,8 +824,16 @@ object SparkEntry {
       (s, d) => { morStore(s, d); () }),
     "index_stream_mor" -> IndexSurface(streamMorLoc,
       (s, d) => { streamMorStore(s, d); () }),
+    // persisted fixture, not a cold-timed index: the 48-batch / 6-cycle
+    // replay is a one-time corpus fixture whose build semantics the
+    // 260-test spec and the `stream_upsert_maintained_oracled` row pin;
+    // `index_stream_mor` stays the cold-timed representative of the
+    // stream-replay build family
     "index_stream_maint" -> IndexSurface(streamMaintLoc,
-      (s, d) => { streamMaintStore(s, d); () }),
+      (s, d) => { streamMaintStore(s, d); () },
+      persistAcrossBenches = true,
+      built = d => java.nio.file.Files.exists(
+        streamMaintLoc(d).resolve("_replay_done"))),
     "index_mv_agg" -> IndexSurface(mvAggLoc,
       (s, d) => { mvAggPath(s, d); () }),
     "index_mv_distinct" -> IndexSurface(mvDistinctLoc,
