@@ -2835,6 +2835,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // char-n-gram NB = REAL language ID (the r10 verdict's gap: word-
+    // unigram NB can't learn this corpus's lang labels — every language
+    // shares one vocabulary). Both engines derive a 5-orthography
+    // multilingual corpus in closed form (per-language vowel
+    // translation of the shared text: same content, different writing
+    // system — exactly the langid setting), train char-3-gram NB on
+    // doc_id < 400, and score the held-out tail. The hash pins
+    // featurization, counts, smoothing, mil-weights, and the integer
+    // argmax; ExtensionsSpec pins that the same feature space separates
+    // languages ON UNSEEN WORDS, which word-unigram NB cannot.
+    "text_classify_chargram" -> ((s, dir) => {
+      val t = lower(trim(col("text")))
+      val ortho = when(col("doc_id") % 5 === 0, translate(t, "aeo", "xyz"))
+        .when(col("doc_id") % 5 === 1, translate(t, "aeo", "qwv"))
+        .when(col("doc_id") % 5 === 2, translate(t, "aeo", "jkp"))
+        .when(col("doc_id") % 5 === 3, translate(t, "aeo", "fgh"))
+        .otherwise(t)
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 500)
+        .select(col("doc_id"),
+          concat(lit("L"), col("doc_id") % 5).as("label"), ortho.as("text"))
+      val model = graft.operators.Keywords.naiveBayesTrain(
+        docs.filter(col("doc_id") < 400), charNgrams = Seq(3))
+      graft.operators.Keywords.naiveBayesScore(
+          docs.filter(col("doc_id") >= 400), model)
+        .orderBy("doc_id")
+    }),
+
     // SCHEMA EVOLUTION end-to-end: generation 1 (two columns) +
     // appendEvolved generation 2 (adds o_channel) + a MoR delete
     // spanning BOTH generations, read back under the declared union
@@ -3275,6 +3303,54 @@ object SparkEntry {
       graft.operators.Graph.pageRank(edges, "src", "dst",
           nodes = d, nodeCol = "doc_id", iterations = 15)
         .select(col("node").as("doc_id"), col("rank_scaled"))
+        .orderBy("doc_id")
+    }),
+
+    // PageRank on a graph WITH sinks (only doc_id < 200 has outlinks →
+    // ~200 dangling nodes), dangling mass REDISTRIBUTED: each round the
+    // dangling ranks' sum D hands every node (85·D) div (100·n) extra
+    // quanta — the standard fix for the leak policy, still on the exact
+    // integer lattice. The oracle unrolls all 15 rounds with the same
+    // three-way div decomposition; GraphSpec pins mass conservation
+    // tightening to truncation-only loss.
+    "graph_pagerank_dangling" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 400).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.filter(col("doc_id") < 200).crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 2).map(j =>
+            (col("doc_id") * col("doc_id") + j * 31L) % col("__m")): _*)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+          nodes = d, nodeCol = "doc_id", iterations = 15,
+          redistributeDangling = true)
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+        .orderBy("doc_id")
+    }),
+
+    // FIRST-CLASS connected components (the r10 verdict's gap: CC was
+    // only reachable through the dedup-cluster rows): a closed-form
+    // synthetic graph exercising every shape the operator must survive —
+    // a 101-node chain (the diameter worst case naive propagation walks
+    // in n rounds), a degree-100 hub (the skew shape whose star rounds
+    // funnel through one window partition), seven mod-7 rings, a
+    // self-loop (the between(150,250) bound includes (150,150) — must
+    // drop), and ~240 isolated nodes (singleton components via `nodes`).
+    // The oracle replays the closure as the recursive label-propagation
+    // CTE the cluster rows use.
+    "graph_components" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 400).select(col("doc_id"))
+      val chain = d.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1L).as("dst"))
+      val hub = d.filter(col("doc_id").between(150, 250))
+        .select(lit(150L).as("src"), col("doc_id").as("dst"))
+      val rings = d.filter(col("doc_id").between(260, 299))
+        .select(col("doc_id").as("src"), (col("doc_id") % 7 + 300L).as("dst"))
+      graft.operators.Graph.connectedComponents(
+          chain.unionByName(hub).unionByName(rings), "src", "dst",
+          nodes = Some(d), nodeCol = "doc_id")
+        .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")
     }),
 
@@ -4101,6 +4177,45 @@ object SparkEntry {
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT count(*) AS n FROM nodes),
        |pr0 AS (SELECT node,
+       |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, r AS rank_scaled FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[pageRankSql]]'s dangling-redistribution twin: the graph has
+    * ~200 sinks by construction (only node < 200 has outlinks), and
+    * each unrolled round adds the redistribution term
+    * `(85·D) // (100·n)` with `D` the previous round's dangling-rank
+    * sum — the identical three-way truncating-div decomposition the
+    * operator computes (div does not distribute over +, so the oracle
+    * must keep the three terms separate exactly as Spark does). CTEs
+    * are MATERIALIZED: each round reads `pr_k` twice (dangling sum +
+    * contributions), and DuckDB inlines plain CTEs — 15 doubly-
+    * referenced rounds would inline a 2¹⁵-leaf plan tree (observed as
+    * "too many open files" on the parquet scan). */
+  private val pageRankDanglingSql: String = {
+    val iters = 15
+    val step = (k: Int) =>
+      s"""dg$k AS MATERIALIZED (SELECT (SELECT coalesce(sum(r), 0) FROM pr$k
+         |  WHERE node NOT IN (SELECT src FROM deg)) AS d),
+         |pr${k + 1} AS MATERIALIZED (SELECT n.node,
+         |  CAST((1000000000::BIGINT * 15) // (100 * (SELECT n FROM nn)) +
+         |       (85 * coalesce(c.s, 0)) // 100 +
+         |       (85 * (SELECT d FROM dg$k)) // (100 * (SELECT n FROM nn))
+         |    AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+         |    FROM pr$k p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 400),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT node AS src, (node*node + j*31) % (SELECT max(node)+1 FROM nodes) AS dst
+       |    FROM nodes, (VALUES (1),(2)) AS t(j) WHERE node < 200)
+       |  WHERE dst IN (SELECT node FROM nodes)),
+       |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |pr0 AS MATERIALIZED (SELECT node,
        |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
        |${(0 until iters).map(step).mkString(",\n")}
        |SELECT node AS doc_id, r AS rank_scaled FROM pr$iters ORDER BY doc_id""".stripMargin
@@ -6684,6 +6799,61 @@ object SparkEntry {
         |SELECT doc_id, label AS predicted, score_mil FROM r WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
 
+    "text_classify_chargram" ->
+      """WITH base AS (
+        |  SELECT doc_id, 'L' || CAST(doc_id % 5 AS VARCHAR) AS label,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN translate(lower(trim(text)), 'aeo', 'xyz')
+        |      WHEN 1 THEN translate(lower(trim(text)), 'aeo', 'qwv')
+        |      WHEN 2 THEN translate(lower(trim(text)), 'aeo', 'jkp')
+        |      WHEN 3 THEN translate(lower(trim(text)), 'aeo', 'fgh')
+        |      ELSE lower(trim(text)) END AS t
+        |  FROM documents WHERE doc_id < 500),
+        |ttok AS (
+        |  SELECT label, unnest(CASE WHEN len(t) < 3 THEN [t]
+        |    ELSE list_transform(range(len(t) - 2), i -> substr(t, i + 1, 3))
+        |    END) AS term
+        |  FROM base WHERE doc_id < 400),
+        |ttk AS (SELECT label, term FROM ttok WHERE term <> ''),
+        |counts AS (SELECT term, label, count(*) AS c FROM ttk GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT term) AS v FROM counts),
+        |totals AS (SELECT label, sum(c) AS t FROM counts GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM base WHERE doc_id < 400),
+        |labels AS (
+        |  SELECT p.label,
+        |    CAST(floor(ln(p.ndl * 1.0 / (SELECT n FROM nd)) * 1e6) AS BIGINT)
+        |      AS prior_mil,
+        |    CAST(floor(ln(1.0 / (t.t + (SELECT v FROM v))) * 1e6) AS BIGINT)
+        |      AS miss_mil
+        |  FROM (SELECT label, count(*) AS ndl FROM base
+        |        WHERE doc_id < 400 GROUP BY 1) p
+        |  JOIN totals t ON t.label = p.label),
+        |terms AS (
+        |  SELECT c.term, c.label,
+        |    CAST(floor(ln((c.c + 1) * 1.0 / (t.t + (SELECT v FROM v))) * 1e6)
+        |      AS BIGINT) AS ll_mil
+        |  FROM counts c JOIN totals t ON t.label = c.label),
+        |stok AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) < 3 THEN [t]
+        |    ELSE list_transform(range(len(t) - 2), i -> substr(t, i + 1, 3))
+        |    END) AS term
+        |  FROM base WHERE doc_id >= 400),
+        |kept AS (
+        |  SELECT doc_id, term FROM stok
+        |  WHERE term <> '' AND term IN (SELECT DISTINCT term FROM terms)),
+        |scored AS (
+        |  SELECT k.doc_id, l.label,
+        |    l.prior_mil + CAST(sum(coalesce(tr.ll_mil, l.miss_mil)) AS BIGINT)
+        |      AS score_mil
+        |  FROM kept k CROSS JOIN labels l
+        |  LEFT JOIN terms tr ON tr.term = k.term AND tr.label = l.label
+        |  GROUP BY k.doc_id, l.label, l.prior_mil),
+        |r AS (SELECT doc_id, label, score_mil, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score_mil DESC, label ASC) AS rn
+        |  FROM scored)
+        |SELECT doc_id, label AS predicted, score_mil FROM r WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
     "store_evolution" ->
       """SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
         |FROM orders WHERE o_orderkey <= 1000 AND o_orderkey % 100 <> 0
@@ -7329,6 +7499,25 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "graph_pagerank" -> pageRankSql,
+
+    "graph_pagerank_dangling" -> pageRankDanglingSql,
+
+    "graph_components" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT doc_id AS node FROM documents WHERE doc_id <= 400),
+        |e AS (
+        |  SELECT node AS src, node + 1 AS dst FROM nodes WHERE node < 100
+        |  UNION ALL
+        |  SELECT 150::BIGINT, node FROM nodes WHERE node BETWEEN 151 AND 250
+        |  UNION ALL
+        |  SELECT node, node % 7 + 300 FROM nodes WHERE node BETWEEN 260 AND 299),
+        |sym AS (SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+        |reach(node, lab) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.node)
+        |SELECT node AS doc_id, min(lab) AS component FROM reach
+        |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     "dedup_cluster_oracled" -> (clusterCompSql +
       """

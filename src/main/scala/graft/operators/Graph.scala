@@ -177,14 +177,25 @@ object Graph {
     * is what an external engine can replay. Each round is one
     * broadcast-or-shuffle join of the slim `(node, rank)` relation
     * against the edge list plus one map-side-combined sum — O(|E|) per
-    * round, `localCheckpoint`ed to cut the iterative lineage. Dangling
-    * nodes (no outlinks) keep their base rank and leak their damped
-    * mass, the documented simple policy (the synthetic-graph consumers
-    * here have none); `nodes` fixes the vertex universe. */
+    * round, `localCheckpoint`ed to cut the iterative lineage.
+    *
+    * Dangling nodes (no outlinks): by default they keep their base rank
+    * and LEAK their damped mass — the simple policy, kept as the
+    * default for the stability of existing oracles. Real link graphs
+    * always have sinks, and the leak systematically deflates every
+    * rank, so `redistributeDangling = true` applies the standard fix:
+    * each round the dangling ranks' sum `D` is redistributed uniformly,
+    * every node receiving `(dampingPct·D) div (100·n)` extra quanta —
+    * ONE extra scalar aggregate per round (a single long to the driver,
+    * the [[connectedComponents]] signature pattern), still integer-
+    * exact and engine-portable (the update is three separate truncating
+    * divisions; a replaying engine must decompose identically).
+    * `nodes` fixes the vertex universe. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String = "node",
       iterations: Int = 15, dampingPct: Int = 85,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 0 && iterations <= 100, "iterations in [0, 100]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
     val vs = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint(true)
@@ -198,6 +209,13 @@ object Graph {
       .join(vs.select(col("node").as("src")), Seq("src"), "left_semi")
       .localCheckpoint(true)
     val deg = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    // dangling = nodes with no outlink; id-sized, resolved once
+    val dangling =
+      if (redistributeDangling)
+        vs.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+      else null
     val base = (scale * (100L - dampingPct)) / (100L * n)
     var ranks = vs.withColumn("r", lit(scale / n)).localCheckpoint(true)
     // the frame whose root IS a checkpoint (release targets walk the
@@ -206,6 +224,18 @@ object Graph {
     var lastCkpt = ranks
     var it = 0
     while (it < iterations) {
+      // the dangling ranks' sum this round: one long to the driver, so
+      // the per-node share below is a LITERAL in the update expression
+      // (no extra join) — the redistribution each node receives is
+      // (dampingPct·D) div (100·n), a third truncating division kept
+      // SEPARATE from the contribution term so a replaying engine can
+      // decompose identically (div does not distribute over +)
+      val extra =
+        if (redistributeDangling) {
+          val d = ranks.join(dangling, Seq("node"), "left_semi")
+            .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
+          (dampingPct * d) / (100L * n)
+        } else 0L
       val contrib = ranks
         .join(deg, ranks("node") === deg("src"))
         .join(es, Seq("src"))
@@ -216,7 +246,8 @@ object Graph {
         // integral `div`, NOT Column./ (which is double division and
         // would push the ranks off the integer lattice)
         .select(col("node"),
-          expr(s"${base}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("r"))
+          expr(s"${base}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L" +
+            s" + ${extra}L").as("r"))
       // truncate lineage every few rounds, not every round: the chain
       // between checkpoints is a handful of joins against already-
       // checkpointed relations (linear, cheap to analyze), and each

@@ -634,7 +634,39 @@ object Keywords {
     * rationals of small integer counts, so such landings are
     * measure-zero coincidences, not systematic; a shared deterministic
     * fixed-point log would close it at the cost of a bespoke routine. */
-  final case class NbModel(terms: DataFrame, labels: DataFrame)
+  final case class NbModel(terms: DataFrame, labels: DataFrame,
+      charNgrams: Seq[Int] = Nil)
+
+  /** One (row → exploded feature) projection shared by NB train and
+    * score — the model's `charNgrams` rides along in [[NbModel]] so the
+    * two sides can never featurize differently. Word mode (empty
+    * `charNgrams`): whitespace tokens of the lowercased text, the
+    * multinomial baseline. Char-n-gram mode: every n-gram of each
+    * requested size slid over the WHOLE normalized string (spaces
+    * included — word-boundary context is exactly what distinguishes
+    * orthographies), a text shorter than n contributing itself whole.
+    * This is the fastText/CCNet langid feature space: vocabulary
+    * generalizes to unseen words because n-grams see orthography, not
+    * word identity. Closed-form replayable (substring arithmetic), so
+    * the cross-engine oracle can hash the full model-and-score path. */
+  private def nbTerms(df: DataFrame, textCol: String,
+      charNgrams: Seq[Int], keep: Column*): DataFrame = {
+    val base = df.withColumn("__t", lower(trim(col(textCol))))
+    val featured =
+      if (charNgrams.isEmpty)
+        base.select(keep :+ explode(split(col("__t"), "\\s+")).as("term"): _*)
+      else {
+        require(charNgrams.forall(n => n >= 1 && n <= 16),
+          s"char n-gram sizes must be in [1, 16], got $charNgrams")
+        val grams = charNgrams.map { n =>
+          s"""CASE WHEN length(__t) < $n THEN array(__t)
+             |ELSE transform(sequence(1, length(__t) - ${n - 1}),
+             |  i -> substring(__t, i, $n)) END""".stripMargin
+        }.mkString("concat(", ", ", ")")
+        base.select(keep :+ explode(expr(grams)).as("term"): _*)
+      }
+    featured.filter(col("term") =!= "")
+  }
 
   /** Train the classic curation classifier (fastText-style quality /
     * language routing, CCNet's filtering stage — here as multinomial
@@ -644,10 +676,9 @@ object Keywords {
     * relation is the token count — everything derived from it is
     * vocab- or label-sized. */
   def naiveBayesTrain(docs: DataFrame, textCol: String = "text",
-      labelCol: String = "label", idCol: String = "doc_id"): NbModel = {
-    val toks = docs.select(col(labelCol).as("label"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
+      labelCol: String = "label", idCol: String = "doc_id",
+      charNgrams: Seq[Int] = Nil): NbModel = {
+    val toks = nbTerms(docs, textCol, charNgrams, col(labelCol).as("label"))
     val counts = toks.groupBy(col("term"), col("label"))
       .agg(count(lit(1)).as("c")).localCheckpoint(true)
     val vSize = counts.agg(count_distinct(col("term")).as("v"))
@@ -669,7 +700,7 @@ object Keywords {
           * 1e6).cast("long").as("ll_mil"))
       .localCheckpoint(true)
     Dedup.releaseCheckpoint(counts)
-    NbModel(terms, labels)
+    NbModel(terms, labels, charNgrams)
   }
 
   /** Score documents against a trained [[NbModel]]: per document,
@@ -684,9 +715,7 @@ object Keywords {
   def naiveBayesScore(docs: DataFrame, model: NbModel,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val vocab = model.terms.select(col("term")).distinct()
-    val toks = docs.select(col(idCol).as("id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
+    val toks = nbTerms(docs, textCol, model.charNgrams, col(idCol).as("id"))
       .join(broadcast(vocab), Seq("term"), "left_semi")
     val scored = toks
       .crossJoin(broadcast(model.labels))

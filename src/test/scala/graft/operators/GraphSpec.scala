@@ -128,6 +128,46 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     r
   }
 
+  test("pageRank dangling redistribution: mass conservation tightens to " +
+      "truncation-only loss, and tracks the dangling-aware reference") {
+    // 0..8 all point at sink 9 (dangling); 10..19 isolated (dangling):
+    // under the leak policy half the graph's damped mass vanishes
+    val nodes = (0L until 20L).toSeq
+    val edges = (0L until 9L).map(v => (v, 9L))
+    val scale = 1000000000L
+    val leak = pr(edges, nodes)
+    val redist = Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        nodes = nodes.toDF("node"), iterations = 15,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap
+    // leak policy loses real mass on this graph; redistribution keeps
+    // total within truncation quanta of scale (3 divisions × n nodes ×
+    // 15 rounds is a loose bound; observed loss is a few thousand)
+    (scale - leak.values.sum) should be > (scale / 10)
+    val lost = scale - redist.values.sum
+    lost should be >= 0L
+    lost should be <= 15L * 3 * nodes.size
+    // the sink outranks its feeders, which outrank isolated nodes
+    redist(9L) should be > redist(0L)
+    redist(0L) should be > 0L
+    // double-precision dangling-aware reference agrees within noise
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    var r = nodes.map(_ -> 1.0 / nodes.size).toMap
+    for (_ <- 1 to 15) {
+      val dsum = nodes.filterNot(deg.contains).map(r).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = nodes.map(v => v -> (0.15 / nodes.size +
+        0.85 * contrib.getOrElse(v, 0.0) + 0.85 * dsum / nodes.size)).toMap
+    }
+    nodes.foreach { v => (redist(v).toDouble / scale) shouldBe r(v) +- 1e-6 }
+    // deterministic repeat: per-round driver-side scalar changes nothing
+    Graph.pageRank(edges.toDF("s", "d"), "s", "d",
+        nodes = nodes.toDF("node"), iterations = 15,
+        redistributeDangling = true)
+      .as[(Long, Long)].collect().toMap shouldBe redist
+  }
+
   test("pageRank: symmetric cycle equalizes, authority hub outranks, " +
       "mass is conserved up to truncation quanta") {
     // 4-cycle: perfect symmetry → identical ranks

@@ -360,4 +360,45 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     Keywords.naiveBayesScore(Seq((9L, "x y")).toDF("doc_id", "text"), mSym)
       .head().getString(1) shouldBe "a"
   }
+
+  test("char-n-gram NB does language ID: perfect held-out separation of " +
+      "orthographies on UNSEEN words, where word-unigram NB has no signal") {
+    val s = spark
+    import s.implicits._
+    // three "languages" = three orthographies of one shared word stock
+    // (vowels mapped to digits, which never occur naturally) — the
+    // langid setting: same content, different writing system
+    def ortho(t: String, l: String): String = l match {
+      case "l0" => t.map { case 'a' => '0'; case 'e' => '1'; case 'o' => '2'; case c => c }
+      case "l1" => t.map { case 'a' => '3'; case 'e' => '4'; case 'o' => '5'; case c => c }
+      case _ => t
+    }
+    val words = Vector("data", "table", "stream", "vector", "filter",
+      "merge", "batch", "window", "column", "order", "group", "spark",
+      "query", "scan", "sort", "agg", "join", "row", "key", "value")
+    val unseen = Vector("bargain", "notebook", "tomorrow", "harbor",
+      "meadow", "calendar", "operator", "theater", "octagon", "beacon")
+    val langs = Seq("l0", "l1", "l2")
+    val rnd = new scala.util.Random(7)
+    val train = (for (l <- langs; _ <- 0 until 20) yield
+        (l, ortho(Seq.fill(12)(words(rnd.nextInt(words.size)))
+          .mkString(" "), l)))
+      .toDF("label", "text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val model = Keywords.naiveBayesTrain(train, charNgrams = Seq(1, 3))
+    // held-out docs built ONLY from words the model never saw: n-grams
+    // see the orthography anyway — word identity is irrelevant
+    val held = for ((l, i) <- langs.zipWithIndex; j <- 0 until 5) yield
+      ((i * 5 + j).toLong, l,
+        ortho(Seq.fill(8)(unseen(rnd.nextInt(unseen.size)))
+          .mkString(" "), l))
+    val scoreDf = held.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text")
+    val got = Keywords.naiveBayesScore(scoreDf, model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    held.foreach { case (id, l, _) => got(id) shouldBe l }
+    // the word-unigram model on the SAME corpus: every held-out token
+    // is out-of-vocabulary, so every doc drops — zero langid signal
+    Keywords.naiveBayesScore(scoreDf, Keywords.naiveBayesTrain(train))
+      .count() shouldBe 0L
+  }
 }
