@@ -101,14 +101,36 @@ class TableStore(val root: String, spark: SparkSession) {
   /** Read the current version (catalog-aware for bucketed versions).
     * Fails if the table was never committed. */
   def read(table: String): DataFrame = manifest.get(table) match {
-    case Some(v) => catalogNameIfBucketed(table, v).map(spark.table)
+    case Some(v) => readResolved(table, v)
+    case None =>
+      throw new IllegalStateException(s"table '$table' does not exist in $root")
+  }
+
+  /** Resolve one (table, version) to its DataFrame — the shared read
+    * body behind [[read]] and [[Snapshot.read]] (catalog-aware, DV
+    * anti-join applied). */
+  private[core] def readResolved(table: String, v: String): DataFrame =
+    catalogNameIfBucketed(table, v).map(spark.table)
       .getOrElse {
         val dir = versionDir(table, v)
         DeleteVectors.applyTo(spark, dataScan(dir), dir.toString)
       }
-    case None =>
-      throw new IllegalStateException(s"table '$table' does not exist in $root")
-  }
+
+  /** A CONSISTENT multi-table read view — the read-side complement of
+    * the atomic multi-table [[commit]]: the manifest is captured ONCE
+    * (one file read, and [[commit]] replaces the whole file by
+    * ATOMIC_MOVE, so the capture is strictly all-before or all-after
+    * any commit — no lock needed), and every [[Snapshot.read]] resolves
+    * against the captured map. A reader holding a snapshot therefore
+    * sees NEITHER or BOTH sides of a two-table commit that lands
+    * mid-read — the invariant the streaming-clustering (bands,
+    * assignment) pair relies on. Versions are immutable directories, so
+    * the snapshot stays readable while later commits land, until
+    * [[vacuum]] sweeps a superseded version past the retention window
+    * (the same lifetime contract as time travel). On an object store
+    * the capture is one GET of the manifest key. */
+  def snapshot(): TableStore.Snapshot =
+    new TableStore.Snapshot(this, manifest)
 
   /** Read the current version, or an empty DataFrame of `schema` if the
     * table has no committed version yet. The schema is passed explicitly
@@ -1349,4 +1371,18 @@ object TableStore {
   private[core] def rootMonitor(root: Path): Object =
     monitors.computeIfAbsent(
       root.toAbsolutePath.normalize.toString, _ => new Object)
+
+  /** Pinned multi-table read view; see [[TableStore.snapshot]].
+    * `versions` is the captured manifest (table → version). */
+  final class Snapshot private[core] (store: TableStore,
+      val versions: Map[String, String]) {
+    def exists(table: String): Boolean = versions.contains(table)
+    def version(table: String): Option[String] = versions.get(table)
+    /** Read `table` as of the snapshot, regardless of later commits. */
+    def read(table: String): DataFrame = versions.get(table) match {
+      case Some(v) => store.readResolved(table, v)
+      case None => throw new IllegalStateException(
+        s"table '$table' does not exist in this snapshot")
+    }
+  }
 }

@@ -29,6 +29,39 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("b").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
   }
 
+  test("snapshot(): a reader holding a snapshot sees neither-or-both of " +
+      "a two-table commit landing mid-read") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("snap"), spark)
+    store.overwrite("a", Seq((1, "x")).toDF("id", "v"))
+    store.overwrite("b", Seq((1, "y")).toDF("id", "v"))
+
+    val snap = store.snapshot()
+    // first table read from the pinned view
+    snap.read("a").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    // a two-table commit lands BETWEEN the reader's two reads
+    val va = store.stage("a", Seq((2, "x2")).toDF("id", "v"))
+    val vb = store.stage("b", Seq((2, "y2")).toDF("id", "v"))
+    store.commit(Map("a" -> va, "b" -> vb))
+    // the snapshot must keep serving the OLD b — never old-a + new-b
+    snap.read("b").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    snap.read("a").collect().map(_.getInt(0)).toSeq shouldBe Seq(1)
+    // a fresh snapshot sees BOTH sides of the commit
+    val after = store.snapshot()
+    after.read("a").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+    after.read("b").collect().map(_.getInt(0)).toSeq shouldBe Seq(2)
+    // a table committed after the capture is absent from the old view
+    store.overwrite("c", Seq((9, "z")).toDF("id", "v"))
+    snap.exists("c") shouldBe false
+    intercept[IllegalStateException](snap.read("c"))
+    // DV semantics ride along: a MoR delete after the capture is
+    // invisible to the pinned view, visible to a fresh one
+    store.deleteWhereMoR("a", col("id") === 2)
+    after.read("a").count() shouldBe 1L // pinned pre-delete version
+    store.snapshot().read("a").count() shouldBe 0L
+  }
+
   test("old reads keep working across a commit (snapshot pinning)") {
     val s = spark
     import s.implicits._
