@@ -76,6 +76,43 @@ object Graph {
       .distinct()
   }
 
+  /** [[starRound]] re-planned as hash aggregates + equi-joins — the
+    * same contraction (GraphSpec pins exact per-round equivalence):
+    * min-per-center computes in a map-side-combined aggregate (no
+    * per-partition sort, unlike WindowExec) and the join back against
+    * the one-row-per-center min relation is AQE-skew-splittable. Join
+    * output is exactly |E'| rows — an equi-join against a keyed
+    * singleton relation, never pair amplification.
+    *
+    * MEASURED on single-giant-component graphs (tools/GraphScale,
+    * local[32], adjudication in BENCH_AB_r11.json): the window rounds
+    * WIN — 8M-node binary tree 36 s window vs 43 s agg; 8M-node
+    * degree-4M hub + 4M chain 167 s vs 211 s; both variants scale
+    * linearly 2M→8M. The hot window partition does not serialize the
+    * round at these scales: the per-center min over a sorted run is a
+    * sequential but memory-bandwidth-cheap pass, while this variant
+    * pays one extra shuffle per star. Kept (tested, not wired as
+    * default) as the documented fallback for a real cluster where one
+    * task per mega-hub per round becomes the wall — flip with
+    * `connectedComponents(aggRounds = true)`. */
+  private[graft] def starRoundAgg(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    val ls = sym.filter(col("v") > col("u"))
+      .join(mins, "u")
+      .select(col("m").as("u"), col("v"))
+      .filter(col("u") =!= col("v"))
+    val x = ls.select(greatest(col("u"), col("v")).as("hi"),
+      least(col("u"), col("v")).as("lo"))
+    val mins2 = x.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+    x.join(mins2, "hi")
+      .select(col("m").as("u"), col("lo").as("v"))
+      .unionByName(mins2.select(col("m").as("u"), col("hi").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
   /** Connected components of the undirected graph given by `edges`.
     *
     * Returns `(node, component)` with one row per distinct node, where
@@ -96,7 +133,9 @@ object Graph {
     */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: Option[DataFrame] = None, nodeCol: String = "node",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, aggRounds: Boolean = false): DataFrame = {
+    val round: DataFrame => DataFrame =
+      if (aggRounds) starRoundAgg else starRound
     val canonical = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
@@ -135,7 +174,7 @@ object Graph {
     var converged = sig._1 == 0L
     var it = 0
     while (!converged && it < maxIter) {
-      val next = starRound(e).localCheckpoint(true)
+      val next = round(e).localCheckpoint(true)
       val nextSig = signature(next)
       Dedup.releaseCheckpoint(e)
       e = next

@@ -83,6 +83,33 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     cc(edges, nodes = Some(nodes)) shouldBe got // repeat run → identical
   }
 
+  test("agg-round variant: per-round output equals the window rounds " +
+      "exactly, and full CC agrees on every shape") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    val canonical = edges
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      .toDF("u", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toSet
+    // one contraction round: identical edge sets
+    rows(Graph.starRound(canonical)) shouldBe rows(Graph.starRoundAgg(canonical))
+    // full operator: identical assignments, hub and chain included
+    val shapes = Seq(
+      edges,
+      (0L until 60L).map(i => (i, i + 1)), // chain
+      (1L until 50L).map(i => (i, 0L))) // hub
+    shapes.foreach { es =>
+      val df = es.toDF("a", "b")
+      val w = Graph.connectedComponents(df, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      val a = Graph.connectedComponents(df, "a", "b", aggRounds = true)
+        .as[(Long, Long)].collect().toMap
+      a shouldBe w
+    }
+  }
+
   test("maxIter exhaustion throws instead of returning partial components") {
     // a 16-chain cannot finish in 1 round
     val edges = (0L until 15L).map(i => (i, i + 1))
