@@ -209,7 +209,13 @@ object Sf1Soak {
     // corpus's 100-copy cliques are exactly its stress shape), the
     // same-nation entity closure, and the prefix-sum session
     // concurrency count (formerly the pair-materializing range join)
-    "dedup_cluster", "linkage_entities")
+    "dedup_cluster", "linkage_entities",
+    // round-11 wave: first-class CC + dangling-redistribution PageRank
+    // (both bounded synthetic graphs — the rows witness the graph tier
+    // runs at any corpus SF; GraphScale is the giant-component stress),
+    // and char-3-gram NB language ID (train one count aggregate over
+    // the 400-doc slice, score linear in corpus tokens)
+    "graph_components", "graph_pagerank_dangling", "text_classify_chargram")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
