@@ -3354,6 +3354,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // per-node triangle counts (degree-oriented wedge counting): the
+    // local-clustering datacard signal. Closed-form synthetic graph —
+    // consecutive +1/+2 edges tile the ring with triangles, the 3d+7
+    // map adds irregular chords (and one self-loop at d=147, which the
+    // canonicalization must drop); the oracle enumerates x<y<z
+    // triangles directly by a three-way join on the identical edge set.
+    "graph_triangles" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") + 1L) % col("__m"),
+            (col("doc_id") + 2L) % col("__m"),
+            (col("doc_id") * 3L + 7L) % col("__m"))).as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst",
+          nodes = Some(d), nodeCol = "doc_id")
+        .select(col("node").as("doc_id"), col("triangles"))
+        .orderBy("doc_id")
+    }),
+
     // TRANSITIVE duplicate clusters: portable banding → min-link
     // candidates → Jaccard verify → large-star/small-star connected
     // components (Graph.connectedComponents). DuckDB replays the closure
@@ -7501,6 +7523,34 @@ object SparkEntry {
     "graph_pagerank" -> pageRankSql,
 
     "graph_pagerank_dangling" -> pageRankDanglingSql,
+
+    "graph_triangles" ->
+      """WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+        |raw AS (
+        |  SELECT node AS s, (node + 1) % (SELECT max(node) + 1 FROM nodes) AS d
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT node, (node + 2) % (SELECT max(node) + 1 FROM nodes) FROM nodes
+        |  UNION ALL
+        |  SELECT node, (node * 3 + 7) % (SELECT max(node) + 1 FROM nodes)
+        |  FROM nodes),
+        |e AS (
+        |  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        |  FROM raw WHERE s <> d),
+        |tri AS (
+        |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |cnt AS (
+        |  SELECT node, count(*) AS triangles FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT n.node AS doc_id, coalesce(c.triangles, 0) AS triangles
+        |FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+        |ORDER BY doc_id""".stripMargin,
 
     "graph_components" ->
       """WITH RECURSIVE nodes AS (

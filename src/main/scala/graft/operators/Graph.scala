@@ -302,4 +302,73 @@ object Graph {
     }
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
+
+  /** Per-node triangle counts of the undirected graph — the clustering
+    * signal a graph datacard reports (local clustering coefficient =
+    * triangles / C(degree, 2)) and the classic spam/bot structural
+    * feature on link graphs.
+    *
+    * Degree-oriented wedge counting (Schank & Wagner's forward
+    * algorithm / Cohen's MapReduce formulation — the public-literature
+    * standard for shared-nothing engines): canonicalize the edge set,
+    * orient every edge from its LOWER-(degree, id) endpoint to the
+    * higher, enumerate wedges only at each edge's low endpoint, and
+    * close them against the oriented edge set. Orientation bounds
+    * out-degree by O(√|E|) however skewed the raw degree distribution
+    * (a degree-n hub RECEIVES its n edges, so it spawns no wedges), so
+    * wedge volume — the only super-linear relation — is ≤ Σ C(outdeg,
+    * 2) = O(|E|^1.5) worst case and far less on real sparse graphs;
+    * the closing join is equi on both wedge arms. Every node of the
+    * graph gets a row (0 for triangle-free); self-loops, duplicates,
+    * and reversed edges collapse in canonicalization. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      nodes: Option[DataFrame] = None, nodeCol: String = "node"): DataFrame = {
+    val canonical = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val allNodes = {
+      val fromEdges = canonical.select(col("u").as("node"))
+        .union(canonical.select(col("v").as("node")))
+      nodes.map(n => fromEdges.union(
+          n.filter(col(nodeCol).isNotNull).select(col(nodeCol).as("node"))))
+        .getOrElse(fromEdges)
+        .distinct()
+    }
+    val deg = canonical.select(col("u").as("node"))
+      .union(canonical.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); the struct comparison is
+    // the standard total order making orientation acyclic
+    val oriented = canonical
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("a"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("b"))
+      .localCheckpoint(true)
+    // wedges at the low endpoint: unordered out-neighbor pairs (id
+    // order, so each wedge appears once), closed against the CANONICAL
+    // undirected edge set — the closing edge's own orientation depends
+    // on its endpoints' degrees, not the wedge center's, so the
+    // id-canonical form is the right join key
+    val w = oriented.select(col("a"), col("b").as("b1"))
+      .join(oriented.select(col("a"), col("b").as("b2")), "a")
+      .filter(col("b1") < col("b2"))
+    val closed = w.join(
+      canonical.select(col("u").as("b1"), col("v").as("b2")),
+      Seq("b1", "b2"))
+    // each triangle is found exactly once (at its unique low corner);
+    // credit all three corners with one explode, then one combined sum
+    val perNode = closed
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    allNodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

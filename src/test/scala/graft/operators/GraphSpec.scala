@@ -110,6 +110,39 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("triangleCounts: known shapes exact, random graph matches the " +
+      "brute-force reference, degenerate edges inert") {
+    def tc(edges: Seq[(Long, Long)], nodes: Option[Seq[Long]] = None): Map[Long, Long] =
+      Graph.triangleCounts(edges.toDF("a", "b"), "a", "b",
+          nodes = nodes.map(_.toDF("node")))
+        .as[(Long, Long)].collect().toMap
+    // K4: C(4,3) = 4 triangles, every node in exactly 3
+    val k4 = for (i <- 0L until 4L; j <- (i + 1) until 4L) yield (i, j)
+    tc(k4) shouldBe Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L)
+    // triangle-free shapes: chain and star count zero everywhere
+    tc((0L until 10L).map(i => (i, i + 1))).values.toSet shouldBe Set(0L)
+    tc((1L to 10L).map(i => (i, 0L))).values.toSet shouldBe Set(0L)
+    // self-loops, duplicates, reversed edges, isolated nodes
+    tc(Seq((1L, 2L), (2L, 1L), (1L, 1L), (2L, 3L), (1L, 3L), (3L, 1L)),
+        nodes = Some(Seq(1L, 2L, 3L, 9L))) shouldBe
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 0L)
+    // random graph vs the brute-force triple scan
+    val rnd = new scala.util.Random(23)
+    val edges = Seq.fill(260)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+    val canon = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct.toSet
+    val ns = (0L until 40L).toSeq
+    val brute = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    for (x <- ns; y <- ns if y > x; z <- ns if z > y)
+      if (canon((x, y)) && canon((y, z)) && canon((x, z))) {
+        brute(x) += 1; brute(y) += 1; brute(z) += 1
+      }
+    val got = tc(edges, nodes = Some(ns))
+    ns.foreach { v => got(v) shouldBe brute(v) }
+  }
+
   test("maxIter exhaustion throws instead of returning partial components") {
     // a 16-chain cannot finish in 1 round
     val edges = (0L until 15L).map(i => (i, i + 1))
