@@ -291,8 +291,13 @@ object Graph {
       // between checkpoints is a handful of joins against already-
       // checkpointed relations (linear, cheap to analyze), and each
       // eager checkpoint is a full job — on small graphs the per-round
-      // fixed cost dominated the arithmetic
-      if (it % 4 == 3 || it == iterations - 1) {
+      // fixed cost dominated the arithmetic. EXCEPT when redistributing:
+      // the per-round dangling scalar is an action on `ranks`, so an
+      // un-checkpointed round would execute its join chain twice (once
+      // for the scalar, again inside the next round) — checkpointing
+      // every round makes the scalar read materialized rows instead
+      // (measured 7.4 → ~2 s on the 401-node oracle graph)
+      if (redistributeDangling || it % 4 == 3 || it == iterations - 1) {
         next = next.localCheckpoint(true)
         Dedup.releaseCheckpoint(lastCkpt)
         lastCkpt = next
