@@ -1761,6 +1761,20 @@ object SparkEntry {
           s.read.parquet(s"$dir/documents.parquet"), k = 5)
         .orderBy("doc_id", "rk")),
 
+    // RAKE keyword extraction: stopword-delimited candidate phrases,
+    // degree/frequency word scores as ONE truncating division on integer
+    // counts (mil-scaled), phrase score = integer sum — the whole
+    // extraction replays in SQL, including the gaps-and-islands phrase
+    // assembly. Stopword inventory mixes function words with two
+    // corpus-ubiquitous terms (row, value) — the domain-stopword form
+    "text_keywords_rake" -> ((s, dir) =>
+      graft.operators.Keywords.rakeKeywords(
+          s.read.parquet(s"$dir/documents.parquet"),
+          stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+            "is", "it", "for", "on", "with", "as", "row", "value"),
+          k = 30)
+        .orderBy("rk")),
+
     // unigram corpus-frequency scoring: the log-free LM-quality proxy
     // (rare-token docs score low) — integer token counts end to end, one
     // tokenize feeding both the vocabulary and the scoring join
@@ -2105,6 +2119,18 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     }),
+
+    // DSIR importance-weighted selection (Xie et al. NeurIPS'23): the
+    // 'en' slice is the target domain, every non-en doc is weighted by
+    // its unigram+bigram log importance ratio (mil-scaled floor(ln)
+    // longs — the NB model discipline, so scoring is exact integer
+    // summation) and the top-100 selected deterministically. The oracle
+    // replays the full model estimation and ranked take.
+    "curation_dsir" -> ((s, dir) =>
+      graft.operators.Curation.dsirSelect(
+          s.read.parquet(s"$dir/documents.parquet"),
+          targetPred = col("lang") === "en", n = 100)
+        .orderBy("doc_id")),
 
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
@@ -3376,6 +3402,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // k-core decomposition (batch peeling): the graph-datacard density
+    // signal. Closed-form synthetic graph with a genuine 7-round peel
+    // cascade — the +1/+2 ring and d²+7 chords give everyone degree ~6
+    // (below k=7, so the periphery unravels wave by wave), while a
+    // dense j=3..6 block on nodes 0..60 survives as a 57-node core with
+    // fixpoint degrees 7..14 (GraphSpec pins the shape and that the
+    // cascade fits the oracle's 12 unrolled rounds with margin). The
+    // oracle replays each peel round as one degree aggregate + two
+    // membership filters — the identical batch-peel semantics.
+    "graph_kcore" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val ring = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") + 1L) % col("__m"),
+            (col("doc_id") + 2L) % col("__m"),
+            (col("doc_id") * col("doc_id") + 7L) % col("__m"))).as("dst"))
+      val block = d.filter(col("doc_id") <= 60)
+        .select(col("doc_id").as("src"),
+          explode(array((3 to 6).map(j => col("doc_id") + j): _*)).as("dst"))
+        .filter(col("dst") <= 60)
+      graft.operators.Graph.kCore(ring.unionByName(block), "src", "dst", k = 7)
+        .select(col("node").as("doc_id"), col("core_deg"))
+        .orderBy("doc_id")
+    }),
+
     // TRANSITIVE duplicate clusters: portable banding → min-link
     // candidates → Jaccard verify → large-star/small-star connected
     // components (Graph.connectedComponents). DuckDB replays the closure
@@ -4241,6 +4295,44 @@ object SparkEntry {
        |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
        |${(0 until iters).map(step).mkString(",\n")}
        |SELECT node AS doc_id, r AS rank_scaled FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Graph.kCore]]'s oracle: 12 unrolled batch-peel rounds (GraphSpec
+    * pins the cascade at 7 rounds on this graph, so 12 is fixpoint plus
+    * margin — extra rounds past the fixpoint are no-ops). Each round is
+    * one degree aggregate over the symmetrized edges plus two
+    * membership filters, exactly the operator's round. MATERIALIZED for
+    * the [[pageRankDanglingSql]] reason: each round reads its
+    * predecessor three times. */
+  private val kCoreSql: String = {
+    val iters = 12
+    val step = (i: Int) =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT node, count(*) AS c FROM (
+         |    SELECT u AS node FROM e$i UNION ALL SELECT v FROM e$i) GROUP BY 1),
+         |e${i + 1} AS MATERIALIZED (
+         |  SELECT u, v FROM e$i
+         |  WHERE u IN (SELECT node FROM d$i WHERE c >= 7)
+         |    AND v IN (SELECT node FROM d$i WHERE c >= 7))""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+       |raw AS (
+       |  SELECT node AS s, (node + 1) % (SELECT max(node) + 1 FROM nodes) AS d
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT node, (node + 2) % (SELECT max(node) + 1 FROM nodes) FROM nodes
+       |  UNION ALL
+       |  SELECT node, (node * node + 7) % (SELECT max(node) + 1 FROM nodes)
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT node, node + j FROM nodes, (VALUES (3),(4),(5),(6)) AS t(j)
+       |  WHERE node <= 60 AND node + j <= 60),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+       |  FROM raw WHERE s <> d),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
+       |  SELECT u AS node FROM e$iters UNION ALL SELECT v FROM e$iters)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** Shared CTE: documents with the identical synthetic URL the
@@ -5838,6 +5930,51 @@ object SparkEntry {
     // same model slice, same arithmetic, counts read from parquet
     "text_surprisal_stored" -> oracleSqlSurprisal,
 
+    // full RAKE replay: positions via unnest(range), the same
+    // gaps-and-islands phrase assembly (pos − row_number; the 1-based
+    // SQL pos vs Spark's 0-based posexplode only shifts the island key,
+    // never the grouping), integer deg·10⁶ div freq word scores,
+    // integer phrase sums, ranked top-30
+    "text_keywords_rake" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, CAST(i AS BIGINT) AS pos, t[i] AS tok
+        |  FROM (SELECT doc_id,
+        |          string_split_regex(lower(trim(text)), '\s+') AS t
+        |        FROM documents),
+        |    unnest(range(1, len(t)+1)) AS u(i)),
+        |content AS (
+        |  SELECT id, pos, tok,
+        |    pos - row_number() OVER (PARTITION BY id ORDER BY pos) AS grp
+        |  FROM toks
+        |  WHERE tok <> '' AND tok NOT IN ('the','a','an','and','or','of',
+        |    'to','in','is','it','for','on','with','as','row','value')),
+        |member AS (
+        |  SELECT id, grp, pos, tok,
+        |    CAST(count(*) OVER (PARTITION BY id, grp) AS BIGINT) AS plen
+        |  FROM content),
+        |ws AS (
+        |  SELECT tok,
+        |    (CAST(sum(plen) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+        |      AS w_mil
+        |  FROM member GROUP BY 1),
+        |occ AS (
+        |  SELECT m.id, m.grp,
+        |    string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase,
+        |    CAST(sum(w.w_mil) AS BIGINT) AS score_mil,
+        |    CAST(count(*) AS BIGINT) AS n_words
+        |  FROM member m JOIN ws w ON w.tok = m.tok
+        |  GROUP BY 1, 2),
+        |ph AS (
+        |  SELECT phrase, CAST(count(*) AS BIGINT) AS occurrences,
+        |    min(score_mil) AS score_mil, min(n_words) AS n_words
+        |  FROM occ GROUP BY 1)
+        |SELECT phrase, score_mil, n_words, occurrences, rk FROM (
+        |  SELECT phrase, score_mil, n_words, occurrences,
+        |    CAST(row_number() OVER (ORDER BY score_mil DESC, phrase)
+        |      AS BIGINT) AS rk
+        |  FROM ph)
+        |WHERE rk <= 30 ORDER BY rk""".stripMargin,
+
     "text_rarity" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -6304,6 +6441,43 @@ object SparkEntry {
         |      AS UBIGINT) / 4294967296.0 AS frac
         |  FROM clean)
         |ORDER BY doc_id""".stripMargin,
+
+    // full DSIR replay: unigram+bigram features, add-1 smoothed target
+    // vs raw models, mil-scaled floor(ln) weights (the NB ulp class),
+    // integer doc scores, ranked top-100 take
+    "curation_dsir" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, (lang = 'en') AS t,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT id, t, term FROM (
+        |    SELECT id, t, unnest(w) AS term FROM base
+        |    UNION ALL
+        |    SELECT id, t, w[i-1] || ' ' || w[i] AS term
+        |    FROM base, unnest(range(2, len(w)+1)) AS u(i))
+        |  WHERE term <> ''),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM counts),
+        |wt AS (
+        |  SELECT term,
+        |    CAST(floor(ln((ct + 1) * 1.0 / (tt + v)) * 1e6) AS BIGINT) -
+        |    CAST(floor(ln((cr + 1) * 1.0 / (tr + v)) * 1e6) AS BIGINT) AS w_mil
+        |  FROM counts, tot),
+        |scored AS (
+        |  SELECT k.id, CAST(sum(w.w_mil) AS BIGINT) AS weight_mil,
+        |    CAST(count(*) AS BIGINT) AS n_feats
+        |  FROM toks k JOIN wt w ON w.term = k.term
+        |  WHERE NOT k.t GROUP BY 1)
+        |SELECT id AS doc_id, weight_mil, n_feats, rk FROM (
+        |  SELECT id, weight_mil, n_feats,
+        |    CAST(row_number() OVER (ORDER BY weight_mil DESC, id) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 100 ORDER BY doc_id""".stripMargin,
 
     "curation_contamination_strings" ->
       """WITH sh AS (
@@ -7523,6 +7697,8 @@ object SparkEntry {
     "graph_pagerank" -> pageRankSql,
 
     "graph_pagerank_dangling" -> pageRankDanglingSql,
+
+    "graph_kcore" -> kCoreSql,
 
     "graph_triangles" ->
       """WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),

@@ -437,6 +437,88 @@ object Curation {
         least(lit(maxTokens), size(col("__toks")) - col("__s")).as("n_tokens"))
   }
 
+  /** DSIR-style importance-weighted data selection (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023 — the public-literature standard for "pick raw-crawl documents
+    * that look like a high-quality target domain"): estimate add-1
+    * smoothed bag-of-n-grams models of the TARGET slice and the RAW
+    * pool, weight every raw document by the log importance ratio
+    * `Σ_features ln p̂_target(f) − ln p̂_raw(f)`, and keep the top `n`.
+    *
+    * Features are word unigrams plus adjacent bigrams of the lowercased
+    * whitespace tokens — the paper's feature space, UNHASHED so an
+    * external SQL engine can replay the exact strings (production at
+    * 100 TB would hash features into a fixed bucket count to bound the
+    * model; the vocabulary relation here is corpus-n-gram-sized, the
+    * same side-relation class as the surprisal and NB models, which is
+    * already far smaller than the corpus). Model weights are mil-scaled
+    * `floor(ln(·)·10⁶)` longs — the [[graft.operators.Keywords.NbModel]]
+    * discipline, so per-document scoring is EXACT integer summation and
+    * the selection is engine-portable (same accepted training-time
+    * ln-ulp boundary, documented there).
+    *
+    * Determinism: the paper resamples with Gumbel-top-k; this operator
+    * takes the exact top `n` by `(weight desc, id)` — reproducible
+    * across runs, engines, and cluster layouts, which is what makes the
+    * selection auditable. The ranked take compiles to a distributed
+    * TakeOrderedAndProject (per-partition top-n, then one n-sized
+    * merge) — no corpus-wide window, no global sort.
+    *
+    * Plan shape at scale: one tokenize pass feeds one (feature,
+    * target?) count aggregate (map-side combined); totals are a 1-row
+    * broadcast; the weight table broadcasts back onto the raw side's
+    * tokens; one partial-combined sum per doc; top-n. The corpus is
+    * scanned once and shuffled only as (id, weight) partials.
+    *
+    * Returns `(idCol, weight_mil, n_feats, rk)` for the `n` selected
+    * raw-pool documents (target-slice docs are the reference
+    * distribution, never selected). */
+  def dsirSelect(
+      docs: DataFrame,
+      targetPred: Column,
+      n: Int,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = docs.select(col(idCol).as("id"), targetPred.as("__t"),
+      split(lower(trim(col(textCol))), "\\s+").as("__w"))
+    val grams = concat(col("__w"), expr(
+      """transform(sequence(2, size(__w)),
+        |  i -> concat(element_at(__w, i - 1), ' ', element_at(__w, i)))
+        |""".stripMargin))
+    val toks = base
+      .select(col("id"), col("__t"),
+        explode(when(size(col("__w")) >= 2, grams).otherwise(col("__w")))
+          .as("term"))
+      .filter(col("term") =!= "")
+    val counts = toks.groupBy(col("term"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+      .localCheckpoint(true)
+    val totals = counts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"),
+      count(lit(1)).as("v"))
+    // weights materialize (vocab-sized) BEFORE the count relation is
+    // released — downstream plans must never read a released checkpoint
+    val weights = counts.crossJoin(broadcast(totals))
+      .select(col("term"),
+        (floor(log((col("ct") + lit(1)).cast("double") / (col("tt") + col("v")))
+            * 1e6).cast("long") -
+          floor(log((col("cr") + lit(1)).cast("double") / (col("tr") + col("v")))
+            * 1e6).cast("long")).as("w_mil"))
+      .localCheckpoint(true)
+    Dedup.releaseCheckpoint(counts)
+    val scored = toks.filter(!col("__t"))
+      .join(broadcast(weights), "term")
+      .groupBy(col("id"))
+      .agg(sum(col("w_mil")).as("weight_mil"), count(lit(1)).as("n_feats"))
+    val top = scored
+      .orderBy(col("weight_mil").desc, col("id"))
+      .limit(n)
+    val w = Window.orderBy(col("weight_mil").desc, col("id"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("id").as(idCol), col("weight_mil"), col("n_feats"), col("rk"))
+  }
+
   /** Greedy sequence packing: assign whole documents (id order) to bins of
     * at most `budget` tokens — the example-packing step that turns a
     * ragged corpus into fixed-budget training sequences. A document larger

@@ -308,6 +308,70 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** The k-core of the undirected graph — the maximal subgraph in which
+    * every node has degree ≥ k (Seidman's cores; the standard
+    * graph-datacard density signal, and the classic spam/bot filter on
+    * link graphs: low-core nodes are tendrils, high-core nodes sit in
+    * densely woven regions a random crawl rarely fakes).
+    *
+    * Returns `(node, core_deg)` for exactly the nodes of the k-core,
+    * where `core_deg` is the node's degree WITHIN the core — the
+    * fixpoint degree, every value ≥ k by construction. Self-loops,
+    * duplicate and reversed edges, and null endpoints are dropped; an
+    * empty result means the graph has no k-core.
+    *
+    * Algorithm: BATCH peeling — each round computes all degrees (one
+    * map-side-combined aggregate over the symmetrized slim edge
+    * relation) and drops every node below k at once (two semi-joins),
+    * so the round count is the peel DEPTH of the cascade (how many
+    * waves of removals k triggers), not the node count of sequential
+    * peeling. The edge set only ever shrinks, so convergence is
+    * witnessed by the edge COUNT alone (equal count + subset ⇒ equal
+    * set — cheaper than the [[connectedComponents]] signature, no hash
+    * involved). Per-round cost is O(|E|) shuffled bytes; rounds are
+    * `localCheckpoint`ed and superseded sets released eagerly, the
+    * iterative-operator discipline of this file. `maxIter` is a loud
+    * backstop (adversarial shapes — a bare chain at k=2 — peel O(n)
+    * rounds two endpoints at a time; real graphs cascade out in tens),
+    * throwing instead of returning a supergraph of the core. */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxIter: Int = 500): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+    var e = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var cnt = e.count()
+    var converged = cnt == 0L
+    var it = 0
+    while (!converged && it < maxIter) {
+      val keep = degrees(e).filter(col("core_deg") >= k).select(col("node"))
+      val next = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint(true)
+      val nextCnt = next.count()
+      Dedup.releaseCheckpoint(e)
+      e = next
+      converged = nextCnt == cnt || nextCnt == 0L
+      cnt = nextCnt
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore(k=$k) did not converge in $maxIter peel rounds; " +
+          "refusing to return a supergraph of the core")
+    degrees(e)
+  }
+
   /** Per-node triangle counts of the undirected graph — the clustering
     * signal a graph datacard reports (local clustering coefficient =
     * triangles / C(degree, 2)) and the classic spam/bot structural

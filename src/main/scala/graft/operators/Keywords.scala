@@ -92,6 +92,75 @@ object Keywords {
       .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** RAKE keyword extraction (Rose et al., "Automatic Keyword Extraction
+    * from Individual Documents", 2010) at corpus level: candidate
+    * phrases are the maximal runs of non-stopword tokens (stopwords and
+    * empty tokens delimit), each word scores `degree / frequency` over
+    * all candidate-phrase occurrences — `frequency` = the word's
+    * occurrence count inside candidates, `degree` = the summed length of
+    * every candidate occurrence containing it (co-occurrence including
+    * self) — and a phrase scores the sum of its member words' scores
+    * (with multiplicity). Returns the corpus's top-`k` distinct phrases:
+    * `(phrase, score_mil, n_words, occurrences, rk)`.
+    *
+    * Integer-exact scoring: the word score is `(degree·10⁶) div
+    * frequency` (ONE truncating division on integer counts — the
+    * PageRank lattice discipline), and phrase scores are integer sums of
+    * those, so ranking is engine-portable with no float-sum drift and
+    * the whole extraction replays in SQL. Rose's per-document variant
+    * computes the same statistics within one document; corpus-level
+    * co-occurrence is the datacard/vocabulary-mining form.
+    *
+    * Plan shape at scale: one tokenize; phrase assembly is the
+    * gaps-and-islands trick (`pos − row_number` per doc — a per-doc
+    * window sort, spill-safe, no corpus-wide partition); word stats are
+    * one vocab-sized aggregate broadcast back; the top-k is a
+    * distributed TakeOrderedAndProject, never a global sort. The
+    * stopword list is caller-supplied — RAKE's delimiter inventory is a
+    * domain decision (function words plus domain-ubiquitous terms). */
+  def rakeKeywords(docs: DataFrame, stopwords: Seq[String], k: Int = 30,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(stopwords.nonEmpty, "stopwords must be non-empty")
+    val toks = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+")))
+      .withColumnRenamed("col", "tok")
+    val wIsl = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val wLen = Window.partitionBy(col("id"), col("grp"))
+    val member = toks
+      .filter(col("tok") =!= "" && !col("tok").isInCollection(stopwords))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .withColumn("plen", count(lit(1)).over(wLen))
+    // the member relation feeds both the word statistics and the phrase
+    // assembly — scope-cache so the corpus is tokenized and windowed once
+    Dedup.withProjectionCache(member) { m =>
+      val wordScores = m.groupBy(col("tok"))
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .select(col("tok"), expr("(deg * 1000000L) div freq").as("w_mil"))
+      val occ = m.join(broadcast(wordScores), "tok")
+        .groupBy(col("id"), col("grp"))
+        .agg(
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct(col("pos"), col("tok")))),
+            x => x.getField("tok"))).as("phrase"),
+          sum(col("w_mil")).as("score_mil"),
+          count(lit(1)).as("n_words"))
+      // score/n_words are functions of the phrase string (same words →
+      // same stats), so min() just collapses the duplicates exactly
+      val top = occ.groupBy(col("phrase"))
+        .agg(count(lit(1)).as("occurrences"),
+          min(col("score_mil")).as("score_mil"),
+          min(col("n_words")).as("n_words"))
+        .orderBy(col("score_mil").desc, col("phrase"))
+        .limit(k)
+      val w = Window.orderBy(col("score_mil").desc, col("phrase"))
+      top.withColumn("rk", row_number().over(w).cast("long"))
+        .select(col("phrase"), col("score_mil"), col("n_words"),
+          col("occurrences"), col("rk"))
+    }
+  }
+
   // ---- stored inverted index -----------------------------------------------
 
   /** Executor-side md5 term bucket (32 md5 bits mod `nBuckets`) — must

@@ -224,6 +224,60 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
     }
   }
 
+  test("dsirSelect: target look-alikes outrank aliens, bigram order matters, " +
+      "target docs never selected, weights match an independent reference") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "alpha beta alpha beta", true),
+      (2L, "alpha beta alpha", true),
+      (10L, "alpha beta alpha beta", false), // verbatim target look-alike
+      (11L, "beta alpha beta alpha", false), // same unigrams, scrambled bigrams
+      (12L, "alpha beta gamma delta", false), // half in-domain
+      (13L, "gamma delta gamma delta", false)) // alien
+    val df = rows.toDF("doc_id", "text", "is_t")
+    val out = Curation.dsirSelect(df, col("is_t"), n = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+
+    // only raw-pool docs are selected
+    out.map(_._1).sorted shouldBe List(10L, 11L, 12L, 13L)
+
+    // independent reference: unigram+bigram models with add-1 smoothing,
+    // floor(ln·1e6) longs, integer doc sums
+    def feats(text: String): Seq[String] = {
+      val w = text.toLowerCase.trim.split("\\s+").toSeq
+      (w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")))
+        .filter(_.nonEmpty)
+    }
+    val tgt = rows.filter(_._3).flatMap(r => feats(r._2))
+    val raw = rows.filterNot(_._3).flatMap(r => feats(r._2))
+    val ct = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cr = raw.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val v = (ct.keySet ++ cr.keySet).size.toLong
+    def fl(x: Double): Long = math.floor(math.log(x) * 1e6).toLong
+    def wMil(t: String): Long =
+      fl((ct.getOrElse(t, 0L) + 1).toDouble / (tgt.size + v)) -
+        fl((cr.getOrElse(t, 0L) + 1).toDouble / (raw.size + v))
+    val expected = rows.filterNot(_._3).map { r =>
+      val fs = feats(r._2)
+      (r._1, fs.map(wMil).sum, fs.size.toLong)
+    }.sortBy(t => (-t._2, t._1))
+      .zipWithIndex.map { case ((id, w, nf), i) => (id, w, nf, i + 1L) }
+    out shouldBe expected
+
+    val rankOf = out.map(t => t._1 -> t._4).toMap
+    rankOf(10L) shouldBe 1L // the verbatim look-alike wins
+    rankOf(10L) should be < rankOf(11L) // bigram order sensitivity
+    rankOf(13L) shouldBe 4L // the alien loses
+
+    // n truncates the ranked take
+    Curation.dsirSelect(df, col("is_t"), n = 2)
+      .collect().map(_.getLong(0)).toList shouldBe
+      out.take(2).map(_._1)
+  }
+
   test("hashed and string contamination agree on the real corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = d.filter(col("doc_id") % 2 === 0)

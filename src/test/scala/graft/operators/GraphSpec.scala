@@ -149,6 +149,79 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalStateException] should be thrownBy cc(edges, maxIter = 1)
   }
 
+  private def kc(edges: Seq[(Long, Long)], k: Int,
+      maxIter: Int = 500): Map[Long, Long] =
+    Graph.kCore(edges.toDF("a", "b"), "a", "b", k, maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("kCore: known shapes — pendant chain peels off K5, no 5-core, " +
+      "bowtie 2-core keeps all with fixpoint degrees, chain has no 2-core") {
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    // the chain gives node 4 degree 5, but peeling 12 → 11 → 10 cascades
+    // back to exactly K5 (every core_deg the in-core fixpoint, not the
+    // input degree)
+    kc(k5 ++ chain, 4) shouldBe (0L to 4L).map(_ -> 4L).toMap
+    kc(k5 ++ chain, 5) shouldBe Map.empty
+    val bowtie = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L), (4L, 0L))
+    kc(bowtie, 2) shouldBe
+      Map(0L -> 4L, 1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L)
+    kc(Seq((1L, 2L), (2L, 3L)), 2) shouldBe Map.empty
+  }
+
+  test("kCore: random graph matches the reference batch peel at every k; " +
+      "degenerate edges inert") {
+    def brute(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      var e = edges.map(t => (math.min(t._1, t._2), math.max(t._1, t._2)))
+        .filter(t => t._1 != t._2).distinct
+      var done = e.isEmpty
+      while (!done) {
+        val deg = e.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+          .map { case (n, l) => (n, l.size.toLong) }
+        val keep = deg.filter(_._2 >= k).keySet
+        val ne = e.filter(t => keep(t._1) && keep(t._2))
+        done = ne.size == e.size || ne.isEmpty
+        e = ne
+      }
+      e.flatMap(t => Seq(t._1, t._2)).groupBy(identity)
+        .map { case (n, l) => (n, l.size.toLong) }
+    }
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    for (k <- Seq(2, 4, 8, 20)) kc(edges, k) shouldBe brute(edges, k)
+    // self-loops, duplicates, reversed edges, null endpoints
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (null, 5L), (6L, null),
+      (2L, 3L), (3L, 1L)).toDF("a", "b")
+    Graph.kCore(df, "a", "b", 2).as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+  }
+
+  test("kCore: the graph_kcore oracle graph converges within the 12 " +
+      "unrolled SQL rounds and yields the 57-node varied-degree core") {
+    // the same closed-form construction as the SparkEntry row (301-node
+    // +1/+2 ring, d²+7 chords, dense j=3..6 block on 0..60) — pinning
+    // the peel depth the unrolled oracle must cover, with margin
+    val m = 301L
+    val ring = (0L until m).flatMap(d =>
+      Seq((d, (d + 1) % m), (d, (d + 2) % m), (d, (d * d + 7) % m)))
+    val block = for (d <- 0L to 60L; j <- 3L to 6L if d + j <= 60L)
+      yield (d, d + j)
+    val core = Graph.kCore((ring ++ block).toDF("a", "b"), "a", "b",
+        k = 7, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    core.size shouldBe 57
+    core.values.min should be >= 7L
+    core.values.toSet.size should be > 3 // varied fixpoint degrees
+  }
+
+  test("kCore: maxIter backstop throws instead of returning a supergraph") {
+    // a 30-chain at k=2 peels two endpoints per round — 3 rounds can't
+    val edges = (0L until 30L).map(i => (i, i + 1))
+    an[IllegalStateException] should be thrownBy
+      Graph.kCore(edges.toDF("a", "b"), "a", "b", 2, maxIter = 3).count()
+  }
+
   test("clusters: chain of drifted revisions lands in ONE cluster (the " +
       "transitive case keep-one cannot express)") {
     // sliding 40-token windows over a 50-token stream: consecutive docs

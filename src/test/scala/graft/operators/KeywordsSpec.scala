@@ -401,4 +401,39 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
     Keywords.naiveBayesScore(scoreDf, Keywords.naiveBayesTrain(train))
       .count() shouldBe 0L
   }
+
+  test("rakeKeywords: hand-computed stats on the classic shape, repeated " +
+      "phrases collapse with counts, top-k truncates") {
+    val s = spark
+    import s.implicits._
+    // "deep learning of deep convolutional networks" with stopword 'of':
+    // phrases [deep learning], [deep convolutional networks];
+    // freq(deep)=2, deg(deep)=2+3=5 → w=floor(5e6/2)=2500000;
+    // learning w=2000000; convolutional=networks=3000000;
+    // scores: dl = 4500000, dcn = 8500000 — dcn ranks first
+    val df = Seq((1L, "deep learning of deep convolutional networks"))
+      .toDF("doc_id", "text")
+    Keywords.rakeKeywords(df, stopwords = Seq("of"), k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList shouldBe List(
+      ("deep convolutional networks", 8500000L, 3L, 1L, 1L),
+      ("deep learning", 4500000L, 2L, 1L, 2L))
+
+    // the same phrase across docs and within a doc collapses to one row
+    // with an occurrence count; stats stay per-occurrence
+    val df2 = Seq((1L, "red fox of red fox"), (2L, "red fox"))
+      .toDF("doc_id", "text")
+    Keywords.rakeKeywords(df2, Seq("of"), k = 5)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList shouldBe List(
+      ("red fox", 4000000L, 2L, 3L, 1L))
+
+    // k truncates the ranked take; ties break on the phrase string
+    val df3 = Seq((1L, "aa of bb of cc")).toDF("doc_id", "text")
+    Keywords.rakeKeywords(df3, Seq("of"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(4))).toList shouldBe
+      List(("aa", 1L), ("bb", 2L))
+  }
 }
