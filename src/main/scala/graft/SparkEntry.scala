@@ -472,6 +472,21 @@ object SparkEntry {
         o.filter(col("o_orderkey") % 2 === 0))))
       store.commit(Map("orders_history" -> store.stage("orders_history", o)))
     }
+    // orders_restore: even-key half → full overwrite → RESTORE to the
+    // first version, so the CURRENT read must land back on the even half
+    // while all three generations stay committed. Each step is gated on
+    // the observable version count, so a build interrupted at any prefix
+    // converges on the next access instead of reusing a half-built state
+    if (!store.exists("orders_restore"))
+      store.commit(Map("orders_restore" -> store.stage("orders_restore",
+        s.read.parquet(s"$dir/orders.parquet")
+          .filter(col("o_orderkey") % 2 === 0))))
+    if (store.committedVersions("orders_restore").size == 1)
+      store.commit(Map("orders_restore" -> store.stage("orders_restore",
+        s.read.parquet(s"$dir/orders.parquet"))))
+    if (store.committedVersions("orders_restore").size == 2)
+      store.restoreTable("orders_restore",
+        store.committedVersions("orders_restore").head)
     store
   }
 
@@ -1543,6 +1558,22 @@ object SparkEntry {
       val v0 = store.committedVersions("orders_history").head
       store.readVersion("orders_history", v0,
           s.read.parquet(s"$dir/orders.parquet").schema)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "store_restore" -> ((s, dir) => {
+      // RESTORE-to-version rollback: orders_restore was overwritten with
+      // the full table then restored to its first commit (the even-key
+      // half) — the hard-link carry commit, zero data bytes rewritten.
+      // The CURRENT read must therefore equal the even half (the
+      // store_time_travel content, reached through the rollback path
+      // instead of an as-of read), with the full-table mistake still in
+      // history for audit.
+      val store = statsStore(s, dir)
+      store.read("orders_restore")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"),
           round(sum(col("o_totalprice")), 2).as("total_price"))
@@ -5646,6 +5677,15 @@ object SparkEntry {
     // time travel reads the FIRST committed version (the even-key half);
     // the oracle recomputes that version's content from the raw table
     "store_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // restore rolled the table back to its first commit, so the CURRENT
+    // read holds the identical even-key content — same closed form,
+    // reached through the rollback commit instead of an as-of read
+    "store_restore" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders WHERE o_orderkey % 2 = 0

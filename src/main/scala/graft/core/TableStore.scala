@@ -1194,6 +1194,61 @@ class TableStore(val root: String, spark: SparkSession) {
     commit(Map(dst -> version), expect = Map(dst -> None))
   }
 
+  /** RESTORE TABLE … TO VERSION (Delta/Snowflake-style rollback): make
+    * an earlier committed version current again — as a NEW commit whose
+    * version carries the target's data files as hard links and its
+    * sidecars verbatim (the [[cloneTable]] carry pointed at a
+    * historical version of the SAME table), so a bad batch is undone in
+    * O(file count) metadata work with zero data bytes rewritten, and
+    * the botched version STAYS in history for audit: a restore never
+    * falsifies lineage — the mistake and the recovery are both
+    * committed versions, and [[changesBetween]] can report exactly what
+    * the rollback changed. Sidecar carries keep the restored read shape
+    * identical (tombstones re-applied, stats pruning intact, version
+    * tag rewound WITH the data — a streaming sink's applied-batch
+    * high-water mark must move together with the rows it witnessed).
+    *
+    * Refuses on a version outside the committed lineage (crashed
+    * write-ahead garbage is not restorable), on the current version
+    * (nothing to do — loud, because a silent no-op would mask a caller
+    * bug), and on a version whose directory a retention vacuum already
+    * swept — restores never resurrect reclaimed bytes, the
+    * [[undropTable]] contract. Bucketed and hive-partitioned versions
+    * fall back to a full copy-on-write materialization like
+    * [[cloneTable]]. Concurrent writers hit the same detect-and-refuse
+    * OCC as every DML ([[commit]] with the pinned expected parent). */
+  def restoreTable(table: String, version: String): Unit = {
+    val cur = manifest.getOrElse(table,
+      throw new IllegalStateException(s"table '$table' does not exist in $root"))
+    require(version != cur,
+      s"restoreTable: '$version' is already the current version of '$table'")
+    if (!committedVersions(table).contains(version))
+      throw new IllegalStateException(
+        s"restoreTable: '$version' is not a retained committed version of " +
+          s"'$table' — never committed, or pruned from bounded history")
+    val srcDir = versionDir(table, version)
+    if (!Files.exists(srcDir))
+      throw new IllegalStateException(
+        s"restoreTable: version '$version' of '$table' was already " +
+          "vacuumed — restores never resurrect reclaimed bytes")
+    if (Files.exists(srcDir.resolve(BucketSpecFile)) || hasNestedData(srcDir)) {
+      commit(Map(table -> stage(table, readResolved(table, version))),
+        expect = Map(table -> Some(cur)))
+      return
+    }
+    val newV = newVersion()
+    val dstDir = versionDir(table, newV)
+    Files.createDirectories(dstDir)
+    dataFiles(srcDir).foreach(carryFile(_, dstDir))
+    Files.createFile(dstDir.resolve("_SUCCESS"))
+    DeleteVectors.read(spark, srcDir.toString)
+      .foreach(dv => DeleteVectors.write(dv, dstDir.toString))
+    FileStats.read(spark, srcDir.toString)
+      .foreach(rows => carrySidecar(rows, rows, dstDir, Seq.empty))
+    carryTag(srcDir, dstDir)
+    commit(Map(table -> newV), expect = Map(table -> Some(cur)))
+  }
+
   /** The [[upsertMoR]] `tag` of the CURRENT version, if it carries one.
     * Atomic with the data by construction (written into the version dir
     * before its one-swap commit), so a streaming sink can read it as

@@ -486,6 +486,56 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.read("u").as[(Long, String)].collect().toSeq shouldBe Seq((1L, "x"))
   }
 
+  test("RESTORE: rollback to an earlier version as a new commit — content " +
+      "and sidecars rewound, mistake kept in history, refusals loud") {
+    val s = spark
+    import s.implicits._
+    val store = new TableStore(tmpDir("restore"), spark)
+    store.overwrite("t", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val v1 = store.manifest("t")
+    // a tagged MoR upsert: v2 carries a DV + tag sidecar
+    store.upsertMoR("t", Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      Seq("id"), tag = Some("42"))
+    val v2 = store.manifest("t")
+    val v2Content = store.read("t").as[(Long, String)].collect().toSet
+    store.overwrite("t", Seq((9L, "z")).toDF("id", "v")) // the bad batch
+    val v3 = store.manifest("t")
+
+    // restore to v2: content, tombstones, and the version tag all rewind
+    store.restoreTable("t", v2)
+    store.read("t").as[(Long, String)].collect().toSet shouldBe v2Content
+    store.versionTag("t") shouldBe Some("42")
+    // the restore is a NEW commit: v3 (the mistake) joined history, the
+    // restored current is a fresh version, v2 stays a time-travel target
+    val hist = store.committedVersions("t")
+    hist should contain allOf (v1, v2, v3)
+    store.manifest("t") should not be v2
+    store.readVersion("t", v3, store.read("t").schema)
+      .as[(Long, String)].collect().toSeq shouldBe Seq((9L, "z"))
+
+    // refusals: current version, never-committed garbage, missing table
+    an[IllegalArgumentException] should be thrownBy
+      store.restoreTable("t", store.manifest("t"))
+    an[IllegalStateException] should be thrownBy
+      store.restoreTable("t", "never-committed")
+    an[IllegalStateException] should be thrownBy
+      store.restoreTable("ghost", v1)
+
+    // a hard vacuum sweeps superseded versions: the restore refuses
+    // instead of resurrecting reclaimed bytes
+    store.vacuum(retain = 0)
+    an[IllegalStateException] should be thrownBy store.restoreTable("t", v1)
+
+    // bucketed versions restore through the materializing fallback
+    store.commit(Map("bk" -> store.stageBucketed("bk",
+      Seq((1L, "x")).toDF("id", "v"), Seq("id"), 4)))
+    val bv1 = store.manifest("bk")
+    store.commit(Map("bk" -> store.stageBucketed("bk",
+      Seq((2L, "y")).toDF("id", "v"), Seq("id"), 4)))
+    store.restoreTable("bk", bv1)
+    store.read("bk").as[(Long, String)].collect().toSeq shouldBe Seq((1L, "x"))
+  }
+
   test("schema evolution: add-column append carries old files, null-fills " +
       "old rows, and only ADDITIVE changes are accepted") {
     val s = spark
