@@ -3433,6 +3433,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // multi-source BFS hop distances (frontier expansion): the
+    // distance-to-seed-set proximity feature. The doubling graph
+    // (n → 2n, 2n+1 mod m) is an expander — diameter 8 from source 7
+    // with a rich per-level distribution (GraphSpec-class shape, and the
+    // oracle's recursive CTE walk bound of 16 covers it with margin);
+    // docs 301..400 exist in the corpus but have no edges, so they are
+    // correctly ABSENT from the result, not null-filled.
+    "graph_bfs" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 2L) % col("__m"),
+            (col("doc_id") * 2L + 1L) % col("__m"))).as("dst"))
+      graft.operators.Graph.bfsDistances(edges, "src", "dst",
+          sources = d.filter(col("doc_id") === 7), sourceCol = "doc_id")
+        .select(col("node").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    }),
+
     // k-core decomposition (batch peeling): the graph-datacard density
     // signal. Closed-form synthetic graph with a genuine 7-round peel
     // cascade — the +1/+2 ring and d²+7 chords give everyone degree ~6
@@ -7739,6 +7761,31 @@ object SparkEntry {
     "graph_pagerank_dangling" -> pageRankDanglingSql,
 
     "graph_kcore" -> kCoreSql,
+
+    // BFS replay: bounded-length walk enumeration (the recursive term
+    // re-visits a node at every walk length ≤ 16, UNION dedups exact
+    // (node, d) pairs so the recursion terminates on cycles), then
+    // min-per-node — exact because the true eccentricity is 8 < 16
+    "graph_bfs" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+        |e AS (
+        |  SELECT node AS s, (node * 2) % (SELECT max(node) + 1 FROM nodes) AS d
+        |  FROM nodes
+        |  UNION ALL
+        |  SELECT node, (node * 2 + 1) % (SELECT max(node) + 1 FROM nodes)
+        |  FROM nodes),
+        |sym AS (
+        |  SELECT s AS u, d AS v FROM e WHERE s <> d
+        |  UNION
+        |  SELECT d, s FROM e WHERE s <> d),
+        |reach(node, dd) AS (
+        |  SELECT node, 0 FROM nodes WHERE node = 7
+        |  UNION
+        |  SELECT s.v, r.dd + 1 FROM reach r JOIN sym s ON s.u = r.node
+        |  WHERE r.dd < 16)
+        |SELECT node AS doc_id, CAST(min(dd) AS BIGINT) AS dist
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
     "graph_triangles" ->
       """WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),

@@ -308,6 +308,74 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** Multi-source BFS hop distances over the undirected graph: for every
+    * node reachable from ANY source, the minimum hop count to its
+    * nearest source — the proximity feature of link-graph curation
+    * (crawl depth from seed domains, distance-to-trusted-set as a spam
+    * prior) and the reachability primitive behind "how far does this
+    * subgraph extend". Returns `(node, dist)` for reached nodes ONLY
+    * (sources at 0); unreachable nodes are absent, which is the honest
+    * answer (a null-filled row would read as "measured infinite").
+    *
+    * Frontier-expansion rounds (the Pregel BFS): each round joins the
+    * LAST round's newly-discovered frontier against the edge relation
+    * and anti-joins already-settled nodes, so per-round cost is
+    * O(frontier edges), not O(|E|) — the whole traversal touches each
+    * edge at most twice across all rounds. BFS discovers every node at
+    * its minimal depth by construction (synchronous level expansion),
+    * so no re-relaxation pass is needed and round count = the
+    * eccentricity of the source set, with `maxIter` the loud backstop
+    * (a bare chain costs its length in rounds; real link graphs are
+    * small-world). Rounds are `localCheckpoint`ed and superseded
+    * relations released, the iterative-operator discipline here. */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String = "node",
+      maxIter: Int = 200): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val base = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = base
+      .union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var dist = sources.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist.select(col("node"))
+    // the frame whose root IS the frontier's checkpoint (release targets
+    // walk the plan for the first LogicalRDD — round 0's frontier shares
+    // dist's, so there is nothing separate to release yet)
+    var frontierCkpt: DataFrame = null
+    var frontierSize = frontier.count()
+    var it = 0
+    while (frontierSize > 0L && it < maxIter) {
+      val next = frontier.select(col("node").as("u"))
+        .join(sym, "u")
+        .select(col("v").as("node"))
+        .distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("dist", lit(it + 1L))
+        .localCheckpoint(true)
+      val grown = dist.unionByName(next).localCheckpoint(true)
+      Dedup.releaseCheckpoint(dist) // superseded by grown
+      if (frontierCkpt != null) Dedup.releaseCheckpoint(frontierCkpt)
+      dist = grown
+      frontier = next.select(col("node"))
+      frontierCkpt = next
+      frontierSize = frontier.count()
+      it += 1
+    }
+    if (frontierSize > 0L)
+      throw new IllegalStateException(
+        s"bfsDistances did not exhaust the frontier in $maxIter rounds " +
+          "(round count = source-set eccentricity); refusing to return " +
+          "truncated distances")
+    dist
+  }
+
   /** The k-core of the undirected graph — the maximal subgraph in which
     * every node has degree ≥ k (Seidman's cores; the standard
     * graph-datacard density signal, and the classic spam/bot filter on

@@ -149,6 +149,60 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalStateException] should be thrownBy cc(edges, maxIter = 1)
   }
 
+  private def bfs(edges: Seq[(Long, Long)], sources: Seq[Long],
+      maxIter: Int = 200): Map[Long, Long] =
+    Graph.bfsDistances(edges.toDF("a", "b"), "a", "b",
+        sources = sources.toDF("node"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("bfsDistances: chain levels exact, multi-source takes the nearer " +
+      "seed, unreachable components absent, random graph matches reference") {
+    val chain = (0L until 10L).map(i => (i, i + 1))
+    bfs(chain, Seq(0L)) shouldBe (0L to 10L).map(n => n -> n).toMap
+    // two sources: distance to the NEARER one
+    bfs(chain, Seq(0L, 10L)) shouldBe
+      (0L to 10L).map(n => n -> math.min(n, 10 - n)).toMap
+    // a disconnected triangle is absent from the result, never null-filled
+    val tri = Seq((20L, 21L), (21L, 22L), (22L, 20L))
+    val got = bfs(chain ++ tri, Seq(0L))
+    got.keySet shouldBe (0L to 10L).toSet
+    // self-loops, duplicates, reversed edges, null endpoints inert
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 1L), (null, 5L), (6L, null), (2L, 3L))
+      .toDF("a", "b")
+    Graph.bfsDistances(df, "a", "b", sources = Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap shouldBe
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L)
+    // random graph vs a reference BFS
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2)
+    def ref(src: Seq[Long]): Map[Long, Long] = {
+      val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        .withDefaultValue(Set.empty)
+      edges.foreach { case (a, b) =>
+        adj(a) = adj(a) + b; adj(b) = adj(b) + a
+      }
+      val dist = scala.collection.mutable.Map[Long, Long]()
+      src.foreach(sn => dist(sn) = 0L)
+      var fr = src.toSet
+      var d = 0L
+      while (fr.nonEmpty) {
+        d += 1
+        fr = fr.flatMap(adj).filterNot(dist.contains)
+        fr.foreach(n => dist(n) = d)
+      }
+      dist.toMap
+    }
+    bfs(edges, Seq(3L, 44L)) shouldBe ref(Seq(3L, 44L))
+  }
+
+  test("bfsDistances: maxIter backstop throws instead of truncating") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    an[IllegalStateException] should be thrownBy
+      bfs(chain, Seq(0L), maxIter = 3)
+  }
+
   private def kc(edges: Seq[(Long, Long)], k: Int,
       maxIter: Int = 500): Map[Long, Long] =
     Graph.kCore(edges.toDF("a", "b"), "a", "b", k, maxIter)
