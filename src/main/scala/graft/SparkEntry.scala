@@ -1207,6 +1207,34 @@ object SparkEntry {
         .orderBy("l_linestatus")
     }),
 
+    // fixed-window OHLC resampling: daily buckets per event type —
+    // open/close tiebroken on event_id, integer floor-division bucket
+    // boundaries, so the whole rollup replays in SQL
+    "event_resample_ohlc" -> ((s, dir) =>
+      graft.operators.Resample.ohlc(events(s, dir), "ts_us", "event_type",
+          "value", "event_id", bucketWidth = 86400000000L)
+        .select(col("event_type"), col("bucket"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          col("n_events"), round(col("value_sum"), 2).as("value_sum"))
+        .orderBy("event_type", "bucket")),
+
+    // forward-fill gap filling: the value>90 slice resampled hourly is
+    // sparse (~1.6k events over ~720 hourly buckets × 5 series), the
+    // spine densifies every series to the global observed span, fills
+    // carry the latest close with explicit 'fill' provenance, and
+    // leading gaps stay null (never invent a value backwards in time)
+    "event_resample_gapfill" -> ((s, dir) => {
+      val sparse = graft.operators.Resample.ohlc(
+        events(s, dir).filter(col("value") > 90), "ts_us", "event_type",
+        "value", "event_id", bucketWidth = 3600000000L)
+      graft.operators.Resample.gapFill(sparse, "event_type", "bucket",
+          fillCols = Seq("close"))
+        .select(col("event_type"), col("bucket"),
+          round(col("close"), 4).as("close"), col("src"))
+        .orderBy("event_type", "bucket")
+    }),
+
     "event_sessions" -> ((s, dir) => {
       // batch sessionization: gap > 1h starts a new session (lag + running
       // sum of breaks — the batch counterpart of EventStreams.sessionize)
@@ -5251,6 +5279,67 @@ object SparkEntry {
         |SELECT c_custkey, 'NO_ORDERS' FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey, status""".stripMargin,
+
+    // OHLC replay: integer floor-division daily buckets, open/close via
+    // (ts, id)-ordered row_number endpoints, rounding applied after the
+    // aggregate exactly as the Spark side does
+    "event_resample_ohlc" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,
+        |    epoch_us(ts) AS t, event_id, value
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY t, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY t DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT event_type, bucket,
+        |  round(max(CASE WHEN ra = 1 THEN value END), 4) AS open,
+        |  round(max(value), 4) AS high,
+        |  round(min(value), 4) AS low,
+        |  round(max(CASE WHEN rd = 1 THEN value END), 4) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS value_sum
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gap-fill replay: the sparse hourly close relation, a groups×span
+    // spine, IGNORE NULLS last-value forward fill, explicit provenance
+    "event_resample_gapfill" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |    epoch_us(ts) AS t, event_id, value
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL AND value > 90),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY t DESC, event_id DESC) AS rd
+        |  FROM e),
+        |o AS (
+        |  SELECT event_type, bucket,
+        |    max(CASE WHEN rd = 1 THEN value END) AS close
+        |  FROM r GROUP BY 1, 2),
+        |span AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM o),
+        |spine AS (
+        |  SELECT g.event_type, u.b AS bucket
+        |  FROM (SELECT DISTINCT event_type FROM o) g, span,
+        |    unnest(range(span.lo, span.hi + 1)) AS u(b)),
+        |j AS (
+        |  SELECT s.event_type, s.bucket, o.close,
+        |    (o.event_type IS NOT NULL) AS obs
+        |  FROM spine s LEFT JOIN o
+        |    ON o.event_type = s.event_type AND o.bucket = s.bucket),
+        |f AS (
+        |  SELECT event_type, bucket, obs,
+        |    last_value(close IGNORE NULLS) OVER (PARTITION BY event_type
+        |      ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS close
+        |  FROM j)
+        |SELECT event_type, bucket, round(close, 4) AS close,
+        |  CASE WHEN obs THEN 'obs' ELSE 'fill' END AS src
+        |FROM f ORDER BY 1, 2""".stripMargin,
 
     "event_sessions" ->
       """WITH e AS (
