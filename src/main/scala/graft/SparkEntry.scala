@@ -3461,6 +3461,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // seeded label propagation (hard-label spreading): four trusted
+    // seeds vote their labels through the doubling expander for 5 fixed
+    // synchronous rounds — majority per round, ties to the smallest
+    // label, seeds immutable, unlabeled nodes absent. The oracle unrolls
+    // all 5 rounds with the identical vote/argmax decomposition.
+    "graph_label_prop" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 2L) % col("__m"),
+            (col("doc_id") * 2L + 1L) % col("__m"))).as("dst"))
+      val seeds = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("node"),
+          concat(lit("l"), (col("doc_id") % 3).cast("string")).as("label"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst", seeds,
+          iterations = 5)
+        .select(col("node").as("doc_id"), col("label"))
+        .orderBy("doc_id")
+    }),
+
     // multi-source BFS hop distances (frontier expansion): the
     // distance-to-seed-set proximity feature. The doubling graph
     // (n → 2n, 2n+1 mod m) is an expander — diameter 8 from source 7
@@ -4414,6 +4437,51 @@ object SparkEntry {
        |SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS core_deg FROM (
        |  SELECT u AS node FROM e$iters UNION ALL SELECT v FROM e$iters)
        |GROUP BY 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[Graph.labelPropagation]]'s oracle: 5 unrolled synchronous vote
+    * rounds — per round, labeled-neighbor counts, argmax with
+    * count-desc/label-asc tie-break, then seed-pinned adoption
+    * (coalesce(seed, majority, previous)). MATERIALIZED for the
+    * [[pageRankDanglingSql]] reason. */
+  private val labelPropSql: String = {
+    val iters = 5
+    val step = (i: Int) =>
+      s"""c$i AS MATERIALIZED (
+         |  SELECT s.v AS node, l.lab, count(*) AS c
+         |  FROM l$i l JOIN sym s ON s.u = l.node
+         |  WHERE l.lab IS NOT NULL GROUP BY 1, 2),
+         |b$i AS MATERIALIZED (
+         |  SELECT node, lab FROM (
+         |    SELECT node, lab,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lab) AS rn
+         |    FROM c$i) WHERE rn = 1),
+         |l${i + 1} AS MATERIALIZED (
+         |  SELECT l.node, coalesce(sd.lab, b.lab, l.lab) AS lab
+         |  FROM l$i l
+         |  LEFT JOIN b$i b ON b.node = l.node
+         |  LEFT JOIN sd ON sd.node = l.node)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT node AS src,
+       |      (node * 2) % (SELECT max(node) + 1 FROM nodes) AS dst FROM nodes
+       |    UNION ALL
+       |    SELECT node, (node * 2 + 1) % (SELECT max(node) + 1 FROM nodes)
+       |    FROM nodes)
+       |  WHERE src <> dst),
+       |sym AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v FROM e UNION SELECT dst, src FROM e),
+       |sd AS MATERIALIZED (
+       |  SELECT node, 'l' || CAST(node % 3 AS VARCHAR) AS lab
+       |  FROM nodes WHERE node % 97 = 0),
+       |l0 AS MATERIALIZED (
+       |  SELECT n.node, sd.lab
+       |  FROM (SELECT u AS node FROM sym UNION SELECT node FROM sd) n
+       |  LEFT JOIN sd ON sd.node = n.node),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, lab AS label FROM l$iters
+       |WHERE lab IS NOT NULL ORDER BY doc_id""".stripMargin
   }
 
   /** Shared CTE: documents with the identical synthetic URL the
@@ -7850,6 +7918,8 @@ object SparkEntry {
     "graph_pagerank_dangling" -> pageRankDanglingSql,
 
     "graph_kcore" -> kCoreSql,
+
+    "graph_label_prop" -> labelPropSql,
 
     // BFS replay: bounded-length walk enumeration (the recursive term
     // re-visits a node at every walk length ≤ 16, UNION dedups exact

@@ -308,6 +308,86 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 
+  /** Seeded label propagation (semi-supervised label spreading, Zhu &
+    * Ghahramani's hard-label variant): spread a small set of trusted
+    * labels through the undirected graph — quality labels through a
+    * near-duplicate graph, topic labels through a link graph — by
+    * synchronous majority vote. Each of the FIXED `iterations` rounds,
+    * every non-seed node adopts the majority label among its currently-
+    * labeled neighbors (ties to the lexicographically smallest label,
+    * the NB argmax discipline), keeps its previous label when no
+    * neighbor is labeled, and may flip in a later round if its
+    * neighborhood's majority shifts; seed nodes never change. Returns
+    * `(node, label)` for nodes labeled after the last round — unreached
+    * nodes are absent, the [[bfsDistances]] honesty rule.
+    *
+    * Fixed-round on purpose (the [[pageRank]] contract): a reproducible
+    * artifact an external engine can replay round for round; every vote
+    * is an integer count and every argmax is exact, so the full
+    * assignment is engine-portable. Per round: one join of the slim
+    * `(node, label)` relation against the symmetrized edges, one
+    * map-side-combined (node, label) count, one argmax aggregate —
+    * O(|E| + labeled nodes) shuffled bytes, `localCheckpoint`ed with
+    * superseded rounds released. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, nodeCol: String = "node", labelCol: String = "label",
+      iterations: Int = 5): DataFrame = {
+    require(iterations >= 0 && iterations <= 100, "iterations in [0, 100]")
+    val base = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val sym = base
+      .union(base.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    val seed = seeds
+      .filter(col(nodeCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(nodeCol).as("node"), col(labelCol).as("__seed"))
+      .distinct()
+      .localCheckpoint(true)
+    // tie-breaks resolve through a label index (max(struct(votes, -idx))
+    // — one aggregate, no per-node window); the label universe is the
+    // seed labels, label-cardinality-sized by construction
+    val w = Window.orderBy(col("lab"))
+    val idx = seed.select(col("__seed").as("lab")).distinct()
+      .withColumn("__li", row_number().over(w).cast("long"))
+      .localCheckpoint(true)
+    // the vertex universe includes seeds with no edges — an isolated
+    // trusted label must survive to the output, not silently vanish
+    val nodes = sym.select(col("u").as("node"))
+      .union(seed.select(col("node")))
+      .distinct()
+      .localCheckpoint(true)
+    var cur = nodes
+      .join(seed, Seq("node"), "left")
+      .select(col("node"), col("__seed").as("lab"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iterations) {
+      val votes = cur.filter(col("lab").isNotNull)
+        .select(col("node").as("u"), col("lab"))
+        .join(sym, "u")
+        .groupBy(col("v").as("node"), col("lab"))
+        .agg(count(lit(1)).as("__c"))
+      val best = votes.join(broadcast(idx), "lab")
+        .groupBy(col("node"))
+        .agg(max(struct(col("__c"), (-col("__li")).as("__nli"),
+          col("lab"))).getField("lab").as("__maj"))
+      val next = cur
+        .join(best, Seq("node"), "left")
+        .join(seed, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed"), col("__maj"), col("lab")).as("lab"))
+        .localCheckpoint(true)
+      Dedup.releaseCheckpoint(cur)
+      cur = next
+      it += 1
+    }
+    cur.filter(col("lab").isNotNull)
+      .select(col("node"), col("lab").as("label"))
+  }
+
   /** Multi-source BFS hop distances over the undirected graph: for every
     * node reachable from ANY source, the minimum hop count to its
     * nearest source — the proximity feature of link-graph curation

@@ -197,6 +197,52 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     bfs(edges, Seq(3L, 44L)) shouldBe ref(Seq(3L, 44L))
   }
 
+  private def lp(edges: Seq[(Long, Long)], seeds: Seq[(Long, String)],
+      iterations: Int): Map[Long, String] =
+    Graph.labelPropagation(edges.toDF("a", "b"), "a", "b",
+        seeds = seeds.toDF("node", "label"), iterations = iterations)
+      .as[(Long, String)].collect().toMap
+
+  test("labelPropagation: path spreads level by level, equidistant tie " +
+      "takes the smaller label, seeds immutable, isolated seeds survive") {
+    val path = (1L until 5L).map(i => (i, i + 1))
+    val seeds = Seq(1L -> "a", 5L -> "b")
+    // round 1: nodes 2 and 4 adopt; node 3 has no labeled neighbor yet
+    lp(path, seeds, 1) shouldBe
+      Map(1L -> "a", 2L -> "a", 4L -> "b", 5L -> "b")
+    // round 2: node 3 sees one 'a' and one 'b' — tie breaks to 'a'
+    lp(path, seeds, 2) shouldBe
+      Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "b")
+    // a seed outvoted by its whole neighborhood still never changes,
+    // and an isolated seed (no edges at all) survives to the output
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = lp(star, Seq(0L -> "b", 1L -> "a", 2L -> "a", 3L -> "a",
+      99L -> "z"), 3)
+    got(0L) shouldBe "b"
+    got(99L) shouldBe "z"
+    // zero iterations: exactly the seeds
+    lp(path, seeds, 0) shouldBe Map(1L -> "a", 5L -> "b")
+  }
+
+  test("labelPropagation: a node flips when its neighborhood majority " +
+      "shifts in a later round") {
+    // 10 —— 0 —— 1 —— 2(seed b), 10..13 clique seeded 'a' feeding 10:
+    // node 0 adopts via 10 in round 2? build: seeds a at 11,12,13 all
+    // linked to 10; seed b at 2. Node 1 adopts 'b' in round 1 (neighbor
+    // 2); node 0 in round 2 sees 1='b' and 10 unlabeled → 'b'; round 3:
+    // 10='a' (three a-neighbors in round 1... ) — construct explicitly:
+    val edges = Seq((11L, 10L), (12L, 10L), (13L, 10L),
+      (10L, 0L), (0L, 1L), (1L, 2L))
+    val seeds = Seq(11L -> "a", 12L -> "a", 13L -> "a", 2L -> "b")
+    // round 1: 10 → a (3 votes), 1 → b
+    // round 2: 0 sees 10='a' (round-1 state) and 1='b' → tie → 'a'
+    lp(edges, seeds, 2).apply(0L) shouldBe "a"
+    // with one more 'b' feeder on 0, the majority shifts b-ward:
+    val edges2 = edges ++ Seq((0L, 3L), (3L, 2L))
+    // round 1: 3 → b; round 2: 0 sees a(10), b(1), b(3) → 'b'
+    lp(edges2, seeds, 2).apply(0L) shouldBe "b"
+  }
+
   test("bfsDistances: maxIter backstop throws instead of truncating") {
     val chain = (0L until 30L).map(i => (i, i + 1))
     an[IllegalStateException] should be thrownBy
