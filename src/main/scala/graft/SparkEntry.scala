@@ -1994,6 +1994,29 @@ object SparkEntry {
         .select("doc_id", "text")
         .orderBy("doc_id")),
 
+    // k-anonymity audit: quasi-identifier classes (nation, segment,
+    // $1000 balance band) smaller than k=3 — the re-identification
+    // exposure report; one aggregate, class-cardinality output
+    "pii_k_anonymity" -> ((s, dir) =>
+      graft.operators.Pii.kAnonymityAudit(
+          s.read.parquet(s"$dir/customer.parquet")
+            .withColumn("bal_band",
+              floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")),
+
+    // suppression release: rows in sub-k classes dropped, the kept
+    // relation k-anonymous by construction — the violating-class
+    // relation broadcasts into one anti-join
+    "pii_k_suppress" -> ((s, dir) =>
+      graft.operators.Pii.kAnonymizeSuppress(
+          s.read.parquet(s"$dir/customer.parquet")
+            .withColumn("bal_band",
+              floor(col("c_acctbal") / 1000).cast("long")),
+          Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 3)
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")),
+
     // -- dataset curation (graft.operators.Curation) ----------------------
     // temperature mixture sampling (count^alpha rebalancing over the
     // skewed lang column): one group-cardinality aggregate + broadcast
@@ -6363,6 +6386,26 @@ object SparkEntry {
         |    '\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g'),
         |    '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS text
         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "pii_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+        |  CAST(count(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "pii_k_suppress" ->
+      """WITH c AS (
+        |  SELECT *, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |bad AS (
+        |  SELECT c_nationkey, c_mktsegment, bal_band
+        |  FROM c GROUP BY 1, 2, 3 HAVING count(*) < 3)
+        |SELECT c_custkey FROM c
+        |WHERE NOT EXISTS (SELECT 1 FROM bad b
+        |  WHERE b.c_nationkey = c.c_nationkey
+        |    AND b.c_mktsegment = c.c_mktsegment AND b.bal_band = c.bal_band)
+        |ORDER BY c_custkey""".stripMargin,
 
     "mixture_sample" ->
       """WITH c AS (

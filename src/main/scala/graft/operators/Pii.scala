@@ -59,4 +59,37 @@ object Pii {
   /** Replace the text column with its redacted form. */
   def redact(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn(textCol, redactCol(col(textCol)))
+
+  /** k-anonymity audit (Sweeney's model): the quasi-identifier
+    * combinations whose equivalence class is smaller than `k` — every
+    * row in such a class is re-identifiable by joining the quasi
+    * columns against an external dataset, which is exactly the attack
+    * k-anonymity bounds. Returns one row per violating combination with
+    * its `class_size`; an empty result certifies the relation
+    * k-anonymous over those columns. One map-side-combined aggregate
+    * whose output is quasi-combination-cardinality-sized — the corpus
+    * is scanned once, never shuffled row-wise. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+  }
+
+  /** k-anonymize by suppression: drop every row whose quasi-identifier
+    * equivalence class is smaller than `k` — the conservative release
+    * policy when generalization hierarchies aren't available (the
+    * standard alternative; generalize-then-suppress composes by mapping
+    * the quasi columns first and calling this on the result). The kept
+    * relation is k-anonymous over `quasiCols` by construction. Plan:
+    * the violating-class relation ([[kAnonymityAudit]]) is
+    * class-cardinality-sized and broadcasts into one anti-join — no
+    * row-wise shuffle of the corpus. */
+  def kAnonymizeSuppress(df: DataFrame, quasiCols: Seq[String],
+      k: Long): DataFrame =
+    df.join(broadcast(kAnonymityAudit(df, quasiCols, k)
+        .select(quasiCols.map(col): _*)),
+      quasiCols, "left_anti")
 }
