@@ -134,31 +134,38 @@ object Keywords {
       .withColumn("plen", count(lit(1)).over(wLen))
     // the member relation feeds both the word statistics and the phrase
     // assembly — scope-cache so the corpus is tokenized and windowed once
-    Dedup.withProjectionCache(member) { m =>
-      val wordScores = m.groupBy(col("tok"))
-        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
-        .select(col("tok"), expr("(deg * 1000000L) div freq").as("w_mil"))
-      val occ = m.join(broadcast(wordScores), "tok")
-        .groupBy(col("id"), col("grp"))
-        .agg(
-          concat_ws(" ", transform(
-            array_sort(collect_list(struct(col("pos"), col("tok")))),
-            x => x.getField("tok"))).as("phrase"),
-          sum(col("w_mil")).as("score_mil"),
-          count(lit(1)).as("n_words"))
-      // score/n_words are functions of the phrase string (same words →
-      // same stats), so min() just collapses the duplicates exactly
-      val top = occ.groupBy(col("phrase"))
-        .agg(count(lit(1)).as("occurrences"),
-          min(col("score_mil")).as("score_mil"),
-          min(col("n_words")).as("n_words"))
-        .orderBy(col("score_mil").desc, col("phrase"))
-        .limit(k)
-      val w = Window.orderBy(col("score_mil").desc, col("phrase"))
-      top.withColumn("rk", row_number().over(w).cast("long"))
-        .select(col("phrase"), col("score_mil"), col("n_words"),
-          col("occurrences"), col("rk"))
-    }
+    Dedup.withProjectionCache(member)(rakeRanked(_, k))
+  }
+
+  /** The score-and-rank stage of [[rakeKeywords]] over the phrase-member
+    * relation `(id, grp, pos, tok, plen)` — split out so the plan pin
+    * can see the shape the scope cache's trailing checkpoint hides:
+    * vocab-sized word scores broadcast back onto the members, phrase
+    * assembly per (doc, island), and a distributed ranked take. */
+  private[graft] def rakeRanked(m: DataFrame, k: Int): DataFrame = {
+    val wordScores = m.groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("tok"), expr("(deg * 1000000L) div freq").as("w_mil"))
+    val occ = m.join(broadcast(wordScores), "tok")
+      .groupBy(col("id"), col("grp"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok"))).as("phrase"),
+        sum(col("w_mil")).as("score_mil"),
+        count(lit(1)).as("n_words"))
+    // score/n_words are functions of the phrase string (same words →
+    // same stats), so min() just collapses the duplicates exactly
+    val top = occ.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("occurrences"),
+        min(col("score_mil")).as("score_mil"),
+        min(col("n_words")).as("n_words"))
+      .orderBy(col("score_mil").desc, col("phrase"))
+      .limit(k)
+    val w = Window.orderBy(col("score_mil").desc, col("phrase"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("phrase"), col("score_mil"), col("n_words"),
+        col("occurrences"), col("rk"))
   }
 
   // ---- stored inverted index -----------------------------------------------

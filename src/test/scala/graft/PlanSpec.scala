@@ -406,6 +406,57 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("dsirSelect plans a distributed ranked take and broadcasts the " +
+      "weight model — never a global sort of the corpus") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 400).map(i =>
+        (i.toLong, s"tok${i % 17} tok${i % 5} tok${i % 3}", i % 4 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val plan = executedPlan(
+      graft.operators.Curation.dsirSelect(docs, col("is_t"), n = 10))
+    // the top-n compiles to per-partition heads + one n-sized merge,
+    // and the vocab-sized weight relation rides a broadcast join
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("rakeKeywords broadcasts the word-score table; the top-k phrases " +
+      "are a ranked take, not a global sort") {
+    val s = spark
+    import s.implicits._
+    // the pin targets the score-and-rank stage directly (the scope
+    // cache's trailing checkpoint hides the full operator's plan), on
+    // the same member-relation shape the operator feeds it
+    val member = (1 to 200).map(i =>
+        (i.toLong, i.toLong % 5, i.toLong, s"tok${i % 23}", 3L))
+      .toDF("id", "grp", "pos", "tok", "plen")
+    val plan = executedPlan(graft.operators.Keywords.rakeRanked(member, 10))
+    plan should include("TakeOrderedAndProject")
+    plan should include("BroadcastHashJoin")
+    plan should not include "SortMergeJoin"
+  }
+
+  test("ohlc resampling is one exchange on the output key; gapFill " +
+      "broadcasts the span and never shuffles row-wise beyond the series " +
+      "window") {
+    val s = spark
+    import s.implicits._
+    val ev = (1 to 500).map(i =>
+        (i.toLong, (i * 37 % 1000).toLong, s"t${i % 3}", i / 7.0))
+      .toDF("event_id", "ts", "grp", "v")
+    val r = graft.operators.Resample.ohlc(ev, "ts", "grp", "v", "event_id", 100L)
+    val plan = executedPlan(r)
+    // both endpoint windows and the aggregate share the (grp, bucket)
+    // partitioning — exactly one row-wise exchange (plus nothing else)
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    val g = graft.operators.Resample.gapFill(r, "grp", "bucket", Seq("close"))
+    val gp = executedPlan(g)
+    gp should include("BroadcastNestedLoopJoin") // groups × 1-row span
+    gp should not include "SortMergeJoin"
+  }
+
   test("keep-one minhash plans min-link candidates: one window, no pair " +
       "explosion") {
     // the linear-volume contract structurally: the keep-one dedup plan
