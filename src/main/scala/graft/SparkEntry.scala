@@ -5371,12 +5371,16 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey, status""".stripMargin,
 
-    // OHLC replay: integer floor-division daily buckets, open/close via
-    // (ts, id)-ordered row_number endpoints, rounding applied after the
-    // aggregate exactly as the Spark side does
+    // OHLC replay: exact-FLOOR-division daily buckets (the same
+    // pmod decomposition as the Spark side — `//` truncates toward
+    // zero in both engines, so the floor form must be spelled out),
+    // open/close via (ts, id)-ordered row_number endpoints, rounding
+    // applied after the aggregate exactly as the Spark side does
     "event_resample_ohlc" ->
       """WITH e AS (
-        |  SELECT event_type, epoch_us(ts) // 86400000000 AS bucket,
+        |  SELECT event_type,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 86400000000) + 86400000000)
+        |      % 86400000000) // 86400000000 AS bucket,
         |    epoch_us(ts) AS t, event_id, value
         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
         |r AS (
@@ -5399,7 +5403,9 @@ object SparkEntry {
     // spine, IGNORE NULLS last-value forward fill, explicit provenance
     "event_resample_gapfill" ->
       """WITH e AS (
-        |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+        |  SELECT event_type,
+        |    (epoch_us(ts) - ((epoch_us(ts) % 3600000000) + 3600000000)
+        |      % 3600000000) // 3600000000 AS bucket,
         |    epoch_us(ts) AS t, event_id, value
         |  FROM events
         |  WHERE ts IS NOT NULL AND value IS NOT NULL AND value > 90),

@@ -1178,20 +1178,10 @@ class TableStore(val root: String, spark: SparkSession) {
       commit(Map(dst -> stage(dst, read(src))), expect = Map(dst -> None))
       return
     }
-    val version = newVersion()
-    val dstDir = versionDir(dst, version)
-    Files.createDirectories(dstDir)
-    dataFiles(curDir).foreach(carryFile(_, dstDir))
-    Files.createFile(dstDir.resolve("_SUCCESS"))
-    DeleteVectors.read(spark, curDir.toString)
-      .foreach(dv => DeleteVectors.write(dv, dstDir.toString))
-    FileStats.read(spark, curDir.toString)
-      .foreach(rows => carrySidecar(rows, rows, dstDir, Seq.empty))
-    carryTag(curDir, dstDir)
     // the carried files come from src's immutable pinned version, so a
     // concurrent commit on SRC cannot corrupt the clone — only a racing
     // creation of DST itself must refuse
-    commit(Map(dst -> version), expect = Map(dst -> None))
+    commit(Map(dst -> carryVersionFrom(curDir, dst)), expect = Map(dst -> None))
   }
 
   /** RESTORE TABLE … TO VERSION (Delta/Snowflake-style rollback): make
@@ -1232,12 +1222,31 @@ class TableStore(val root: String, spark: SparkSession) {
         s"restoreTable: version '$version' of '$table' was already " +
           "vacuumed — restores never resurrect reclaimed bytes")
     if (Files.exists(srcDir.resolve(BucketSpecFile)) || hasNestedData(srcDir)) {
-      commit(Map(table -> stage(table, readResolved(table, version))),
-        expect = Map(table -> Some(cur)))
+      val v = stage(table, readResolved(table, version))
+      // the materialized fallback must still rewind the version tag (a
+      // streaming sink's applied-batch high-water mark moves WITH the
+      // rows it witnessed — without it a redelivered micro-batch would
+      // re-apply after the rollback). The declared schema rides along;
+      // the materialized rows already carry the union columns, so it is
+      // redundant but consistent.
+      carryTag(srcDir, versionDir(table, v))
+      commit(Map(table -> v), expect = Map(table -> Some(cur)))
       return
     }
-    val newV = newVersion()
-    val dstDir = versionDir(table, newV)
+    commit(Map(table -> carryVersionFrom(srcDir, table)),
+      expect = Map(table -> Some(cur)))
+  }
+
+  /** Hard-link-carry the flat version at `srcDir` into a fresh staged
+    * version of `table` — data files, deletion vector, path-remapped
+    * stats sidecar, version tag and declared schema — returning the new
+    * version name (uncommitted; the caller owns the commit and its OCC
+    * expectation). The shared body of [[cloneTable]] and
+    * [[restoreTable]]: one carry implementation so a new sidecar kind
+    * can never be carried by one and dropped by the other. */
+  private def carryVersionFrom(srcDir: Path, table: String): String = {
+    val version = newVersion()
+    val dstDir = versionDir(table, version)
     Files.createDirectories(dstDir)
     dataFiles(srcDir).foreach(carryFile(_, dstDir))
     Files.createFile(dstDir.resolve("_SUCCESS"))
@@ -1246,7 +1255,7 @@ class TableStore(val root: String, spark: SparkSession) {
     FileStats.read(spark, srcDir.toString)
       .foreach(rows => carrySidecar(rows, rows, dstDir, Seq.empty))
     carryTag(srcDir, dstDir)
-    commit(Map(table -> newV), expect = Map(table -> Some(cur)))
+    version
   }
 
   /** The [[upsertMoR]] `tag` of the CURRENT version, if it carries one.

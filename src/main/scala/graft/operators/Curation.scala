@@ -491,6 +491,19 @@ object Curation {
         explode(when(size(col("__w")) >= 2, grams).otherwise(col("__w")))
           .as("term"))
       .filter(col("term") =!= "")
+    // the token relation feeds both the model estimation and the
+    // per-doc scoring — scope-cache it so the corpus is tokenized once,
+    // not once per consumer
+    Dedup.withProjectionCache(toks)(dsirRanked(_, n))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The model-estimate-and-rank stage of [[dsirSelect]] over the
+    * exploded `(id, __t, term)` feature relation — split out so the
+    * plan pin can see the shape the scope cache's trailing checkpoint
+    * hides. The weight table's checkpoint stays alive with the result
+    * (vocab-sized — the NB-model lifetime class). */
+  private[graft] def dsirRanked(toks: DataFrame, n: Int): DataFrame = {
     val counts = toks.groupBy(col("term"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
@@ -516,7 +529,7 @@ object Curation {
       .limit(n)
     val w = Window.orderBy(col("weight_mil").desc, col("id"))
     top.withColumn("rk", row_number().over(w).cast("long"))
-      .select(col("id").as(idCol), col("weight_mil"), col("n_feats"), col("rk"))
+      .select(col("id"), col("weight_mil"), col("n_feats"), col("rk"))
   }
 
   /** Greedy sequence packing: assign whole documents (id order) to bins of

@@ -346,6 +346,12 @@ object Graph {
       .select(col(nodeCol).as("node"), col(labelCol).as("__seed"))
       .distinct()
       .localCheckpoint(true)
+    // conflicting seed labels would duplicate the node through every
+    // round (double votes, duplicate output rows) — refuse loudly; the
+    // check is one aggregate over the seed-sized relation
+    require(seed.groupBy(col("node")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).isEmpty,
+      "labelPropagation: the same seed node carries conflicting labels")
     // tie-breaks resolve through a label index (max(struct(votes, -idx))
     // — one aggregate, no per-node window); the label universe is the
     // seed labels, label-cardinality-sized by construction
@@ -384,6 +390,13 @@ object Graph {
       cur = next
       it += 1
     }
+    // the returned frame reads ONLY the final round's checkpoint — the
+    // edge-sized sym relation (and the id-sized side relations) must not
+    // stay pinned in executor storage until the frame is GC'd
+    Dedup.releaseCheckpoint(sym)
+    Dedup.releaseCheckpoint(nodes)
+    Dedup.releaseCheckpoint(seed)
+    Dedup.releaseCheckpoint(idx)
     cur.filter(col("lab").isNotNull)
       .select(col("node"), col("lab").as("label"))
   }
@@ -456,6 +469,9 @@ object Graph {
         s"bfsDistances did not exhaust the frontier in $maxIter rounds " +
           "(round count = source-set eccentricity); refusing to return " +
           "truncated distances")
+    // the result reads only the per-level checkpoints — release the
+    // edge-sized sym relation instead of pinning it until frame GC
+    Dedup.releaseCheckpoint(sym)
     levels.reduce(_ unionByName _)
   }
 

@@ -88,8 +88,15 @@ object Pii {
     * class-cardinality-sized and broadcasts into one anti-join — no
     * row-wise shuffle of the corpus. */
   def kAnonymizeSuppress(df: DataFrame, quasiCols: Seq[String],
-      k: Long): DataFrame =
-    df.join(broadcast(kAnonymityAudit(df, quasiCols, k)
-        .select(quasiCols.map(col): _*)),
-      quasiCols, "left_anti")
+      k: Long): DataFrame = {
+    // null-SAFE anti join: a NULL quasi value forms an equivalence class
+    // like any other (the audit already groups it), and plain equality
+    // would never match it — the violating null class would sail through
+    // the release, breaking the k-anonymous-by-construction guarantee
+    val bad = kAnonymityAudit(df, quasiCols, k)
+      .select(quasiCols.map(c => col(c).as(s"__bad_$c")): _*)
+    df.join(broadcast(bad),
+      quasiCols.map(c => col(c) <=> col(s"__bad_$c")).reduce(_ && _),
+      "left_anti")
+  }
 }

@@ -21,11 +21,11 @@ object Resample {
   /** Fixed-window OHLC resampling: one row per `(groupCol, bucket)` with
     * `open`/`close` = the value of the first/last event in the window
     * (timestamp order, id tiebreak), `high`/`low` = max/min value,
-    * `n_events`, and the value sum. `bucket` is
-    * `tsCol div bucketWidth` — integer floor division on the epoch
-    * value, so timestamps must be non-negative (the
-    * [[RangeJoin.intervalPointCount]] contract). Null timestamps and
-    * null values are dropped (an OHLC of nothing is no row, not a
+    * `n_events`, and the value sum. `bucket` is exact FLOOR division of
+    * the epoch value by `bucketWidth` (`(ts − pmod(ts, w)) div w`, the
+    * [[RangeJoin.intervalPointCount]] idiom — truncate-toward-zero
+    * would merge pre-epoch timestamps into bucket 0). Null timestamps
+    * and null values are dropped (an OHLC of nothing is no row, not a
     * null-shaped one).
     *
     * Plan shape: one narrow bucket projection, one window rank per
@@ -39,7 +39,8 @@ object Resample {
     val base = df
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol).as("grp"),
-        expr(s"$tsCol div ${bucketWidth}L").as("bucket"),
+        expr(s"($tsCol - pmod($tsCol, ${bucketWidth}L)) div ${bucketWidth}L")
+          .as("bucket"),
         col(tsCol).as("__ts"), col(idCol).as("__id"),
         col(valueCol).as("__v"))
     val wAsc = Window.partitionBy(col("grp"), col("bucket"))
@@ -76,14 +77,26 @@ object Resample {
   def gapFill(resampled: DataFrame, groupCol: String, bucketCol: String,
       fillCols: Seq[String]): DataFrame = {
     require(fillCols.nonEmpty, "fillCols must be non-empty")
-    val groups = resampled.select(col(groupCol)).distinct()
-    val span = resampled.agg(min(col(bucketCol)).as("__lo"),
+    // the input plan is read three times (groups, span, spine join) —
+    // scope-cache it so a caller handing in an unmaterialized pipeline
+    // (ohlc over a raw event scan) computes it once, not thrice
+    Dedup.withProjectionCache(resampled)(
+      gapFillDense(_, groupCol, bucketCol, fillCols))
+  }
+
+  /** The densify-and-fill stage of [[gapFill]] over a materialized
+    * resampled relation — split out so the plan pin can see the shape
+    * the scope cache's trailing checkpoint hides. */
+  private[graft] def gapFillDense(r: DataFrame, groupCol: String,
+      bucketCol: String, fillCols: Seq[String]): DataFrame = {
+    val groups = r.select(col(groupCol)).distinct()
+    val span = r.agg(min(col(bucketCol)).as("__lo"),
       max(col(bucketCol)).as("__hi"))
     val spine = groups.crossJoin(broadcast(span))
       .select(col(groupCol),
         explode(sequence(col("__lo"), col("__hi"))).as(bucketCol))
     val joined = spine.join(
-      resampled.withColumn("__obs", lit(true)),
+      r.withColumn("__obs", lit(true)),
       Seq(groupCol, bucketCol), "left")
     val w = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

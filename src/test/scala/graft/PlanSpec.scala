@@ -410,11 +410,15 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
       "weight model — never a global sort of the corpus") {
     val s = spark
     import s.implicits._
-    val docs = (1 to 400).map(i =>
-        (i.toLong, s"tok${i % 17} tok${i % 5} tok${i % 3}", i % 4 == 0))
-      .toDF("doc_id", "text", "is_t")
+    // the pin targets the estimate-and-rank stage directly (dsirSelect
+    // scope-caches the token relation, and the trailing checkpoint
+    // hides the composed plan), on the same exploded feature shape
+    val toks = (1 to 400).flatMap(i => Seq(
+        (i.toLong, i % 4 == 0, s"tok${i % 17}"),
+        (i.toLong, i % 4 == 0, s"tok${i % 5}")))
+      .toDF("id", "__t", "term")
     val plan = executedPlan(
-      graft.operators.Curation.dsirSelect(docs, col("is_t"), n = 10))
+      graft.operators.Curation.dsirRanked(toks, n = 10))
     // the top-n compiles to per-partition heads + one n-sized merge,
     // and the vocab-sized weight relation rides a broadcast join
     plan should include("TakeOrderedAndProject")
@@ -451,8 +455,10 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     // both endpoint windows and the aggregate share the (grp, bucket)
     // partitioning — exactly one row-wise exchange (plus nothing else)
     "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
-    val g = graft.operators.Resample.gapFill(r, "grp", "bucket", Seq("close"))
-    val gp = executedPlan(g)
+    // the pin targets the densify stage directly (gapFill scope-caches
+    // its input, and the trailing checkpoint hides the composed plan)
+    val gp = executedPlan(graft.operators.Resample.gapFillDense(
+      r.localCheckpoint(true), "grp", "bucket", Seq("close")))
     gp should include("BroadcastNestedLoopJoin") // groups × 1-row span
     gp should not include "SortMergeJoin"
   }

@@ -526,14 +526,21 @@ class TableStoreSpec extends AnyFunSuite with Matchers with SparkSpec {
     store.vacuum(retain = 0)
     an[IllegalStateException] should be thrownBy store.restoreTable("t", v1)
 
-    // bucketed versions restore through the materializing fallback
+    // bucketed versions restore through the materializing fallback —
+    // INCLUDING the version tag (a streaming sink's high-water mark must
+    // rewind with the rows; the tag is planted file-level because
+    // bucketed versions acquire tags only through the sink path)
     store.commit(Map("bk" -> store.stageBucketed("bk",
       Seq((1L, "x")).toDF("id", "v"), Seq("id"), 4)))
     val bv1 = store.manifest("bk")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(store.currentPath("bk").get, "_graft_tag"),
+      "17".getBytes("UTF-8"))
     store.commit(Map("bk" -> store.stageBucketed("bk",
       Seq((2L, "y")).toDF("id", "v"), Seq("id"), 4)))
     store.restoreTable("bk", bv1)
     store.read("bk").as[(Long, String)].collect().toSeq shouldBe Seq((1L, "x"))
+    store.versionTag("bk") shouldBe Some("17")
   }
 
   test("schema evolution: add-column append carries old files, null-fills " +

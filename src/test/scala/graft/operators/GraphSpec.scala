@@ -222,6 +222,10 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     got(99L) shouldBe "z"
     // zero iterations: exactly the seeds
     lp(path, seeds, 0) shouldBe Map(1L -> "a", 5L -> "b")
+    // conflicting labels on one seed node refuse loudly — a silent
+    // duplicate would double that node's vote in every round
+    an[IllegalArgumentException] should be thrownBy
+      lp(path, Seq(1L -> "a", 1L -> "b"), 1)
   }
 
   test("labelPropagation: a node flips when its neighborhood majority " +

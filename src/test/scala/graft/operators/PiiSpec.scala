@@ -38,4 +38,22 @@ class PiiSpec extends AnyFunSuite with Matchers with SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       Pii.kAnonymityAudit(df, Seq.empty, k = 3)
   }
+
+  test("k-anonymity treats NULL quasi values as a class: audited, " +
+      "suppressed, and the release still re-audits clean") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Long, String, java.lang.Long)](
+      (1L, "30-40", 94110L), (2L, "30-40", 94110L), (3L, "30-40", 94110L),
+      (4L, "30-40", null)) // a lone NULL-zip class — violates k=3
+      .toDF("id", "age_band", "zip")
+    val audit = Pii.kAnonymityAudit(df, Seq("age_band", "zip"), k = 3)
+    audit.count() shouldBe 1L
+    audit.head().isNullAt(1) shouldBe true
+    val kept = Pii.kAnonymizeSuppress(df, Seq("age_band", "zip"), k = 3)
+    kept.select("id").collect().map(_.getLong(0)).sorted.toList shouldBe
+      List(1L, 2L, 3L)
+    Pii.kAnonymityAudit(kept, Seq("age_band", "zip"), k = 3)
+      .count() shouldBe 0L
+  }
 }

@@ -44,6 +44,13 @@ class ResampleSpec extends AnyFunSuite with Matchers with SparkSpec {
       .orderBy("grp", "bucket").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(6))).toList shouldBe
       List(("a", 0L, 3L), ("a", 1L, 1L), ("b", 0L, 1L))
+    // pre-epoch timestamps FLOOR downward: ts −5 is bucket −1 (−10..−1),
+    // never merged into bucket 0 by truncate-toward-zero
+    Resample.ohlc(ev((1L, -5L, "a", 2.0), (2L, 3L, "a", 4.0)),
+        "ts", "grp", "v", "event_id", 10L)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(6))).toList shouldBe
+      List((-1L, 1L), (0L, 1L))
   }
 
   test("gapFill: spine densifies to the global span, forward fill with " +
