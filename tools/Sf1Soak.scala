@@ -215,7 +215,20 @@ object Sf1Soak {
     // runs at any corpus SF; GraphScale is the giant-component stress),
     // and char-3-gram NB language ID (train one count aggregate over
     // the 400-doc slice, score linear in corpus tokens)
-    "graph_components", "graph_pagerank_dangling", "text_classify_chargram")
+    "graph_components", "graph_pagerank_dangling", "text_classify_chargram",
+    // round-11 second wave: DSIR selection (one tokenize feeding the
+    // model counts and the scoring join through the scope cache, top-n
+    // as a ranked take — should scale with corpus tokens), RAKE
+    // (gaps-and-islands phrase assembly + vocab-sized broadcast word
+    // scores), daily OHLC + the sparse-hourly gap fill (one exchange on
+    // the output key; the spine is series×span regardless of corpus),
+    // the k-anonymity audit/suppression pair (class-cardinality
+    // aggregate + broadcast anti-join), and the bounded-synthetic graph
+    // rows (kcore/bfs/label propagation witness the tier at any SF;
+    // GraphScale modes kcore/bfs are the giant-structure stress)
+    "curation_dsir", "text_keywords_rake", "event_resample_ohlc",
+    "event_resample_gapfill", "pii_k_anonymity", "pii_k_suppress",
+    "graph_kcore", "graph_bfs", "graph_label_prop", "store_restore")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
