@@ -2302,6 +2302,30 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // daily OHLC maintained from a LIVE STREAM with exactly-once
+    // accumulation: per-micro-batch PARTIAL rollups (open/close as the
+    // min/max of the (ts, id, value) struct — endpoints carried WITH
+    // their values, which is what makes them exactly mergeable) land
+    // overwrite-by-batchId across 3 stop/start cycles; the final merge
+    // must equal the from-scratch batch Resample.ohlc — the
+    // event_resample_ohlc oracle hash-checks it verbatim, so one hash
+    // witnesses exactly-once AND partial-merge ≡ recompute
+    "stream_ohlc_oracled" -> ((s, dir) => {
+      val work = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        "graft-sohlc-" + corpusFingerprint(Seq(s"$dir/events.parquet")))
+      graft.streaming.Replay.ohlcReplay(s,
+          events(s, dir).select(col("event_id").as("id"),
+            col("event_type").as("grp"), col("ts_us").as("ts"),
+            col("value").as("v")),
+          work.toString, bucketWidth = 86400000000L)
+        .select(col("grp").as("event_type"), col("bucket"),
+          round(col("open"), 4).as("open"), round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"), round(col("close"), 4).as("close"),
+          col("n_events"), round(col("value_sum"), 2).as("value_sum"))
+        .orderBy("event_type", "bucket")
+    }),
+
     // heavy hitters from a LIVE STREAM with exactly-once accumulation:
     // per-micro-batch sketches land overwrite-by-batchId across 3
     // stop/start cycles, the final sketch is the byte-union. Three
@@ -4767,7 +4791,11 @@ object SparkEntry {
     // the streamed feed must land on the identical histogram (exactly-
     // once accumulation across restarts), so the inline oracle
     // hash-checks it verbatim too
-    "stream_drift_embedding_oracled" -> baseOracleSql("monitor_drift_embedding"))
+    "stream_drift_embedding_oracled" -> baseOracleSql("monitor_drift_embedding"),
+    // the stream-maintained OHLC must equal the from-scratch batch
+    // rollup — the batch oracle verbatim (one hash: exactly-once AND
+    // partial-merge ≡ recompute)
+    "stream_ohlc_oracled" -> baseOracleSql("event_resample_ohlc"))
 
   private def baseOracleSql: Map[String, String] = Map(
 

@@ -345,6 +345,85 @@ object Replay {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** Stream `rows` (`id`, `grp`, `ts`, `v`) through an EXACTLY-ONCE
+    * mergeable-OHLC accumulator in `nBatches` stop/start cycles — the
+    * streaming feed of [[graft.operators.Resample.ohlc]]: each
+    * micro-batch reduces to per-(series, bucket) PARTIAL rollups whose
+    * open/close ride as the min/max of the full `(ts, id, v)` struct
+    * (the argmin/argmax carried WITH its value, which is what makes the
+    * endpoints exactly mergeable across partials — a bare first/last
+    * would not merge), plus plain mergeable high/low/count/sum; each
+    * partial lands `overwrite`-by-batchId (a restarted micro-batch
+    * rewrites its directory instead of double-counting, the
+    * foreachBatch idempotence contract of [[histogramReplay]]), and the
+    * accumulated relation is the struct-min/struct-max/sum merge over
+    * batch directories. The result equals the BATCH `Resample.ohlc` on
+    * the same rows by construction — the oracle row reuses the batch
+    * query's SQL verbatim, so the cross-restart replay is hash-checked
+    * against a from-scratch recompute. Buckets floor-divide like the
+    * batch operator. Returns `(grp, bucket, open, high, low, close,
+    * n_events, value_sum)`; built once per `workDir`, gated on a
+    * completion marker. */
+  def ohlcReplay(
+      spark: SparkSession,
+      rows: DataFrame,
+      workDir: String,
+      bucketWidth: Long,
+      nBatches: Int = 3): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val root = java.nio.file.Paths.get(workDir)
+    val done = root.resolve("_REPLAY_DONE")
+    val agg = root.resolve("ohlc").toString
+    if (!java.nio.file.Files.exists(done)) {
+      deleteRecursively(root)
+      java.nio.file.Files.createDirectories(root)
+      val d = rows.select(col("id"), col("grp"), col("ts"), col("v"))
+        .localCheckpoint(true)
+      val ids = d.agg(min(col("id")), max(col("id"))).head()
+      val (lo, hi) = (ids.getLong(0), ids.getLong(1))
+      val per = math.max(1L, (hi - lo + nBatches) / nBatches)
+      val src = root.resolve("src").toString
+      val ckpt = root.resolve("ckpt").toString
+      (0 until nBatches).foreach { i =>
+        d.filter(col("id") >= lo + i * per &&
+            col("id") < lo + (i + 1) * per +
+              (if (i == nBatches - 1) 1 else 0))
+          .coalesce(1).write.mode("append").parquet(src)
+        val q = spark.readStream.schema(d.schema).parquet(src)
+          .writeStream
+          .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+            batch
+              .filter(col("ts").isNotNull && col("v").isNotNull)
+              .select(col("grp"),
+                expr(s"(ts - pmod(ts, ${bucketWidth}L)) div ${bucketWidth}L")
+                  .as("bucket"),
+                struct(col("ts"), col("id"), col("v")).as("o"),
+                col("v"))
+              .groupBy(col("grp"), col("bucket"))
+              .agg(min(col("o")).as("omin"), max(col("o")).as("omax"),
+                max(col("v")).as("high"), min(col("v")).as("low"),
+                count(lit(1)).as("cnt"), sum(col("v")).as("vsum"))
+              .coalesce(1).write.mode("overwrite")
+              .parquet(s"$agg/batch_$batchId")
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    spark.read.parquet(s"$agg/batch_*")
+      .groupBy(col("grp"), col("bucket"))
+      .agg(min(col("omin")).as("omin"), max(col("omax")).as("omax"),
+        max(col("high")).as("high"), min(col("low")).as("low"),
+        sum(col("cnt")).as("n_events"), sum(col("vsum")).as("value_sum"))
+      .select(col("grp"), col("bucket"),
+        col("omin.v").as("open"), col("high"), col("low"),
+        col("omax.v").as("close"), col("n_events"), col("value_sum"))
+  }
+
   /** Stream `rows` (`id`, `item`) through an EXACTLY-ONCE
     * frequent-items sketch accumulator in `nBatches` stop/start cycles:
     * each micro-batch reduces to ONE compact sketch row written

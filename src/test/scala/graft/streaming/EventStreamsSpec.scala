@@ -193,4 +193,38 @@ class EventStreamsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .select(freqStreamLength(col("sk"))).collect().head.getLong(0)
     tampered should be > n.toLong
   }
+
+  test("streamed OHLC partials merge to exactly the batch rollup across " +
+      "restart cycles; a re-counted batch is detected") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // ids deliberately NOT time-ordered: batch slicing is by id range,
+    // so a bucket's open/close can land in different micro-batches —
+    // the merge must still pick the global (ts, id) endpoints
+    val rows = (1 to 600).map { i =>
+      (i.toLong, s"g${i % 3}", ((i * 7919) % 100).toLong, i / 3.0)
+    }.toDF("id", "grp", "ts", "v")
+    val work = java.nio.file.Files.createTempDirectory("sohlc").toString
+    val streamed = graft.streaming.Replay.ohlcReplay(s, rows, work,
+        bucketWidth = 10L, nBatches = 3)
+      .select(col("grp"), col("bucket"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"),
+        round(col("value_sum"), 6).as("value_sum"))
+      .orderBy("grp", "bucket").collect().toSeq
+    val batch = graft.operators.Resample.ohlc(rows, "ts", "grp", "v", "id", 10L)
+      .select(col("grp"), col("bucket"), col("open"), col("high"),
+        col("low"), col("close"), col("n_events"),
+        round(col("value_sum"), 6).as("value_sum"))
+      .orderBy("grp", "bucket").collect().toSeq
+    streamed shouldBe batch
+    // NEGATIVE CONTROL: re-land one batch's partials under a fresh
+    // batchId (a non-idempotent sink's restart) — counts must inflate
+    val b0 = s.read.parquet(s"$work/ohlc/batch_0")
+    b0.write.mode("overwrite").parquet(s"$work/ohlc/batch_99")
+    val tampered = s.read.parquet(s"$work/ohlc/batch_*")
+      .groupBy(col("grp"), col("bucket"))
+      .agg(sum(col("cnt")).as("n")).agg(sum(col("n"))).head().getLong(0)
+    tampered should be > 600L
+  }
 }
