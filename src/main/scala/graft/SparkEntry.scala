@@ -1978,6 +1978,15 @@ object SparkEntry {
         .orderBy(col("total_count").desc, col("term"))
         .limit(100)),
 
+    // PMI collocations: the top adjacent word pairs that co-occur far
+    // beyond their unigram masses — one floor(ln(ratio)·1e6) on
+    // left-associative double products of the exact counts, so the
+    // ranking replays cross-engine up to the accepted ln-ulp class
+    "vocab_pmi_bigrams" -> ((s, dir) =>
+      graft.operators.Keywords.pmiCollocations(
+          s.read.parquet(s"$dir/documents.parquet"), k = 30, minCount = 5)
+        .orderBy("rk")),
+
     // -- PII scrubbing (graft.operators.Pii) -------------------------------
     // The corpus is synthetic (no real PII), so the queries inject
     // deterministic PII derived from doc_id — email always, ipv4 on
@@ -6399,6 +6408,36 @@ object SparkEntry {
         |  CAST(sum(tf) AS BIGINT) AS total_count
         |FROM tf GROUP BY term HAVING count(*) >= 3
         |ORDER BY total_count DESC, term LIMIT 100""".stripMargin,
+
+    // PMI replay: identical left-associative double products
+    // (n_pair·N·N over M·c(l)·c(r)) and one floor(ln·1e6)
+    "vocab_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |uni AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(w) AS t FROM toks) WHERE t <> '' GROUP BY 1),
+        |bi_all AS (
+        |  SELECT l, r, CAST(count(*) AS BIGINT) AS n_pair FROM (
+        |    SELECT w[i-1] AS l, w[i] AS r
+        |    FROM toks, unnest(range(2, len(w)+1)) AS u(i))
+        |  WHERE l <> '' AND r <> '' GROUP BY 1, 2),
+        |bi AS (SELECT * FROM bi_all WHERE n_pair >= 5),
+        |tot AS (SELECT (SELECT sum(c) FROM uni) AS n,
+        |               (SELECT sum(n_pair) FROM bi_all) AS m),
+        |scored AS (
+        |  SELECT b.l, b.r, b.n_pair,
+        |    CAST(floor(ln((b.n_pair * 1.0 * t.n * t.n) /
+        |      (t.m * 1.0 * ul.c * ur.c)) * 1e6) AS BIGINT) AS pmi_mil
+        |  FROM bi b JOIN uni ul ON ul.t = b.l JOIN uni ur ON ur.t = b.r
+        |  CROSS JOIN tot t)
+        |SELECT l, r, n_pair, pmi_mil, rk FROM (
+        |  SELECT l, r, n_pair, pmi_mil,
+        |    CAST(row_number() OVER (ORDER BY pmi_mil DESC, l, r) AS BIGINT)
+        |      AS rk
+        |  FROM scored)
+        |WHERE rk <= 30 ORDER BY rk""".stripMargin,
 
     "pii_stats" ->
       s"""WITH p AS ($piiDocsSql)

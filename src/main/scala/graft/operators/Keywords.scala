@@ -92,6 +92,69 @@ object Keywords {
       .agg(count(lit(1)).as("doc_freq"), sum("tf").as("total_count"))
       .filter(col("doc_freq") >= minDocFreq)
 
+  /** PMI collocation mining (Church & Hanks' pointwise mutual
+    * information over adjacent bigrams): the corpus's top-`k` word
+    * pairs that co-occur far more than their unigram frequencies
+    * predict — the classic multi-word-expression / named-entity
+    * candidate list a vocabulary pipeline feeds to its tokenizer.
+    * `PMI(a,b) = ln( p(ab) / (p(a)·p(b)) )` with `p(ab) = c(ab)/M`
+    * (bigram mass) and `p(a) = c(a)/N` (token mass), mil-scaled as ONE
+    * `floor(ln(ratio)·10⁶)` on the ratio `c(ab)·N² / (M·c(a)·c(b))`.
+    * Both engines build numerator and denominator as LEFT-ASSOCIATIVE
+    * double products of the integer counts: exact below 2⁵³, and above
+    * it IEEE rounding is order-deterministic, so the two engines still
+    * compute the identical double (never a BIGINT overflow at web-scale
+    * token counts — N² alone passes 2⁶³ around N = 3·10⁹). The only
+    * cross-engine boundary is the accepted ln-ulp class. `minCount`
+    * suppresses the classic PMI pathology (hapax pairs score highest).
+    *
+    * Plan: one tokenize feeding a unigram and a bigram aggregate (both
+    * map-side combined, vocab-sized outputs), 1-row totals broadcast,
+    * top-k as a distributed ranked take. */
+  def pmiCollocations(docs: DataFrame, k: Int = 30, minCount: Long = 5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val base = docs.select(split(lower(trim(col(textCol))), "\\s+").as("__w"))
+    Dedup.withProjectionCache(base)(pmiRanked(_, k, minCount))
+  }
+
+  /** The count-and-rank stage of [[pmiCollocations]] over the tokenized
+    * `(__w)` relation — split out so the plan pin can see the shape the
+    * scope cache's trailing checkpoint hides. */
+  private[graft] def pmiRanked(base: DataFrame, k: Int,
+      minCount: Long): DataFrame = {
+    val uni = base.select(explode(col("__w")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    // the bigram MASS (M) comes from the unfiltered pair counts —
+    // thresholding before the total would bias every p(ab) upward
+    val biAll = base.filter(size(col("__w")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(2, size(__w)),
+          |  i -> struct(element_at(__w, i - 1) AS l,
+          |              element_at(__w, i) AS r))""".stripMargin)).as("b"))
+      .select(col("b.l").as("l"), col("b.r").as("r"))
+      .filter(col("l") =!= "" && col("r") =!= "")
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("n_pair"))
+    val bi = biAll.filter(col("n_pair") >= minCount)
+    val totals = uni.agg(sum(col("c")).as("n"))
+      .crossJoin(biAll.agg(sum(col("n_pair")).as("m")))
+    val scored = bi
+      .join(broadcast(uni.select(col("t").as("l"), col("c").as("cl"))), "l")
+      .join(broadcast(uni.select(col("t").as("r"), col("c").as("cr"))), "r")
+      .crossJoin(broadcast(totals))
+      .select(col("l"), col("r"), col("n_pair"),
+        floor(log((col("n_pair").cast("double") * col("n") * col("n")) /
+          (col("m").cast("double") * col("cl") * col("cr"))) * 1e6)
+          .cast("long").as("pmi_mil"))
+    val top = scored
+      .orderBy(col("pmi_mil").desc, col("l"), col("r"))
+      .limit(k)
+    val w = Window.orderBy(col("pmi_mil").desc, col("l"), col("r"))
+    top.withColumn("rk", row_number().over(w).cast("long"))
+  }
+
   /** RAKE keyword extraction (Rose et al., "Automatic Keyword Extraction
     * from Individual Documents", 2010) at corpus level: candidate
     * phrases are the maximal runs of non-stopword tokens (stopwords and

@@ -402,6 +402,45 @@ class KeywordsSpec extends AnyFunSuite with Matchers with SparkSpec {
       .count() shouldBe 0L
   }
 
+  test("pmiCollocations: hand-computed PMI on a planted collocation, " +
+      "bigram mass from the UNFILTERED counts, minCount gates hapax pairs") {
+    val s = spark
+    import s.implicits._
+    // 'new york' always co-occurs; 'the' is everywhere — PMI must rank
+    // the collocation above the frequent-but-independent pair
+    val docs = (1 to 8).map(i =>
+        (i.toLong, s"the new york the t$i the new york"))
+      .toDF("doc_id", "text")
+    val got = Keywords.pmiCollocations(docs, k = 5, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toList
+    // independent reference with the identical arithmetic
+    val toks = (1 to 8).flatMap(i =>
+      s"the new york the t$i the new york".split(" ").toSeq)
+    val unis = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = (1 to 8).flatMap { i =>
+      val w = s"the new york the t$i the new york".split(" ").toSeq
+      w.zip(w.tail)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.size.toLong
+    val m = bis.values.sum
+    def pmi(l: String, r: String): Long =
+      math.floor(math.log((bis((l, r)).toDouble * n * n) /
+        (m.toDouble * unis(l) * unis(r))) * 1e6).toLong
+    val expected = bis.filter(_._2 >= 2).toSeq
+      .map { case ((l, r), c) => (l, r, c, pmi(l, r)) }
+      .sortBy(t => (-t._4, t._1, t._2))
+      .take(5).zipWithIndex
+      .map { case ((l, r, c, p), i) => (l, r, c, p, i + 1L) }
+    got shouldBe expected
+    // the collocation outranks the frequent independent pair
+    got.head._1 shouldBe "new"
+    got.head._2 shouldBe "york"
+    // the per-doc-unique 'the t<i>' pairs are hapax — gated by minCount
+    got.map(t => (t._1, t._2)) should not contain ("the" -> "t1")
+  }
+
   test("rakeKeywords: hand-computed stats on the classic shape, repeated " +
       "phrases collapse with counts, top-k truncates") {
     val s = spark
