@@ -229,17 +229,39 @@ object Graph {
     * the [[connectedComponents]] signature pattern), still integer-
     * exact and engine-portable (the update is three separate truncating
     * divisions; a replaying engine must decompose identically).
-    * `nodes` fixes the vertex universe. */
+    * `nodes` fixes the vertex universe.
+    *
+    * PERSONALIZED PageRank (`restartNodes`): the random surfer restarts
+    * only into the given seed set — proximity-to-trusted-set scoring
+    * (crawl prioritization from seed domains, topic-sensitive
+    * authority, recsys trust propagation). The restart mass
+    * `(scale·(100−dampingPct)) div (100·|R|)` lands on seed nodes only
+    * (everyone else's base term is 0), the initial distribution is
+    * seed-concentrated (`scale div |R|` each — the natural PPR start),
+    * and with `redistributeDangling` the dangling mass returns to the
+    * SEEDS uniformly (the standard PPR policy — dangling surfers
+    * restart). Same integer lattice, same fixed-round replayability;
+    * seeds outside the node universe are dropped, an empty effective
+    * seed set refuses loudly. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String = "node",
       iterations: Int = 15, dampingPct: Int = 85,
       scale: Long = 1000000000L,
-      redistributeDangling: Boolean = false): DataFrame = {
+      redistributeDangling: Boolean = false,
+      restartNodes: Option[DataFrame] = None,
+      restartCol: String = "node"): DataFrame = {
     require(iterations >= 0 && iterations <= 100, "iterations in [0, 100]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
     val vs = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint(true)
     val n = vs.count()
     if (n == 0L) return vs.withColumn("rank_scaled", lit(0L))
+    val restart = restartNodes.map(_.filter(col(restartCol).isNotNull)
+      .select(col(restartCol).as("node")).distinct()
+      .join(vs, Seq("node"), "left_semi")
+      .localCheckpoint(true))
+    val rCount = restart.map(_.count()).getOrElse(n)
+    require(restartNodes.isEmpty || rCount > 0L,
+      "pageRank: the restart set is empty or entirely outside the node universe")
     val es = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       // edges must point inside the vertex universe or mass leaks to
@@ -255,8 +277,14 @@ object Graph {
         vs.join(deg.select(col("src").as("node")), Seq("node"), "left_anti")
           .localCheckpoint(true)
       else null
-    val base = (scale * (100L - dampingPct)) / (100L * n)
-    var ranks = vs.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    val base = (scale * (100L - dampingPct)) / (100L * rCount)
+    var ranks = restart match {
+      case Some(r) =>
+        vs.join(r.withColumn("__r0", lit(scale / rCount)), Seq("node"), "left")
+          .select(col("node"), coalesce(col("__r0"), lit(0L)).as("r"))
+          .localCheckpoint(true)
+      case None => vs.withColumn("r", lit(scale / n)).localCheckpoint(true)
+    }
     // the frame whose root IS a checkpoint (release targets walk the
     // plan for the first LogicalRDD — handing them a lazily-stacked
     // frame would unpersist an upstream relation still in use)
@@ -273,20 +301,29 @@ object Graph {
         if (redistributeDangling) {
           val d = ranks.join(dangling, Seq("node"), "left_semi")
             .agg(coalesce(sum(col("r")), lit(0L))).head().getLong(0)
-          (dampingPct * d) / (100L * n)
+          (dampingPct * d) / (100L * rCount)
         } else 0L
       val contrib = ranks
         .join(deg, ranks("node") === deg("src"))
         .join(es, Seq("src"))
         .select(col("dst").as("node"), expr("r div deg").as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
-      var next = vs
-        .join(contrib, Seq("node"), "left")
-        // integral `div`, NOT Column./ (which is double division and
-        // would push the ranks off the integer lattice)
-        .select(col("node"),
-          expr(s"${base}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L" +
-            s" + ${extra}L").as("r"))
+      // integral `div`, NOT Column./ (which is double division and
+      // would push the ranks off the integer lattice). Personalized
+      // mode lands the base AND dangling terms on seeds only.
+      var next = restart match {
+        case Some(r) =>
+          vs.join(contrib, Seq("node"), "left")
+            .join(r.withColumn("__in_r", lit(true)), Seq("node"), "left")
+            .select(col("node"),
+              expr(s"CASE WHEN __in_r THEN ${base}L + ${extra}L ELSE 0L END" +
+                s" + (${dampingPct}L * coalesce(__s, 0L)) div 100L").as("r"))
+        case None =>
+          vs.join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              expr(s"${base}L + (${dampingPct}L * coalesce(__s, 0L)) div 100L" +
+                s" + ${extra}L").as("r"))
+      }
       // truncate lineage every few rounds, not every round: the chain
       // between checkpoints is a handful of joins against already-
       // checkpointed relations (linear, cheap to analyze), and each
