@@ -137,10 +137,14 @@ object Bench {
          |  "queries": $detail
          |}""".stripMargin
     // default artifact path follows the working directory (the repo root
-    // under sbt run), not a hardcoded absolute path
+    // under sbt run), not a hardcoded absolute path. A filtered
+    // (SPARK_GRAFT_BENCH_ONLY) run defaults to BENCH_SUBSET.json so a
+    // partial A/B can never clobber the canonical full-surface artifact;
+    // an explicit SPARK_GRAFT_BENCH_OUT still wins.
+    val defaultName = if (only.nonEmpty) "BENCH_SUBSET.json" else "BENCH_LOCAL.json"
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-        java.nio.file.Paths.get(sys.props("user.dir"), "BENCH_LOCAL.json").toString))
+        java.nio.file.Paths.get(sys.props("user.dir"), defaultName).toString))
     java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     // the stdout line stays flat (the driver's parse contract); "detail"
     // points at the self-written artifact carrying per-run times, medians,

@@ -342,6 +342,14 @@ object Graph {
       ranks = next
       it += 1
     }
+    // the returned frame reads only the last ranks checkpoint — the
+    // helper relations (seed set, edges, degrees, dangling list) would
+    // otherwise stay pinned in executor storage until frame GC
+    restart.foreach(Dedup.releaseCheckpoint)
+    Dedup.releaseCheckpoint(vs)
+    Dedup.releaseCheckpoint(es)
+    Dedup.releaseCheckpoint(deg)
+    if (dangling != null) Dedup.releaseCheckpoint(dangling)
     ranks.select(col("node"), col("r").as("rank_scaled"))
   }
 

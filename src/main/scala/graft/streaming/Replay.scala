@@ -379,7 +379,14 @@ object Replay {
       java.nio.file.Files.createDirectories(root)
       val d = rows.select(col("id"), col("grp"), col("ts"), col("v"))
         .localCheckpoint(true)
+      // The batch slicer partitions the feed by id ranges: a NULL id would
+      // fall out of every slice (silently diverging from the batch oracle,
+      // which only uses id as a tiebreak), and an empty input would NPE on
+      // the min/max read below. Refuse both loudly.
+      require(d.filter(col("id").isNull).isEmpty,
+        "ohlcReplay requires non-null ids: null ids would be dropped from every micro-batch slice")
       val ids = d.agg(min(col("id")), max(col("id"))).head()
+      require(!ids.isNullAt(0), "ohlcReplay requires a non-empty input feed")
       val (lo, hi) = (ids.getLong(0), ids.getLong(1))
       val per = math.max(1L, (hi - lo + nBatches) / nBatches)
       val src = root.resolve("src").toString
