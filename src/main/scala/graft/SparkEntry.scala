@@ -146,6 +146,43 @@ object SparkEntry {
     (base, changed.unionByName(inserts))
   }
 
+  /** Schema of the [[largeDim]] dimension — explicit so stored-layout
+    * readers never infer from files (readOrEmpty's contract). */
+  private val largeDimSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("dim_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("qty",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("price",
+      org.apache.spark.sql.types.DoubleType),
+    org.apache.spark.sql.types.StructField("flag",
+      org.apache.spark.sql.types.StringType)))
+
+  /** Build-once bucketed layouts for the PRODUCTION upsert path: the
+    * [[largeDim]] dimension and its delta staged hash-bucketed on the
+    * merge key ([[graft.core.TableStore.stageBucketed]]), so the
+    * full-outer merge join plans with NO Exchange on either side. In the
+    * pipeline the cycle writes the dimension bucketed anyway
+    * (`ScdConfig.snapshotBuckets`) and the delta arrives partitioned from
+    * the stream — the layout is not an extra cost of the merge, which is
+    * why `scd_upsert_stored` measures the steady state while
+    * `scd_upsert_large` stays the honest derived-frame twin that pays
+    * (and at sf10 showed a 2.7× swing from) the two-sided shuffle. */
+  private[graft] def upsertStoredTables(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val root = java.nio.file.Paths.get(fixtureRoot,
+      "graft-upsert-stored-" + corpusFingerprint(Seq(s"$dir/lineitem.parquet")))
+    val store = new graft.core.TableStore(root.toString, s)
+    if (!store.exists("dim_base")) {
+      val (b1, b2) = largeDim(s, dir)
+      store.commit(Map(
+        "dim_base" -> store.stageBucketed("dim_base", b1, Seq("dim_id"), 32),
+        "dim_delta" -> store.stageBucketed("dim_delta", b2, Seq("dim_id"), 32)))
+    }
+    (store.readOrEmpty("dim_base", largeDimSchema),
+      store.readOrEmpty("dim_delta", largeDimSchema))
+  }
+
   /** Events with a canonical epoch-microsecond `ts_us`, dispatched on the
     * on-disk type of `ts`: parquet µs/ms timestamps arrive as
     * TIMESTAMP/TIMESTAMP_NTZ (converted under the builders' pinned UTC
@@ -1473,6 +1510,24 @@ object SparkEntry {
         .orderBy("flag")
     }),
 
+    // the flagship MERGE upsert through the PRODUCTION layout: dimension
+    // and delta both stored hash-bucketed on the merge key, so the
+    // full-outer merge joins two co-partitioned sorted scans with zero
+    // Exchange (PlanSpec-pinned) — scd_upsert_large above is the honest
+    // derived-frame twin that pays the two-sided shuffle and inherited
+    // its variance at scale. Layouts are built once per corpus (the
+    // pipeline cycle writes the dimension bucketed anyway); same oracle
+    // as the large twin: the layout is physical, the result identical.
+    "scd_upsert_stored" -> ((s, dir) => {
+      val (base, delta) = upsertStoredTables(s, dir)
+      Merge.upsert(base, delta, Seq("dim_id"), broadcastSource = false)
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("qty")), 2).as("sum_qty"),
+          round(sum(col("price")), 2).as("sum_price"))
+        .orderBy("flag")
+    }),
+
     "scd_cdc_large" -> ((s, dir) => {
       val (b1, b2) = largeDim(s, dir)
       SnapshotCdc.diff(b1, Merge.upsert(b1, b2, Seq("dim_id")), Seq("dim_id"))
@@ -1524,17 +1579,8 @@ object SparkEntry {
           "snap_prev" -> store.stageBucketed("snap_prev", b1, Seq("dim_id"), 32),
           "snap_curr" -> store.stageBucketed("snap_curr", merged, Seq("dim_id"), 32)))
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("dim_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("qty",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("price",
-          org.apache.spark.sql.types.DoubleType),
-        org.apache.spark.sql.types.StructField("flag",
-          org.apache.spark.sql.types.StringType)))
-      SnapshotCdc.diff(store.readOrEmpty("snap_prev", schema),
-          store.readOrEmpty("snap_curr", schema), Seq("dim_id"))
+      SnapshotCdc.diff(store.readOrEmpty("snap_prev", largeDimSchema),
+          store.readOrEmpty("snap_curr", largeDimSchema), Seq("dim_id"))
         .groupBy(col(graft.core.Schemas.cdcActionCol).as("_action"),
           col(graft.core.Schemas.cdcIsUpdateCol).as("_is_update"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("qty")), 2).as("sum_qty"))
@@ -5900,6 +5946,25 @@ object SparkEntry {
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
     "scd_upsert_large" ->
+      """WITH base AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
+        |         max(l_extendedprice) AS price, min(l_returnflag) AS flag
+        |  FROM lineitem GROUP BY 1),
+        |merged AS (
+        |  SELECT dim_id,
+        |    CASE WHEN dim_id % 7 = 0 THEN qty + 1 ELSE qty END AS qty,
+        |    CASE WHEN dim_id % 5 = 0 THEN price * 2 ELSE price END AS price,
+        |    flag
+        |  FROM base
+        |  UNION ALL
+        |  SELECT dim_id + 1000000000, qty, price, 'X' FROM base WHERE dim_id % 11 = 0)
+        |SELECT flag, count(*) AS cnt, round(sum(qty), 2) AS sum_qty,
+        |  round(sum(price), 2) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // identical closed form to scd_upsert_large: the bucketed layout is
+    // physical, the merge result must be bit-identical
+    "scd_upsert_stored" ->
       """WITH base AS (
         |  SELECT l_orderkey * 8 + l_linenumber AS dim_id, max(l_quantity) AS qty,
         |         max(l_extendedprice) AS price, min(l_returnflag) AS flag

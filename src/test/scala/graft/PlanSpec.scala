@@ -406,6 +406,43 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("bucketed dimension + delta layouts make the MERGE upsert " +
+      "exchange-free and match the plain-layout result") {
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.TableStore(tmpDir("ups-store"), spark)
+    // dimension + delta covering update / insert / unchanged rows
+    val b1 = (1L to 500L).map(i => (i, i * 1.0, i * 2.0, "A"))
+      .toDF("dim_id", "qty", "price", "flag")
+    val b2 = (1L to 500L).filter(_ % 3 == 0)
+      .map(i => (i, i * 1.0 + 1, i * 2.0, "A"))
+      .toDF("dim_id", "qty", "price", "flag")
+      .unionByName(Seq((9001L, 1.0, 2.0, "X"), (9002L, 3.0, 4.0, "X"))
+        .toDF("dim_id", "qty", "price", "flag"))
+    store.commit(Map(
+      "dim_base" -> store.stageBucketed("dim_base", b1, Seq("dim_id"), 8),
+      "dim_delta" -> store.stageBucketed("dim_delta", b2, Seq("dim_id"), 8)))
+    val schema = b1.schema
+    val merged = Merge.upsert(
+      store.readOrEmpty("dim_base", schema),
+      store.readOrEmpty("dim_delta", schema),
+      Seq("dim_id"), broadcastSource = false)
+    // both scans report HashPartitioning(dim_id, 8): the full-outer
+    // merge join needs no Exchange on either side — the J1 upsert's
+    // whole cost at 100 TB is otherwise a two-sided dimension shuffle
+    // per cycle (a full-outer join can't broadcast, so no threshold
+    // games are needed for this assertion)
+    val plan = executedPlan(merged)
+    plan should not include "Exchange"
+    plan should include("SortMergeJoin")
+    plan should include("SelectedBucketsCount")
+    // layout is physical only: result identical to the plain merge
+    val expected = Merge.upsert(b1, b2, Seq("dim_id"),
+        broadcastSource = false)
+      .orderBy("dim_id").collect()
+    merged.orderBy("dim_id").collect() shouldBe expected
+  }
+
   test("dsirSelect plans a distributed ranked take and broadcasts the " +
       "weight model — never a global sort of the corpus") {
     val s = spark
