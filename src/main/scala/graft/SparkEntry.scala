@@ -2284,6 +2284,20 @@ object SparkEntry {
           targetPred = col("lang") === "en", n = 100)
         .orderBy("doc_id")),
 
+    // DSIR in the paper's PRODUCTION form: features hashed into a fixed
+    // 10k-bucket space, so the weight model is ≤10k rows at any corpus
+    // size (the exact-vocabulary model above is corpus-n-gram-sized —
+    // at web scale it stops fitting in a broadcast). md5 bucket mode so
+    // the oracle replays the hash assignment in closed form; xxhash64
+    // is the scale default (spec pins mode-equivalence of the pipeline
+    // and exact-vs-hashed selection overlap).
+    "curation_dsir_hashed" -> ((s, dir) =>
+      graft.operators.Curation.dsirSelectHashed(
+          s.read.parquet(s"$dir/documents.parquet"),
+          targetPred = col("lang") === "en", n = 100,
+          numBuckets = 10000, hashMode = "md5")
+        .orderBy("doc_id")),
+
     "dedup_exact" -> ((s, dir) => {
       Dedup.exact(s.read.parquet(s"$dir/documents.parquet"))
         .select(col("doc_id"), T.fingerprint(col("text")).as("fp"))
@@ -6925,6 +6939,47 @@ object SparkEntry {
         |  FROM documents),
         |toks AS (
         |  SELECT id, t, term FROM (
+        |    SELECT id, t, unnest(w) AS term FROM base
+        |    UNION ALL
+        |    SELECT id, t, w[i-1] || ' ' || w[i] AS term
+        |    FROM base, unnest(range(2, len(w)+1)) AS u(i))
+        |  WHERE term <> ''),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        |  FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr, count(*) AS v FROM counts),
+        |wt AS (
+        |  SELECT term,
+        |    CAST(floor(ln((ct + 1) * 1.0 / (tt + v)) * 1e6) AS BIGINT) -
+        |    CAST(floor(ln((cr + 1) * 1.0 / (tr + v)) * 1e6) AS BIGINT) AS w_mil
+        |  FROM counts, tot),
+        |scored AS (
+        |  SELECT k.id, CAST(sum(w.w_mil) AS BIGINT) AS weight_mil,
+        |    CAST(count(*) AS BIGINT) AS n_feats
+        |  FROM toks k JOIN wt w ON w.term = k.term
+        |  WHERE NOT k.t GROUP BY 1)
+        |SELECT id AS doc_id, weight_mil, n_feats, rk FROM (
+        |  SELECT id, weight_mil, n_feats,
+        |    CAST(row_number() OVER (ORDER BY weight_mil DESC, id) AS BIGINT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 100 ORDER BY doc_id""".stripMargin,
+
+    // hashed-feature DSIR replay: identical model/score/rank pipeline,
+    // but every term first maps to md5-derived bucket
+    // `('0x'||substr(md5(term),1,8))::UBIGINT % 10000` — the closed-form
+    // twin of the Spark md5 bucket mode
+    "curation_dsir_hashed" ->
+      """WITH base AS (
+        |  SELECT doc_id AS id, (lang = 'en') AS t,
+        |    string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |toks AS (
+        |  SELECT id, t,
+        |    CAST(CAST(('0x' || substr(md5(term), 1, 8)) AS UBIGINT) % 10000
+        |      AS BIGINT) AS term
+        |  FROM (
         |    SELECT id, t, unnest(w) AS term FROM base
         |    UNION ALL
         |    SELECT id, t, w[i-1] || ' ' || w[i] AS term

@@ -480,21 +480,75 @@ object Curation {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // the token relation feeds both the model estimation and the
+    // per-doc scoring — scope-cache it so the corpus is tokenized once,
+    // not once per consumer
+    Dedup.withProjectionCache(
+        dsirTokens(docs, targetPred, textCol, idCol))(dsirRanked(_, n))
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** The shared `(id, __t, term)` unigram+bigram feature relation of
+    * [[dsirSelect]] / [[dsirSelectHashed]]. */
+  private def dsirTokens(docs: DataFrame, targetPred: Column,
+      textCol: String, idCol: String): DataFrame = {
     val base = docs.select(col(idCol).as("id"), targetPred.as("__t"),
       split(lower(trim(col(textCol))), "\\s+").as("__w"))
     val grams = concat(col("__w"), expr(
       """transform(sequence(2, size(__w)),
         |  i -> concat(element_at(__w, i - 1), ' ', element_at(__w, i)))
         |""".stripMargin))
-    val toks = base
+    base
       .select(col("id"), col("__t"),
         explode(when(size(col("__w")) >= 2, grams).otherwise(col("__w")))
           .as("term"))
       .filter(col("term") =!= "")
-    // the token relation feeds both the model estimation and the
-    // per-doc scoring — scope-cache it so the corpus is tokenized once,
-    // not once per consumer
-    Dedup.withProjectionCache(toks)(dsirRanked(_, n))
+  }
+
+  /** [[dsirSelect]] over a HASHED feature space — the paper's production
+    * form (Xie et al. hash the n-gram features into a fixed 10k-bucket
+    * space): every unigram/bigram maps to `hash(term) mod numBuckets`
+    * and the importance models are estimated over bucket counts, so the
+    * weight model is AT MOST `numBuckets` rows no matter the corpus. At
+    * 100 TB this is the difference between a model that fits in one
+    * broadcast forever (10k longs ≈ 160 KB) and the exact-vocabulary
+    * model, whose bigram vocabulary grows with the pool until it is
+    * itself corpus-scale and stops broadcasting. Collisions merge
+    * feature counts — the paper's accepted trade; selection degrades
+    * gracefully as buckets shrink (the spec pins exact-vs-hashed
+    * selection overlap on a corpus where the models agree).
+    *
+    * `hashMode`: `"xxhash64"` (default) is the scale path — one
+    * codegen'd 64-bit hash per token; `"md5"` derives the bucket from
+    * md5's first 8 hex chars so an external SQL engine replays the
+    * assignment in closed form (the [[hashFraction]] /
+    * [[Dedup.portableBandKeys]] portability discipline). Everything
+    * downstream of the bucket mapping — add-1 smoothing over observed
+    * buckets, mil-scaled floor(ln) integer weights, exact integer doc
+    * scores, deterministic `(weight desc, id)` top-n — is byte-for-byte
+    * the [[dsirRanked]] stage the exact variant runs. */
+  def dsirSelectHashed(
+      docs: DataFrame,
+      targetPred: Column,
+      n: Int,
+      numBuckets: Int = 10000,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashMode: String = "xxhash64"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val bucket = hashMode match {
+      case "xxhash64" => pmod(xxhash64(col("term")), lit(numBuckets.toLong))
+      case "md5" =>
+        pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+          lit(numBuckets.toLong))
+      case other =>
+        throw new IllegalArgumentException(
+          s"hashMode must be xxhash64|md5, got $other")
+    }
+    val bucketed = dsirTokens(docs, targetPred, textCol, idCol)
+      .select(col("id"), col("__t"), bucket.as("term"))
+    Dedup.withProjectionCache(bucketed)(dsirRanked(_, n))
       .withColumnRenamed("id", idCol)
   }
 

@@ -278,6 +278,60 @@ class CurationSpec extends AnyFunSuite with Matchers with SparkSpec {
       out.take(2).map(_._1)
   }
 
+  test("dsirSelectHashed: collision-free bucket space reproduces the exact " +
+      "selection in both hash modes; tiny bucket space still selects n") {
+    val s = spark
+    import s.implicits._
+    // small-vocabulary corpus: ~60 distinct unigram+bigram features into
+    // 10k buckets — if no two features collide, bucket counts equal term
+    // counts, v (observed buckets) equals the vocabulary size, and the
+    // hashed pipeline must land on EXACTLY the exact-model selection.
+    // Collision-freedom is asserted, not assumed, so the equality check
+    // can never silently weaken.
+    val rows = (1L to 40L).map { i =>
+      val words = Seq("alpha", "beta", "gamma", "delta", "eps")
+      val text = (0 until 6).map(j => words(((i + j) % 5).toInt)).mkString(" ")
+      (i, text + (if (i % 4 == 0) " omega" else ""), i % 3 == 0)
+    }
+    val df = rows.toDF("doc_id", "text", "is_t")
+    def ids(out: org.apache.spark.sql.DataFrame): List[(Long, Long, Long, Long)] =
+      out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toList.sortBy(_._1)
+
+    val feats = df.select(explode(concat(
+        split(lower(trim(col("text"))), "\\s+"),
+        expr("""transform(sequence(2, size(split(lower(trim(text)), '\\s+'))),
+          i -> concat(element_at(split(lower(trim(text)), '\\s+'), i - 1), ' ',
+                      element_at(split(lower(trim(text)), '\\s+'), i)))""")))
+        .as("term")).distinct()
+    Seq(
+      pmod(xxhash64(col("term")), lit(10000L)),
+      pmod(conv(substring(md5(col("term")), 1, 8), 16, 10).cast("long"),
+        lit(10000L))).foreach { bucket =>
+      val nTerms = feats.count()
+      val nBuckets = feats.select(bucket).distinct().count()
+      nBuckets shouldBe nTerms // collision-free premise, asserted
+    }
+
+    val exact = ids(Curation.dsirSelect(df, col("is_t"), n = 15))
+    ids(Curation.dsirSelectHashed(df, col("is_t"), n = 15,
+      numBuckets = 10000)) shouldBe exact
+    ids(Curation.dsirSelectHashed(df, col("is_t"), n = 15,
+      numBuckets = 10000, hashMode = "md5")) shouldBe exact
+
+    // graceful degradation: a bucket space far smaller than the
+    // vocabulary (the 100 TB regime in miniature) still yields a full,
+    // deterministic top-n of raw-pool docs — the weight model is bounded
+    // by numBuckets, never by the corpus
+    val tiny = Curation.dsirSelectHashed(df, col("is_t"), n = 15,
+      numBuckets = 8).collect()
+    tiny.length shouldBe 15
+    tiny.map(_.getLong(3)).sorted.toList shouldBe (1L to 15L).toList
+    val rawIds = rows.filterNot(_._3).map(_._1).toSet
+    tiny.map(_.getLong(0)).foreach(id => assert(rawIds.contains(id)))
+  }
+
   test("hashed and string contamination agree on the real corpus") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val train = d.filter(col("doc_id") % 2 === 0)
