@@ -3566,6 +3566,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WEIGHTED PageRank: the same 3-outlink quadratic multigraph, each
+    // edge carrying integer weight 1 + (src + 13j) mod 5, so a source's
+    // rank splits weight-proportionally — `(r·w) div Σw` per edge row,
+    // one truncating division, same integer lattice. Real link graphs
+    // (link counts) and the dedup tier's Jaccard-weighted near-dup
+    // edges are weighted; the unweighted ranking mis-orders them. The
+    // oracle unrolls the same 15 rounds with deg = sum(w).
+    "graph_pagerank_weighted" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array((1 to 3).map(j => struct(
+            ((col("doc_id") * col("doc_id") + j * 31L) % col("__m")).as("dst"),
+            (lit(1L) + (col("doc_id") + j * 13L) % 5L).as("w"))): _*)).as("e"))
+        .select(col("src"), col("e.dst").as("dst"), col("e.w").as("w"))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+          nodes = d, nodeCol = "doc_id", iterations = 15,
+          weightCol = Some("w"))
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+        .orderBy("doc_id")
+    }),
+
     // FIRST-CLASS connected components (the r10 verdict's gap: CC was
     // only reachable through the dedup-cluster rows): a closed-form
     // synthetic graph exercising every shape the operator must survive —
@@ -4547,6 +4571,38 @@ object SparkEntry {
        |    FROM nodes, (VALUES (1),(2)) AS t(j) WHERE node < 200)
        |  WHERE dst IN (SELECT node FROM nodes)),
        |deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |pr0 AS MATERIALIZED (SELECT node,
+       |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, r AS rank_scaled FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** [[pageRankSql]]'s weighted twin: each edge carries integer weight
+    * `1 + (src + 13j) mod 5`, the out-mass divisor is `Σw` per source,
+    * and every edge row contributes `(r·w) // Σw` — the identical
+    * truncating-division decomposition the operator computes (per edge
+    * row, never pre-summed over parallel edges). MATERIALIZED for the
+    * [[pageRankDanglingSql]] reason. */
+  private val pageRankWeightedSql: String = {
+    val iters = 15
+    val step = (k: Int) =>
+      s"""pr${k + 1} AS MATERIALIZED (SELECT n.node,
+         |  CAST((1000000000::BIGINT * 15) // (100 * (SELECT n FROM nn)) +
+         |       (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum((p.r * e.w) // d.deg) AS BIGINT) AS s
+         |    FROM pr$k p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, w FROM (
+       |    SELECT node AS src,
+       |      (node*node + j*31) % (SELECT max(node)+1 FROM nodes) AS dst,
+       |      1 + (node + j*13) % 5 AS w
+       |    FROM nodes, (VALUES (1),(2),(3)) AS t(j))
+       |  WHERE dst IN (SELECT node FROM nodes)),
+       |deg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
        |pr0 AS MATERIALIZED (SELECT node,
        |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
@@ -8227,6 +8283,8 @@ object SparkEntry {
     "graph_pagerank_dangling" -> pageRankDanglingSql,
 
     "graph_pagerank_personalized" -> pageRankPersonalizedSql,
+
+    "graph_pagerank_weighted" -> pageRankWeightedSql,
 
     "graph_kcore" -> kCoreSql,
 

@@ -242,14 +242,30 @@ object Graph {
     * SEEDS uniformly (the standard PPR policy — dangling surfers
     * restart). Same integer lattice, same fixed-round replayability;
     * seeds outside the node universe are dropped, an empty effective
-    * seed set refuses loudly. */
+    * seed set refuses loudly.
+    *
+    * WEIGHTED edges (`weightCol`): real link and similarity graphs
+    * carry edge weights (link counts, Jaccard scores from the near-dup
+    * tier) and unweighted PageRank mis-ranks them — a source's rank
+    * splits in proportion to weight instead of uniformly. A node's
+    * out-mass divisor becomes `Σw` over its out-edges and each edge
+    * contributes `(r·w) div Σw` — one truncating division per edge, so
+    * the lattice stays exact and a replaying engine decomposes
+    * identically (parallel edges contribute per edge row, never
+    * pre-summed). Weights must be non-null positive integers (cast to
+    * long; refused loudly otherwise — a zero or negative weight has no
+    * random-surfer reading), and `scale · max(w)` must fit in a long
+    * (scale 10⁹ leaves room for weights up to ~9·10⁹). The unweighted
+    * path is byte-identical to before: `weightCol = None` keeps the
+    * `count`-degree plan, not a `w = 1` rewrite. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       nodes: DataFrame, nodeCol: String = "node",
       iterations: Int = 15, dampingPct: Int = 85,
       scale: Long = 1000000000L,
       redistributeDangling: Boolean = false,
       restartNodes: Option[DataFrame] = None,
-      restartCol: String = "node"): DataFrame = {
+      restartCol: String = "node",
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && iterations <= 100, "iterations in [0, 100]")
     require(dampingPct >= 0 && dampingPct <= 100, "dampingPct in [0, 100]")
     val vs = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint(true)
@@ -262,15 +278,22 @@ object Graph {
     val rCount = restart.map(_.count()).getOrElse(n)
     require(restartNodes.isEmpty || rCount > 0L,
       "pageRank: the restart set is empty or entirely outside the node universe")
-    val es = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val es = edges.select(
+        Seq(col(srcCol).as("src"), col(dstCol).as("dst")) ++
+          weightCol.map(c => col(c).cast("long").as("w")): _*)
       .filter(col("src").isNotNull && col("dst").isNotNull)
       // edges must point inside the vertex universe or mass leaks to
       // phantom nodes the caller never sees
       .join(vs.select(col("node").as("dst")), Seq("dst"), "left_semi")
       .join(vs.select(col("node").as("src")), Seq("src"), "left_semi")
       .localCheckpoint(true)
-    val deg = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+    if (weightCol.isDefined)
+      require(es.filter(col("w").isNull || col("w") < 1L).isEmpty,
+        "pageRank: edge weights must be non-null positive integers")
+    val deg = (weightCol match {
+      case Some(_) => es.groupBy(col("src")).agg(sum(col("w")).as("deg"))
+      case None => es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    }).localCheckpoint(true)
     // dangling = nodes with no outlink; id-sized, resolved once
     val dangling =
       if (redistributeDangling)
@@ -306,7 +329,9 @@ object Graph {
       val contrib = ranks
         .join(deg, ranks("node") === deg("src"))
         .join(es, Seq("src"))
-        .select(col("dst").as("node"), expr("r div deg").as("__c"))
+        .select(col("dst").as("node"),
+          (if (weightCol.isDefined) expr("(r * w) div deg")
+           else expr("r div deg")).as("__c"))
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
       // integral `div`, NOT Column./ (which is double division and
       // would push the ranks off the integer lattice). Personalized
@@ -376,16 +401,35 @@ object Graph {
     * superseded rounds released. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, nodeCol: String = "node", labelCol: String = "label",
-      iterations: Int = 5): DataFrame = {
+      iterations: Int = 5,
+      weightCol: Option[String] = None): DataFrame = {
     require(iterations >= 0 && iterations <= 100, "iterations in [0, 100]")
+    // WEIGHTED votes (`weightCol`): a neighbor's vote counts its edge
+    // weight instead of 1 — the natural semantics when the edges are
+    // the dedup tier's Jaccard-weighted near-dup graph (a 0.9-similar
+    // neighbor should out-vote three 0.3-similar ones). Weights must be
+    // non-null positive integers; symmetrization dedups exact
+    // (u, v, w) triples then SUMS surviving parallel edges per pair, so
+    // a pre-symmetrized input is not double-counted while genuinely
+    // parallel edges of different weights accumulate. Votes stay exact
+    // integer counts — the argmax discipline is unchanged.
     val base = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
-      .select(col(srcCol).as("u"), col(dstCol).as("v"))
-    val sym = base
-      .union(base.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint(true)
+      .select(Seq(col(srcCol).as("u"), col(dstCol).as("v")) ++
+        weightCol.map(c => col(c).cast("long").as("w")): _*)
+    val sym = (weightCol match {
+      case Some(_) =>
+        base.union(base.select(col("v").as("u"), col("u").as("v"), col("w")))
+          .distinct()
+          .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+      case None =>
+        base.union(base.select(col("v").as("u"), col("u").as("v")))
+          .distinct()
+    }).localCheckpoint(true)
+    if (weightCol.isDefined)
+      require(base.filter(col("w").isNull || col("w") < 1L).isEmpty,
+        "labelPropagation: edge weights must be non-null positive integers")
     val seed = seeds
       .filter(col(nodeCol).isNotNull && col(labelCol).isNotNull)
       .select(col(nodeCol).as("node"), col(labelCol).as("__seed"))
@@ -420,7 +464,10 @@ object Graph {
         .select(col("node").as("u"), col("lab"))
         .join(sym, "u")
         .groupBy(col("v").as("node"), col("lab"))
-        .agg(count(lit(1)).as("__c"))
+        .agg((weightCol match {
+          case Some(_) => sum(col("w"))
+          case None => count(lit(1))
+        }).as("__c"))
       val best = votes.join(broadcast(idx), "lab")
         .groupBy(col("node"))
         .agg(max(struct(col("__c"), (-col("__li")).as("__nli"),

@@ -287,6 +287,88 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
     lp(edges2, seeds, 2).apply(0L) shouldBe "b"
   }
 
+  test("weighted pageRank: exact integer reference, unit weights equal " +
+      "the unweighted path, bad weights refuse") {
+    val s = spark
+    import s.implicits._
+    // 0 →(w3) 1, 0 →(w1) 2: node 0's mass splits 3:1 through the exact
+    // decomposition (r·w) div Σw; 1 and 2 both feed back to 0 (w1)
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val nodes = Seq(0L, 1L, 2L)
+    def ref(iters: Int): Map[Long, Long] = {
+      val base = (1000000000L * 15L) / (100L * 3L)
+      var r = Array(1000000000L / 3L, 1000000000L / 3L, 1000000000L / 3L)
+      for (_ <- 0 until iters) {
+        val c = Array(
+          r(1) * 1L / 1L + r(2) * 1L / 1L, // into 0
+          r(0) * 3L / 4L,                  // into 1 (per-edge truncation)
+          r(0) * 1L / 4L)                  // into 2
+        r = Array.tabulate(3)(i => base + (85L * c(i)) / 100L)
+      }
+      nodes.zip(r).toMap
+    }
+    val got = Graph.pageRank(edges.toDF("a", "b", "wt"), "a", "b",
+        nodes = nodes.toDF("node"), iterations = 10,
+        weightCol = Some("wt"))
+      .as[(Long, Long)].collect().toMap
+    got shouldBe ref(10)
+    got(1L) should be > got(2L) // the heavy edge carries more rank
+    // unit weights reproduce the unweighted ranking exactly
+    val unit = Graph.pageRank(
+        edges.map { case (a, b, _) => (a, b, 1L) }.toDF("a", "b", "wt"),
+        "a", "b", nodes = nodes.toDF("node"), iterations = 10,
+        weightCol = Some("wt"))
+      .as[(Long, Long)].collect().toMap
+    val plain = Graph.pageRank(
+        edges.map { case (a, b, _) => (a, b) }.toDF("a", "b"),
+        "a", "b", nodes = nodes.toDF("node"), iterations = 10)
+      .as[(Long, Long)].collect().toMap
+    unit shouldBe plain
+    // zero, negative, and null weights have no random-surfer reading
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRank(Seq((0L, 1L, 0L)).toDF("a", "b", "wt"), "a", "b",
+        nodes = nodes.toDF("node"), iterations = 1, weightCol = Some("wt"))
+    an[IllegalArgumentException] should be thrownBy
+      Graph.pageRank(Seq((0L, 1L, java.lang.Long.valueOf(-2L)))
+          .toDF("a", "b", "wt"), "a", "b",
+        nodes = nodes.toDF("node"), iterations = 1, weightCol = Some("wt"))
+  }
+
+  test("weighted labelPropagation: one heavy neighbor outvotes several " +
+      "light ones, pre-symmetrized input is not double-counted, unit " +
+      "weights equal the unweighted votes") {
+    val s = spark
+    import s.implicits._
+    def lpw(edges: Seq[(Long, Long, Long)], seeds: Seq[(Long, String)],
+        iterations: Int): Map[Long, String] =
+      Graph.labelPropagation(edges.toDF("a", "b", "wt"), "a", "b",
+          seeds = seeds.toDF("node", "label"), iterations = iterations,
+          weightCol = Some("wt"))
+        .as[(Long, String)].collect().toMap
+    // node 0: three 'a' neighbors at weight 1 vs one 'b' neighbor at
+    // weight 5 — weighted vote flips what the unweighted count decides
+    val star = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L), (4L, 0L, 5L))
+    val seeds = Seq(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b")
+    lpw(star, seeds, 1).apply(0L) shouldBe "b"
+    Graph.labelPropagation(star.map(t => (t._1, t._2)).toDF("a", "b"),
+        "a", "b", seeds = seeds.toDF("node", "label"), iterations = 1)
+      .as[(Long, String)].collect().toMap.apply(0L) shouldBe "a"
+    // unit weights reproduce the unweighted assignment
+    val path = (1L until 5L).map(i => (i, i + 1, 1L))
+    lpw(path, Seq(1L -> "a", 5L -> "b"), 2) shouldBe
+      Map(1L -> "a", 2L -> "a", 3L -> "a", 4L -> "b", 5L -> "b")
+    // an input that already lists both directions of each edge votes
+    // once per direction-neighbor, not twice (exact triples dedup)
+    val presym = star ++ star.map(t => (t._2, t._1, t._3))
+    lpw(presym, seeds, 1).apply(0L) shouldBe "b"
+    // genuinely parallel edges of different weights accumulate: two
+    // more a-votes' worth of weight on edge (1,0) ties 5 b-weight at
+    // 5 a-weight — tie breaks to the smaller label 'a'
+    lpw(star ++ Seq((1L, 0L, 2L)), seeds, 1).apply(0L) shouldBe "a"
+    an[IllegalArgumentException] should be thrownBy
+      lpw(Seq((1L, 0L, 0L)), seeds, 1)
+  }
+
   test("bfsDistances: maxIter backstop throws instead of truncating") {
     val chain = (0L until 30L).map(i => (i, i + 1))
     an[IllegalStateException] should be thrownBy
