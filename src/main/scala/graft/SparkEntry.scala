@@ -2087,6 +2087,33 @@ object SparkEntry {
         .select(col("c_custkey"))
         .orderBy("c_custkey")),
 
+    // k-anonymity by GENERALIZATION: coarsen (nation, segment, $1000
+    // balance band) up a 4-state ladder — $4000 bands, then segment →
+    // '*', then nation → 5-nation bands, then constants — stopping at
+    // the minimal state whose audit is clean, so every row is RETAINED
+    // at coarser granularity instead of suppressed (the release policy
+    // when suppression deletes too much). The oracle replays the level
+    // search: per-level violation counts in CTEs, the settled level via
+    // CASE, the release projection at that level. Negative balance
+    // bands use the floor-division idiom in both engines.
+    "pii_k_generalize" -> ((s, dir) => {
+      val c = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          col("c_nationkey").cast("long").as("nat"),
+          col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") / 1000).cast("long").as("band"))
+      val band4 = expr("(band - pmod(band, 4)) div 4")
+      graft.operators.Pii.kAnonymizeGeneralize(c,
+          Seq("nat", "seg", "band"),
+          ladder = Seq(
+            Seq(col("nat"), col("seg"), band4),
+            Seq(col("nat"), lit("*"), band4),
+            Seq(expr("nat div 5"), lit("*"), band4),
+            Seq(lit(0L), lit("*"), lit(0L))),
+          k = 3)
+        .orderBy("c_custkey")
+    }),
+
     // -- dataset curation (graft.operators.Curation) ----------------------
     // temperature mixture sampling (count^alpha rebalancing over the
     // skewed lang column): one group-cardinality aggregate + broadcast
@@ -6686,6 +6713,40 @@ object SparkEntry {
         |  WHERE b.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
         |    AND b.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
         |    AND b.bal_band IS NOT DISTINCT FROM c.bal_band)
+        |ORDER BY c_custkey""".stripMargin,
+
+    // generalization-ladder replay: per-level violation counts, the
+    // minimal clean level via CASE, release at that level. Floor
+    // division for the (possibly negative) $4000 band in both engines.
+    "pii_k_generalize" ->
+      """WITH g AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat,
+        |    c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS band,
+        |    (CAST(floor(c_acctbal / 1000) AS BIGINT)
+        |      - ((CAST(floor(c_acctbal / 1000) AS BIGINT) % 4) + 4) % 4) // 4
+        |      AS band4,
+        |    CAST(c_nationkey AS BIGINT) // 5 AS nat5
+        |  FROM customer),
+        |v0 AS (SELECT count(*) AS v FROM
+        |  (SELECT 1 FROM g GROUP BY nat, seg, band HAVING count(*) < 3)),
+        |v1 AS (SELECT count(*) AS v FROM
+        |  (SELECT 1 FROM g GROUP BY nat, seg, band4 HAVING count(*) < 3)),
+        |v2 AS (SELECT count(*) AS v FROM
+        |  (SELECT 1 FROM g GROUP BY nat, band4 HAVING count(*) < 3)),
+        |v3 AS (SELECT count(*) AS v FROM
+        |  (SELECT 1 FROM g GROUP BY nat5, band4 HAVING count(*) < 3)),
+        |lvl AS (SELECT CASE WHEN (SELECT v FROM v0) = 0 THEN 0
+        |                    WHEN (SELECT v FROM v1) = 0 THEN 1
+        |                    WHEN (SELECT v FROM v2) = 0 THEN 2
+        |                    WHEN (SELECT v FROM v3) = 0 THEN 3
+        |                    ELSE 4 END AS l)
+        |SELECT c_custkey,
+        |  CASE WHEN l <= 2 THEN nat WHEN l = 3 THEN nat5 ELSE 0 END AS nat,
+        |  CASE WHEN l <= 1 THEN seg ELSE '*' END AS seg,
+        |  CASE WHEN l = 0 THEN band WHEN l <= 3 THEN band4 ELSE 0 END AS band,
+        |  CAST(l AS BIGINT) AS gen_level
+        |FROM g, lvl
         |ORDER BY c_custkey""".stripMargin,
 
     "mixture_sample" ->

@@ -99,4 +99,92 @@ object Pii {
       quasiCols.map(c => col(c) <=> col(s"__bad_$c")).reduce(_ && _),
       "left_anti")
   }
+
+  /** k-anonymize by GENERALIZATION: coarsen the quasi columns up a
+    * declared value ladder until every equivalence class reaches `k`,
+    * instead of dropping rows — the standard alternative to
+    * [[kAnonymizeSuppress]] that preserves far more data at the same k
+    * (a release pipeline reaches for it the first time suppression
+    * deletes too much). `ladder` is the ordered sequence of
+    * generalization states, coarsest LAST; each state lists one
+    * expression per quasi column (positionally aligned with
+    * `quasiCols` — e.g. `$1000-band → $4000-band → sign`, `segment →
+    * '*'`). State 0 is implicitly the identity. The released relation
+    * carries the generalized quasi values under their original names
+    * plus `gen_level` (0 = no coarsening was needed), and is
+    * k-anonymous over `quasiCols` by construction: the minimal level
+    * whose audit is clean is chosen deterministically, and if even the
+    * coarsest state leaves sub-k classes those are suppressed
+    * (null-safely, like [[kAnonymizeSuppress]]) when
+    * `suppressResidual`, refused loudly otherwise. Declare a coarsest
+    * state that collapses to constants and residual suppression can
+    * never trigger on a corpus of ≥ k rows.
+    *
+    * Plan shape at scale: ONE corpus pass computes the finest-level
+    * classes with every coarser level's struct carried alongside (each
+    * is a function of the finest values, so the group count stays the
+    * level-0 class cardinality); each level's audit is then a tiny
+    * re-aggregation of that class relation, never a re-scan — L ladder
+    * states cost one shuffle plus L class-sized aggregates, and the
+    * release is one narrow projection (plus one broadcast anti-join
+    * only on the residual path). Every level must produce the same
+    * data type per quasi column, so the release schema never depends
+    * on where the search settles. */
+  def kAnonymizeGeneralize(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      ladder: Seq[Seq[Column]],
+      k: Long,
+      suppressResidual: Boolean = true): DataFrame = {
+    require(quasiCols.nonEmpty, "quasiCols must be non-empty")
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(ladder.nonEmpty && ladder.forall(_.length == quasiCols.length),
+      "each ladder state must generalize every quasi column (positionally)")
+    val levels: Seq[Seq[Column]] = quasiCols.map(col) +: ladder
+    val levelTypes = levels.map(es =>
+      df.select(es.zip(quasiCols).map { case (e, c) => e.as(c) }: _*)
+        .schema.map(_.dataType))
+    require(levelTypes.distinct.size == 1,
+      s"ladder states must keep each quasi column's data type stable " +
+        s"(got ${levelTypes.distinct.mkString(" vs ")}) — the release " +
+        "schema must not depend on where the level search settles")
+    val lvlStructs = levels.zipWithIndex.map { case (es, i) =>
+      struct(es.zip(quasiCols).map { case (e, c) => e.as(c) }: _*)
+        .as(s"__q$i")
+    }
+    val classes = df.select(lvlStructs: _*)
+      .groupBy(levels.indices.map(i => col(s"__q$i")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    def levelViolations(i: Int) =
+      classes.groupBy(col(s"__q$i")).agg(sum(col("__n")).as("__s"))
+        .filter(col("__s") < k)
+    val chosen = levels.indices.find(i => levelViolations(i).isEmpty)
+    val level = chosen.getOrElse(levels.length - 1)
+    val gen = levels(level)
+    val outCols = df.columns.toSeq.map { c =>
+      val qi = quasiCols.indexOf(c)
+      if (qi >= 0) gen(qi).as(c) else col(c)
+    }
+    val released = df.select(outCols: _*)
+      .withColumn("gen_level", lit(level.toLong))
+    chosen match {
+      case Some(_) =>
+        Dedup.releaseCheckpoint(classes)
+        released
+      case None if suppressResidual =>
+        // even the coarsest state leaves sub-k classes — suppress them;
+        // the class relation stays pinned with the result (class-
+        // cardinality-sized, the broadcast-model lifetime class)
+        val bad = levelViolations(level)
+          .select(col(s"__q$level").as("__bad"))
+        released.join(broadcast(bad),
+          struct(quasiCols.map(col): _*) <=> col("__bad"), "left_anti")
+      case None =>
+        throw new IllegalStateException(
+          s"kAnonymizeGeneralize: the coarsest ladder state still has " +
+            s"equivalence classes below k=$k and suppressResidual=false " +
+            "— declare a coarser terminal state or allow suppression")
+    }
+  }
 }
