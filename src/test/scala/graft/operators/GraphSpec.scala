@@ -423,6 +423,48 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
       Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
   }
 
+  test("kCoreFrontier: equivalent to batch peeling on known shapes, " +
+      "random graphs at every k, degenerate edges, and the oracle graph") {
+    val s = spark
+    import s.implicits._
+    def kcf(edges: Seq[(Long, Long)], k: Int,
+        maxIter: Int = 500): Map[Long, Long] =
+      Graph.kCoreFrontier(edges.toDF("a", "b"), "a", "b", k, maxIter)
+        .as[(Long, Long)].collect().toMap
+    // the batch arm explicitly: kCore's default now IS the frontier
+    // engine, so the equivalence pin must drive the fallback directly
+    def kc(edges: Seq[(Long, Long)], k: Int,
+        maxIter: Int = 500): Map[Long, Long] =
+      Graph.kCore(edges.toDF("a", "b"), "a", "b", k, maxIter,
+          frontier = false)
+        .as[(Long, Long)].collect().toMap
+    val k5 = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val bowtie = Seq((0L, 1L), (1L, 2L), (2L, 0L), (0L, 3L), (3L, 4L), (4L, 0L))
+    for ((e, k) <- Seq((k5 ++ chain, 4), (k5 ++ chain, 5), (bowtie, 2),
+        (Seq((1L, 2L), (2L, 3L)), 2)))
+      kcf(e, k) shouldBe kc(e, k)
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(400)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    for (k <- Seq(2, 4, 8, 20)) kcf(edges, k) shouldBe kc(edges, k)
+    // degenerate edges: self-loops, duplicates, reversed, nulls
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (null, 5L), (6L, null),
+      (2L, 3L), (3L, 1L)).toDF("a", "b")
+    Graph.kCoreFrontier(df, "a", "b", 2).as[(Long, Long)].collect()
+      .toMap shouldBe Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    // the oracle graph: same 57-node core at the same peel depth bound
+    val m = 301L
+    val ring = (0L until m).flatMap(d =>
+      Seq((d, (d + 1) % m), (d, (d + 2) % m), (d, (d * d + 7) % m)))
+    val block = for (d <- 0L to 60L; j <- 3L to 6L if d + j <= 60L)
+      yield (d, d + j)
+    kcf(ring ++ block, 7, maxIter = 12) shouldBe kc(ring ++ block, 7, 12)
+    // the maxIter backstop throws, never returns a supergraph
+    an[IllegalStateException] should be thrownBy
+      kcf((0L until 30L).map(i => (i, i + 1)), 2, maxIter = 3)
+  }
+
   test("kCore: the graph_kcore oracle graph converges within the 12 " +
       "unrolled SQL rounds and yields the 57-node varied-degree core") {
     // the same closed-form construction as the SparkEntry row (301-node

@@ -73,14 +73,24 @@ object GraphScale {
           explode(array((col("id") + 1) % c, (col("id") + 2) % c,
             (col("id") + 3) % c)).as("dst"))
       val edges = tree.unionByName(ring)
-      val core = time(s"tree_ring/kcore k=4 n=$n") {
-        graft.operators.Graph.kCore(edges, "src", "dst", k = 4)
-          .agg(count(lit(1)), min(col("core_deg")), max(col("core_deg")))
-          .head()
+      // A/B: batch peeling (re-shuffles all degrees each wave) vs
+      // frontier-delta peeling (broadcasts the wave's removals, degree
+      // relation is the only per-wave checkpoint) — same cascade, same
+      // result asserted below
+      for (frontier <- Seq(false, true)) {
+        val variant = if (frontier) "frontier-peel" else "batch-peel"
+        val core = time(s"tree_ring/kcore/$variant k=4 n=$n") {
+          (if (frontier)
+            graft.operators.Graph.kCoreFrontier(edges, "src", "dst", k = 4)
+          else graft.operators.Graph.kCore(edges, "src", "dst", k = 4))
+            .agg(count(lit(1)), min(col("core_deg")), max(col("core_deg")))
+            .head()
+        }
+        println(s"[graph-scale] kcore/$variant n=$n " +
+          s"core_nodes=${core.getLong(0)} " +
+          s"deg_range=[${core.getLong(1)}, ${core.getLong(2)}] " +
+          s"(expect core_nodes=$c: the tree unravels, the ring survives)")
       }
-      println(s"[graph-scale] kcore n=$n core_nodes=${core.getLong(0)} " +
-        s"deg_range=[${core.getLong(1)}, ${core.getLong(2)}] " +
-        s"(expect core_nodes=$c: the tree unravels, the ring survives)")
     }
     if (mode == "bfs" || mode == "all") {
       val doubling = spark.range(0, n)
