@@ -3710,6 +3710,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WEIGHTED shortest paths (frontier Bellman-Ford) over the same
+    // doubling expander, each edge costing 1 + (src+dst) mod 5 — the
+    // weighted twin of graph_bfs for cost-carrying link graphs. The
+    // oracle enumerates bounded-cost walks in a recursive CTE (UNION
+    // dedups exact (node, cost) pairs; the 64 bound is diameter 8 ×
+    // max weight 5 with margin) and takes the per-node minimum.
+    "graph_shortest_paths" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") <= 300).select(col("doc_id"))
+      val m = d.agg((max(col("doc_id")) + 1L).as("__m"))
+      val edges = d.crossJoin(broadcast(m))
+        .select(col("doc_id").as("src"),
+          explode(array(
+            (col("doc_id") * 2L) % col("__m"),
+            (col("doc_id") * 2L + 1L) % col("__m"))).as("dst"))
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5L)
+      graft.operators.Graph.shortestPaths(edges, "src", "dst",
+          sources = d.filter(col("doc_id") === 7), sourceCol = "doc_id")
+        .select(col("node").as("doc_id"), col("dist"))
+        .orderBy("doc_id")
+    }),
+
     // k-core decomposition (batch peeling): the graph-datacard density
     // signal. Closed-form synthetic graph with a genuine 7-round peel
     // cascade — the +1/+2 ring and d²+7 chords give everyone degree ~6
@@ -8373,6 +8395,34 @@ object SparkEntry {
         |  UNION
         |  SELECT s.v, r.dd + 1 FROM reach r JOIN sym s ON s.u = r.node
         |  WHERE r.dd < 16)
+        |SELECT node AS doc_id, CAST(min(dd) AS BIGINT) AS dist
+        |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // weighted walk enumeration: UNION dedups exact (node, cost)
+    // pairs so cycles terminate at the 64 cost bound (diameter 8 ×
+    // max weight 5, with margin); parallel edges keep min weight
+    "graph_shortest_paths" ->
+      """WITH RECURSIVE nodes AS (
+        |  SELECT doc_id AS node FROM documents WHERE doc_id <= 300),
+        |e AS (
+        |  SELECT src, dst, 1 + (src + dst) % 5 AS w FROM (
+        |    SELECT node AS src,
+        |      (node * 2) % (SELECT max(node) + 1 FROM nodes) AS dst
+        |    FROM nodes
+        |    UNION ALL
+        |    SELECT node, (node * 2 + 1) % (SELECT max(node) + 1 FROM nodes)
+        |    FROM nodes)),
+        |sym AS (
+        |  SELECT u, v, min(w) AS w FROM (
+        |    SELECT src AS u, dst AS v, w FROM e WHERE src <> dst
+        |    UNION ALL
+        |    SELECT dst, src, w FROM e WHERE src <> dst)
+        |  GROUP BY 1, 2),
+        |reach(node, dd) AS (
+        |  SELECT node, 0 FROM nodes WHERE node = 7
+        |  UNION
+        |  SELECT s.v, r.dd + s.w FROM reach r JOIN sym s ON s.u = r.node
+        |  WHERE r.dd + s.w <= 64)
         |SELECT node AS doc_id, CAST(min(dd) AS BIGINT) AS dist
         |FROM reach GROUP BY 1 ORDER BY doc_id""".stripMargin,
 

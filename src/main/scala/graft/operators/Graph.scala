@@ -567,6 +567,88 @@ object Graph {
     levels.reduce(_ unionByName _)
   }
 
+  /** Multi-source WEIGHTED shortest-path distances over the undirected
+    * graph — [[bfsDistances]]' weighted twin, for the graphs whose
+    * edges carry costs (latency-weighted link graphs, 1−similarity
+    * distances on the near-dup graph): for every reachable node, the
+    * minimum total edge weight to its nearest source. Weights must be
+    * non-null POSITIVE integers (refused loudly — zero-weight edges
+    * would need Dijkstra's tie handling and negative ones have no
+    * shortest-path fixpoint on cycles), so distances stay on the exact
+    * integer lattice and the result is engine-replayable. Parallel
+    * edges keep their lightest weight; `(node, dist)` for reached nodes
+    * ONLY (sources at 0) — unreachable nodes are absent, the
+    * [[bfsDistances]] honesty rule.
+    *
+    * Frontier Bellman-Ford (the SPFA discipline, synchronous): each
+    * round relaxes ONLY the edges out of nodes whose distance improved
+    * last round — per-round cost O(frontier edges) plus one node-sized
+    * merge of the candidate relation into the running distances, and
+    * the loop ends when a round improves nothing. Round count is the
+    * maximum HOP count over all shortest paths (≤ n−1 in theory;
+    * small-world in practice), `maxIter` the loud backstop. With unit
+    * weights every relaxation settles at first discovery and the
+    * result equals [[bfsDistances]] (spec-pinned). Rounds are
+    * `localCheckpoint`ed with superseded relations released, the
+    * iterative-operator discipline of this file. */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String = "node",
+      weightCol: String = "w", maxIter: Int = 200): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val base = edges
+      .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
+        col(srcCol) =!= col(dstCol))
+      .select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+    require(base.filter(col("w").isNull || col("w") < 1L).isEmpty,
+      "shortestPaths: edge weights must be non-null positive integers")
+    // symmetrize, then keep the LIGHTEST parallel edge per pair — a
+    // heavier duplicate can never lie on a shortest path
+    val sym = base
+      .union(base.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var dist = sources.filter(col(sourceCol).isNotNull)
+      .select(col(sourceCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = dist
+    var frontierSize = frontier.count()
+    var it = 0
+    while (frontierSize > 0L && it < maxIter) {
+      // best candidate per node reached from the improved frontier
+      val cand = frontier.select(col("node").as("u"), col("dist"))
+        .join(sym, "u")
+        .groupBy(col("v").as("node"))
+        .agg(min(col("dist") + col("w")).as("__c"))
+      // merge: a node improves when the candidate beats (or first
+      // sets) its distance; everything else passes through unchanged
+      val merged = dist.join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("__c")),
+            coalesce(col("__c"), col("dist"))).as("dist"),
+          (col("__c").isNotNull &&
+            (col("dist").isNull || col("__c") < col("dist"))).as("__imp"))
+        .localCheckpoint(true)
+      val nextFrontier = merged.filter(col("__imp"))
+        .select(col("node"), col("dist"))
+      frontierSize = nextFrontier.count()
+      // frontier is always a view over dist's checkpoint — releasing
+      // dist releases both
+      Dedup.releaseCheckpoint(dist)
+      dist = merged // keep the checkpoint alive; `next` is a view of it
+      frontier = nextFrontier
+      it += 1
+    }
+    if (frontierSize > 0L)
+      throw new IllegalStateException(
+        s"shortestPaths did not settle in $maxIter relaxation rounds " +
+          "(round count = max shortest-path hop count); refusing to " +
+          "return unsettled distances")
+    Dedup.releaseCheckpoint(sym)
+    dist.select(col("node"), col("dist"))
+  }
+
   /** The k-core of the undirected graph — the maximal subgraph in which
     * every node has degree ≥ k (Seidman's cores; the standard
     * graph-datacard density signal, and the classic spam/bot filter on

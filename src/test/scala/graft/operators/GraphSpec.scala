@@ -369,6 +369,64 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
       lpw(Seq((1L, 0L, 0L)), seeds, 1)
   }
 
+  test("shortestPaths: Dijkstra ground truth on a random weighted graph, " +
+      "chain exact, multi-source takes the nearer seed, lightest parallel " +
+      "edge wins, unit weights equal BFS, guards refuse loudly") {
+    val s = spark
+    import s.implicits._
+    def sp(edges: Seq[(Long, Long, Long)], sources: Seq[Long],
+        maxIter: Int = 200): Map[Long, Long] =
+      Graph.shortestPaths(edges.toDF("a", "b", "wt"), "a", "b",
+          sources = sources.toDF("node"), weightCol = "wt", maxIter = maxIter)
+        .as[(Long, Long)].collect().toMap
+    def dijkstra(edges: Seq[(Long, Long, Long)],
+        sources: Seq[Long]): Map[Long, Long] = {
+      val adj = edges.filter(e => e._1 != e._2)
+        .flatMap(e => Seq((e._1, e._2, e._3), (e._2, e._1, e._3)))
+        .groupBy(_._1).view
+        .mapValues(_.groupBy(_._2).map { case (v, l) => (v, l.map(_._3).min) })
+        .toMap
+      val dist = scala.collection.mutable.Map(sources.map(_ -> 0L): _*)
+      val pq = scala.collection.mutable.PriorityQueue(
+        sources.map(n => (0L, n)): _*)(Ordering.by(t => -t._1))
+      while (pq.nonEmpty) {
+        val (d, u) = pq.dequeue()
+        if (d == dist(u))
+          for ((v, w) <- adj.getOrElse(u, Map.empty))
+            if (dist.get(v).forall(_ > d + w)) {
+              dist(v) = d + w; pq.enqueue((d + w, v))
+            }
+      }
+      dist.toMap
+    }
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong,
+      1L + rnd.nextInt(9)))
+    sp(edges, Seq(0L)) shouldBe dijkstra(edges, Seq(0L))
+    sp(edges, Seq(0L, 31L)) shouldBe dijkstra(edges, Seq(0L, 31L))
+    // weighted chain: cumulative sums exact; unreachable island absent
+    val chain = Seq((0L, 1L, 2L), (1L, 2L, 3L), (2L, 3L, 1L),
+      (10L, 11L, 4L))
+    sp(chain, Seq(0L)) shouldBe Map(0L -> 0L, 1L -> 2L, 2L -> 5L, 3L -> 6L)
+    // a heavy direct edge loses to a light detour
+    sp(Seq((0L, 1L, 10L), (0L, 2L, 1L), (2L, 1L, 1L)), Seq(0L)) shouldBe
+      Map(0L -> 0L, 1L -> 2L, 2L -> 1L)
+    // parallel edges: the lightest wins
+    sp(Seq((0L, 1L, 7L), (0L, 1L, 2L)), Seq(0L)) shouldBe
+      Map(0L -> 0L, 1L -> 2L)
+    // unit weights reproduce BFS hop distances exactly
+    val uEdges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    sp(uEdges.map(e => (e._1, e._2, 1L)), Seq(3L)) shouldBe
+      Graph.bfsDistances(uEdges.toDF("a", "b"), "a", "b",
+        sources = Seq(3L).toDF("node")).as[(Long, Long)].collect().toMap
+    // guards: non-positive weights refuse; maxIter throws, never
+    // returns unsettled distances
+    an[IllegalArgumentException] should be thrownBy
+      sp(Seq((0L, 1L, 0L)), Seq(0L))
+    an[IllegalStateException] should be thrownBy
+      sp((0L until 30L).map(i => (i, i + 1, 1L)), Seq(0L), maxIter = 3)
+  }
+
   test("bfsDistances: maxIter backstop throws instead of truncating") {
     val chain = (0L until 30L).map(i => (i, i + 1))
     an[IllegalStateException] should be thrownBy

@@ -228,7 +228,13 @@ object Sf1Soak {
     // GraphScale modes kcore/bfs are the giant-structure stress)
     "curation_dsir", "text_keywords_rake", "event_resample_ohlc",
     "event_resample_gapfill", "pii_k_anonymity", "pii_k_suppress",
-    "graph_kcore", "graph_bfs", "graph_label_prop", "store_restore")
+    "graph_kcore", "graph_bfs", "graph_label_prop", "store_restore",
+    // round-12 wave: the bucketed exchange-free upsert twin (the A/B
+    // against scd_upsert_large's full-shuffle swing), hashed-feature
+    // DSIR (bounded weight model), weighted PageRank, and the
+    // generalization-ladder k-anonymity release
+    "scd_upsert_stored", "curation_dsir_hashed", "graph_pagerank_weighted",
+    "pii_k_generalize")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
