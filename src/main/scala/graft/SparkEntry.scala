@@ -3205,6 +3205,30 @@ object SparkEntry {
           threshold = 0.1, maxId = 150L)
         .orderBy("id_a", "id_b")),
 
+    // the weighted-graph INTEGRATION row: PageRank over the similarity
+    // graph the dedup tier itself produces — Jaccard-weighted near-dup
+    // edges (exact n-gram pairs here; the hash-green rounded jaccard
+    // makes floor(j·10⁴) engine-stable), symmetrized, rank splitting
+    // weight-proportionally. High rank = "duplication centrality": the
+    // canonical representative a keep-best policy should prefer.
+    // Isolated docs keep base rank under the default leak policy, which
+    // the oracle's 15 unrolled weighted rounds replay.
+    "graph_pagerank_neardup" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val d = docs.filter(col("doc_id") <= 150).select(col("doc_id"))
+      val pairs = Dedup.ngramJaccardPairs(docs, threshold = 0.1, maxId = 150L)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"),
+          floor(col("jaccard") * 10000).cast("long").as("w"))
+        .unionByName(pairs.select(col("id_b").as("src"),
+          col("id_a").as("dst"),
+          floor(col("jaccard") * 10000).cast("long").as("w")))
+      graft.operators.Graph.pageRank(edges, "src", "dst",
+          nodes = d, nodeCol = "doc_id", iterations = 15,
+          weightCol = Some("w"))
+        .select(col("node").as("doc_id"), col("rank_scaled"))
+        .orderBy("doc_id")
+    }),
+
     // winnowing fingerprints (MOSS): per-window rightmost-min k-gram
     // hash selection — any ≥ w+k-1-char common substring is guaranteed
     // a shared SELECTED fingerprint while only ~2/(w+1) of hashes are
@@ -4651,6 +4675,52 @@ object SparkEntry {
        |      1 + (node + j*13) % 5 AS w
        |    FROM nodes, (VALUES (1),(2),(3)) AS t(j))
        |  WHERE dst IN (SELECT node FROM nodes)),
+       |deg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+       |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |pr0 AS MATERIALIZED (SELECT node,
+       |  CAST(1000000000::BIGINT // (SELECT n FROM nn) AS BIGINT) AS r FROM nodes),
+       |${(0 until iters).map(step).mkString(",\n")}
+       |SELECT node AS doc_id, r AS rank_scaled FROM pr$iters ORDER BY doc_id""".stripMargin
+  }
+
+  /** The near-dup integration twin of [[pageRankWeightedSql]]: edges are
+    * the exact n-gram Jaccard pairs (the `ngram_jaccard_pairs` CTE,
+    * verbatim), weights `floor(round(j,4)·10⁴)` — stable because the
+    * rounded jaccard itself is hash-green cross-engine — and the
+    * 15 weighted rounds replay under the default leak policy (isolated
+    * docs keep base rank; no-outlink nodes contribute nothing). */
+  private val pageRankNearDupSql: String = {
+    val iters = 15
+    val step = (k: Int) =>
+      s"""pr${k + 1} AS MATERIALIZED (SELECT n.node,
+         |  CAST((1000000000::BIGINT * 15) // (100 * (SELECT n FROM nn)) +
+         |       (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum((p.r * e.w) // d.deg) AS BIGINT) AS s
+         |    FROM pr$k p JOIN deg d ON d.src = p.node JOIN e ON e.src = p.node
+         |    GROUP BY e.dst) c ON c.node = n.node)""".stripMargin
+    s"""WITH nodes AS (SELECT doc_id AS node FROM documents WHERE doc_id <= 150),
+       |sh AS (
+       |  SELECT doc_id AS id,
+       |    CASE WHEN len(string_split_regex(lower(trim(text)), '\\s+')) < 3
+       |      THEN [array_to_string(string_split_regex(lower(trim(text)), '\\s+'), ' ')]
+       |      ELSE list_transform(
+       |        range(len(string_split_regex(lower(trim(text)), '\\s+')) - 2),
+       |        i -> array_to_string(
+       |          string_split_regex(lower(trim(text)), '\\s+')[i+1:i+3], ' '))
+       |    END AS sh
+       |  FROM documents WHERE doc_id <= 150),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(floor(round(len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+       |          len(list_distinct(a.sh || b.sh)), 4) * 10000) AS BIGINT) AS w
+       |  FROM sh a JOIN sh b ON a.id < b.id
+       |  WHERE len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0 /
+       |        len(list_distinct(a.sh || b.sh)) >= 0.1),
+       |e AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst, w FROM pairs
+       |  UNION ALL
+       |  SELECT id_b, id_a, w FROM pairs),
        |deg AS MATERIALIZED (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
        |nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
        |pr0 AS MATERIALIZED (SELECT node,
@@ -8368,6 +8438,8 @@ object SparkEntry {
     "graph_pagerank_personalized" -> pageRankPersonalizedSql,
 
     "graph_pagerank_weighted" -> pageRankWeightedSql,
+
+    "graph_pagerank_neardup" -> pageRankNearDupSql,
 
     "graph_kcore" -> kCoreSql,
 
