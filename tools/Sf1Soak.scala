@@ -234,7 +234,7 @@ object Sf1Soak {
     // DSIR (bounded weight model), weighted PageRank, and the
     // generalization-ladder k-anonymity release
     "scd_upsert_stored", "curation_dsir_hashed", "graph_pagerank_weighted",
-    "pii_k_generalize")
+    "pii_k_generalize", "graph_shortest_paths", "graph_pagerank_neardup")
 
   private def bench(spark: SparkSession): Seq[(String, Double)] = {
     // the replicated corpus duplicates every customer name Copies×, so
