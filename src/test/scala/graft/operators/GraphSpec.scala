@@ -334,6 +334,30 @@ class GraphSpec extends AnyFunSuite with Matchers with SparkSpec {
         nodes = nodes.toDF("node"), iterations = 1, weightCol = Some("wt"))
   }
 
+  test("weighted + personalized pageRank compose: exact integer reference " +
+      "with seed-gated base mass and weight-split contributions") {
+    val s = spark
+    import s.implicits._
+    // 0 →(w3) 1, 0 →(w1) 2, both feed back (w1); restart {0}
+    val edges = Seq((0L, 1L, 3L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+    val nodes = Seq(0L, 1L, 2L)
+    def ref(iters: Int): Map[Long, Long] = {
+      val base = (1000000000L * 15L) / (100L * 1L)
+      var r = Array(1000000000L, 0L, 0L) // seed-concentrated start
+      for (_ <- 0 until iters) {
+        val c = Array(r(1) + r(2), r(0) * 3L / 4L, r(0) * 1L / 4L)
+        r = Array.tabulate(3)(i =>
+          (if (i == 0) base else 0L) + (85L * c(i)) / 100L)
+      }
+      nodes.zip(r).toMap
+    }
+    Graph.pageRank(edges.toDF("a", "b", "wt"), "a", "b",
+        nodes = nodes.toDF("node"), iterations = 10,
+        restartNodes = Some(Seq(0L).toDF("node")),
+        weightCol = Some("wt"))
+      .as[(Long, Long)].collect().toMap shouldBe ref(10)
+  }
+
   test("weighted labelPropagation: one heavy neighbor outvotes several " +
       "light ones, pre-symmetrized input is not double-counted, unit " +
       "weights equal the unweighted votes") {
