@@ -443,6 +443,46 @@ class PlanSpec extends AnyFunSuite with Matchers with SparkSpec {
     merged.orderBy("dim_id").collect() shouldBe expected
   }
 
+  test("the stored upsert layout self-perpetuates: the merged output " +
+      "re-staged bucketed feeds the NEXT cycle's merge exchange-free") {
+    val s = spark
+    import s.implicits._
+    val store = new graft.core.TableStore(tmpDir("ups-cycle"), spark)
+    def delta(ids: Seq[Long], tag: String) =
+      ids.map(i => (i, i * 1.0 + 1, i * 2.0, tag))
+        .toDF("dim_id", "qty", "price", "flag")
+    val b1 = (1L to 400L).map(i => (i, i * 1.0, i * 2.0, "A"))
+      .toDF("dim_id", "qty", "price", "flag")
+    store.commit(Map(
+      "dim" -> store.stageBucketed("dim", b1, Seq("dim_id"), 8),
+      "d1" -> store.stageBucketed("d1", delta(200L to 600L by 2, "B"),
+        Seq("dim_id"), 8)))
+    val schema = b1.schema
+    val merged1 = Merge.upsert(store.readOrEmpty("dim", schema),
+      store.readOrEmpty("d1", schema), Seq("dim_id"),
+      broadcastSource = false)
+    // cycle boundary: the merged output becomes the next dimension
+    // version with the SAME bucketed layout — the one shuffle a cycle
+    // pays is this write, once, instead of two per downstream merge
+    store.commit(Map(
+      "dim" -> store.stageBucketed("dim", merged1, Seq("dim_id"), 8),
+      "d2" -> store.stageBucketed("d2", delta(1L to 100L by 3, "C"),
+        Seq("dim_id"), 8)))
+    val merged2 = Merge.upsert(store.readOrEmpty("dim", schema),
+      store.readOrEmpty("d2", schema), Seq("dim_id"),
+      broadcastSource = false)
+    val plan = executedPlan(merged2)
+    plan should not include "Exchange"
+    plan should include("SortMergeJoin")
+    // and the two-cycle result equals the plain-layout double merge
+    val expected = Merge.upsert(
+        Merge.upsert(b1, delta(200L to 600L by 2, "B"), Seq("dim_id"),
+          broadcastSource = false),
+        delta(1L to 100L by 3, "C"), Seq("dim_id"), broadcastSource = false)
+      .orderBy("dim_id").collect()
+    merged2.orderBy("dim_id").collect() shouldBe expected
+  }
+
   test("dsirSelect plans a distributed ranked take and broadcasts the " +
       "weight model — never a global sort of the corpus") {
     val s = spark
